@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Spark-native re-expression of the reference's PriceAggregator
+  * (reference: src/aggregator/price_aggregator.py).
+  *
+  * The order stream maps onto the `events` table: event_type → product,
+  * value → price, ts → order timestamp, event_id → orderId.
+  *
+  * All of these are single-pass hash aggregations (map-side partial agg +
+  * one shuffle on the grouping key) or a single window sort — both scale
+  * linearly with input and shuffle only the grouped/partitioned key space.
+  */
+object OrderAnalytics {
+
+  /** Per-product count/sum/avg/min/max (price_aggregator.py:40-56, 60-86).
+    * One hash aggregate; partials combine map-side so the shuffle carries
+    * only |products| rows per task regardless of input size.
+    */
+  def priceStatsByProduct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("product"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum("value"), 2).as("price_sum"),
+        round(avg("value"), 2).as("price_avg"),
+        min("value").as("price_min"),
+        max("value").as("price_max"))
+
+  /** Overall totals (price_aggregator.py:100-115). Single global agg:
+    * partial-aggregated to one row per task, then one final reduce.
+    */
+  def overallStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("total_orders"),
+        round(sum("value"), 2).as("total_revenue"),
+        round(avg("value"), 2).as("average_order_value"),
+        countDistinct("event_type").as("unique_products"))
+
+  /** The running average the consumer logs after every processed order
+    * (price_aggregator.py:36-52, avro_order_consumer.py:117-121).
+    * Expressed as a cumulative window — Spark computes it with one shuffle
+    * on product and a per-partition sort, no stateful driver loop.
+    */
+  def runningAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("product").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Integer cents end-to-end: a rounded floating running-average lands on
+    // rounding boundaries for even counts (engines then disagree in the
+    // last bit), so the cumulative state is exact bigint arithmetic —
+    // which is also what a production aggregator should do with money.
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("event_type").as("product"),
+        col("value").as("price"),
+        round(col("value") * 100, 0).cast("long").as("price_cents"))
+      .select(
+        col("event_id"), col("product"), col("price"),
+        count(lit(1)).over(w).as("running_count"),
+        sum("price_cents").over(w).as("running_sum_cents"))
+      .withColumn("running_avg_cents",
+        expr("running_sum_cents div running_count"))
+  }
+
+  /** Products ranked by order count desc (summary sort in
+    * price_aggregator.py:128-141). Ties broken by product name for
+    * determinism.
+    */
+  def topProductsByCount(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("product"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum("value"), 2).as("revenue"))
+    counts.select(
+      col("product"), col("order_count"), col("revenue"),
+      row_number().over(
+        Window.orderBy(col("order_count").desc, col("product"))).as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_stats_by_product" -> priceStatsByProduct,
+    "q_overall_stats" -> overallStats,
+    "q_running_avg" -> runningAvg,
+    "q_top_products_by_count" -> topProductsByCount)
+
+  val oracles: Map[String, String] = Map(
+    "q_price_stats_by_product" ->
+      """SELECT event_type AS product,
+        |       count(*) AS order_count,
+        |       round(sum(value), 2) AS price_sum,
+        |       round(avg(value), 2) AS price_avg,
+        |       min(value) AS price_min,
+        |       max(value) AS price_max
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_overall_stats" ->
+      """SELECT count(*) AS total_orders,
+        |       round(sum(value), 2) AS total_revenue,
+        |       round(avg(value), 2) AS average_order_value,
+        |       count(DISTINCT event_type) AS unique_products
+        |FROM events""".stripMargin,
+    "q_running_avg" ->
+      """WITH cents AS (
+        |  SELECT event_id, event_type AS product, value AS price,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS price_cents, ts
+        |  FROM events)
+        |SELECT event_id, product, price,
+        |       count(*) OVER w AS running_count,
+        |       sum(price_cents) OVER w AS running_sum_cents,
+        |       (sum(price_cents) OVER w) // (count(*) OVER w) AS running_avg_cents
+        |FROM cents
+        |WINDOW w AS (PARTITION BY product ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_top_products_by_count" ->
+      """WITH counts AS (
+        |  SELECT event_type AS product,
+        |         count(*) AS order_count,
+        |         round(sum(value), 2) AS revenue
+        |  FROM events GROUP BY event_type)
+        |SELECT product, order_count, revenue,
+        |       row_number() OVER (ORDER BY order_count DESC, product) AS rank
+        |FROM counts""".stripMargin)
+}

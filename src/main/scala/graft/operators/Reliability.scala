@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Spark-native re-expression of the reference's reliability layer:
+  * validation (src/consumer/avro_order_consumer.py:95-121), dead-letter
+  * routing (avro_order_consumer.py:123-155), DLQ monitoring
+  * (src/consumer/dead_letter_queue_consumer.py), and the retry handler
+  * (src/retry/retry_handler.py).
+  *
+  * In a stream processor these are per-record branches; on Spark they are
+  * declarative column expressions, so the whole reliability pipeline stays
+  * inside whole-stage codegen and the "route to DLQ" split is just two
+  * filters over one scan (Spark reuses the scan via cache or the driver
+  * runs them as separate jobs — no per-record driver loop either way).
+  *
+  * Failure-domain mapping onto the test tables: `event_type = 'error'`
+  * plays the transient processing failure (reference simulates these at
+  * avro_order_consumer.py:112-114), `value <= 0` the permanent validation
+  * failure (avro_order_consumer.py:108-109), NULL required fields the
+  * malformed-message failure (avro_order_consumer.py:104-106).
+  */
+object Reliability {
+
+  private val retryablePatterns = Seq(
+    "timeout", "connection", "unavailable", "temporary", "network",
+    "socket", "503", "504", "429")
+
+  /** Deterministic canonical error messages, keyed by event_id % 10, so the
+    * classifier has realistic text to pattern-match (the reference
+    * classifies on exception message text, retry_handler.py:150-175).
+    */
+  private val canonicalMessages = Seq(
+    "Connection timeout while contacting broker",     // retryable
+    "Schema registry unavailable (503)",              // retryable
+    "Invalid order format: missing required fields",  // permanent
+    "Network unreachable",                            // retryable
+    "Rate limit exceeded (429)",                      // retryable
+    "Invalid price: negative amount",                 // permanent
+    "Socket closed unexpectedly",                     // retryable
+    "Unknown product code",                           // permanent
+    "Temporary partition reassignment in progress",   // retryable
+    "Malformed Avro payload")                         // permanent
+
+  private def messageFor(idMod: Column): Column =
+    canonicalMessages.zipWithIndex.foldLeft(lit(null: String)) {
+      case (acc, (msg, i)) => when(idMod === i, lit(msg)).otherwise(acc)
+    }
+
+  private def messageCaseSql(col: String): String =
+    canonicalMessages.zipWithIndex
+      .map { case (m, i) => s"WHEN $col = $i THEN '$m'" }
+      .mkString("CASE ", " ", " END")
+
+  private def isRetryable(msg: Column): Column =
+    retryablePatterns.map(p => lower(msg).contains(p)).reduce(_ || _)
+
+  private def isRetryableSql(expr: String): String =
+    retryablePatterns
+      .map(p => s"lower($expr) LIKE '%$p%'").mkString("(", " OR ", ")")
+
+  /** Per-event validation verdict (avro_order_consumer.py:95-121). */
+  def validateEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("event_type").as("product"),
+      col("value").as("price"),
+      (col("value") > 0 && col("event_type").isNotNull &&
+        col("event_type") =!= "error").as("is_valid"),
+      when(col("event_type").isNull, "MissingField")
+        .when(col("value") <= 0, "InvalidPrice")
+        .when(col("event_type") === "error", "ProcessingError")
+        .as("error_type"),
+      when(col("event_type").isNull || col("value") <= 0, "PermanentError")
+        .when(col("event_type") === "error", "RetryableError")
+        .as("error_class"))
+
+  /** DLQ record construction with provenance, mirroring the dead-letter
+    * message shape (avro_order_consumer.py:128-143). Synthetic partition =
+    * event_id % 8 (the producer keys by orderId, so partition is a pure
+    * function of the key).
+    */
+  def dlqRoute(spark: SparkSession, dir: String): DataFrame =
+    validateEvents(spark, dir)
+      .filter(!col("is_valid"))
+      .select(
+        lit("orders").as("original_topic"),
+        (col("event_id") % 8).as("original_partition"),
+        col("event_id").as("original_offset"),
+        col("event_id").cast("string").as("original_key"),
+        col("product"),
+        col("price"),
+        col("error_type"),
+        col("error_class"),
+        messageFor(col("event_id") % 10).as("error_message"),
+        when(col("error_class") === "RetryableError", 3).otherwise(0)
+          .as("retry_count"),
+        lit("order-processor-group").as("consumer_group"))
+
+  /** DLQ failure counts by error type (dead_letter_queue_consumer.py:78-81,
+    * 150-157). */
+  def dlqStatsByType(spark: SparkSession, dir: String): DataFrame =
+    dlqRoute(spark, dir)
+      .groupBy("error_type", "error_class")
+      .agg(count(lit(1)).as("failure_count"))
+
+  /** DLQ failure counts by product (dead_letter_queue_consumer.py:82-84,
+    * 159-166). */
+  def dlqStatsByProduct(spark: SparkSession, dir: String): DataFrame =
+    dlqRoute(spark, dir)
+      .groupBy("product")
+      .agg(
+        count(lit(1)).as("failure_count"),
+        round(sum("price"), 2).as("failed_value"))
+
+  /** The deterministic part of the exponential-backoff schedule
+    * (retry_handler.py:64-88: delay = min(initial * mult^attempt, cap),
+    * jitter excluded as non-deterministic): one row per (failed event,
+    * attempt). Demonstrates array-explode fan-out — a narrow transform, no
+    * shuffle except the cumulative-delay window.
+    */
+  def retrySchedule(spark: SparkSession, dir: String): DataFrame = {
+    val failed = validateEvents(spark, dir)
+      .filter(col("error_class") === "RetryableError")
+      .select("event_id", "product")
+    val w = Window.partitionBy("event_id").orderBy("attempt")
+    failed
+      .withColumn("attempt", explode(sequence(lit(0), lit(2))))
+      .select(
+        col("event_id"), col("product"), col("attempt"),
+        least(lit(1.0) * pow(lit(2.0), col("attempt")), lit(10.0))
+          .as("delay_s"))
+      .withColumn("cumulative_delay_s", sum("delay_s").over(w))
+  }
+
+  /** Error-text classification (retry_handler.py:150-185): retryable iff
+    * the lowercased message contains one of the known transient patterns;
+    * default permanent.
+    */
+  def errorClassification(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id"),
+        messageFor(col("event_id") % 10).as("error_message"))
+      .withColumn("is_retryable", isRetryable(col("error_message")))
+      .withColumn("classified_as",
+        when(col("is_retryable"), "RetryableError").otherwise("PermanentError"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validate_events" -> validateEvents,
+    "q_dlq_route" -> dlqRoute,
+    "q_dlq_stats_by_type" -> dlqStatsByType,
+    "q_dlq_stats_by_product" -> dlqStatsByProduct,
+    "q_retry_schedule" -> retrySchedule,
+    "q_error_classification" -> errorClassification)
+
+  private val validateSql =
+    """SELECT event_id,
+      |       event_type AS product,
+      |       value AS price,
+      |       (value > 0 AND event_type IS NOT NULL AND event_type <> 'error') AS is_valid,
+      |       CASE WHEN event_type IS NULL THEN 'MissingField'
+      |            WHEN value <= 0 THEN 'InvalidPrice'
+      |            WHEN event_type = 'error' THEN 'ProcessingError'
+      |       END AS error_type,
+      |       CASE WHEN event_type IS NULL OR value <= 0 THEN 'PermanentError'
+      |            WHEN event_type = 'error' THEN 'RetryableError'
+      |       END AS error_class
+      |FROM events""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_validate_events" -> validateSql,
+    "q_dlq_route" ->
+      s"""WITH v AS ($validateSql)
+         |SELECT 'orders' AS original_topic,
+         |       event_id % 8 AS original_partition,
+         |       event_id AS original_offset,
+         |       CAST(event_id AS VARCHAR) AS original_key,
+         |       product, price, error_type, error_class,
+         |       ${messageCaseSql("event_id % 10")} AS error_message,
+         |       CASE WHEN error_class = 'RetryableError' THEN 3 ELSE 0 END AS retry_count,
+         |       'order-processor-group' AS consumer_group
+         |FROM v WHERE NOT is_valid""".stripMargin,
+    "q_dlq_stats_by_type" ->
+      s"""WITH v AS ($validateSql)
+         |SELECT error_type, error_class, count(*) AS failure_count
+         |FROM v WHERE NOT is_valid GROUP BY error_type, error_class""".stripMargin,
+    "q_dlq_stats_by_product" ->
+      s"""WITH v AS ($validateSql)
+         |SELECT product, count(*) AS failure_count,
+         |       round(sum(price), 2) AS failed_value
+         |FROM v WHERE NOT is_valid GROUP BY product""".stripMargin,
+    "q_retry_schedule" ->
+      s"""WITH v AS ($validateSql)
+         |SELECT event_id, product, attempt,
+         |       least(1.0 * pow(2.0, attempt), 10.0) AS delay_s,
+         |       sum(least(1.0 * pow(2.0, attempt), 10.0))
+         |         OVER (PARTITION BY event_id ORDER BY attempt) AS cumulative_delay_s
+         |FROM v CROSS JOIN (SELECT unnest([0, 1, 2]) AS attempt) a
+         |WHERE error_class = 'RetryableError'""".stripMargin,
+    "q_error_classification" ->
+      s"""WITH m AS (
+         |  SELECT event_id,
+         |         ${messageCaseSql("event_id % 10")} AS error_message
+         |  FROM events WHERE event_type = 'error')
+         |SELECT event_id, error_message,
+         |       ${isRetryableSql("error_message")} AS is_retryable,
+         |       CASE WHEN ${isRetryableSql("error_message")}
+         |            THEN 'RetryableError' ELSE 'PermanentError' END AS classified_as
+         |FROM m""".stripMargin)
+}
