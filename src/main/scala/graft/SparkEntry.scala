@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (OrderAnalytics.queries, OrderAnalytics.oracles),
-      (Reliability.queries, Reliability.oracles))
+      (Reliability.queries, Reliability.oracles),
+      (OlapQueries.queries, OlapQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

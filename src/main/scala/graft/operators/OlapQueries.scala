@@ -1,0 +1,351 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core OLAP operator coverage (SURVEY.md §2.2): the analytics engine
+  * underneath the stream surface.
+  *
+  * Scale notes baked into each query:
+  * - dimension tables (region/nation/supplier/part/customer) are joined
+  *   with an explicit `broadcast()` hint — at 100 TB the fact tables
+  *   shuffle-partition on their keys while dims replicate;
+  * - all aggregations are partial-agg friendly (sum/count/min/max), so
+  *   the shuffle carries group keys only;
+  * - money math is exact integer arithmetic (cents / 1e-4 / 1e-6 units)
+  *   then one deterministic float division at the end — bit-identical
+  *   across engines and immune to summation-order drift.
+  */
+object OlapQueries {
+
+  /** l_extendedprice in exact integer cents. */
+  private val extCents: Column =
+    round(col("l_extendedprice") * 100, 0).cast("long")
+  /** l_discount / l_tax in exact integer percent. */
+  private val discPct: Column = round(col("l_discount") * 100, 0).cast("long")
+  private val taxPct: Column = round(col("l_tax") * 100, 0).cast("long")
+
+  /** revenue = extendedprice * (1 - discount), exact in 1e-4 dollars. */
+  private val revenueE4: Column = extCents * (lit(100L) - discPct)
+  /** charge = revenue * (1 + tax), exact in 1e-6 dollars. */
+  private val chargeE6: Column = revenueE4 * (lit(100L) + taxPct)
+
+  private val revenueE4Sql =
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+  private val chargeE6Sql =
+    s"$revenueE4Sql * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))"
+
+  /** TPC-H Q1 shape: scan + filter pushdown + wide hash aggregate. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(extCents).as("sum_base_price_cents"),
+        sum(revenueE4).as("sum_disc_price_e4"),
+        sum(chargeE6).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("sum_base_price_cents").cast("double") / 100.0).as("sum_base_price"),
+        (col("sum_disc_price_e4").cast("double") / 10000.0).as("sum_disc_price"),
+        (col("sum_charge_e6").cast("double") / 1000000.0).as("sum_charge"),
+        (col("sum_qty").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price_cents").cast("double") / 100.0 / col("count_order"))
+          .as("avg_price"),
+        col("count_order"))
+
+  /** TPC-H Q3 shape: 3-way join (one broadcast dim) + agg + top-N. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp_ntz(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp_ntz(lit("1998-01-01")))
+      .select(col("l_orderkey"), revenueE4.as("rev_e4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("rev_e4").as("rev_e4"),
+        (year(first("o_orderdate"))).as("order_year"))
+      .select(col("l_orderkey"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"),
+        col("order_year"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join over 5 tables, dims broadcast. */
+  def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp_ntz(lit("1997-01-01")))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revenueE4.as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust,
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev_e4").as("rev_e4"), count(lit(1)).as("lineitem_count"))
+      .select(col("n_name"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"),
+        col("lineitem_count"))
+  }
+
+  /** Window rank-per-group: top 3 parts by revenue within each supplier
+    * nation. */
+  def topPartPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"), revenueE4.as("rev_e4"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "l_partkey")
+      .agg(sum("rev_e4").as("rev_e4"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("rev_e4").desc, col("l_partkey"))
+    perPart
+      .withColumn("part_rank", row_number().over(w))
+      .filter(col("part_rank") <= 3)
+      .select(col("n_name"), col("l_partkey"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"),
+        col("part_rank"))
+  }
+
+  /** Time-bucket rollup: revenue per month. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum("o_totalprice"), 2).as("total_revenue"))
+
+  /** Semi join: customers having at least one order above a threshold. */
+  def customersWithHighValueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Anti join: customers with no orders since 2001 (churned). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01")))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** ROLLUP grouping sets over returnflag × linestatus. */
+  def rollupFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("line_count"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  /** Exact distinct aggregation. */
+  def distinctUsersByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("distinct_users"),
+        count(lit(1)).as("event_count"))
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB path where exact
+    * distinct would shuffle every key. rows-only check (estimator values
+    * are engine-specific by design).
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+
+  /** Exact interpolated percentiles per group. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"))
+
+  /** JSON extraction from the events props column. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("event_count"),
+        round(sum("value"), 2).as("total_value"))
+
+  /** Union of two activity sources + per-source aggregate. */
+  def unionActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("actor_id"), lit("event").as("activity"),
+        col("value").as("amount"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("actor_id"), lit("order").as("activity"),
+        col("o_totalprice").as("amount"))
+    ev.unionByName(ord)
+      .groupBy("activity")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("actor_id").as("distinct_actors"),
+        round(sum("amount"), 2).as("total_amount"))
+  }
+
+  /** Pivot / conditional aggregation: per-user-bucket value by event type. */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", types)
+      .agg(round(sum("value"), 2))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_revenue_by_nation" -> q5RevenueByNation,
+    "q_top_part_per_nation" -> topPartPerNation,
+    "q_monthly_revenue" -> monthlyRevenue,
+    "q_customers_high_value" -> customersWithHighValueOrders,
+    "q_customers_without_orders" -> customersWithoutOrders,
+    "q_rollup_flag_status" -> rollupFlagStatus,
+    "q_distinct_users_by_type" -> distinctUsersByType,
+    "q_approx_distinct_users" -> approxDistinctUsers,
+    "q_value_percentiles" -> valuePercentiles,
+    "q_props_extract" -> propsExtract,
+    "q_union_activity" -> unionActivity,
+    "q_event_type_pivot" -> eventTypePivot)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+         |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS sum_disc_price,
+         |       CAST(sum($chargeE6Sql) AS DOUBLE) / 1000000.0 AS sum_charge,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+         |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey,
+         |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS revenue,
+         |       CAST(year(any_value(o_orderdate)) AS INT) AS order_year
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_revenue_by_nation" ->
+      s"""SELECT n_name,
+         |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS revenue,
+         |       count(*) AS lineitem_count
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "q_top_part_per_nation" ->
+      s"""WITH per_part AS (
+         |  SELECT n_name, l_partkey, sum($revenueE4Sql) AS rev_e4
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY n_name, l_partkey)
+         |SELECT n_name, l_partkey,
+         |       CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue, CAST(part_rank_big AS INT) AS part_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY n_name
+         |        ORDER BY rev_e4 DESC, l_partkey) AS part_rank_big
+         |      FROM per_part) ranked
+         |WHERE part_rank_big <= 3""".stripMargin,
+    "q_monthly_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |       CAST(month(o_orderdate) AS INT) AS order_month,
+        |       count(*) AS order_count,
+        |       round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_customers_high_value" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+    "q_rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS line_count,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct_users_by_type" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS distinct_users,
+        |       count(*) AS event_count
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.50), 4) AS p50,
+        |       round(quantile_cont(value, 0.75), 4) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_props_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       count(*) AS event_count,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_union_activity" ->
+      """WITH unioned AS (
+        |  SELECT user_id AS actor_id, 'event' AS activity, value AS amount FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, 'order', o_totalprice FROM orders)
+        |SELECT activity, count(*) AS n,
+        |       count(DISTINCT actor_id) AS distinct_actors,
+        |       round(sum(amount), 2) AS total_amount
+        |FROM unioned GROUP BY activity""".stripMargin,
+    "q_event_type_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+        |FROM events GROUP BY 1""".stripMargin)
+}
