@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (OrderAnalytics.queries, OrderAnalytics.oracles),
       (Reliability.queries, Reliability.oracles),
-      (OlapQueries.queries, OlapQueries.oracles))
+      (OlapQueries.queries, OlapQueries.oracles),
+      (StreamQueries.queries, StreamQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,125 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Binary Avro codec for the reference's Order record
+  * (reference: schemas/order.avsc — orderId string, product string,
+  * price float, timestamp long timestamp-millis).
+  *
+  * The container ships Avro core (avro-1.12.1.jar) but not the spark-avro
+  * module, so this is a from-scratch pair of Catalyst expressions. They
+  * follow the same design spark-avro uses: per-partition reusable
+  * reader/writer/decoder state, and codegen that calls back into the
+  * expression instance via `addReferenceObj`, so the surrounding operators
+  * stay inside one whole-stage-codegen span.
+  */
+object AvroOrder {
+  val schemaJson: String =
+    """{"namespace":"com.bigdata.orders","type":"record","name":"Order",
+      |"fields":[{"name":"orderId","type":"string"},
+      |{"name":"product","type":"string"},
+      |{"name":"price","type":"float"},
+      |{"name":"timestamp","type":"long","logicalType":"timestamp-millis"}]}"""
+      .stripMargin
+
+  lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
+
+  val sparkType: StructType = StructType(Seq(
+    StructField("orderId", StringType, nullable = false),
+    StructField("product", StringType, nullable = false),
+    StructField("price", FloatType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  /** Register `to_avro_order` / `from_avro_order` SQL functions on a
+    * session so they are usable from `expr(...)` and `spark.sql(...)`.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "to_avro_order", args => ToAvroOrder(args.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "from_avro_order", args => FromAvroOrder(args.head), "built-in")
+  }
+}
+
+/** struct<orderId,product,price,timestamp> → Avro binary. */
+case class ToAvroOrder(child: Expression)
+    extends UnaryExpression {
+
+  // ExpectsInputTypes is private[sql] in Spark 4; the registered SQL
+  // builders and the typed helpers below are the only call sites, so the
+  // child is a struct<orderId,product,price,timestamp> by construction.
+  override def dataType: DataType = BinaryType
+
+  @transient private lazy val writer =
+    new GenericDatumWriter[GenericRecord](AvroOrder.schema)
+
+  def encode(row: InternalRow): Array[Byte] = {
+    val rec = new GenericData.Record(AvroOrder.schema)
+    rec.put(0, new Utf8(row.getUTF8String(0).toString))
+    rec.put(1, new Utf8(row.getUTF8String(1).toString))
+    rec.put(2, java.lang.Float.valueOf(row.getFloat(2)))
+    rec.put(3, java.lang.Long.valueOf(row.getLong(3)))
+    val out = new ByteArrayOutputStream(64)
+    val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("toAvroOrder", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.encode((org.apache.spark.sql.catalyst.InternalRow) $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ToAvroOrder =
+    copy(child = newChild)
+}
+
+/** Avro binary → struct<orderId,product,price,timestamp>. */
+case class FromAvroOrder(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = AvroOrder.sparkType
+
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](AvroOrder.schema)
+
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    val rec = reader.read(null, dec)
+    InternalRow(
+      UTF8String.fromString(rec.get(0).toString),
+      UTF8String.fromString(rec.get(1).toString),
+      rec.get(2).asInstanceOf[Float],
+      rec.get(3).asInstanceOf[Long])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fromAvroOrder", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.decode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FromAvroOrder =
+    copy(child = newChild)
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.AvroOrder
+import graft.streaming.OrderStream
+
+/** Batch-checkable faces of the streaming + Avro surface (SURVEY.md §2.1
+  * rows 11-12): the same transforms the streaming pipeline runs, applied
+  * to the events table so the DuckDB oracle can validate them.
+  */
+object StreamQueries {
+
+  /** Avro round-trip: events → Order structs → Avro binary (custom
+    * ToAvroOrder expression) → decode (FromAvroOrder) → aggregate the
+    * decoded stream. The aggregate matching a plain-SQL oracle over the
+    * source table proves encode∘decode = id, including the varint-encoded
+    * payload size check (1+len prefix per string, 4-byte float, 6-byte
+    * zigzag varint for Jan-2024 epoch millis).
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    AvroOrder.register(spark)
+    Tables.events(spark, dir)
+      .select(expr(
+        """to_avro_order(named_struct(
+          |  'orderId', concat('ORD-', lpad(cast(event_id as string), 7, '0')),
+          |  'product', event_type,
+          |  'price', cast(value as float),
+          |  'timestamp', ts div 1000000)) AS avro_bytes""".stripMargin))
+      .select(expr("from_avro_order(avro_bytes)").as("o"),
+        length(col("avro_bytes")).as("payload_bytes"))
+      .groupBy(col("o.product").as("product"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(round(col("o.price") * 100, 0).cast("long")).as("sum_price_cents"),
+        min(col("o.timestamp")).as("min_ts_ms"),
+        max(col("o.timestamp")).as("max_ts_ms"),
+        sum(col("payload_bytes").cast("long")).as("sum_payload_bytes"))
+  }
+
+  /** Tumbling-hour stats per product — the batch face of
+    * OrderStream.windowedStats (same code path minus the watermark, which
+    * is a no-op on batch input).
+    */
+  def windowedStats(spark: SparkSession, dir: String): DataFrame =
+    OrderStream.windowedStats(
+      OrderStream.asOrders(Tables.events(spark, dir)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_avro_roundtrip" -> avroRoundtrip,
+    "q_windowed_stats" -> windowedStats)
+
+  val oracles: Map[String, String] = Map(
+    "q_avro_roundtrip" ->
+      """SELECT event_type AS product,
+        |       count(*) AS order_count,
+        |       sum(CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE) * 100, 0) AS BIGINT)) AS sum_price_cents,
+        |       min(epoch_ns(ts) // 1000000) AS min_ts_ms,
+        |       max(epoch_ns(ts) // 1000000) AS max_ts_ms,
+        |       sum(CAST(11 + 1 + length(event_type) + 1 + 4 + 6 AS BIGINT)) AS sum_payload_bytes
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_windowed_stats" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
+        |       event_type AS product,
+        |       count(*) AS order_count,
+        |       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents,
+        |       min(value) AS min_price,
+        |       max(value) AS max_price
+        |FROM events
+        |WHERE value > 0 AND event_type IS NOT NULL AND event_type <> 'error'
+        |GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's consumer loop
+  * (reference: src/consumer/avro_order_consumer.py — poll → validate →
+  * aggregate → commit, with DLQ side output; src/aggregator/
+  * price_aggregator.py — stateful per-product running stats).
+  *
+  * Every transform here takes a DataFrame/Dataset in and returns one, so
+  * the same code runs over a batch table, a file stream, a MemoryStream
+  * in tests — or a Kafka `readStream` where the connector jar exists
+  * (this container has none; swapping the source is one line at the
+  * caller). Watermarking bounds state at scale: an hourly window with a
+  * 1-hour watermark keeps state proportional to |products| × 2 windows
+  * regardless of input rate.
+  */
+object OrderStream {
+
+  /** One order event, the stream's canonical record
+    * (reference: schemas/order.avsc + producer's ORD-%04d key format). */
+  case class OrderEvent(
+      orderId: String, product: String, price: Double, eventTimeMs: Long)
+
+  /** Per-product aggregator state (reference:
+    * price_aggregator.py:16-23 ProductPriceStatistics). Money is exact
+    * integer cents. */
+  case class ProductState(
+      orderCount: Long, sumCents: Long, minCents: Long, maxCents: Long)
+
+  /** Emitted after every order, mirroring the running average the
+    * reference logs per message (avro_order_consumer.py:117-121). */
+  case class RunningStat(
+      product: String, orderId: String, runningCount: Long,
+      runningAvgCents: Long, minCents: Long, maxCents: Long)
+
+  /** events table/stream → canonical order records. `ts` is epoch nanos
+    * (see Tables.load). */
+  def asOrders(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("ORD-"), lpad(col("event_id").cast("string"), 7, "0"))
+        .as("orderId"),
+      col("event_type").as("product"),
+      col("value").as("price"),
+      expr("ts div 1000000").as("eventTimeMs"))
+
+  /** Validation verdict columns (avro_order_consumer.py:104-114). */
+  def validate(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("error_class",
+        when(col("product").isNull || col("price").isNull ||
+          col("price") <= 0, "PermanentError")
+          .when(col("product") === "error", "RetryableError"))
+      .withColumn("is_valid", col("error_class").isNull)
+
+  /** Watermarked tumbling-window stats per product — the unbounded-state-
+    * safe form of the reference's global aggregator. Works on a streaming
+    * DataFrame; on a batch one the watermark is a no-op.
+    */
+  def windowedStats(orders: DataFrame, watermarkDelay: String = "1 hour",
+      windowLength: String = "1 hour"): DataFrame =
+    validate(orders)
+      .filter(col("is_valid"))
+      .withColumn("event_time", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLength), col("product"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(round(col("price") * 100, 0).cast("long")).as("sum_cents"),
+        min("price").as("min_price"),
+        max("price").as("max_price"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start_s"),
+        col("product"), col("order_count"), col("sum_cents"),
+        col("min_price"), col("max_price"))
+
+  /** The PriceAggregator state machine as flatMapGroupsWithState: emits a
+    * RunningStat per order, keyed by product, state = exact-cents totals.
+    * Within a micro-batch, orders are processed in eventTimeMs order
+    * (orderId tiebreak) for determinism.
+    */
+  def runningStats(orders: Dataset[OrderEvent]): Dataset[RunningStat] = {
+    import orders.sparkSession.implicits._
+    orders
+      .groupByKey(_.product)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateProductState)
+  }
+
+  def updateProductState(
+      product: String,
+      orders: Iterator[OrderEvent],
+      state: GroupState[ProductState]): Iterator[RunningStat] = {
+    var st = state.getOption.getOrElse(ProductState(0L, 0L, Long.MaxValue, Long.MinValue))
+    val out = orders.toSeq
+      .sortBy(o => (o.eventTimeMs, o.orderId))
+      .map { o =>
+        val cents = math.round(o.price * 100)
+        st = ProductState(
+          st.orderCount + 1, st.sumCents + cents,
+          math.min(st.minCents, cents), math.max(st.maxCents, cents))
+        RunningStat(product, o.orderId, st.orderCount,
+          st.sumCents / st.orderCount, st.minCents, st.maxCents)
+      }
+    state.update(st)
+    out.iterator
+  }
+
+  /** DLQ split sink (avro_order_consumer.py:123-155): per micro-batch,
+    * valid records go to the main sink, failures to the DLQ sink with
+    * provenance columns. Use with `stream.writeStream.foreachBatch(
+    * dlqSplit(main, dlq))`.
+    */
+  def dlqSplit(
+      mainSink: (DataFrame, Long) => Unit,
+      dlqSink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val validated = validate(batch).cache()
+      try {
+        mainSink(validated.filter(col("is_valid")).drop("error_class", "is_valid"), batchId)
+        dlqSink(
+          validated.filter(!col("is_valid"))
+            .withColumn("original_topic", lit("orders"))
+            .withColumn("retry_count",
+              when(col("error_class") === "RetryableError", 3).otherwise(0))
+            .withColumn("consumer_group", lit("order-processor-group")),
+          batchId)
+      } finally validated.unpersist()
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.OrderStream
+import graft.streaming.OrderStream.OrderEvent
+
+/** Streaming surface (SURVEY.md §2.1 rows 12-14): the same transforms that
+  * pass the batch oracle, driven through Structured Streaming with a
+  * MemoryStream source, plus the stateful running aggregator and the DLQ
+  * split sink.
+  */
+class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("order-stream-spec", cores = "2")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sampleOrders: Seq[OrderEvent] = {
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    Seq(
+      OrderEvent("ORD-0000001", "Laptop", 999.99, base + 1000),
+      OrderEvent("ORD-0000002", "Mouse", 25.50, base + 2000),
+      OrderEvent("ORD-0000003", "Laptop", 1099.99, base + 3600L * 1000 + 1),
+      OrderEvent("ORD-0000004", "Mouse", -5.0, base + 4000),   // invalid price
+      OrderEvent("ORD-0000005", "error", 10.0, base + 5000),   // processing failure
+      OrderEvent("ORD-0000006", "Laptop", 899.99, base + 2 * 3600L * 1000))
+  }
+
+  test("windowedStats over MemoryStream matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[OrderEvent]
+    input.addData(sampleOrders: _*)
+
+    val streamed = OrderStream.windowedStats(input.toDF())
+      .writeStream.format("memory").queryName("windowed_stats_test")
+      .outputMode("complete").start()
+    try {
+      streamed.processAllAvailable()
+      val fromStream = spark.table("windowed_stats_test")
+        .orderBy("window_start_s", "product").collect().toSeq
+      val fromBatch = OrderStream.windowedStats(sampleOrders.toDF())
+        .orderBy("window_start_s", "product").collect().toSeq
+      assert(fromStream == fromBatch)
+      assert(fromStream.nonEmpty)
+      // invalid + error rows must not contribute
+      assert(fromStream.map(_.getLong(2)).sum == 4)
+    } finally streamed.stop()
+  }
+
+  test("runningStats emits the PriceAggregator sequence per product") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val valid = sampleOrders.filter(o => o.price > 0 && o.product != "error")
+    val input = MemoryStream[OrderEvent]
+    input.addData(valid: _*)
+
+    val q = OrderStream.runningStats(input.toDS())
+      .writeStream.format("memory").queryName("running_stats_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("running_stats_test")
+        .as[OrderStream.RunningStat].collect()
+        .groupBy(_.product).view.mapValues(_.sortBy(_.orderId).toList).toMap
+
+      // Laptop: 999.99, 1099.99, 899.99 → counts 1,2,3; avg cents exact
+      val laptop = rows("Laptop")
+      assert(laptop.map(_.runningCount) == List(1, 2, 3))
+      assert(laptop.map(_.runningAvgCents) == List(99999, 104999, 99999))
+      assert(laptop.last.minCents == 89999 && laptop.last.maxCents == 109999)
+
+      val mouse = rows("Mouse")
+      assert(mouse.map(_.runningAvgCents) == List(2550))
+    } finally q.stop()
+  }
+
+  test("dlqSplit routes failures with provenance and keeps valid flow") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    var validCount = -1L
+    var dlqRows: Seq[org.apache.spark.sql.Row] = Nil
+
+    val input = MemoryStream[OrderEvent]
+    input.addData(sampleOrders: _*)
+    val q = input.toDF().writeStream
+      .foreachBatch(OrderStream.dlqSplit(
+        (valid: DataFrame, _: Long) => validCount = valid.count(),
+        (dlq: DataFrame, _: Long) => dlqRows = dlq.collect().toSeq))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(validCount == 4)
+      assert(dlqRows.size == 2)
+      val byId = dlqRows.map(r => r.getAs[String]("orderId") -> r).toMap
+      assert(byId("ORD-0000004").getAs[String]("error_class") == "PermanentError")
+      assert(byId("ORD-0000004").getAs[Int]("retry_count") == 0)
+      assert(byId("ORD-0000005").getAs[String]("error_class") == "RetryableError")
+      assert(byId("ORD-0000005").getAs[Int]("retry_count") == 3)
+      assert(dlqRows.forall(_.getAs[String]("original_topic") == "orders"))
+    } finally q.stop()
+  }
+
+  test("Avro codec round-trips exact values through SQL functions") {
+    import spark.implicits._
+    graft.functions.AvroOrder.register(spark)
+    val df = Seq(("ORD-0000042", "Laptop", 1234.56f, 1704067200123L))
+      .toDF("orderId", "product", "price", "timestamp")
+      .select(expr("from_avro_order(to_avro_order(named_struct(" +
+        "'orderId', orderId, 'product', product, 'price', price, " +
+        "'timestamp', timestamp))) AS o"))
+      .select("o.*")
+    val row = df.collect().head
+    assert(row.getString(0) == "ORD-0000042")
+    assert(row.getString(1) == "Laptop")
+    assert(row.getFloat(2) == 1234.56f)
+    assert(row.getLong(3) == 1704067200123L)
+  }
+}
