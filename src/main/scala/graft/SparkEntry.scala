@@ -16,7 +16,11 @@ object SparkEntry {
       (OrderAnalytics.queries, OrderAnalytics.oracles),
       (Reliability.queries, Reliability.oracles),
       (OlapQueries.queries, OlapQueries.oracles),
-      (StreamQueries.queries, StreamQueries.oracles))
+      (StreamQueries.queries, StreamQueries.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

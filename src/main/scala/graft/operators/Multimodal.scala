@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.3 row 42): media as opaque
+  * `binary` columns with typed metadata, batch-oriented decode/feature
+  * extraction over partitions.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — but everything around it is the
+  * real 100 TB shape: binary payload column + metadata, per-partition
+  * batched processing (one decoder init per partition, not per row via
+  * a row-wise UDF), explicit output schema, and repartitioning by a
+  * size-balanced key before the expensive stage.
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long, media_type: String, payload: Array[Byte],
+      source: String, declared_bytes: Long)
+
+  case class MediaFeatures(
+      media_id: Long, media_type: String, payload_bytes: Long,
+      width: Int, height: Int, channels: Int, checksum: String)
+
+  /** The documents table as a media table: payload = utf-8 bytes. On a
+    * real pipeline this column holds jpeg/wav/mp4 bytes read from object
+    * storage; nothing downstream cares which.
+    */
+  def asMediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "utf-8").as("payload"),
+      col("source"),
+      col("n_chars").as("declared_bytes"))
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * codec (none available in this container). Real implementation would
+    * decode `payload` here; the surrounding plumbing stays identical.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    (1 + n % 64, 1 + (n / 64) % 64, 3)
+  }
+
+  /** Batched per-partition feature extraction: the decoder (stub) is
+    * instantiated once per partition and fed the whole iterator — the
+    * Scala analogue of a Pandas-UDF/mapInPandas batch loop.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition init goes here (codec handles, model weights, ...)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val (w, h, c) = decodeStub(r.payload)
+        digest.reset()
+        val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, w, h, c, sum)
+      }
+    }
+  }
+
+  /** Oracle-checkable face: binary payload column through the batched
+    * extractor, aggregated per media type. Proves the payload bytes,
+    * stub geometry, and checksums all survive the binary plumbing.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = asMediaTable(spark, dir)
+      .repartition(col("media_id")) // size-balanced ahead of the heavy stage
+      .as[MediaRecord]
+    extractFeatures(media).toDF()
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("payload_bytes").as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        countDistinct("checksum").as("distinct_payloads"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> mediaFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "q_media_features" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       count(*) AS n_media,
+        |       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
+        |       CAST(sum(CAST(1 + length(text) % 64 AS BIGINT)) AS BIGINT) AS sum_width,
+        |       CAST(sum(CAST(1 + (length(text) // 64) % 64 AS BIGINT)) AS BIGINT) AS sum_height,
+        |       count(DISTINCT md5(text)) AS distinct_payloads
+        |FROM documents GROUP BY 1""".stripMargin)
+}

@@ -245,7 +245,7 @@ object OlapQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
          |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS sum_disc_price,
          |       CAST(sum($chargeE6Sql) AS DOUBLE) / 1000000.0 AS sum_charge,
@@ -313,7 +313,7 @@ object OlapQueries {
     "q_rollup_flag_status" ->
       """SELECT l_returnflag, l_linestatus,
         |       count(*) AS line_count,
-        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_distinct_users_by_type" ->
       """SELECT event_type,

@@ -113,8 +113,8 @@ object OrderAnalytics {
         |  FROM events)
         |SELECT event_id, product, price,
         |       count(*) OVER w AS running_count,
-        |       sum(price_cents) OVER w AS running_sum_cents,
-        |       (sum(price_cents) OVER w) // (count(*) OVER w) AS running_avg_cents
+        |       CAST(sum(price_cents) OVER w AS BIGINT) AS running_sum_cents,
+        |       CAST((sum(price_cents) OVER w) // (count(*) OVER w) AS BIGINT) AS running_avg_cents
         |FROM cents
         |WINDOW w AS (PARTITION BY product ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -125,6 +125,6 @@ object OrderAnalytics {
         |         round(sum(value), 2) AS revenue
         |  FROM events GROUP BY event_type)
         |SELECT product, order_count, revenue,
-        |       row_number() OVER (ORDER BY order_count DESC, product) AS rank
+        |       CAST(row_number() OVER (ORDER BY order_count DESC, product) AS INT) AS rank
         |FROM counts""".stripMargin)
 }

@@ -56,16 +56,16 @@ object StreamQueries {
     "q_avro_roundtrip" ->
       """SELECT event_type AS product,
         |       count(*) AS order_count,
-        |       sum(CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE) * 100, 0) AS BIGINT)) AS sum_price_cents,
+        |       CAST(sum(CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |       min(epoch_ns(ts) // 1000000) AS min_ts_ms,
         |       max(epoch_ns(ts) // 1000000) AS max_ts_ms,
-        |       sum(CAST(11 + 1 + length(event_type) + 1 + 4 + 6 AS BIGINT)) AS sum_payload_bytes
+        |       CAST(sum(CAST(11 + 1 + length(event_type) + 1 + 4 + 6 AS BIGINT)) AS BIGINT) AS sum_payload_bytes
         |FROM events GROUP BY event_type""".stripMargin,
     "q_windowed_stats" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
         |       event_type AS product,
         |       count(*) AS order_count,
-        |       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       min(value) AS min_price,
         |       max(value) AS max_price
         |FROM events

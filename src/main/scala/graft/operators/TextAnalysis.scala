@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM-training-data pipelines (SURVEY.md
+  * §2.3 rows 38-41): language ID, quality scoring, token counting,
+  * fingerprinting. All are narrow per-row transforms — no shuffle, full
+  * codegen, linear scale — exactly what a 100 TB documents sweep needs.
+  */
+object TextAnalysis {
+
+  /** Tokenization used across the text operators (whitespace). */
+  private val tokens = split(lower(col("text")), "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(tokens).as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .as("bpe_ish_tokens"),
+        length(col("text")).as("char_len"))
+
+  /** Quality scoring: length bounds, stopword ratio, mean token length.
+    * Ratios are single divisions of exact integers — bit-deterministic.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens.as("toks"),
+        length(col("text")).as("char_len"))
+      .select(
+        col("doc_id"), col("lang"), col("char_len"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"),
+          t => t.isin(stop.map(lit(_)): _*))).as("n_stopwords"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        (col("char_len") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+          col("stopword_ratio") < 0.5)
+  }
+
+  /** Language ID by marker-token counts (n-gram/stopword heuristic) —
+    * argmax over per-language marker hits, 'und' when nothing matches.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "is", "of"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "de" -> Seq("der", "die", "und", "das"))
+    val scored = markers.foldLeft(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), tokens.as("toks"))) {
+      case (df, (code, words)) =>
+        df.withColumn(s"score_$code",
+          size(filter(col("toks"), t => t.isin(words.map(lit(_)): _*))))
+    }
+    val best = markers.map { case (code, _) => col(s"score_$code") }
+      .reduce((a, b) => greatest(a, b))
+    val predicted = markers.foldRight(lit("und")) {
+      case ((code, _), other) =>
+        when(col(s"score_$code") === best && best > 0, lit(code)).otherwise(other)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .select("doc_id", "lang", "predicted_lang")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text,
+    * truncated to 64 bits — the cheap exact-dedup / shard-routing key.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+      .select(
+        col("doc_id"),
+        substring(md5(col("norm")), 1, 16).as("fingerprint"),
+        length(col("norm")).as("norm_len"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_counts" -> tokenCounts,
+    "q_quality_score" -> qualityScore,
+    "q_lang_id" -> langId,
+    "q_doc_fingerprint" -> docFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q_token_counts" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(length(regexp_split_to_array(lower(text), '\s+')) AS INT) AS ws_tokens,
+        |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
+        |       CAST(length(text) AS INT) AS char_len
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS INT) AS char_len,
+        |         regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang, char_len,
+        |       CAST(length(toks) AS INT) AS n_tokens,
+        |       CAST(length(list_filter(toks,
+        |            t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS n_stopwords,
+        |       CAST(length(list_filter(toks,
+        |            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |         / length(toks) AS stopword_ratio,
+        |       CAST(char_len - length(toks) + 1 AS DOUBLE) / length(toks) AS mean_token_len,
+        |       (length(toks) BETWEEN 20 AND 1000 AND
+        |        CAST(length(list_filter(toks,
+        |            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |          / length(toks) < 0.5) AS is_quality
+        |FROM t""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    length(list_filter(toks, t -> t IN ('the','a','is','of'))) AS score_en,
+        |    length(list_filter(toks, t -> t IN ('el','la','de','que'))) AS score_es,
+        |    length(list_filter(toks, t -> t IN ('le','la','et','les'))) AS score_fr,
+        |    length(list_filter(toks, t -> t IN ('der','die','und','das'))) AS score_de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+        |       WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+        |       WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM s""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents)
+        |SELECT doc_id, substr(md5(norm), 1, 16) AS fingerprint,
+        |       CAST(length(norm) AS INT) AS norm_len
+        |FROM n""".stripMargin)
+}

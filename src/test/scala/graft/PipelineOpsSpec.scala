@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Structural checks for the LLM-data-pipeline operators whose full
+  * results are rows-only at the driver gate (SURVEY.md §2.3) — plus
+  * cross-operator consistency the SQL oracles can't express.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("pipeline-ops-spec", cores = "4")
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("exact dedup partitions the corpus (sum of dup_count = n docs)") {
+    val docs = Tables.documents(spark, sf).count()
+    val agg = Dedup.dedupExact(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("dup_count")).collect()(0).getLong(0)
+    assert(agg == docs)
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs here") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, sf)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash is deterministic and near-dup pairs are symmetric-free") {
+    val a = Dedup.simhashDocs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Dedup.simhashDocs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b && a.nonEmpty)
+    val pairs = Dedup.simhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (i, j) => i < j })
+  }
+
+  test("LSH near-dup is a high-recall subset of brute-force near-dup") {
+    val brute = Similarity.embeddingNearDup(spark, sf)
+      .select("vec_i", "vec_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLshNearDup(spark, sf)
+      .select("vec_i", "vec_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // precision 1 by construction (exact verify)
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${brute.size})")
+    }
+  }
+
+  test("ann top-k returns k ranked neighbours per query, self excluded") {
+    val rows = Similarity.annTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length == 10)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 10))
+      assert(!rs.map(_.getLong(1)).contains(q))
+      // ranks follow rounded-cosine descending
+      val sorted = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sorted == sorted.sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("multimodal plumbing: binary payloads survive with exact checksums") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(spark, sf).as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    assert(feats.forall(f => f.channels == 3 &&
+      f.width == 1 + (f.payload_bytes % 64) &&
+      f.height == 1 + (f.payload_bytes / 64) % 64))
+    // checksum matches Spark's own md5 of the same payload
+    val expected = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "md5(text) AS m").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.forall(f => expected(f.media_id) == f.checksum))
+  }
+}

@@ -51,6 +51,9 @@ def main():
             print(f"{name}: ROWCOUNT MISMATCH spark={len(g)} duckdb={len(w)}")
             n_fail += 1
             continue
+        for c in g.columns:
+            if str(g[c].dtype) != str(w[c].dtype):
+                print(f"  [warn] {name}.{c}: dtype spark={g[c].dtype} duckdb={w[c].dtype}")
         bad = []
         for c in g.columns:
             a, b = g[c], w[c]
