@@ -1,24 +1,56 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries at
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Each query is forced through the `noop` sink so every output column is
+  * materialized — `count()` would let Catalyst prune the expressions
+  * under measurement. One untimed warmup job absorbs JVM/codegen
+  * startup so per-query numbers reflect steady state.
+  */
 object Bench {
+
+  /** Headline set: every operator family, weighted toward the heavy
+    * scan/join/shuffle paths that dominate at scale. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q3_top_orders",
+    "q_top_part_per_nation",
+    "q_price_stats_by_product",
+    "q_running_avg",
+    "q_validate_events",
+    "q_windowed_stats",
+    "q_avro_roundtrip",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_simhash_docs",
+    "q_ann_topk",
+    "q_token_counts",
+    "q_media_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.create("graft-bench")
+
+    spark.range(1L << 20).selectExpr("sum(id)").collect() // warmup
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{FromAvroOrder, ToAvroOrder}
+
+/** Library entry point for `spark.sql.extensions`: registers the graft
+  * SQL functions on every session, so a user of the library runs
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * and `to_avro_order` / `from_avro_order` work in plain SQL across the
+  * cluster (the same functions `AvroOrder.register` adds per-session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("to_avro_order"),
+      new ExpressionInfo(classOf[ToAvroOrder].getName, "to_avro_order"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ToAvroOrder(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("from_avro_order"),
+      new ExpressionInfo(classOf[FromAvroOrder].getName, "from_avro_order"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FromAvroOrder(args.head)))
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (Sessionize.queries, Sessionize.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
