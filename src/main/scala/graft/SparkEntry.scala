@@ -21,7 +21,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (Sessionize.queries, Sessionize.oracles))
+      (Sessionize.queries, Sessionize.oracles),
+      (AsofJoin.queries, AsofJoin.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join — an operator Spark has no native form of, composed from
+  * a union + ordered window (option (a) from the custom-operator ladder:
+  * compose existing ops when semantics allow).
+  *
+  * Use case: purchase attribution — each purchase event joins to the most
+  * recent strictly-earlier 'view' event of the same user. One shuffle on
+  * user_id and one per-user sort, independent of how many views precede
+  * each purchase (the naive inequality join would be quadratic per user).
+  * The DuckDB oracle uses its native ASOF JOIN, so the composition is
+  * checked against a first-class implementation.
+  */
+object AsofJoin {
+
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    // RANGE (not ROWS) frame ending at ts-1: strictly-earlier views only,
+    // matching the oracle's `v.ts < p.ts` even on timestamp ties.
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("attributed_view_id",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("attributed_view_ts",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("value").as("purchase_value"),
+        col("attributed_view_id"),
+        expr("(ts - attributed_view_ts) div 1000000000").as("view_to_purchase_s"))
+  }
+
+  /** Attribution rollup: how much purchase value each view window drives. */
+  def attributionStats(spark: SparkSession, dir: String): DataFrame =
+    purchaseAttribution(spark, dir)
+      .groupBy(
+        (col("attributed_view_id").isNotNull).as("attributed"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum("purchase_value"), 2).as("total_value"),
+        min("view_to_purchase_s").as("min_gap_s"),
+        max("view_to_purchase_s").as("max_gap_s"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_attribution" -> purchaseAttribution,
+    "q_asof_stats" -> attributionStats)
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_attribution" ->
+      """WITH views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id,
+        |       p.user_id,
+        |       p.value AS purchase_value,
+        |       v.event_id AS attributed_view_id,
+        |       (epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000000 AS view_to_purchase_s
+        |FROM purchases p
+        |ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
+    "q_asof_stats" ->
+      """WITH views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |attr AS (
+        |  SELECT p.value,
+        |         v.event_id AS attributed_view_id,
+        |         (epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000000 AS gap_s
+        |  FROM purchases p
+        |  ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts < p.ts)
+        |SELECT attributed_view_id IS NOT NULL AS attributed,
+        |       count(*) AS n_purchases,
+        |       round(sum(value), 2) AS total_value,
+        |       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM attr GROUP BY 1""".stripMargin)
+}

@@ -76,6 +76,25 @@ object OrderStream {
         col("product"), col("order_count"), col("sum_cents"),
         col("min_price"), col("max_price"))
 
+  /** Event-time session windows (Spark-native `session_window`, 30-min
+    * gap): per-user session rollups that work identically over a batch
+    * table or a watermarked stream. The batch face must agree with the
+    * gaps-and-islands formulation in operators.Sessionize — checked in
+    * ScaleToolsSpec.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", gap)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("session_value_cents"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_s"),
+        col("n_events"), col("session_value_cents"))
+
   /** The PriceAggregator state machine as flatMapGroupsWithState: emits a
     * RunningStat per order, keyed by product, state = exact-cents totals.
     * Within a micro-batch, orders are processed in eventTimeMs order

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.OrderStream
+
+/** Physical-layout scale tooling: bucketed tables make the big
+  * fact⋈fact join shuffle-free (the 100 TB answer to "lineitem joins
+  * orders every night"), and Spark's native session_window agrees with
+  * the gaps-and-islands sessionizer.
+  */
+class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val warehouse =
+    Files.createTempDirectory("graft-warehouse").toFile.getAbsolutePath
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .appName("bucketed-join-spec")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed fact-fact join runs without a shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = spark.sql(
+      """SELECT o_orderkey, count(*) AS n_lines, sum(l_quantity) AS qty
+        |FROM lineitem_b JOIN orders_b ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // Bucket-aligned scan: the join (and the groupBy on the same key)
+    // must not introduce any shuffle.
+    withClue(plan) {
+      assert(!plan.contains("Exchange hashpartitioning"))
+    }
+
+    // and it is still correct
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").count().count()
+    assert(joined.count() == expected)
+  }
+
+  test("native session_window matches the gaps-and-islands sessionizer") {
+    val sf = "/root/testdata/sf0.001"
+    val native = OrderStream
+      .sessionWindowStats(Tables.events(spark, sf))
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val islands = operators.Sessionize.sessions(spark, sf)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == islands && native.nonEmpty)
+  }
+}
