@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FromAvroOrder, ToAvroOrder}
+import graft.functions.{AvroOrder, FromAvroOrder, ToAvroOrder}
 
 /** Library entry point for `spark.sql.extensions`: registers the graft
   * SQL functions on every session, so a user of the library runs
@@ -16,15 +16,16 @@ import graft.functions.{FromAvroOrder, ToAvroOrder}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.AvroRoundTripElision)
     ext.injectFunction((
       new FunctionIdentifier("to_avro_order"),
       new ExpressionInfo(classOf[ToAvroOrder].getName, "to_avro_order"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ToAvroOrder(args.head)))
+        AvroOrder.toAvroBuilder(args)))
     ext.injectFunction((
       new FunctionIdentifier("from_avro_order"),
       new ExpressionInfo(classOf[FromAvroOrder].getName, "from_avro_order"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FromAvroOrder(args.head)))
+        AvroOrder.fromAvroBuilder(args)))
   }
 }

@@ -10,7 +10,7 @@ import org.apache.avro.util.Utf8
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,26 +31,38 @@ object AvroOrder {
       |"fields":[{"name":"orderId","type":"string"},
       |{"name":"product","type":"string"},
       |{"name":"price","type":"float"},
-      |{"name":"timestamp","type":"long","logicalType":"timestamp-millis"}]}"""
+      |{"name":"timestamp","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
       .stripMargin
 
   lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
 
+  // Fields are nullable so SQL-side Cast coercion resolves (Cast cannot
+  // add NOT NULL); the Avro schema has no null union, so the encoder
+  // rejects actual nulls with a clear error instead.
   val sparkType: StructType = StructType(Seq(
-    StructField("orderId", StringType, nullable = false),
-    StructField("product", StringType, nullable = false),
-    StructField("price", FloatType, nullable = false),
-    StructField("timestamp", LongType, nullable = false)))
+    StructField("orderId", StringType, nullable = true),
+    StructField("product", StringType, nullable = true),
+    StructField("price", FloatType, nullable = true),
+    StructField("timestamp", LongType, nullable = true)))
 
   /** Register `to_avro_order` / `from_avro_order` SQL functions on a
     * session so they are usable from `expr(...)` and `spark.sql(...)`.
     */
+  /** SQL builder: coerce the struct argument to the exact Order shape
+    * (so e.g. an INT timestamp literal casts to LONG instead of failing
+    * deep in the encoder). */
+  def toAvroBuilder(args: Seq[Expression]): Expression =
+    ToAvroOrder(Cast(args.head, sparkType))
+
+  def fromAvroBuilder(args: Seq[Expression]): Expression =
+    FromAvroOrder(args.head)
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
-      "to_avro_order", args => ToAvroOrder(args.head), "built-in")
+      "to_avro_order", toAvroBuilder, "built-in")
     registry.createOrReplaceTempFunction(
-      "from_avro_order", args => FromAvroOrder(args.head), "built-in")
+      "from_avro_order", fromAvroBuilder, "built-in")
   }
 }
 
@@ -67,6 +79,14 @@ case class ToAvroOrder(child: Expression)
     new GenericDatumWriter[GenericRecord](AvroOrder.schema)
 
   def encode(row: InternalRow): Array[Byte] = {
+    var i = 0
+    while (i < 4) {
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"to_avro_order: field '${AvroOrder.sparkType(i).name}' is null " +
+            "but schemas/order.avsc declares no null union")
+      i += 1
+    }
     val rec = new GenericData.Record(AvroOrder.schema)
     rec.put(0, new Utf8(row.getUTF8String(0).toString))
     rec.put(1, new Utf8(row.getUTF8String(1).toString))

@@ -32,4 +32,28 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getFloat(2) == 349.99f)
     assert(row.getLong(3) == 1704067200000L)
   }
+
+  test("round-trip elision removes the codec from the optimized plan") {
+    val df = spark.sql(
+      """SELECT from_avro_order(to_avro_order(named_struct(
+        |  'orderId', CAST(id AS STRING), 'product', 'Laptop',
+        |  'price', CAST(id AS FLOAT), 'timestamp', id))).price AS p
+        |FROM range(100)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("from_avro_order") &&
+      !optimized.contains("fromavroorder"),
+      s"codec not elided:\n$optimized")
+    // results unchanged
+    assert(df.selectExpr("sum(p)").collect().head.getDouble(0) == 4950.0)
+  }
+
+  test("elision does not fire on shape mismatch") {
+    // 'price' as DOUBLE (not FLOAT): rule must leave the expression
+    // alone and analysis/runtime behave as without the rule.
+    val df = spark.sql(
+      """SELECT to_avro_order(named_struct(
+        |  'orderId', 'x', 'product', 'y',
+        |  'price', CAST(1.5 AS FLOAT), 'timestamp', 7)) AS bytes""".stripMargin)
+    assert(df.collect().head.getAs[Array[Byte]](0).nonEmpty)
+  }
 }
