@@ -7,9 +7,14 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's whole consumer path in one plan — events → Avro
+    * encode/decode (custom codec expressions) → validate → per-product
+    * price stats, i.e. what the Kafka consumer + PriceAggregator compute,
+    * as a single declarative Spark query.
+    */
   def entry(spark: SparkSession): DataFrame =
-    OrderAnalytics.priceStatsByProduct(spark, "/root/testdata/sf0.001")
+    StreamQueries.avroRoundtrip(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
