@@ -27,7 +27,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Sessionize.queries, Sessionize.oracles),
-      (AsofJoin.queries, AsofJoin.oracles))
+      (AsofJoin.queries, AsofJoin.oracles),
+      (Sampling.queries, Sampling.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

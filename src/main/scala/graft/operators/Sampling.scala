@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling for training-data mixtures (SURVEY.md §2.3
+  * addendum): hash-based selection instead of RNG, so a sample is
+  * reproducible across runs, engines, retries and cluster layouts —
+  * the property a 100 TB data pipeline needs for auditable mixtures
+  * (a seeded `sample()` changes with partitioning; a key-hash never does).
+  */
+object Sampling {
+
+  /** Per-language stratified sample: keep ~rate% of each stratum by
+    * md5(doc_id) bucket. */
+  def stratifiedSample(spark: SparkSession, dir: String, ratePct: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(col("bucket") < ratePct)
+      .select("doc_id", "lang", "source", "n_chars", "bucket")
+
+  /** Mixture accounting: how the sample distributes over strata — the
+    * report a mixture pipeline emits next to every training shard. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val sampled = stratifiedSample(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    total.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        (coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total"))
+          .as("sample_rate"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "q_sample_mixture" -> sampleMixture)
+
+  private val sampleSql =
+    """SELECT doc_id, lang, source, n_chars,
+      |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_stratified_sample" -> sampleSql,
+    "q_sample_mixture" ->
+      s"""WITH total AS (
+         |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+         |sampled AS (
+         |  SELECT lang, count(*) AS n_sampled FROM ($sampleSql) s GROUP BY lang)
+         |SELECT t.lang, t.n_total,
+         |       coalesce(s.n_sampled, 0) AS n_sampled,
+         |       CAST(coalesce(s.n_sampled, 0) AS DOUBLE) / t.n_total AS sample_rate
+         |FROM total t LEFT JOIN sampled s ON t.lang = s.lang""".stripMargin)
+}

@@ -83,6 +83,32 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("runningStats state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1704067200000L
+    val input = MemoryStream[OrderEvent]
+    val q = OrderStream.runningStats(input.toDS())
+      .writeStream.format("memory").queryName("running_stats_batches")
+      .outputMode("append").start()
+    try {
+      input.addData(OrderEvent("ORD-0000001", "Laptop", 1000.00, base))
+      q.processAllAvailable()
+      input.addData(OrderEvent("ORD-0000002", "Laptop", 2000.00, base + 1000))
+      q.processAllAvailable()
+      input.addData(OrderEvent("ORD-0000003", "Laptop", 600.00, base + 2000))
+      q.processAllAvailable()
+
+      val rows = spark.table("running_stats_batches")
+        .as[OrderStream.RunningStat].collect().sortBy(_.orderId).toList
+      // state carried across three separate micro-batches
+      assert(rows.map(_.runningCount) == List(1, 2, 3))
+      assert(rows.map(_.runningAvgCents) == List(100000, 150000, 120000))
+      assert(rows.last.minCents == 60000 && rows.last.maxCents == 200000)
+    } finally q.stop()
+  }
+
   test("dlqSplit routes failures with provenance and keeps valid flow") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
