@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{OrderProducer, OrderStream}
+
+/** Producer fidelity + end-to-end produce→process→DLQ-JSON-sink flow
+  * (the reference writes DLQ messages as JSON; dead_letter_queue_consumer
+  * reads them back).
+  */
+class OrderProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("order-producer-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("producer is deterministic and respects the catalog price ranges") {
+    val a = OrderProducer.generate(spark, 1000).collect().map(_.toString).sorted
+    val b = OrderProducer.generate(spark, 1000).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+
+    val ranges = OrderProducer.catalog.map(c => c._1 -> (c._2, c._3)).toMap
+    OrderProducer.generate(spark, 1000).collect().foreach { r =>
+      val (lo, hi) = ranges(r.getString(1))
+      val price = r.getDouble(2)
+      assert(price >= lo - 0.005 && price <= hi + 0.005,
+        s"${r.getString(1)} price $price outside [$lo, $hi]")
+      assert(r.getString(0).matches("ORD-\\d{4}"))
+    }
+    // every product appears with 1000 draws
+    val products = OrderProducer.generate(spark, 1000)
+      .select("product").distinct().count()
+    assert(products == OrderProducer.catalog.size)
+  }
+
+  test("produce -> validate -> DLQ JSON sink round-trips like the reference") {
+    val tmp = Files.createTempDirectory("graft-dlq").toFile
+    val valid = new java.io.File(tmp, "valid")
+    val dlq = new java.io.File(tmp, "dlq")
+
+    // inject failures the way the reference sees them: bad price + an
+    // 'error' product
+    val orders = OrderProducer.generate(spark, 200)
+      .withColumn("price",
+        when(col("orderId") === "ORD-0007", lit(-1.0)).otherwise(col("price")))
+      .withColumn("product",
+        when(col("orderId") === "ORD-0013", lit("error")).otherwise(col("product")))
+
+    OrderStream.dlqSplit(
+      (v: DataFrame, _: Long) => v.write.mode("overwrite").json(valid.getAbsolutePath),
+      (d: DataFrame, _: Long) => d.write.mode("overwrite").json(dlq.getAbsolutePath)
+    )(orders, 0L)
+
+    val validBack = spark.read.json(valid.getAbsolutePath)
+    val dlqBack = spark.read.json(dlq.getAbsolutePath)
+    assert(validBack.count() == 198)
+    assert(dlqBack.count() == 2)
+    val byId = dlqBack.collect()
+      .map(r => r.getAs[String]("orderId") -> r).toMap
+    assert(byId("ORD-0007").getAs[String]("error_class") == "PermanentError")
+    assert(byId("ORD-0013").getAs[String]("error_class") == "RetryableError")
+    assert(byId("ORD-0013").getAs[Long]("retry_count") == 3L)
+    assert(dlqBack.columns.contains("original_topic") &&
+      dlqBack.columns.contains("consumer_group"))
+  }
+}
