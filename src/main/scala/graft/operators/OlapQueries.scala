@@ -226,7 +226,22 @@ object OlapQueries {
       .agg(round(sum("value"), 2))
   }
 
+  /** Correlated scalar subquery through the SQL surface: richest
+    * customer(s) of each nation. Catalyst decorrelates this into an
+    * aggregate + join — no per-row subquery execution.
+    */
+  def topAcctbalPerNation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    spark.sql(
+      """SELECT n_name, c_custkey, c_name, c_acctbal
+        |FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer_v c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_acctbal_per_nation" -> topAcctbalPerNation,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
@@ -243,6 +258,11 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_top_acctbal_per_nation" ->
+      """SELECT n_name, c_custkey, c_name, c_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -59,6 +59,24 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == expected)
   }
 
+  test("partitioned write enables partition pruning on read") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+    Tables.documents(spark, sf).write
+      .partitionBy("lang").mode("overwrite").parquet(out)
+
+    val filtered = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.toString
+    withClue(scan) {
+      // pruned at the partition level, not as a row filter
+      assert(scan.contains("PartitionFilters") &&
+        scan.contains("isnotnull(lang"))
+    }
+    val expected = Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    assert(filtered.count() == expected && expected > 0)
+  }
+
   test("native session_window matches the gaps-and-islands sessionizer") {
     val sf = "/root/testdata/sf0.001"
     val native = OrderStream
