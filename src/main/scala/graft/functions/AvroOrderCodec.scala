@@ -63,6 +63,9 @@ object AvroOrder {
       "to_avro_order", toAvroBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "from_avro_order", fromAvroBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "try_from_avro_order",
+      (args: Seq[Expression]) => TryFromAvroOrder(args.head), "built-in")
   }
 }
 
@@ -121,15 +124,22 @@ case class FromAvroOrder(child: Expression)
   @transient private lazy val reader =
     new GenericDatumReader[GenericRecord](AvroOrder.schema)
 
-  def decode(bytes: Array[Byte]): InternalRow = {
-    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-    val rec = reader.read(null, dec)
-    InternalRow(
-      UTF8String.fromString(rec.get(0).toString),
-      UTF8String.fromString(rec.get(1).toString),
-      rec.get(2).asInstanceOf[Float],
-      rec.get(3).asInstanceOf[Long])
-  }
+  def decode(bytes: Array[Byte]): InternalRow =
+    try {
+      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      InternalRow(
+        UTF8String.fromString(rec.get(0).toString),
+        UTF8String.fromString(rec.get(1).toString),
+        rec.get(2).asInstanceOf[Float],
+        rec.get(3).asInstanceOf[Long])
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"from_avro_order: malformed Avro Order payload (${bytes.length} bytes); " +
+            "use try_from_avro_order to route corrupt records to a DLQ instead",
+          e)
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     decode(input.asInstanceOf[Array[Byte]])
@@ -141,5 +151,37 @@ case class FromAvroOrder(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): FromAvroOrder =
+    copy(child = newChild)
+}
+
+/** Permissive decode: corrupt/truncated Avro payloads yield NULL instead
+  * of failing the job — the streaming consumer then routes NULLs to the
+  * DLQ, mirroring the reference's SerializerError → DLQ path
+  * (avro_order_consumer.py:189-195). The strict FromAvroOrder is the
+  * FAILFAST analogue.
+  */
+case class TryFromAvroOrder(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = AvroOrder.sparkType
+  override def nullable: Boolean = true
+
+  @transient private lazy val strict = FromAvroOrder(child)
+
+  def tryDecode(bytes: Array[Byte]): InternalRow =
+    try strict.decode(bytes)
+    catch { case _: Exception => null }
+
+  override protected def nullSafeEval(input: Any): Any =
+    tryDecode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tryFromAvroOrder", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.tryDecode($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TryFromAvroOrder =
     copy(child = newChild)
 }

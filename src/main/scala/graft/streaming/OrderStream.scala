@@ -76,6 +76,22 @@ object OrderStream {
         col("product"), col("order_count"), col("sum_cents"),
         col("min_price"), col("max_price"))
 
+  /** Idempotent delivery: drop duplicate orderIds within the watermark
+    * horizon — the consumer-side analogue of the reference producer's
+    * `enable.idempotence` (kafka_order_producer.py:36-40). State is
+    * bounded by the watermark; on batch input it degrades to a plain
+    * dropDuplicates.
+    */
+  def dedupOrders(orders: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val withTime = orders
+      .withColumn("event_time", timestamp_millis(col("eventTimeMs")))
+    if (orders.isStreaming)
+      withTime.withWatermark("event_time", watermarkDelay)
+        .dropDuplicatesWithinWatermark("orderId")
+        .drop("event_time")
+    else withTime.dropDuplicates("orderId").drop("event_time")
+  }
+
   /** Event-time session windows (Spark-native `session_window`, 30-min
     * gap): per-user session rollups that work identically over a batch
     * table or a watermarked stream. The batch face must agree with the

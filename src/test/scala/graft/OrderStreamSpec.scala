@@ -136,6 +136,62 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedupOrders drops redelivered orderIds across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1704067200000L
+    val input = MemoryStream[OrderEvent]
+    val q = OrderStream.dedupOrders(input.toDF())
+      .writeStream.format("memory").queryName("dedup_orders_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        OrderEvent("ORD-0000001", "Laptop", 999.99, base),
+        OrderEvent("ORD-0000002", "Mouse", 25.50, base + 1000))
+      q.processAllAvailable()
+      // redelivery of ORD-0000001 in a later micro-batch + one new order
+      input.addData(
+        OrderEvent("ORD-0000001", "Laptop", 999.99, base),
+        OrderEvent("ORD-0000003", "Monitor", 349.99, base + 2000))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_orders_test")
+        .select("orderId").collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("ORD-0000001", "ORD-0000002", "ORD-0000003"))
+    } finally q.stop()
+  }
+
+  test("try_from_avro_order yields NULL on corrupt payloads (DLQ-able)") {
+    import spark.implicits._
+    graft.functions.AvroOrder.register(spark)
+    val df = Seq(
+      ("good", "ORD-0000001"),
+      ("truncated", "ORD-0000002"),
+      ("garbage", "ORD-0000003"))
+      .toDF("kind", "orderId")
+      .selectExpr("kind",
+        """CASE kind
+          |  WHEN 'good' THEN to_avro_order(named_struct(
+          |    'orderId', orderId, 'product', 'Laptop',
+          |    'price', CAST(1.5 AS FLOAT), 'timestamp', 1704067200000))
+          |  WHEN 'truncated' THEN substring(to_avro_order(named_struct(
+          |    'orderId', orderId, 'product', 'Laptop',
+          |    'price', CAST(1.5 AS FLOAT), 'timestamp', 1704067200000)), 1, 3)
+          |  ELSE CAST('nonsense-bytes' AS BINARY)
+          |END AS payload""".stripMargin)
+      .selectExpr("kind", "try_from_avro_order(payload) AS o")
+    val byKind = df.collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(byKind == Map("good" -> false, "truncated" -> true, "garbage" -> true))
+    // strict decode on the same corrupt input fails with a clear message
+    val e = intercept[Throwable] {
+      Seq(Array[Byte](1, 2, 3)).toDF("payload")
+        .selectExpr("from_avro_order(payload) AS o").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("malformed Avro Order payload")))
+  }
+
   test("Avro codec round-trips exact values through SQL functions") {
     import spark.implicits._
     graft.functions.AvroOrder.register(spark)
