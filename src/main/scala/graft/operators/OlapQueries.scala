@@ -240,8 +240,52 @@ object OlapQueries {
         |                     WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    * a fact⋈dim join, ratio of exact integer sums (one float division).
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1998-01-01")))
+      .select(col("l_partkey"), revenueE4.as("rev_e4"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L))
+          .as("promo_e4"),
+        sum("rev_e4").as("total_e4"))
+      .select(
+        (col("promo_e4").cast("double") / 10000.0).as("promo_revenue"),
+        (col("total_e4").cast("double") / 10000.0).as("total_revenue"),
+        (col("promo_e4").cast("double") / col("total_e4")).as("promo_share"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicates over a
+    * fact⋈dim join — the optimizer keeps them as one scan + join.
+    */
+  def brandSizeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), revenueE4.as("rev_e4"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 10) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 20) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(20, 50) &&
+          col("l_quantity") >= 30))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        (sum("rev_e4").cast("double") / 10000.0).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_top_acctbal_per_nation" -> topAcctbalPerNation,
+    "q_promo_revenue_share" -> promoRevenueShare,
+    "q_brand_size_revenue" -> brandSizeRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
@@ -258,6 +302,23 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_promo_revenue_share" ->
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueE4Sql ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+         |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS total_revenue,
+         |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueE4Sql ELSE 0 END) AS DOUBLE)
+         |         / sum($revenueE4Sql) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+    "q_brand_size_revenue" ->
+      s"""SELECT p_brand, count(*) AS n_lines,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+         |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+         |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+         |GROUP BY p_brand""".stripMargin,
     "q_top_acctbal_per_nation" ->
       """SELECT n_name, c_custkey, c_name, c_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
