@@ -28,7 +28,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Sessionize.queries, Sessionize.oracles),
       (AsofJoin.queries, AsofJoin.oracles),
-      (Sampling.queries, Sampling.oracles))
+      (Sampling.queries, Sampling.oracles),
+      (CorpusPipeline.queries, CorpusPipeline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

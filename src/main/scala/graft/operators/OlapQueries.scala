@@ -286,6 +286,11 @@ object OlapQueries {
     "q_top_acctbal_per_nation" -> topAcctbalPerNation,
     "q_promo_revenue_share" -> promoRevenueShare,
     "q_brand_size_revenue" -> brandSizeRevenue,
+    "q_cube_events" -> ((spark, dir) =>
+      Tables.events(spark, dir)
+        .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total_value"))),
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
@@ -302,6 +307,11 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_cube_events" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY CUBE (event_type, user_id % 10)""".stripMargin,
     "q_promo_revenue_share" ->
       s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueE4Sql ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
          |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS total_revenue,
