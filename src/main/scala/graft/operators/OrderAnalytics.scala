@@ -28,7 +28,10 @@ object OrderAnalytics {
       .agg(
         count(lit(1)).as("order_count"),
         round(sum("value"), 2).as("price_sum"),
-        round(avg("value"), 2).as("price_avg"),
+        // exact cents summed, ONE float division: bit-identical across
+        // engines (a rounded floating avg can straddle a boundary)
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+          / 100.0 / count(lit(1))).as("price_avg"),
         min("value").as("price_min"),
         max("value").as("price_max"))
 
@@ -40,7 +43,8 @@ object OrderAnalytics {
       .agg(
         count(lit(1)).as("total_orders"),
         round(sum("value"), 2).as("total_revenue"),
-        round(avg("value"), 2).as("average_order_value"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+          / 100.0 / count(lit(1))).as("average_order_value"),
         countDistinct("event_type").as("unique_products"))
 
   /** The running average the consumer logs after every processed order
@@ -96,14 +100,16 @@ object OrderAnalytics {
       """SELECT event_type AS product,
         |       count(*) AS order_count,
         |       round(sum(value), 2) AS price_sum,
-        |       round(avg(value), 2) AS price_avg,
+        |       CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / 100.0 / count(*) AS price_avg,
         |       min(value) AS price_min,
         |       max(value) AS price_max
         |FROM events GROUP BY event_type""".stripMargin,
     "q_overall_stats" ->
       """SELECT count(*) AS total_orders,
         |       round(sum(value), 2) AS total_revenue,
-        |       round(avg(value), 2) AS average_order_value,
+        |       CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / 100.0 / count(*) AS average_order_value,
         |       count(DISTINCT event_type) AS unique_products
         |FROM events""".stripMargin,
     "q_running_avg" ->
