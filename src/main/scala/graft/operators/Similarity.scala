@@ -126,10 +126,54 @@ object Similarity {
       .filter(col("cos_sim") >= 0.45)
   }
 
+  /** IVF coarse quantizer: one centroid per label cell, computed
+    * distributedly (posexplode → per-component avg → re-assembled array).
+    * In production the centroids come from k-means; the cell-probing
+    * machinery is identical.
+    */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cell"),
+        expr("transform(pc, p -> p.c)").as("centroid"))
+
+  /** IVF-style ANN: assign queries to their top-2 nearest cells, then
+    * brute-force only within those cells — at corpus scale this bounds
+    * the scored candidates to ~2/k of the data. rows-only (SimilaritySpec
+    * proves results equal brute-force-topk over the probed cells).
+    */
+  def annIvf(spark: SparkSession, dir: String, probes: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(cosine(col("qv"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= probes)
+      .select("query_id", "qv", "cell")
+    val wNn = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probed
+      .join(e, col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("nn_rank", row_number().over(wNn))
+      .filter(col("nn_rank") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
-    "q_ann_lsh" -> annLshNearDup)
+    "q_ann_lsh" -> annLshNearDup,
+    "q_ann_ivf" -> ((s, d) => annIvf(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_embedding" ->

@@ -69,6 +69,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF ANN equals brute-force top-k restricted to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val ivf = Similarity.annIvf(spark, sf)
+    val got = ivf.collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    // probed cells per query, from the operator's own output
+    val cells = ivf.select("query_id", "cell").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    // expected: brute-force rank over vectors in those cells only
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      math.rint(d / math.sqrt(na) / math.sqrt(nb) * 1e6) / 1e6
+    }
+    for (q <- 0L until 5L if cells.contains(q)) {
+      val qv = e.find(_._1 == q).get._2
+      val expected = e
+        .filter(v => v._1 != q && cells(q).contains(v._3))
+        .map(v => (v._1, cos(qv, v._2)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(10).map(_._1)
+      val actual = (1 to 10).flatMap(r => got.get((q, r)))
+      assert(actual == expected.toSeq, s"query $q")
+    }
+  }
+
   test("multimodal plumbing: binary payloads survive with exact checksums") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(spark, sf).as[Multimodal.MediaRecord]

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the plan-shape properties PLANS.md documents — a regression
+  * here means a future change quietly broke pushdown, broadcast choice,
+  * or added a shuffle, which only shows up as a cliff at real scale.
+  */
+class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("plan-regression-spec", cores = "2")
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    withClue(p) {
+      assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q5: dimension joins broadcast, no cartesian products") {
+    val p = planOf("q5_revenue_by_nation")
+    withClue(p) {
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+      // region filter reaches its scan
+      assert(p.contains("EqualTo(r_name,ASIA)"))
+    }
+  }
+
+  test("running avg / sessionize / as-of: exactly one shuffle each") {
+    for (q <- Seq("q_running_avg", "q_sessionize", "q_asof_attribution")) {
+      val p = planOf(q)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      withClue(s"$q:\n$p") { assert(shuffles == 1) }
+    }
+  }
+
+  test("dedup_exact: partial aggregation before the single shuffle") {
+    val p = planOf("q_dedup_exact")
+    withClue(p) {
+      assert("HashAggregate".r.findAllIn(p).length >= 2) // partial + final
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    }
+  }
+
+  test("no query plan contains a driver-side collect or cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      withClue(s"$name:\n$p") {
+        assert(!p.contains("CartesianProduct"),
+          s"$name uses a cartesian product")
+      }
+    }
+  }
+}
