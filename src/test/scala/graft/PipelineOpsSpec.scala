@@ -43,6 +43,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall { case (i, j) => i < j })
   }
 
+  test("minhash finds planted near-duplicates in a synthetic corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "pi")
+    def doc(): Seq[String] = Seq.fill(80)(vocab(rnd.nextInt(vocab.size)))
+    val originals = (0 until 20).map(i => i -> doc()).toMap
+    // plant: docs 100..104 are docs 0..4 with ONE token mutated (~96% 3-gram jaccard)
+    val mutated = (0 until 5).map { i =>
+      val base = originals(i).toVector
+      (100 + i) -> base.updated(40, "omega").toSeq
+    }
+    val rows = (originals ++ mutated).toSeq.map { case (id, toks) =>
+      (id.toLong, toks.mkString(" "), "en", "src", toks.mkString(" ").length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-synth").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .select("doc_i", "doc_j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Dedup.ngramJaccardPairs(spark, dir)
+      .select("doc_i", "doc_j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair is a true near-dup and LSH finds all true pairs
+    assert((0 until 5).forall(i => expected.contains((i.toLong, (100 + i).toLong))))
+    assert(pairs == expected)
+  }
+
   test("LSH near-dup is a high-recall subset of brute-force near-dup") {
     val brute = Similarity.embeddingNearDup(spark, sf)
       .select("vec_i", "vec_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
