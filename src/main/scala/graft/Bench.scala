@@ -24,11 +24,15 @@ object Bench {
     "q_validate_events",
     "q_windowed_stats",
     "q_avro_roundtrip",
+    "q_sessionize",
+    "q_asof_attribution",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_simhash_docs",
     "q_ann_topk",
+    "q_ann_ivf",
     "q_token_counts",
+    "q_corpus_pipeline",
     "q_media_features")
 
   def main(args: Array[String]): Unit = {
