@@ -89,13 +89,44 @@ object OrderAnalytics {
         Window.orderBy(col("order_count").desc, col("product"))).as("rank"))
   }
 
+  /** 7-event moving average per product (rolling ROWS frame) — exact
+    * cents so the rolling sum is engine-independent. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("product").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("ts"),
+        col("event_type").as("product"),
+        round(col("value") * 100, 0).cast("long").as("price_cents"))
+      .select(
+        col("event_id"), col("product"),
+        count(lit(1)).over(w).as("window_n"),
+        sum("price_cents").over(w).as("window_sum_cents"))
+      .withColumn("moving_avg_cents",
+        expr("window_sum_cents div window_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg" -> movingAvg,
     "q_price_stats_by_product" -> priceStatsByProduct,
     "q_overall_stats" -> overallStats,
     "q_running_avg" -> runningAvg,
     "q_top_products_by_count" -> topProductsByCount)
 
   val oracles: Map[String, String] = Map(
+    "q_moving_avg" ->
+      """WITH cents AS (
+        |  SELECT event_id, ts, event_type AS product,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS price_cents
+        |  FROM events)
+        |SELECT event_id, product,
+        |       count(*) OVER w AS window_n,
+        |       CAST(sum(price_cents) OVER w AS BIGINT) AS window_sum_cents,
+        |       CAST((sum(price_cents) OVER w) // (count(*) OVER w) AS BIGINT) AS moving_avg_cents
+        |FROM cents
+        |WINDOW w AS (PARTITION BY product ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_price_stats_by_product" ->
       """SELECT event_type AS product,
         |       count(*) AS order_count,

@@ -88,13 +88,31 @@ object TextAnalysis {
         substring(md5(col("norm")), 1, 16).as("fingerprint"),
         length(col("norm")).as("norm_len"))
 
+  /** Edit-distance bucketing of part names against a probe string —
+    * the string-distance operator family (fuzzy matching / canonical-
+    * ization in entity resolution pipelines).
+    */
+  def editDistanceBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        levenshtein(lower(col("p_name")), lit("steel plate")).as("edit_dist"))
+      .groupBy("edit_dist")
+      .agg(count(lit(1)).as("n_parts"),
+        min("p_partkey").as("min_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "q_edit_distance" ->
+      """SELECT CAST(levenshtein(lower(p_name), 'steel plate') AS INT) AS edit_dist,
+        |       count(*) AS n_parts,
+        |       min(p_partkey) AS min_partkey
+        |FROM part GROUP BY 1""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id, n_chars,
         |       CAST(length(regexp_split_to_array(lower(text), '\s+')) AS INT) AS ws_tokens,

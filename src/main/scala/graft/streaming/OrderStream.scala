@@ -111,6 +111,33 @@ object OrderStream {
         unix_timestamp(col("session_window.start")).as("session_start_s"),
         col("n_events"), col("session_value_cents"))
 
+  /** Stream-stream interval join: views ⋈ purchases of the same user
+    * with the view in the hour before the purchase. Watermarks on BOTH
+    * sides let Spark expire join state — the bounded-memory form of
+    * attribution at scale (the as-of batch operator is its exact-
+    * answer face; this one emits every qualifying view).
+    * Works on a batch events DataFrame identically (watermarks no-op).
+    */
+  def viewPurchaseJoin(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", watermarkDelay)
+    views.join(purchases,
+      col("v_user_id") === col("p_user_id") &&
+        col("view_time") < col("purchase_time") &&
+        col("view_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("view_id"), col("value"))
+  }
+
   /** The PriceAggregator state machine as flatMapGroupsWithState: emits a
     * RunningStat per order, keyed by product, state = exact-cents totals.
     * Within a micro-batch, orders are processed in eventTimeMs order
