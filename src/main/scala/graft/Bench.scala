@@ -38,6 +38,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
+    spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1L << 20).selectExpr("sum(id)").collect() // warmup
 

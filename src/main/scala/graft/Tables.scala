@@ -42,8 +42,13 @@ object Tables {
   */
 object GraftSession {
   def create(appName: String = "graft", cores: String = "*"): SparkSession = {
+    // Default to every core on the box (the driver runs local[32]); the
+    // env var stays as an override for constrained runs.
     val cpus =
-      if (cores == "*") sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") else cores
+      if (cores == "*")
+        sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors.toString)
+      else cores
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
@@ -51,6 +56,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // A multi-query run compiles hundreds of codegen units; the default
+      // 100-entry generated-class cache evicts under that, and every
+      // evicted stage recompiles inside janino's global lock — with 32
+      // task threads that serializes the whole pool. Size it to hold the
+      // full workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
