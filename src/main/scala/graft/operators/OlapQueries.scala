@@ -175,13 +175,22 @@ object OlapQueries {
         count(lit(1)).as("event_count"))
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB path where exact
-    * distinct would shuffle every key. rows-only check (estimator values
-    * are engine-specific by design).
+    * distinct would shuffle every key. The raw estimate is
+    * engine-specific, so the oracle-checked surface asserts the HLL
+    * estimate lands within its error bound of the exact count (rsd=0.01,
+    * bound 5% = 5 sigma — deterministic: HLL register maxima are
+    * order-independent).
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+      .agg(
+        approx_count_distinct("user_id", 0.01).as("approx"),
+        countDistinct("user_id").as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          greatest(lit(5.0), col("exact_users") * 0.05))
+          .as("approx_within_5pct"))
 
   /** Exact interpolated percentiles per group. */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
@@ -307,6 +316,11 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct_users" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, user_id % 10 AS user_bucket,
         |       count(*) AS n,

@@ -127,15 +127,18 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: one centroid per label cell, computed
-    * distributedly (posexplode → per-component avg → re-assembled array).
-    * In production the centroids come from k-means; the cell-probing
-    * machinery is identical.
+    * distributedly (posexplode → per-component median → re-assembled
+    * array). The marginal median (not the mean) is used because it is
+    * sort-based and therefore bit-deterministic across engines and
+    * across runs — a float mean's partial-sum merge order varies with
+    * shuffle arrival order. In production the centroids come from
+    * k-means; the cell-probing machinery is identical.
     */
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
-      .agg(avg(col("x").cast("double")).as("c"))
+      .agg(percentile(col("x").cast("double"), lit(0.5)).as("c"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label").as("cell"),
@@ -143,8 +146,9 @@ object Similarity {
 
   /** IVF-style ANN: assign queries to their top-2 nearest cells, then
     * brute-force only within those cells — at corpus scale this bounds
-    * the scored candidates to ~2/k of the data. rows-only (SimilaritySpec
-    * proves results equal brute-force-topk over the probed cells).
+    * the scored candidates to ~2/k of the data. Fully SQL-expressible,
+    * so the DuckDB oracle replays the whole quantize→probe→score
+    * pipeline and hash-checks it.
     */
   def annIvf(spark: SparkSession, dir: String, probes: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -175,7 +179,50 @@ object Similarity {
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)))
 
+  /** Cosine between two array operands in DuckDB SQL, same fold order as
+    * the Spark `cosine` above (sequential list_sum, divide by each norm
+    * in turn). */
+  private def cosSql(u: String, v: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |  k -> CAST($u[k] AS DOUBLE) * CAST($v[k] AS DOUBLE)))
+       |/ sqrt(list_sum(list_transform(range(1, 65), k -> CAST($u[k] AS DOUBLE) * CAST($u[k] AS DOUBLE))))
+       |/ sqrt(list_sum(list_transform(range(1, 65), k -> CAST($v[k] AS DOUBLE) * CAST($v[k] AS DOUBLE))))"""
+      .stripMargin
+
+  // q_ann_lsh stays rows-only: at the cos ≥ 0.45 target the per-pair
+  // miss probability is ~1% (hyperplane agreement p ≈ 0.65 is close to
+  // random), so recall is high but not exactly 1 — SimilaritySpec checks
+  // the recall bound instead.
   val oracles: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label AS cell, k,
+         |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
+         |  FROM embeddings, range(1, 65) t(k)
+         |  GROUP BY label, k),
+         |centroids AS (
+         |  SELECT cell, list(c ORDER BY k) AS centroid FROM cent GROUP BY cell),
+         |queries AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |cellsim AS (
+         |  SELECT query_id, qv, cell,
+         |         round(${cosSql("qv", "centroid")}, 6) AS cell_sim
+         |  FROM queries CROSS JOIN centroids),
+         |probed AS (
+         |  SELECT query_id, qv, cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cell_sim DESC, cell) AS r FROM cellsim)
+         |  WHERE r <= 2),
+         |scored AS (
+         |  SELECT p.query_id, e.vec_id, p.cell,
+         |         round(${cosSql("p.qv", "e.embedding")}, 6) AS cos_sim
+         |  FROM probed p JOIN embeddings e
+         |    ON e.label = p.cell AND e.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, cell, cos_sim, CAST(r AS INT) AS nn_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
+         |WHERE r <= 10""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
          |       a.label = b.label AS same_label,
