@@ -110,21 +110,28 @@ object OlapQueries {
   }
 
   /** Window rank-per-group: top 3 parts by revenue within each supplier
-    * nation. */
+    * nation.
+    *
+    * The heavy agg + window run on the integer `s_nationkey`; the
+    * 25-row nation dim joins in only after the rank filter has cut the
+    * data to 75 rows — the big shuffle carries int keys, not name
+    * strings. Spark 4's WindowGroupLimit rule turns the rank filter
+    * into a per-partition partial top-k before the final sort.
+    */
   def topPartPerNation(spark: SparkSession, dir: String): DataFrame = {
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     val perPart = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_partkey"), revenueE4.as("rev_e4"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-      .groupBy("n_name", "l_partkey")
+      .groupBy("s_nationkey", "l_partkey")
       .agg(sum("rev_e4").as("rev_e4"))
-    val w = Window.partitionBy("n_name")
+    val w = Window.partitionBy("s_nationkey")
       .orderBy(col("rev_e4").desc, col("l_partkey"))
     perPart
       .withColumn("part_rank", row_number().over(w))
       .filter(col("part_rank") <= 3)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("l_partkey"),
         (col("rev_e4").cast("double") / 10000.0).as("revenue"),
         col("part_rank"))
