@@ -29,6 +29,7 @@ object SparkEntry {
       (Sessionize.queries, Sessionize.oracles),
       (AsofJoin.queries, AsofJoin.oracles),
       (Sampling.queries, Sampling.oracles),
+      (Analytics.queries, Analytics.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-2 breadth operators: the analytic-function suite, set
+  * operations, banded time-range join, embedding quantization, corpus
+  * n-gram statistics, and text sink/source round-trips (CSV, JSON).
+  *
+  * Determinism: every window has a unique-key tiebreak; every float
+  * output is either an exact integer-derived value or a single IEEE
+  * operation on identical inputs in both engines (SURVEY.md §5).
+  */
+object Analytics {
+
+  /** Analytic-function suite over the per-customer order history:
+    * row_number (sequence), lag (days since previous order), ntile
+    * (spend quartile), percent_rank / cume_dist (spend position).
+    * One shuffle on o_custkey; both windows share the partitioning, so
+    * Catalyst plans a single exchange.
+    */
+  def orderCadence(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bySpend = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("order_seq", row_number().over(byDate))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), lag("o_orderdate", 1).over(byDate)))
+      .withColumn("spend_quartile", ntile(4).over(bySpend))
+      .withColumn("spend_pct_rank", percent_rank().over(bySpend))
+      .withColumn("spend_cume_dist", cume_dist().over(bySpend))
+      .select("o_custkey", "o_orderkey", "order_seq", "days_since_prev",
+        "spend_quartile", "spend_pct_rank", "spend_cume_dist")
+  }
+
+  /** Set operations: INTERSECT / EXCEPT over yearly active customer
+    * sets. Spark plans these as aggregates + joins; both inputs
+    * pre-aggregate to distinct keys so the shuffles carry one row per
+    * customer. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(y: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+    val a = activeIn(1995)
+    val b = activeIn(1996)
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionAll(a.except(b).withColumn("op", lit("only_1995")))
+      .unionAll(b.except(a).withColumn("op", lit("only_1996")))
+      .select("op", "o_custkey")
+  }
+
+  /** Banded time-range join: for each purchase, the error events within
+    * ±60 s of it — the classic bucketize-and-verify range join. Each
+    * error lands in its minute bucket and the two neighbours, the join
+    * is a plain equi-join on the bucket (shuffle-partitionable, no n²),
+    * and the exact |Δt| ≤ 60 s predicate filters the candidates. The
+    * oracle runs the naive theta join; DuckDB's IEJoin handles it at
+    * oracle scale.
+    */
+  def timeRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val SlackNs = 60000000000L // 60 s
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        (col("ts") / SlackNs).cast("long").as("bucket"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("e_ts"))
+      .withColumn("b0", (col("e_ts") / SlackNs).cast("long"))
+      .select(col("err_id"), col("e_ts"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+    purchases.join(errors, "bucket")
+      .filter(abs(col("p_ts") - col("e_ts")) <= SlackNs)
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_nearby_errors"),
+        expr("min(abs(p_ts - e_ts)) div 1000000000").as("closest_gap_s"))
+  }
+
+  /** Int8 scalar quantization of the embedding column — the storage-
+    * compression pass of a 100 TB vector corpus (4× smaller, cosine
+    * preserved to ~1e-2). Per vector: scale = 127/max|x|, code_i =
+    * floor(x_i·scale + 0.5). Emits summary stats of the code vector so
+    * the oracle hash-checks the exact quantization. floor(v + 0.5) is
+    * used instead of round() because both engines define floor
+    * identically (round's half-case tie-breaking differs). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val absMax = greatest(
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-30))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), (lit(127.0) / absMax).as("scale"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r6"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => acc + floor(x.cast("double") * col("scale") + lit(0.5)))
+          .as("code_sum"),
+        aggregate(col("embedding"), lit(127L),
+          (acc, x) => least(acc, floor(x.cast("double") * col("scale") + lit(0.5))))
+          .as("code_min"),
+        aggregate(col("embedding"), lit(-127L),
+          (acc, x) => greatest(acc, floor(x.cast("double") * col("scale") + lit(0.5))))
+          .as("code_max"))
+  }
+
+  /** Corpus bigram statistics via the custom `shingles(text, 2)`
+    * expression: document frequency of every distinct-in-doc bigram,
+    * top 20. Spark 4's WindowGroupLimit turns the rank filter into a
+    * per-partition top-k, so the unpartitioned window only ever sees
+    * 20 rows per upstream partition. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Shingles.register(spark)
+    val w = Window.orderBy(col("df").desc, col("bigram"))
+    Tables.documents(spark, dir)
+      .select(explode(expr("shingles(text, 2)")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+  }
+
+  private def roundtripDir(kind: String, dir: String): String =
+    s"/root/repo/target/roundtrip/${kind}_${math.abs(dir.hashCode)}"
+
+  /** CSV sink→source round-trip: write the customer balance ledger as
+    * CSV (exact integer cents, so the text format is lossless), read it
+    * back with an explicit schema, aggregate. The oracle aggregates the
+    * original parquet — hash equality proves the round-trip is
+    * bit-faithful. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("csv", dir)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("acctbal_cents"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("c_custkey LONG, c_mktsegment STRING, acctbal_cents LONG")
+      .option("header", "true").csv(out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("acctbal_cents").as("total_cents"))
+  }
+
+  /** JSON (lines) sink→source round-trip over the event stream, same
+    * lossless-integer contract as the CSV pass. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("json", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("event_id LONG, event_type STRING, value_cents LONG")
+      .json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("value_cents").as("total_cents"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_cadence" -> orderCadence,
+    "q_customer_set_ops" -> customerSetOps,
+    "q_time_range_join" -> timeRangeJoin,
+    "q_embed_quantize" -> embedQuantize,
+    "q_top_bigrams" -> topBigrams,
+    "q_csv_roundtrip" -> csvRoundtrip,
+    "q_json_roundtrip" -> jsonRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "q_order_cadence" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w_date AS INT) AS order_seq,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w_date AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+        |  CAST(ntile(4) OVER w_spend AS INT) AS spend_quartile,
+        |  percent_rank() OVER w_spend AS spend_pct_rank,
+        |  cume_dist() OVER w_spend AS spend_cume_dist
+        |FROM orders
+        |WINDOW
+        |  w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w_spend AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"""
+        .stripMargin,
+    "q_customer_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1995' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1996' AS op, o_custkey FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)"""
+        .stripMargin,
+    "q_time_range_join" ->
+      """SELECT p.event_id AS purchase_id,
+        |       count(*) AS n_nearby_errors,
+        |       CAST(min(abs(epoch_ns(p.ts) - epoch_ns(e.ts))) // 1000000000 AS BIGINT)
+        |         AS closest_gap_s
+        |FROM events p JOIN events e
+        |  ON p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND abs(epoch_ns(p.ts) - epoch_ns(e.ts)) <= 60000000000
+        |GROUP BY 1""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         127.0 / greatest(list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(scale, 6) AS scale_r6,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS BIGINT) AS code_sum,
+        |  CAST(list_min(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS BIGINT) AS code_min,
+        |  CAST(list_max(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS BIGINT) AS code_max
+        |FROM s""".stripMargin,
+    "q_top_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1]))) AS bigram
+        |  FROM t WHERE len(w) >= 2),
+        |c AS (SELECT bigram, count(*) AS df FROM b GROUP BY 1)
+        |SELECT bigram, df, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY df DESC, bigram) AS rk FROM c)
+        |WHERE rk <= 20""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1""".stripMargin)
+}
