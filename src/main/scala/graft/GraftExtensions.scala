@@ -17,6 +17,7 @@ import graft.functions.{AvroOrder, FromAvroOrder, ToAvroOrder}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.AvroRoundTripElision)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("to_avro_order"),
       new ExpressionInfo(classOf[ToAvroOrder].getName, "to_avro_order"),

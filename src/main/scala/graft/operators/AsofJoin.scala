@@ -52,11 +52,47 @@ object AsofJoin {
         min("view_to_purchase_s").as("min_gap_s"),
         max("view_to_purchase_s").as("max_gap_s"))
 
+  /** The same attribution computed by the NATIVE as-of join operator
+    * (graft.plans.NativeAsofJoin: LogicalPlan + Strategy + SparkPlan,
+    * one co-partitioned merge pass) — driver-gated against the same
+    * DuckDB ASOF JOIN oracle as the window composition above. */
+  def purchaseAttributionNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("attributed_view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.NativeAsofJoin
+      .asofJoin(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "p_ts", "v_ts")
+      .select(col("purchase_id"), col("user_id"), col("purchase_value"),
+        col("attributed_view_id"),
+        expr("(p_ts - v_ts) div 1000000000").as("view_to_purchase_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_attribution" -> purchaseAttribution,
+    "q_asof_native" -> purchaseAttributionNative,
     "q_asof_stats" -> attributionStats)
 
+  private val asofOracleSql =
+    """WITH views AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |purchases AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id,
+      |       p.user_id,
+      |       p.value AS purchase_value,
+      |       v.event_id AS attributed_view_id,
+      |       (epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000000 AS view_to_purchase_s
+      |FROM purchases p
+      |ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_asof_native" -> asofOracleSql,
     "q_asof_attribution" ->
       """WITH views AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

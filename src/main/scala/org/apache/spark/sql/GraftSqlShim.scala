@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway the library needs: turning a custom
+  * `LogicalPlan` node into a `DataFrame`. Spark exposes every other
+  * extension point publicly (`SparkSessionExtensions`,
+  * `experimental.extraStrategies`), but plan construction itself is
+  * `Dataset.ofRows`, which is package-private — so this shim lives in
+  * `org.apache.spark.sql`, the standard pattern for Spark-native
+  * extension libraries.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
