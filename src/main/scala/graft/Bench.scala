@@ -26,6 +26,11 @@ object Bench {
     "q_avro_roundtrip",
     "q_sessionize",
     "q_asof_attribution",
+    "q_asof_native",
+    "q_time_range_join",
+    "q_order_cadence",
+    "q_top_bigrams",
+    "q_embed_quantize",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_simhash_docs",
