@@ -199,6 +199,23 @@ object OlapQueries {
           greatest(lit(5.0), col("exact_users") * 0.05))
           .as("approx_within_5pct"))
 
+  /** Approximate percentile (KLL-style sketch) — the 100 TB path where
+    * the exact sort-based percentile would shuffle every value. Like the
+    * HLL query, the sketch estimate itself is engine-specific, so the
+    * checked surface asserts the estimate falls inside the exact IQR —
+    * deterministic because Spark's approx_percentile sketch is
+    * merge-order-independent. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"))
+      .select(col("event_type"), col("p25"), col("p75"),
+        (col("ap50") >= col("p25") && col("ap50") <= col("p75"))
+          .as("approx_in_iqr"))
+
   /** Exact interpolated percentiles per group. */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -317,12 +334,19 @@ object OlapQueries {
     "q_rollup_flag_status" -> rollupFlagStatus,
     "q_distinct_users_by_type" -> distinctUsersByType,
     "q_approx_distinct_users" -> approxDistinctUsers,
+    "q_approx_percentile" -> approxPercentile,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.75), 4) AS p75,
+        |       TRUE AS approx_in_iqr
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_approx_distinct_users" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS exact_users,

@@ -107,14 +107,51 @@ object OrderAnalytics {
         expr("window_sum_cents div window_n"))
   }
 
+  /** Per-product stats via the typed `Aggregator`
+    * (graft.functions.TypedPriceStats): the Dataset-typed face of the
+    * PriceAggregator, run through `functions.udaf` so Catalyst plans it
+    * as an ordinary partial-agg + one shuffle. The integer-cents buffer
+    * makes mean AND population variance exact closed forms. */
+  def typedStats(spark: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(graft.functions.TypedPriceStats.agg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(spark, dir)
+      .select(col("event_type").as("product"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("product")
+      .agg(stats(col("cents")).as("s"))
+      .select(col("product"), col("s.n").as("n_orders"),
+        col("s.avg").as("avg_value"), col("s.varPop").as("var_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_moving_avg" -> movingAvg,
     "q_price_stats_by_product" -> priceStatsByProduct,
     "q_overall_stats" -> overallStats,
     "q_running_avg" -> runningAvg,
+    "q_typed_stats" -> typedStats,
     "q_top_products_by_count" -> topProductsByCount)
 
   val oracles: Map[String, String] = Map(
+    // Same closed forms over the same exact integer sums — the double
+    // expressions are operation-for-operation identical, so no rounding
+    // is needed for hash equality.
+    "q_typed_stats" ->
+      """WITH c AS (
+        |  SELECT event_type AS product,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (
+        |  SELECT product, count(*) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |         CAST(sum(cents * cents) AS BIGINT) AS sum_sq
+        |  FROM c GROUP BY 1)
+        |SELECT product, n AS n_orders,
+        |       CAST(sum_cents AS DOUBLE) / 100.0 / n AS avg_value,
+        |       (CAST(sum_sq AS DOUBLE)
+        |          - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n)
+        |         / n / 10000.0 AS var_value
+        |FROM s""".stripMargin,
     "q_moving_avg" ->
       """WITH cents AS (
         |  SELECT event_id, ts, event_type AS product,
