@@ -30,6 +30,7 @@ object SparkEntry {
       (AsofJoin.queries, AsofJoin.oracles),
       (Sampling.queries, Sampling.oracles),
       (Analytics.queries, Analytics.oracles),
+      (Profiling.queries, Profiling.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

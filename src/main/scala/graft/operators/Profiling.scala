@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset-introspection operators: heavy-hitter detection (sketch +
+  * exact verify) and single-pass column profiling — the "look at your
+  * 100 TB before you train on it" tools.
+  */
+object Profiling {
+
+  /** Heavy hitters over the order stream's product column: Misra-Gries
+    * candidates (one pass, O(k) state — see functions.HeavyHitters),
+    * then an exact count of ONLY the candidate set, keeping items with
+    * frequency > n/k. The MG recall guarantee makes the result equal to
+    * the full-groupBy answer, but the heavy shuffle never happens —
+    * only |candidates| ≤ k-1 keys are counted exactly. */
+  def heavyEventTypes(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val mg = udaf(graft.functions.HeavyHitters.aggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val ev = Tables.events(spark, dir).select(col("event_type").as("item"))
+    val candidates = ev.agg(mg(col("item")).as("items"))
+      .select(explode(col("items")).as("item"))
+    val totals = ev.agg(count(lit(1)).as("total"))
+    ev.join(broadcast(candidates), "item")
+      .groupBy("item").agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_events") > col("total").cast("double") / k)
+      .select("item", "n_events")
+  }
+
+  /** Single-pass column profile of the customer table: null count and
+    * distinct count per column, melted to one row per column with
+    * `stack`. Spark scans the table once for all five columns; the
+    * oracle pays five scans — the point of a columnar profiler. */
+  def customerProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"nd_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+    }
+    val stackArgs = cols.map(c => s"'$c', nd_$c, nn_$c").mkString(", ")
+    Tables.customer(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, n_nulls)")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
+    "q_data_profile" -> customerProfile)
+
+  val oracles: Map[String, String] = Map(
+    // MG recall guarantee ⇒ equals the full-groupBy heavy-key answer.
+    "q_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS n_events
+        |FROM events GROUP BY 1
+        |HAVING count(*) > (SELECT count(*) FROM events) / 8.0""".stripMargin,
+    "q_data_profile" ->
+      """SELECT 'c_custkey' AS col_name, count(DISTINCT c_custkey) AS n_distinct,
+        |       count(*) - count(c_custkey) AS n_nulls FROM customer
+        |UNION ALL
+        |SELECT 'c_name', count(DISTINCT c_name), count(*) - count(c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(DISTINCT c_nationkey), count(*) - count(c_nationkey) FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', count(DISTINCT c_acctbal), count(*) - count(c_acctbal) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(DISTINCT c_mktsegment), count(*) - count(c_mktsegment) FROM customer"""
+        .stripMargin)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Misra-Gries recall guarantee under skew and distributed merges: any
+  * key with frequency > n/k must survive in the sketch summary no
+  * matter how partitions merge.
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("sketch-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("MG summary ⊇ keys with freq > n/k on zipfian data, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: key_i with weight 1/(i+1), 200 distinct keys, 50k draws
+    val weights = (0 until 200).map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def draw(): Int = { val x = rnd.nextDouble() * total; cum.indexWhere(x <= _) }
+    val items = Seq.fill(50000)(s"k${draw()}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    for (k <- Seq(5, 10, 50); parts <- Seq(1, 7, 32)) {
+      val mg = udaf(graft.functions.HeavyHitters.aggregator(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val summary = items.toDF("item").repartition(parts)
+        .agg(mg(col("item"))).collect()(0).getSeq[String](0).toSet
+      val mustHave = exact.collect {
+        case (key, n) if n > items.size.toDouble / k => key
+      }.toSet
+      assert(mustHave.subsetOf(summary),
+        s"k=$k parts=$parts missing ${mustHave -- summary}")
+      assert(summary.size <= k - 1 || summary.size <= exact.size)
+    }
+  }
+
+  test("verified heavy hitters equal the exact groupBy answer") {
+    val sf = "/root/testdata/sf0.01"
+    val viaSketch = graft.operators.Profiling.heavyEventTypes(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val exact = ev.groupBy("event_type").count()
+      .filter(col("count") > n / 8.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSketch == exact && viaSketch.nonEmpty)
+  }
+}
