@@ -86,10 +86,49 @@ object Multimodal {
         countDistinct("checksum").as("distinct_payloads"))
   }
 
+  /** Frame sampling: treat each video payload as fixed-size 256-char
+    * frames, keep every 4th, fingerprint the sampled subsequence — the
+    * video-decimation pass of a multimodal pipeline (sample frames
+    * before the expensive per-frame model). Char-addressed (not byte)
+    * so the oracle's VARCHAR slicing agrees on any encoding.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    asMediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("media_id"), decode(col("payload"), "utf-8").as("txt"))
+      .select(
+        col("media_id"),
+        ceil(length(col("txt")).cast("double") / 256).cast("long").as("n_frames"),
+        expr("""transform(
+                  filter(sequence(0, CAST(ceil(length(txt) / 256.0) AS INT) - 1),
+                         i -> i % 4 = 0),
+                  i -> substring(txt, i * 256 + 1, 256))""").as("sampled"))
+      .select(col("media_id"), col("n_frames"),
+        size(col("sampled")).as("n_sampled"),
+        md5(concat_ws("", col("sampled"))).as("sample_digest"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> mediaFeatures)
+    "q_media_features" -> mediaFeatures,
+    "q_frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
+    "q_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text AS txt
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id,
+        |         CAST(ceil(length(txt) / 256.0) AS BIGINT) AS n_frames,
+        |         list_filter(range(0, CAST(ceil(length(txt) / 256.0) AS BIGINT)),
+        |                     i -> i % 4 = 0) AS keep,
+        |         txt
+        |  FROM v)
+        |SELECT media_id, n_frames,
+        |       CAST(len(keep) AS INT) AS n_sampled,
+        |       md5(array_to_string(list_transform(keep,
+        |             i -> substr(txt, CAST(i * 256 + 1 AS BIGINT), 256)), ''))
+        |         AS sample_digest
+        |FROM f""".stripMargin,
     "q_media_features" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'

@@ -137,6 +137,25 @@ object OlapQueries {
         col("part_rank"))
   }
 
+  /** TPC-H Q18 shape: agg-derived semi filter (orders whose lineitems
+    * total > 200 units) joined back to the fact + dim. The aggregate
+    * runs first so the join input is already reduced to the rare keys.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigKeys = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    Tables.orders(spark, dir)
+      .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        col("sum_qty"))
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -335,12 +354,25 @@ object OlapQueries {
     "q_distinct_users_by_type" -> distinctUsersByType,
     "q_approx_distinct_users" -> approxDistinctUsers,
     "q_approx_percentile" -> approxPercentile,
+    "q_big_orders" -> bigOrders,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS order_year,
+        |       round(o_totalprice, 2) AS total_price,
+        |       CAST(s.sum_qty AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 200) s
+        |  ON o_orderkey = s.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_approx_percentile" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.25), 4) AS p25,
