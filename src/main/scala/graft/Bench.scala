@@ -33,6 +33,8 @@ object Bench {
     "q_embed_quantize",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_decontaminate",
+    "q_heavy_hitters",
     "q_simhash_docs",
     "q_ann_topk",
     "q_ann_ivf",

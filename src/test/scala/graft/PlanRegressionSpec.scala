@@ -55,6 +55,56 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash: shingle extraction is shuffle-free codegen (no window, no HOF)") {
+    val p = planOf("q_dedup_minhash")
+    withClue(p) {
+      // the custom Shingles expression appears; no window-based extraction
+      assert(p.contains("shingles("))
+      assert(!p.contains("lead(tok"))
+      // signature aggregation is partial+final around an exchange
+      assert(p.contains("partial_min") || "HashAggregate".r.findAllIn(p).length >= 2)
+    }
+  }
+
+  test("embed quantize: pure projection, zero shuffles") {
+    val p = planOf("q_embed_quantize")
+    withClue(p) {
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 0)
+    }
+  }
+
+  test("heavy hitters: MG sketch is an ObjectHashAggregate, candidates broadcast") {
+    val p = planOf("q_heavy_hitters")
+    withClue(p) {
+      assert(p.contains("ObjectHashAggregate"))
+      assert(p.contains("BroadcastHashJoin"))
+    }
+  }
+
+  test("time range join: bucket equi-join, no cartesian/NLJ on the data path") {
+    val p = planOf("q_time_range_join")
+    withClue(p) {
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("order cadence: both window families share one shuffle") {
+    val p = planOf("q_order_cadence")
+    withClue(p) {
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    }
+  }
+
+  test("decontaminate: benchmark shingles broadcast to the corpus side") {
+    val p = planOf("q_decontaminate")
+    withClue(p) {
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("no query plan contains a driver-side collect or cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
