@@ -88,6 +88,28 @@ object TextAnalysis {
         substring(md5(col("norm")), 1, 16).as("fingerprint"),
         length(col("norm")).as("norm_len"))
 
+  /** TF-IDF top terms per document, with an exact-integer rational
+    * score: score = tf · N · 1e6 div df (linear idf instead of log, so
+    * ranking is exact BIGINT arithmetic — no cross-engine libm drift).
+    * Three hash aggregates over the token index (tf, df, N) and one
+    * ranked window; df joins back via broadcast since the vocabulary is
+    * tiny relative to the corpus. */
+  def tfIdfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_e6").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        expr("tf * n_docs * 1000000 div df").as("score_e6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Edit-distance bucketing of part names against a probe string —
     * the string-distance operator family (fuzzy matching / canonical-
     * ization in entity resolution pipelines).
@@ -101,6 +123,7 @@ object TextAnalysis {
         min("p_partkey").as("min_partkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_top_terms" -> ((s, d) => tfIdfTopTerms(s, d)),
     "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
     "q_quality_score" -> qualityScore,
@@ -108,6 +131,21 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         CAST((tf.tf * n.n_docs * 1000000) // df.df AS BIGINT) AS score_e6
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score_e6, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_e6 DESC, token) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
     "q_edit_distance" ->
       """SELECT CAST(levenshtein(lower(p_name), 'steel plate') AS INT) AS edit_dist,
         |       count(*) AS n_parts,
