@@ -32,9 +32,11 @@ object OrderProducer {
     expr(s"CAST(conv(substr(md5(concat('$salt', CAST(id AS STRING))), 1, 12), 16, 10) AS BIGINT)") /
       lit(2.81474976710656e14) // 2^48
 
-  /** n orders starting at startMs, one per interval. Columns match
-    * OrderStream.OrderEvent. */
-  def generate(spark: SparkSession, n: Long,
+  /** Decorate a frame holding a LONG `id` column into order events —
+    * works identically on `spark.range` (batch) and a renamed streaming
+    * `rate` source (`value` → `id`), so the same generator serves load
+    * tests in both modes. */
+  def decorate(ids: DataFrame,
       startMs: Long = 1704067200000L, intervalMs: Long = 500L): DataFrame = {
     val productIdx = (unit("p") * catalog.size).cast("int")
     val product = catalog.map(_._1).zipWithIndex.foldLeft(lit(null: String)) {
@@ -46,12 +48,17 @@ object OrderProducer {
     val hi = catalog.map(_._3).zipWithIndex.foldLeft(lit(0.0)) {
       case (acc, (v, i)) => when(productIdx === i, lit(v)).otherwise(acc)
     }
-    spark.range(n)
-      .select(
-        concat(lit("ORD-"), lpad(col("id").cast("string"), 4, "0")).as("orderId"),
-        product.as("product"),
-        // round to cents like the reference's round(uniform(lo, hi), 2)
-        (round((lo + unit("v") * (hi - lo)) * 100, 0) / 100).as("price"),
-        (lit(startMs) + col("id") * intervalMs).as("eventTimeMs"))
+    ids.select(
+      concat(lit("ORD-"), lpad(col("id").cast("string"), 4, "0")).as("orderId"),
+      product.as("product"),
+      // round to cents like the reference's round(uniform(lo, hi), 2)
+      (round((lo + unit("v") * (hi - lo)) * 100, 0) / 100).as("price"),
+      (lit(startMs) + col("id") * intervalMs).as("eventTimeMs"))
   }
+
+  /** n orders starting at startMs, one per interval. Columns match
+    * OrderStream.OrderEvent. */
+  def generate(spark: SparkSession, n: Long,
+      startMs: Long = 1704067200000L, intervalMs: Long = 500L): DataFrame =
+    decorate(spark.range(n).toDF("id"), startMs, intervalMs)
 }

@@ -20,6 +20,32 @@ class OrderProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("rate source drives the producer decoration live") {
+    // readStream.format("rate") -> the same decoration the batch
+    // generator uses -> validated aggregate in a memory sink: the
+    // continuous-load-test face of the producer.
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).load()
+    val orders = OrderProducer.decorate(rate.select(col("value").as("id")))
+    val q = OrderStream.validate(orders)
+      .filter(col("is_valid"))
+      .groupBy("product").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("rate_orders")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        rows = spark.table("rate_orders").count()
+      }
+      assert(rows > 0)
+      val products = spark.table("rate_orders")
+        .collect().map(_.getString(0)).toSet
+      assert(products.subsetOf(OrderProducer.catalog.map(_._1).toSet))
+    } finally q.stop()
+  }
+
   test("producer is deterministic and respects the catalog price ranges") {
     val a = OrderProducer.generate(spark, 1000).collect().map(_.toString).sorted
     val b = OrderProducer.generate(spark, 1000).collect().map(_.toString).sorted
