@@ -156,6 +156,33 @@ object OlapQueries {
         col("sum_qty"))
   }
 
+  /** TPC-H Q7 shape: volume shipping between two nations — the
+    * both-directions join pattern (supplier nation × customer nation in
+    * either orientation) with a year rollup. Nation pairs come from one
+    * broadcast dim joined twice under different aliases. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val wanted = Seq("NATION_3", "NATION_7")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"), revenueE4.as("rev_e4"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.as("ns")), col("s_nationkey") === col("ns.n_nationkey"))
+      .join(broadcast(nation.as("nc")), col("c_nationkey") === col("nc.n_nationkey"))
+      .filter(
+        (col("ns.n_name") === wanted.head && col("nc.n_name") === wanted(1)) ||
+          (col("ns.n_name") === wanted(1) && col("nc.n_name") === wanted.head))
+      .groupBy(col("ns.n_name").as("supp_nation"),
+        col("nc.n_name").as("cust_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum("rev_e4").cast("double") / 10000.0).as("volume"))
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -355,12 +382,27 @@ object OlapQueries {
     "q_approx_distinct_users" -> approxDistinctUsers,
     "q_approx_percentile" -> approxPercentile,
     "q_big_orders" -> bigOrders,
+    "q_volume_shipping" -> volumeShipping,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_volume_shipping" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS INT) AS ship_year,
+         |       count(*) AS n_lines,
+         |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS volume
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+         |   OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_big_orders" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |       CAST(year(o_orderdate) AS INT) AS order_year,
