@@ -17,15 +17,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Dot product of two float arrays, accumulated in double (codegen'd,
-    * sequential — same fold order as the oracle's list_sum). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
+  /** Cosine via the custom codegen'd expression (same sequential fold
+    * order as the oracle's list_sum — see functions.CosineSim; the HOF
+    * `zip_with`+`aggregate` form it replaced evaluates interpreted). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    graft.functions.CosineSim(a, b)
 
   private val cosineSql =
     """list_sum(list_transform(range(1, 65),
@@ -73,20 +69,24 @@ object Similarity {
     */
   val NumPlanes = 16
 
+  /** Deterministic hyperplane component for (plane p, dim k): 48-bit
+    * md5-derived hash / 2^47 - 1 ∈ [-1, 1). Computed ONCE on the driver
+    * and shipped inside the codegen'd DotConst projection — the
+    * previous in-plan md5-per-element form re-derived every plane
+    * component per row on the interpreted path. */
+  private def planeComponent(p: Int, k: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16) / 140737488355328.0 - 1.0
+  }
+
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val signBits = (0 until NumPlanes).map { p =>
-      // Deterministic hyperplane component for (plane p, dim k):
-      // 48-bit md5-derived hash / 2^47 - 1 ∈ [-1, 1). One SQL expression
-      // so the lambda variable k stays in scope.
-      val proj = expr(
-        s"""aggregate(
-           |  zip_with(embedding, sequence(0, 63), (x, k) ->
-           |    CAST(x AS DOUBLE) *
-           |    (CAST(conv(substr(md5(concat('$p', '_', CAST(k AS STRING))), 1, 12), 16, 10) AS BIGINT)
-           |       / 140737488355328.0 - 1.0)),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+      val w = Array.tabulate(64)(k => planeComponent(p, k))
+      when(graft.functions.DotConst(col("embedding"), w) > 0, lit(1L << p))
+        .otherwise(0L)
     }
     e.select(col("vec_id"), col("label"),
       signBits.reduce(_ + _).as("lsh_bucket"))
