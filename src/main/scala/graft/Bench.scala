@@ -30,6 +30,9 @@ object Bench {
     "q_time_range_join",
     "q_order_cadence",
     "q_top_bigrams",
+    "q_tfidf_top_terms",
+    "q_big_orders",
+    "q_volume_shipping",
     "q_embed_quantize",
     "q_dedup_exact",
     "q_dedup_minhash",
@@ -37,6 +40,8 @@ object Bench {
     "q_heavy_hitters",
     "q_simhash_docs",
     "q_ann_topk",
+    "q_ann_lsh",
+    "q_dedup_embedding",
     "q_ann_ivf",
     "q_token_counts",
     "q_corpus_pipeline",
