@@ -49,8 +49,23 @@ object Profiling {
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, n_nulls)")
   }
 
+  /** Power-of-two document-length histogram — the corpus shape summary
+    * every training-mix decision starts from. The bucket is the integer
+    * log2 computed exactly as binary-representation length (no libm,
+    * so engines can't disagree); bounds are exact shifts. */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((length(expr("bin(n_chars)")) - 1).cast("int").as("log2_bucket"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("log2_bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), log2_bucket)").as("bucket_lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), log2_bucket + 1) - 1").as("bucket_hi"),
+        col("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
+    "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile)
 
   val oracles: Map[String, String] = Map(
@@ -59,6 +74,15 @@ object Profiling {
       """SELECT event_type AS item, count(*) AS n_events
         |FROM events GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM events) / 8.0""".stripMargin,
+    "q_doclen_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(length(printf('%b', n_chars)) - 1 AS INT) AS log2_bucket
+        |  FROM documents)
+        |SELECT log2_bucket,
+        |       CAST(1::BIGINT << log2_bucket AS BIGINT) AS bucket_lo,
+        |       CAST((1::BIGINT << (log2_bucket + 1)) - 1 AS BIGINT) AS bucket_hi,
+        |       count(*) AS n_docs
+        |FROM b GROUP BY 1""".stripMargin,
     "q_data_profile" ->
       """SELECT 'c_custkey' AS col_name, count(DISTINCT c_custkey) AS n_distinct,
         |       count(*) - count(c_custkey) AS n_nulls FROM customer
