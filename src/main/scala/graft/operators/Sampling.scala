@@ -36,8 +36,26 @@ object Sampling {
           .as("sample_rate"))
   }
 
+  /** Exact-k deterministic reservoir per stratum: rank every doc by its
+    * md5 (a fixed random permutation of the keys) and keep the first k
+    * per language — exactly k rows per stratum, reproducible anywhere,
+    * and Spark's WindowGroupLimit makes it a per-partition top-k rather
+    * than a full per-stratum sort. The rate-based sample above keeps
+    * ~rate%; this one guarantees the count. */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("tag"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("tag"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .select("lang", "pick", "doc_id", "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "q_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
     "q_sample_mixture" -> sampleMixture)
 
   private val sampleSql =
@@ -48,6 +66,15 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "q_stratified_sample" -> sampleSql,
+    "q_reservoir_sample" ->
+      """WITH tagged AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         md5(CAST(doc_id AS VARCHAR)) AS tag
+        |  FROM documents)
+        |SELECT lang, CAST(pick AS INT) AS pick, doc_id, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY tag, doc_id) AS pick FROM tagged)
+        |WHERE pick <= 10""".stripMargin,
     "q_sample_mixture" ->
       s"""WITH total AS (
          |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
