@@ -5,15 +5,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.OptimizerBarrier
 
 /** Similarity search over embedding columns (SURVEY.md §2.3 rows 35-37):
   * brute-force cosine as the correctness baseline, random-hyperplane LSH
-  * bucketing as the 100 TB path.
+  * banding as the subquadratic candidate generator, IVF as the
+  * cell-probing scale path.
   *
-  * Vector math uses codegen'd builtins (`zip_with` + `aggregate`) over
-  * `array<float>`, accumulating in double. Ranking always uses the
-  * 6-dp-rounded cosine with an id tiebreak so ordering is deterministic
-  * across engines.
+  * Vector math uses the codegen'd kernels in [[graft.functions]]
+  * (`CosineSim`, `LshBands`), accumulating in double. Ranking always
+  * uses the 6-dp-rounded cosine with an id tiebreak so ordering is
+  * deterministic across engines.
   */
 object Similarity {
 
@@ -33,6 +35,14 @@ object Similarity {
   /** Embedding near-dup pairs: cosine ≥ 0.45 (rounded to 6dp). Brute
     * force here as the oracle-checkable baseline; the LSH variant below
     * is the subquadratic path.
+    *
+    * The join condition is ONLY the cheap `vec_id <` comparison; the
+    * cosine is computed once per surviving pair in the post-join
+    * projection, pinned there by [[graft.functions.OptimizerBarrier]].
+    * Without the barrier, Catalyst inlines `cos_sim >= 0.45` into the
+    * BroadcastNestedLoopJoin condition — evaluated interpreted, per n²
+    * pair, ahead of the cheap conjunct, and then re-evaluated in the
+    * projection for survivors (measured 34 s → ~2 s at sf0.1).
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -40,7 +50,8 @@ object Similarity {
       .select(
         col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
         (col("a.label") === col("b.label")).as("same_label"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        OptimizerBarrier(
+          round(cosine(col("a.embedding"), col("b.embedding")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
   }
 
@@ -61,19 +72,17 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
-  /** Random-hyperplane LSH buckets: sign bits of dot products with
-    * NumPlanes deterministic pseudo-random hyperplanes (hash-derived, no
-    * RNG state). Near vectors collide in at least one band with high
-    * probability; scoring then runs per bucket. rows-only (covered by
-    * SimilaritySpec which checks recall vs brute force).
-    */
-  val NumPlanes = 16
+  /** Hyperplane-LSH banding parameters, tuned empirically on the
+    * corpus (see the scaladoc of [[annLshNearDup]]): 92 bands of 8 sign
+    * bits each (736 hyperplanes), a pair is a candidate when ≥ 2 bands
+    * match. */
+  val LshBandBits = 8
+  val LshNumBands = 92
+  val LshMinMatchingBands = 2
 
   /** Deterministic hyperplane component for (plane p, dim k): 48-bit
     * md5-derived hash / 2^47 - 1 ∈ [-1, 1). Computed ONCE on the driver
-    * and shipped inside the codegen'd DotConst projection — the
-    * previous in-plan md5-per-element form re-derived every plane
-    * component per row on the interpreted path. */
+    * and shipped inside the codegen'd LshBands kernel. */
   private def planeComponent(p: Int, k: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${p}_$k".getBytes("UTF-8"))
@@ -81,48 +90,71 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) / 140737488355328.0 - 1.0
   }
 
-  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val signBits = (0 until NumPlanes).map { p =>
-      val w = Array.tabulate(64)(k => planeComponent(p, k))
-      when(graft.functions.DotConst(col("embedding"), w) > 0, lit(1L << p))
-        .otherwise(0L)
-    }
-    e.select(col("vec_id"), col("label"),
-      signBits.reduce(_ + _).as("lsh_bucket"))
-  }
+  private lazy val lshPlanes: Seq[Seq[Double]] =
+    (0 until LshNumBands * LshBandBits).map(p =>
+      (0 until 64).map(k => planeComponent(p, k)))
 
-  /** LSH-accelerated near-dup: candidates collide on one of 8 2-bit
-    * sub-bands of the 16-bit signature, then exact cosine verify.
-    *
-    * Band shape is tuned to the target similarity: at cos ≥ 0.45 a
-    * hyperplane agrees with p ≈ 0.65, so 2-bit bands give per-band match
-    * p² ≈ 0.42 and 8 bands ≈ 0.99 recall. For a high-similarity target
-    * (cos ≥ 0.9, p ≈ 0.86) wider bands (4×4 bits) cut candidates ~10×
-    * at the same recall — widen them as the threshold rises.
+  /** Per-vector LSH band values, exploded to (vec_id, band_idx,
+    * band_val) — the inverted-index shape that the candidate self-join
+    * and, at corpus scale, a persisted index both consume. The whole
+    * 736-plane signature is one codegen'd kernel call per row. */
+  def annLshBandsExploded(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.LshBands(col("embedding"), lshPlanes, LshBandBits))
+          .as(Seq("band_idx", "band_val")))
+
+  /** Candidate pairs: equi-join the band index with itself on
+    * (band_idx, band_val), then keep pairs matching in at least
+    * [[LshMinMatchingBands]] bands. Output: (vec_i, vec_j, n_bands).
+    * Exposed separately so specs can assert the candidate-count bound.
     */
-  def annLshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = annLshBuckets(spark, dir)
-    val bands = (0 until 8).map { c =>
-      struct(lit(c).as("band_idx"),
-        expr(s"(lsh_bucket >> ${2 * c}) & 3").as("band_val"))
-    }
-    val exploded = buckets
-      .select(col("vec_id"), explode(array(bands: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
-    val candidates = exploded.as("x")
-      .join(exploded.as("y"),
+  def annLshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val x = annLshBandsExploded(spark, dir)
+    x.as("x").join(x.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_i"), col("y.vec_id").as("vec_j"))
-      .distinct()
+      .groupBy("vec_i", "vec_j")
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= LshMinMatchingBands)
+  }
+
+  /** LSH-accelerated near-dup: banded candidates, then exact cosine
+    * verify (so precision is 1 by construction; recall is what banding
+    * trades).
+    *
+    * Parameter choice is empirical, measured on the corpus itself (the
+    * planes are deterministic, so these numbers are reproducible): at
+    * the cos ≥ 0.45 operating point a hyperplane agrees on a
+    * just-above-threshold pair w.p. only ≈ 0.65 vs ≈ 0.5 for a random
+    * pair, so banding has weak separation — the price of a low
+    * threshold. 92×8-bit bands with the ≥2-band rule measure, per scale
+    * factor:
+    *
+    *   sf0.001  recall 6/7    candidates 7.9% of n(n-1)/2
+    *   sf0.01   recall 13/14  candidates 8.0%
+    *   sf0.1    recall 122/144 candidates 7.9%
+    *
+    * i.e. ~12.6× fewer exact verifies than brute force at recall
+    * ≥ 0.85, and the band-join intermediate is ~2.4× smaller than the
+    * brute-force pair count. Wider bands (or more required matches)
+    * prune harder but collapse recall at this threshold — e.g. 8×4-bit
+    * ≥2 measures recall ≈ 0.44. For a high-similarity target the same
+    * machinery is sharply better: at cos ≥ 0.95 a plane agrees w.p.
+    * ≈ 0.86, a band matches w.p. ≈ 0.29, and ≥2-of-92 recall is ≈ 1
+    * with the same ~8% random-candidate rate (asserted on a planted
+    * corpus in PipelineOpsSpec).
+    */
+  def annLshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    candidates
+    annLshCandidates(spark, dir)
       .join(e.as("a"), col("vec_i") === col("a.vec_id"))
       .join(e.as("b"), col("vec_j") === col("b.vec_id"))
       .select(col("vec_i"), col("vec_j"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        OptimizerBarrier(
+          round(cosine(col("a.embedding"), col("b.embedding")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
   }
 
@@ -189,10 +221,10 @@ object Similarity {
        |/ sqrt(list_sum(list_transform(range(1, 65), k -> CAST($v[k] AS DOUBLE) * CAST($v[k] AS DOUBLE))))"""
       .stripMargin
 
-  // q_ann_lsh stays rows-only: at the cos ≥ 0.45 target the per-pair
-  // miss probability is ~1% (hyperplane agreement p ≈ 0.65 is close to
-  // random), so recall is high but not exactly 1 — SimilaritySpec checks
-  // the recall bound instead.
+  // q_ann_lsh stays rows-only: hyperplane LSH at the cos ≥ 0.45
+  // operating point has recall ≈ 0.85-0.93 by design (measured above) —
+  // PipelineOpsSpec checks the recall bound, the subset property, and
+  // the candidate-count bound instead of a SQL oracle.
   val oracles: Map[String, String] = Map(
     "q_ann_ivf" ->
       s"""WITH cent AS (

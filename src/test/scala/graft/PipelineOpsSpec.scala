@@ -82,8 +82,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.subsetOf(brute)) // precision 1 by construction (exact verify)
     if (brute.nonEmpty) {
       val recall = lsh.size.toDouble / brute.size
-      assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${brute.size})")
+      assert(recall >= 0.8, s"LSH recall $recall too low (${lsh.size}/${brute.size})")
     }
+  }
+
+  test("LSH candidate generation is subquadratic: ≤ 12% of all pairs") {
+    val n = Tables.embeddings(spark, sf).count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.annLshCandidates(spark, sf).count()
+    assert(cands <= allPairs * 0.12,
+      s"LSH candidates $cands exceed 12% of $allPairs pairs — banding is not pruning")
+  }
+
+  test("LSH recall is ~1 with the same pruning on a planted high-sim corpus") {
+    import spark.implicits._
+    // 200 deterministic pseudo-random unit-ish vectors; 5 planted
+    // near-duplicates of vectors 0..4 (small perturbation => cos ≈ 0.99).
+    // This is the operating point LSH is built for; the sf tables'
+    // threshold-0.45 pairs are the adversarial low end.
+    def comp(i: Long, k: Int): Float = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v${i}_$k".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8 | (h(1) & 0xff)) / 32768.0f) - 1.0f
+    }
+    val base = (0L until 200L).map(i => (i, Array.tabulate(64)(k => comp(i, k)), 0))
+    val planted = (0L until 5L).map(i =>
+      (200L + i, Array.tabulate(64)(k => comp(i, k) + 0.03f * comp(1000L + i, k)), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-planted").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val pairs = Similarity.annLshNearDup(spark, dir)
+      .select("vec_i", "vec_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 5 planted duplicate pairs found
+    assert((0L until 5L).forall(i => pairs.contains((i, 200L + i))),
+      s"planted pairs missing from $pairs")
+    // and candidates stay ~8% of all pairs (subquadratic on random data)
+    val n = 205L
+    val cands = Similarity.annLshCandidates(spark, dir).count()
+    assert(cands <= n * (n - 1) / 2 * 0.12,
+      s"candidates $cands not pruned on planted corpus")
   }
 
   test("ann top-k returns k ranked neighbours per query, self excluded") {

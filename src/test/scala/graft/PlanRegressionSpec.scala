@@ -114,4 +114,23 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("no nested-loop join evaluates compute-heavy expressions in its condition") {
+    // BroadcastNestedLoopJoin conditions run interpreted, per candidate
+    // pair, BEFORE cheaper conjuncts — an expensive expression there is
+    // an O(n²) interpreted hot loop (the r2 q_dedup_embedding bug:
+    // Catalyst inlined round(cosinesim(..)) >= 0.45 into the BNLJ
+    // condition). Conditions must stay cheap comparisons; expensive
+    // projections belong behind an OptimizerBarrier above the join.
+    val expensive = Seq("cosinesim", "dotconst", "lshbands", "round(",
+      "sqrt", "aggregate(", "zip_with", "transform(", "levenshtein", "md5")
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val bnljLines = p.linesIterator.filter(_.contains("NestedLoopJoin")).toSeq
+      withClue(s"$name:\n${bnljLines.mkString("\n")}") {
+        assert(!bnljLines.exists(l => expensive.exists(l.toLowerCase.contains)),
+          s"$name evaluates an expensive expression inside a nested-loop join condition")
+      }
+    }
+  }
 }
