@@ -68,12 +68,15 @@ object Analytics {
   def timeRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val SlackNs = 60000000000L // 60 s
     val ev = Tables.events(spark, dir)
+    // Exact integer division for the bucket: long/long `/` promotes to
+    // double, whose ~128 ns ULP at epoch-nano magnitudes could shift a
+    // boundary bucket and drop a true pair before the exact filter runs.
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
-        (col("ts") / SlackNs).cast("long").as("bucket"))
+        expr(s"ts div $SlackNs").as("bucket"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("ts").as("e_ts"))
-      .withColumn("b0", (col("e_ts") / SlackNs).cast("long"))
+      .withColumn("b0", expr(s"e_ts div $SlackNs"))
       .select(col("err_id"), col("e_ts"),
         explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
     purchases.join(errors, "bucket")
@@ -126,8 +129,17 @@ object Analytics {
       .filter(col("rk") <= 20)
   }
 
-  private def roundtripDir(kind: String, dir: String): String =
-    s"/root/repo/target/roundtrip/${kind}_${math.abs(dir.hashCode)}"
+  // Keyed by an md5 of the full data-dir path (collision-resistant,
+  // unlike String.hashCode) under java.io.tmpdir (portable, unlike a
+  // hardcoded repo path). Deterministic per dir so the concurrent
+  // Verify runs each (kind, dir) pair against a stable location.
+  private def roundtripDir(kind: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-roundtrip"),
+      s"${kind}_$digest").getPath
+  }
 
   /** CSV sink→source round-trip: write the customer balance ledger as
     * CSV (exact integer cents, so the text format is lossless), read it

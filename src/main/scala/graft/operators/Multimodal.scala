@@ -99,10 +99,13 @@ object Multimodal {
       .select(
         col("media_id"),
         ceil(length(col("txt")).cast("double") / 256).cast("long").as("n_frames"),
-        expr("""transform(
+        // Guard the zero-frame case: Spark's sequence(0, -1) DESCENDS
+        // ([0,-1] → n_sampled=1) while the oracle's range(0,0) is empty.
+        expr("""CASE WHEN length(txt) = 0 THEN CAST(array() AS ARRAY<STRING>)
+                ELSE transform(
                   filter(sequence(0, CAST(ceil(length(txt) / 256.0) AS INT) - 1),
                          i -> i % 4 = 0),
-                  i -> substring(txt, i * 256 + 1, 256))""").as("sampled"))
+                  i -> substring(txt, i * 256 + 1, 256)) END""").as("sampled"))
       .select(col("media_id"), col("n_frames"),
         size(col("sampled")).as("n_sampled"),
         md5(concat_ws("", col("sampled"))).as("sample_digest"))

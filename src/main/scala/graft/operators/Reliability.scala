@@ -117,10 +117,14 @@ object Reliability {
         count(lit(1)).as("failure_count"),
         round(sum("price"), 2).as("failed_value"))
 
-  /** The deterministic part of the exponential-backoff schedule
-    * (retry_handler.py:64-88: delay = min(initial * mult^attempt, cap),
-    * jitter excluded as non-deterministic): one row per (failed event,
-    * attempt). Demonstrates array-explode fan-out — a narrow transform, no
+  /** Exponential-backoff schedule (retry_handler.py:64-88: delay =
+    * min(initial * mult^attempt, cap), then ±20% jitter): one row per
+    * (failed event, attempt). The reference's jitter is `random.uniform`
+    * (retry_handler.py:84-86); here the jitter fraction is md5-derived
+    * from (event_id, attempt), so the schedule keeps the reference's
+    * ±20% spread while staying reproducible across runs, engines and
+    * partitionings — the same determinism trade the sampling operators
+    * make. Demonstrates array-explode fan-out — a narrow transform, no
     * shuffle except the cumulative-delay window.
     */
   def retrySchedule(spark: SparkSession, dir: String): DataFrame = {
@@ -128,13 +132,22 @@ object Reliability {
       .filter(col("error_class") === "RetryableError")
       .select("event_id", "product")
     val w = Window.partitionBy("event_id").orderBy("attempt")
+    // Uniform-in-[0,1) fraction from the first 8 md5 hex digits; the
+    // division by 2^32 is exact, so both engines compute the identical
+    // double before the single jitter multiply.
+    val hashFrac = expr(
+      "CAST(conv(substr(md5(concat_ws(':', event_id, attempt)), 1, 8), 16, 10) AS BIGINT)")
+      .cast("double") / lit(4294967296.0)
     failed
       .withColumn("attempt", explode(sequence(lit(0), lit(2))))
       .select(
         col("event_id"), col("product"), col("attempt"),
         least(lit(1.0) * pow(lit(2.0), col("attempt")), lit(10.0))
           .as("delay_s"))
+      .withColumn("delay_jittered_s",
+        round(col("delay_s") * (lit(0.8) + lit(0.4) * hashFrac), 6))
       .withColumn("cumulative_delay_s", sum("delay_s").over(w))
+      .withColumn("cumulative_jittered_s", sum("delay_jittered_s").over(w))
   }
 
   /** Error-text classification (retry_handler.py:150-185): retryable iff
@@ -196,13 +209,24 @@ object Reliability {
          |       round(sum(price), 2) AS failed_value
          |FROM v WHERE NOT is_valid GROUP BY product""".stripMargin,
     "q_retry_schedule" ->
-      s"""WITH v AS ($validateSql)
-         |SELECT event_id, product, attempt,
-         |       least(1.0 * pow(2.0, attempt), 10.0) AS delay_s,
-         |       sum(least(1.0 * pow(2.0, attempt), 10.0))
-         |         OVER (PARTITION BY event_id ORDER BY attempt) AS cumulative_delay_s
-         |FROM v CROSS JOIN (SELECT unnest([0, 1, 2]) AS attempt) a
-         |WHERE error_class = 'RetryableError'""".stripMargin,
+      s"""WITH v AS ($validateSql),
+         |f AS (
+         |  SELECT event_id, product, attempt,
+         |         least(1.0 * pow(2.0, attempt), 10.0) AS delay_s
+         |  FROM v CROSS JOIN (SELECT unnest([0, 1, 2]) AS attempt) a
+         |  WHERE error_class = 'RetryableError'),
+         |j AS (
+         |  SELECT *,
+         |         round(delay_s * (0.8 + 0.4 *
+         |           (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+         |                 CAST(attempt AS VARCHAR)), 1, 8)) AS BIGINT)
+         |            / 4294967296.0)), 6) AS delay_jittered_s
+         |  FROM f)
+         |SELECT event_id, product, attempt, delay_s, delay_jittered_s,
+         |       sum(delay_s) OVER w AS cumulative_delay_s,
+         |       sum(delay_jittered_s) OVER w AS cumulative_jittered_s
+         |FROM j
+         |WINDOW w AS (PARTITION BY event_id ORDER BY attempt)""".stripMargin,
     "q_error_classification" ->
       s"""WITH m AS (
          |  SELECT event_id,

@@ -94,12 +94,20 @@ case class AsofJoinExec(
       var rRow: InternalRow = null
       var rKey: InternalRow = null
       var rTs: Long = 0L
-      def advanceRight(): Unit =
-        if (ri.hasNext) {
-          rRow = ri.next()
-          rKey = rKeyProj(rRow).copy()
-          rTs = rTsBound.eval(rRow).asInstanceOf[Long]
-        } else { rRow = null; rKey = null }
+      // SQL join semantics: a null key or null ts never matches anything,
+      // so such right rows are skipped outright (they'd otherwise compare
+      // equal under RowOrdering's null==null, or NPE on the ts cast).
+      def advanceRight(): Unit = {
+        rRow = null; rKey = null
+        while (rRow == null && ri.hasNext) {
+          val cand = ri.next()
+          val k = rKeyProj(cand)
+          val t = rTsBound.eval(cand)
+          if (!k.anyNull && t != null) {
+            rRow = cand; rKey = k.copy(); rTs = t.asInstanceOf[Long]
+          }
+        }
+      }
       advanceRight()
 
       // O(1) per-partition state: the latest right row whose key still
@@ -109,17 +117,25 @@ case class AsofJoinExec(
 
       li.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTs = lTsBound.eval(lRow).asInstanceOf[Long]
-        var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
-        while (rRow != null && (cmp < 0 || (cmp == 0 && rTs < lTs))) {
-          if (cmp == 0) { lastMatch = rRow.copy(); lastKey = rKey }
-          advanceRight()
-          cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+        val lTsVal = lTsBound.eval(lRow)
+        if (lKey.anyNull || lTsVal == null) {
+          // Null key/ts on the left matches nothing; nulls sort first in
+          // the required Ascending order so skipping them here never
+          // desynchronizes the merge for later rows of the partition.
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lTs = lTsVal.asInstanceOf[Long]
+          var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+          while (rRow != null && (cmp < 0 || (cmp == 0 && rTs < lTs))) {
+            if (cmp == 0) { lastMatch = rRow.copy(); lastKey = rKey }
+            advanceRight()
+            cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+          }
+          val m =
+            if (lastMatch != null && keyOrd.compare(lastKey, lKey) == 0) lastMatch
+            else nullRight
+          resultProj(joined(lRow, m))
         }
-        val m =
-          if (lastMatch != null && keyOrd.compare(lastKey, lKey) == 0) lastMatch
-          else nullRight
-        resultProj(joined(lRow, m))
       }
     }
   }
