@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Scale posture of the dedup family: connected-components round
+  * bounds on adversarial (long-chain) graphs, reliable-checkpoint
+  * mode, and the persisted shingle-index multi-consumer exemplar.
+  */
+class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("dedup-scale-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("connected components: 100-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // Worst case for pure propagation: a single chain 0-1-2-...-99
+    // (diameter 99). Pointer jumping must crush it to ~log2 rounds.
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 100)
+    assert(out.values.forall(_ == 0L), "every node must label to the chain min")
+    assert(rounds <= 12,
+      s"pointer jumping should need ~log2(100) rounds, took $rounds")
+  }
+
+  test("connected components: multiple components + reliable checkpoints") {
+    import spark.implicits._
+    // Two chains and an isolated pair; run under reliable-checkpoint
+    // mode (the 100 TB configuration) and check the same fixpoint.
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      (20L until 29L).map(i => (i, i + 1)) ++ Seq((40L, 41L)))
+      .toDF("doc_i", "doc_j")
+    val ckpt = Files.createTempDirectory("graft-cc-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(ckpt.getAbsolutePath)
+    spark.conf.set("spark.graft.reliableCheckpoints", "true")
+    try {
+      val (labels, _) = Dedup.connectedComponents(edges)
+      val comp = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert((0L to 9L).forall(comp(_) == 0L))
+      assert((20L to 29L).forall(comp(_) == 20L))
+      assert(comp(40L) == 40L && comp(41L) == 40L)
+    } finally spark.conf.set("spark.graft.reliableCheckpoints", "false")
+  }
+
+  test("persisted shingle index feeds minhash + decontaminate from one parquet") {
+    val out = Files.createTempDirectory("graft-shingle-ix").toFile
+    val ixPath = new java.io.File(out, "ix").getAbsolutePath
+    val ix = Dedup.persistedShingleIndex(spark, sfDir, ixPath)
+
+    val minhashIx = Dedup.dedupMinhashFrom(ix)
+    val deconIx = Dedup.decontaminateFrom(ix)
+
+    // Both consumers' physical plans must read the materialized index
+    // parquet — not re-shingle the raw documents table.
+    for (df <- Seq(minhashIx, deconIx)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ix"), "consumer must scan the index parquet")
+      assert(!plan.contains("shingles("),
+        "consumer must not re-run shingle extraction")
+    }
+
+    // And produce byte-identical results to the recompute-per-consumer
+    // form the registered queries use.
+    val minhashDirect = Dedup.dedupMinhash(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val deconDirect = Dedup.decontaminate(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(minhashIx.collect().map(_.toString).sorted.sameElements(minhashDirect))
+    assert(deconIx.collect().map(_.toString).sorted.sameElements(deconDirect))
+    assert(minhashDirect.nonEmpty && deconDirect.nonEmpty)
+  }
+}
