@@ -43,6 +43,8 @@ object Bench {
     "q_ann_lsh",
     "q_dedup_embedding",
     "q_ann_ivf",
+    "q_ann_pq",
+    "q_waiting_suppliers",
     "q_token_counts",
     "q_corpus_pipeline",
     "q_media_features")

@@ -183,6 +183,47 @@ object OlapQueries {
         (sum("rev_e4").cast("double") / 10000.0).as("volume"))
   }
 
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    * multi-supplier finished order — the multi-EXISTS pattern (a
+    * correlated EXISTS plus a correlated NOT EXISTS over the same
+    * fact), expressed Spark-first as a left-semi and a left-anti join
+    * against a shared lateness-flagged lineitem projection. ("Late" =
+    * shipped >1400 days after the order date — this corpus has no
+    * receipt/commit dates, so lateness is defined against the order
+    * date; the decorrelated join shape is what Q21 exercises.) Both
+    * branches are equi-joins on l_orderkey with the supplier
+    * inequality as a residual condition — shuffle-partitionable on the
+    * order key, no n² pair space and no BNLJ.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1400 DAYS"))
+          .as("late"))
+    val others = flagged.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("late").as("o2_late"))
+    flagged.filter(col("late")).select("l_orderkey", "l_suppkey")
+      // EXISTS: some other supplier contributed to the same order.
+      .join(others.select("o2_orderkey", "o2_suppkey"),
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      // NOT EXISTS: no other supplier was also late on it.
+      .join(others.filter(col("o2_late")).select("o2_orderkey", "o2_suppkey"),
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -383,12 +424,31 @@ object OlapQueries {
     "q_approx_percentile" -> approxPercentile,
     "q_big_orders" -> bigOrders,
     "q_volume_shipping" -> volumeShipping,
+    "q_waiting_suppliers" -> waitingSuppliers,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 1400 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "q_volume_shipping" ->
       s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          |       CAST(year(l_shipdate) AS INT) AS ship_year,

@@ -205,11 +205,84 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
+  /** Product-quantization parameters: 8 subspaces × 8 dims over the
+    * 64-dim embeddings, 16-anchor codebook per subspace sampled
+    * deterministically from the corpus (vec_id < 16). Production
+    * systems train codebooks with k-means; deterministic sampling keeps
+    * the whole encode→ADC pipeline bit-reproducible and SQL-replayable
+    * while exercising the identical machinery. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqAnchors = 16
+
+  /** Per-(vector, anchor, subspace) squared-L2 distance table — the
+    * shared substrate of PQ encoding (argmin per vector × subspace) and
+    * ADC query scoring. The 8-term sum per subspace is a static
+    * left-associated expression tree (whole-stage codegen'd, and
+    * bit-identical to the oracle's explicit left-assoc sum), not an
+    * interpreted HOF fold. The 16-row anchor table broadcasts. */
+  def pqDistances(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(col("vec_id") < PqAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor"))
+    val ssds = (0 until PqSubspaces).map { m =>
+      struct(lit(m).as("m"),
+        (0 until PqSubDim).map { j =>
+          val d = col("embedding").getItem(m * PqSubDim + j).cast("double") -
+            col("anchor").getItem(m * PqSubDim + j).cast("double")
+          d * d
+        }.reduce(_ + _).as("ssd"))
+    }
+    e.join(broadcast(anchors))
+      .select(col("vec_id"), col("anchor_id"), explode(array(ssds: _*)).as("s"))
+      .select(col("vec_id"), col("anchor_id"),
+        col("s.m").as("m"), col("s.ssd").as("ssd"))
+  }
+
+  /** PQ codes: argmin anchor per (vector, subspace) — n × M 4-bit codes,
+    * the 32× compressed corpus representation a 100 TB vector store
+    * actually persists (the full floats stay in cold storage). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    // argmin as a hash-aggregated lexicographic struct-min (partial-agg
+    // friendly, map-side combinable) rather than a window sort — same
+    // deterministic (ssd, anchor_id) ordering, one shuffle, no sort.
+    pqDistances(spark, dir)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("ssd"), col("anchor_id"))).as("best"))
+      .select(col("vec_id"), col("m").as("c_m"),
+        col("best.anchor_id").as("code"))
+
+  /** PQ/ADC ANN: the corpus is encoded once (pqCodes); per query the
+    * M×K lookup table of exact subspace distances-to-anchors is tiny
+    * (128 rows), and the approximate distance to any corpus vector is
+    * just M table lookups summed over its codes — no full-vector math
+    * against the corpus at query time, which is the whole point of PQ
+    * at scale. Subspace distances enter the sum as integer micro-units
+    * so the M-way sum is order-independent (hash-agg merge order is
+    * not deterministic for doubles) and hash-matches the DuckDB replay.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val dists = pqDistances(spark, dir)
+    val lut = dists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("m"), col("anchor_id"),
+        floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_l2_micro"), col("vec_id"))
+    pqCodes(spark, dir).join(lut,
+        col("c_m") === col("m") && col("code") === col("anchor_id") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("micro").as("approx_l2_micro"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
-    "q_ann_ivf" -> ((s, d) => annIvf(s, d)))
+    "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q_ann_pq" -> annPq)
 
   /** Cosine between two array operands in DuckDB SQL, same fold order as
     * the Spark `cosine` above (sequential list_sum, divide by each norm
@@ -225,7 +298,44 @@ object Similarity {
   // operating point has recall ≈ 0.85-0.93 by design (measured above) —
   // PipelineOpsSpec checks the recall bound, the subset property, and
   // the candidate-count bound instead of a SQL oracle.
+  /** Left-associated squared-L2 sum for subspace `m.m` in DuckDB,
+    * term-for-term the tree pqDistances builds (1-based list indexing
+    * vs Spark's 0-based getItem — same elements). */
+  private def pqSsdSql: String =
+    (1 to PqSubDim).map { j =>
+      val e = s"CAST(e.embedding[m.m * $PqSubDim + $j] AS DOUBLE)"
+      val a = s"CAST(a.anchor[m.m * $PqSubDim + $j] AS DOUBLE)"
+      s"($e - $a) * ($e - $a)"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS anchor_id, embedding AS anchor
+         |  FROM embeddings WHERE vec_id < $PqAnchors),
+         |m AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+         |d AS (
+         |  SELECT e.vec_id, a.anchor_id, m.m, $pqSsdSql AS ssd
+         |  FROM embeddings e CROSS JOIN a CROSS JOIN m),
+         |codes AS (
+         |  SELECT vec_id, m, anchor_id AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |          ORDER BY ssd, anchor_id) AS r FROM d)
+         |  WHERE r = 1),
+         |lut AS (
+         |  SELECT vec_id AS query_id, m, anchor_id,
+         |         CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |  FROM d WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT l.query_id, c.vec_id,
+         |         CAST(sum(l.micro) AS BIGINT) AS approx_l2_micro
+         |  FROM codes c JOIN lut l
+         |    ON l.m = c.m AND l.anchor_id = c.code AND c.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, approx_l2_micro, CAST(r AS INT) AS nn_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_l2_micro, vec_id) AS r FROM scored)
+         |WHERE r <= 10""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT label AS cell, k,
