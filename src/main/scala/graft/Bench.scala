@@ -45,6 +45,8 @@ object Bench {
     "q_ann_ivf",
     "q_ann_pq",
     "q_waiting_suppliers",
+    "q_order_count_histogram",
+    "q_small_qty_revenue",
     "q_token_counts",
     "q_corpus_pipeline",
     "q_media_features")

@@ -224,6 +224,77 @@ object OlapQueries {
       .limit(100)
   }
 
+  /** TPC-H Q13 shape: distribution of customers by order count —
+    * LEFT OUTER join (zero-order customers kept) under two stacked
+    * aggregations: per-customer order count, then the histogram over
+    * counts. Both shuffles carry integer keys; the second input is
+    * already one row per customer. */
+  def orderCountHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q11 shape: per-part revenue kept only when it exceeds 0.05%
+    * of the global total — a grouped aggregate HAVING-compared against
+    * a scalar aggregate of the same fact. The one-row scalar side
+    * broadcasts, and the threshold cross-multiplies in exact integer
+    * e4 units, immune to double merge-order drift. */
+  def significantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(sum(revenueE4).as("part_rev_e4"))
+    val total = Tables.lineitem(spark, dir)
+      .agg(sum(revenueE4).as("total_rev_e4"))
+    perPart.join(broadcast(total))
+      .filter(col("part_rev_e4") * 2000 > col("total_rev_e4"))
+      .select(col("l_partkey"),
+        (col("part_rev_e4").cast("double") / 10000.0).as("part_revenue"))
+  }
+
+  /** TPC-H Q17 shape: revenue of lineitems whose quantity is below half
+    * the per-part average — a correlated average subquery decorrelated
+    * into a self-aggregate join on the part key. The threshold
+    * comparison is exact cross-multiplied integers
+    * (2·qty·count < sum_qty), so no double averaging on the cut. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val qtyE2 = round(col("l_quantity") * 100, 0).cast("long")
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(qtyE2).as("sum_qty_e2"), count(lit(1)).as("n_lines"))
+    Tables.lineitem(spark, dir)
+      .join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(qtyE2 * 2 * col("n_lines") < col("sum_qty_e2"))
+      .agg((sum(extCents).cast("double") / 100.0 / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 shape: customers with an above-average positive balance
+    * and no orders since 2001, grouped by a derived country code —
+    * scalar-average threshold (broadcast one-row agg, exact
+    * cross-multiplied cents) plus an anti join against the recent
+    * slice of the fact. (Every customer in this corpus has SOME order,
+    * so idleness is recency-based; the decorrelated shape — scalar
+    * subquery + NOT EXISTS — is Q22's.) */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val balCents = round(col("c_acctbal") * 100, 0).cast("long")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_nationkey") % 5).as("cntrycode"),
+        balCents.as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust.join(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01")))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        (sum("bal_cents").cast("double") / 100.0).as("totacctbal"))
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -425,12 +496,59 @@ object OlapQueries {
     "q_big_orders" -> bigOrders,
     "q_volume_shipping" -> volumeShipping,
     "q_waiting_suppliers" -> waitingSuppliers,
+    "q_order_count_histogram" -> orderCountHistogram,
+    "q_significant_parts" -> significantParts,
+    "q_small_qty_revenue" -> smallQtyRevenue,
+    "q_idle_rich_customers" -> idleRichCustomers,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_order_count_histogram" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) cc
+        |GROUP BY c_count""".stripMargin,
+    "q_significant_parts" ->
+      s"""SELECT l_partkey,
+         |       CAST(CAST(sum($revenueE4Sql) AS BIGINT) AS DOUBLE) / 10000.0
+         |         AS part_revenue
+         |FROM lineitem
+         |GROUP BY l_partkey
+         |HAVING CAST(sum($revenueE4Sql) AS BIGINT) * 2000 >
+         |       (SELECT CAST(sum($revenueE4Sql) AS BIGINT) FROM lineitem)"""
+        .stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pp_partkey,
+        |         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS sum_qty_e2,
+        |         count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        |FROM lineitem JOIN pp ON l_partkey = pp_partkey
+        |WHERE CAST(round(l_quantity * 100, 0) AS BIGINT) * 2 * n_lines < sum_qty_e2"""
+        .stripMargin,
+    "q_idle_rich_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+        |             count(*) AS n_pos
+        |      FROM c WHERE bal_cents > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |       CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM c CROSS JOIN t
+        |WHERE bal_cents * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY cntrycode""".stripMargin,
     "q_waiting_suppliers" ->
       """WITH l AS (
         |  SELECT l_orderkey, l_suppkey,
