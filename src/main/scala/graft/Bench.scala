@@ -47,6 +47,8 @@ object Bench {
     "q_waiting_suppliers",
     "q_order_count_histogram",
     "q_small_qty_revenue",
+    "q_forecast_revenue",
+    "q_returned_item_loss",
     "q_token_counts",
     "q_corpus_pipeline",
     "q_media_features")

@@ -295,6 +295,111 @@ object OlapQueries {
         (sum("bal_cents").cast("double") / 100.0).as("totacctbal"))
   }
 
+  /** TPC-H Q4 shape: order-priority counts for orders with at least one
+    * late-shipped lineitem — EXISTS as a left-semi join, then a small
+    * aggregate over the surviving orders. */
+  def priorityLateOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp_ntz(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp_ntz(lit("1998-01-01")))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1400 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q6 shape: the forecasting-revenue microbench — pure scan +
+    * pushed filters + single agg, no joins. What it measures at scale
+    * is pushdown quality: the parquet scan must receive the date/
+    * discount/quantity predicates and read 4 columns. Revenue
+    * (extendedprice·discount) is exact integer e4 units. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp_ntz(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp_ntz(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(extCents * discPct).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q2 shape: cheapest supplier per part — min-per-group joined
+    * back on equality (all ties kept, so no window is needed and the
+    * result is deterministic as a set). The per-(part, supplier) price
+    * comes from the lineitem fact (this corpus has no partsupp);
+    * supplier and nation dims broadcast in after the cut. */
+  def cheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(extCents).as("offer_cents"))
+    val best = offers.groupBy(col("l_partkey").as("bp_partkey"))
+      .agg(min("offer_cents").as("best_cents"))
+    offers.join(best,
+        col("l_partkey") === col("bp_partkey") &&
+          col("offer_cents") === col("best_cents"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey"), col("s_name"), col("n_name"),
+        (col("offer_cents").cast("double") / 100.0).as("best_price"))
+  }
+
+  /** TPC-H Q15 shape: the top-revenue supplier(s) of one quarter — a
+    * revenue view aggregated per supplier, joined back against its own
+    * broadcast scalar max (ties kept). */
+  def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1997-04-01")))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueE4).as("total_rev_e4"))
+    val top = rev.agg(max("total_rev_e4").as("max_rev_e4"))
+    rev.join(broadcast(top), col("total_rev_e4") === col("max_rev_e4"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("total_rev_e4").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q10 shape: top 20 customers by returned-item revenue — fact
+    * filter, join through orders to the customer dim, topN with an
+    * explicit key tiebreak. */
+  def returnedItemLoss(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenueE4.as("rev_e4"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_e4").as("rev_e4"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        (col("rev_e4").cast("double") / 10000.0).as("returned_revenue"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q16 shape: supplier diversity per part attribute — anti join
+    * against a supplier exclusion subquery (negative balance standing in
+    * for Q16's complaints filter), then count distinct suppliers per
+    * (brand, size). */
+  def supplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -500,12 +605,79 @@ object OlapQueries {
     "q_significant_parts" -> significantParts,
     "q_small_qty_revenue" -> smallQtyRevenue,
     "q_idle_rich_customers" -> idleRichCustomers,
+    "q_priority_late_orders" -> priorityLateOrders,
+    "q_forecast_revenue" -> forecastRevenue,
+    "q_cheapest_supplier" -> cheapestSupplierPerPart,
+    "q_top_supplier_revenue" -> topSupplierRevenue,
+    "q_returned_item_loss" -> returnedItemLoss,
+    "q_supplier_diversity" -> supplierDiversity,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_priority_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 1400 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |         CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS DOUBLE) / 10000.0 AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_cheapest_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS offer_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey AS bp_partkey, min(offer_cents) AS best_cents
+        |  FROM offers GROUP BY 1)
+        |SELECT o.l_partkey, s_name, n_name,
+        |       CAST(o.offer_cents AS DOUBLE) / 100.0 AS best_price
+        |FROM offers o
+        |JOIN best b ON o.l_partkey = b.bp_partkey AND o.offer_cents = b.best_cents
+        |JOIN supplier ON o.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q_top_supplier_revenue" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($revenueE4Sql) AS BIGINT) AS total_rev_e4
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name,
+         |       CAST(total_rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""".stripMargin,
+    "q_returned_item_loss" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |       CAST(CAST(sum($revenueE4Sql) AS BIGINT) AS DOUBLE) / 10000.0
+         |         AS returned_revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY returned_revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "q_supplier_diversity" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
     "q_order_count_histogram" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
