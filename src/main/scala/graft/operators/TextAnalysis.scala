@@ -28,6 +28,25 @@ object TextAnalysis {
           .as("bpe_ish_tokens"),
         length(col("text")).as("char_len"))
 
+  /** Repetition ratio — the degenerate-text quality signal (boilerplate,
+    * keyword stuffing, decoding loops): fraction of a doc's word
+    * trigrams that are repeats of an earlier trigram,
+    * `1 - distinct/total`. Distinct counts come from the codegen'd
+    * `shingles` expression, totals from the token count — one narrow
+    * projection, no shuffle, and the ratio is a single division of
+    * exact integers. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Shingles.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(tokens) - 2, lit(0)).as("n_trigrams"),
+        size(expr("shingles(text, 3)")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams")))
+      .withColumn("is_repetitive", coalesce(col("rep_ratio") > 0.2, lit(false)))
+  }
+
   /** Quality scoring: length bounds, stopword ratio, mean token length.
     * Ratios are single divisions of exact integers — bit-deterministic.
     */
@@ -126,11 +145,32 @@ object TextAnalysis {
     "q_tfidf_top_terms" -> ((s, d) => tfIdfTopTerms(s, d)),
     "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
+    "q_repetition_ratio" -> repetitionRatio,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "q_repetition_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(len(w) - 2, 0) AS INT) AS n_trigrams,
+        |         CAST(CASE WHEN len(w) >= 3 THEN
+        |           len(list_distinct(list_transform(range(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+        |           ELSE 0 END AS INT) AS n_distinct
+        |  FROM t)
+        |SELECT doc_id, n_trigrams, n_distinct,
+        |       CASE WHEN n_trigrams > 0
+        |            THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams END
+        |         AS rep_ratio,
+        |       coalesce(CASE WHEN n_trigrams > 0
+        |            THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams END > 0.2,
+        |         false) AS is_repetitive
+        |FROM c""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token

@@ -138,6 +138,37 @@ object OrderStream {
         col("view_id"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase with its
+    * qualifying prior views, or null view columns once the watermark
+    * proves no view can still arrive — the attribution-completeness
+    * face of [[viewPurchaseJoin]] (the inner join silently drops
+    * view-less purchases). Null-padded rows emit only after the
+    * watermark passes the join window, which is exactly what bounds
+    * the retained state. Works on a batch DataFrame identically
+    * (watermarks no-op, the null padding is immediate).
+    */
+  def purchaseViewOuterJoin(
+      events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", watermarkDelay)
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    purchases.join(views,
+      col("p_user_id") === col("v_user_id") &&
+        col("view_time") < col("purchase_time") &&
+        col("view_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("view_id"), col("value"))
+  }
+
   /** The PriceAggregator state machine as flatMapGroupsWithState: emits a
     * RunningStat per order, keyed by product, state = exact-cents totals.
     * Within a micro-batch, orders are processed in eventTimeMs order
