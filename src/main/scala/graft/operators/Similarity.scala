@@ -243,14 +243,20 @@ object Similarity {
     * the 32× compressed corpus representation a 100 TB vector store
     * actually persists (the full floats stay in cold storage). */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    // argmin as a hash-aggregated lexicographic struct-min (partial-agg
-    // friendly, map-side combinable) rather than a window sort — same
-    // deterministic (ssd, anchor_id) ordering, one shuffle, no sort.
+    // argmin as min over ONE packed long: micro-quantized ssd × 16 +
+    // anchor_id. A struct-min would carry the tiebreak too but plans as
+    // SortAggregate (struct isn't hash-aggregable) — two extra
+    // sort+exchange stages; min(long) is a plain partial-aggregated
+    // hash agg. Quantizing the argmin to micro-units (with the
+    // anchor_id tiebreak) is replayed identically by the oracle, so
+    // codebook assignment stays bit-deterministic.
     pqDistances(spark, dir)
+      .select(col("vec_id"), col("m"),
+        (floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long") * 16 +
+          col("anchor_id")).as("packed"))
       .groupBy("vec_id", "m")
-      .agg(min(struct(col("ssd"), col("anchor_id"))).as("best"))
-      .select(col("vec_id"), col("m").as("c_m"),
-        col("best.anchor_id").as("code"))
+      .agg(min("packed").as("p"))
+      .select(col("vec_id"), col("m").as("c_m"), (col("p") % 16).as("code"))
 
   /** PQ/ADC ANN: the corpus is encoded once (pqCodes); per query the
     * M×K lookup table of exact subspace distances-to-anchors is tiny
@@ -268,7 +274,10 @@ object Similarity {
         floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_l2_micro"), col("vec_id"))
-    pqCodes(spark, dir).join(lut,
+    // The LUT is queries × subspaces × anchors rows (640 here, KBs at
+    // any scale) — broadcast it so corpus codes never shuffle for the
+    // join.
+    pqCodes(spark, dir).join(broadcast(lut),
         col("c_m") === col("m") && col("code") === col("anchor_id") &&
           col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -318,10 +327,11 @@ object Similarity {
          |  SELECT e.vec_id, a.anchor_id, m.m, $pqSsdSql AS ssd
          |  FROM embeddings e CROSS JOIN a CROSS JOIN m),
          |codes AS (
-         |  SELECT vec_id, m, anchor_id AS code
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |          ORDER BY ssd, anchor_id) AS r FROM d)
-         |  WHERE r = 1),
+         |  SELECT vec_id, m, CAST(p % 16 AS BIGINT) AS code
+         |  FROM (SELECT vec_id, m,
+         |          min(CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) * 16
+         |              + anchor_id) AS p
+         |        FROM d GROUP BY 1, 2) pk),
          |lut AS (
          |  SELECT vec_id AS query_id, m, anchor_id,
          |         CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) AS micro
