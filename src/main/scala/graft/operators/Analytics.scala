@@ -129,6 +129,39 @@ object Analytics {
       .filter(col("rk") <= 20)
   }
 
+  /** Explicit GROUPING SETS — ((returnflag), (linestatus)) is NOT a
+    * rollup/cube prefix, so this exercises the general grouping-sets
+    * path plus grouping_id(), through the SQL surface. One expand +
+    * one aggregate; the expand doubles rows before the shuffle, which
+    * is the expected cost of multi-set grouping at scale. */
+  def groupingSetsStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  /** RANGE-frame window (vs the ROWS frames elsewhere): per customer,
+    * trailing-90-day spend at each order. The frame is value-based —
+    * same-day orders share the identical frame, which a ROWS frame
+    * cannot express. Ordering key is an integer day number; sums are
+    * exact cents. */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_num"))
+      .rangeBetween(-89, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long").as("day_num"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+      .withColumn("trailing_90d_cents", sum("price_cents").over(w))
+      .select("o_custkey", "o_orderkey", "day_num", "trailing_90d_cents")
+  }
+
   // Keyed by an md5 of the full data-dir path (collision-resistant,
   // unlike String.hashCode) under java.io.tmpdir (portable, unlike a
   // hardcoded repo path). Deterministic per dir so the concurrent
@@ -182,10 +215,30 @@ object Analytics {
     "q_time_range_join" -> timeRangeJoin,
     "q_embed_quantize" -> embedQuantize,
     "q_top_bigrams" -> topBigrams,
+    "q_grouping_sets" -> groupingSetsStats,
+    "q_trailing_revenue" -> trailingRevenue,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_trailing_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day', DATE '1992-01-01',
+        |            CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY date_diff('day', DATE '1992-01-01',
+        |                            CAST(o_orderdate AS DATE))
+        |         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS trailing_90d_cents
+        |FROM orders""".stripMargin,
     "q_order_cadence" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w_date AS INT) AS order_seq,

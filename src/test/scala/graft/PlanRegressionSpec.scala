@@ -105,6 +105,43 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("forecast revenue (Q6): every predicate reaches the scan, 4-column read") {
+    // formatted mode: the simple toString truncates scan metadata
+    // (PushedFilters/ReadSchema) at 100 chars.
+    val p = SparkEntry.queries("q_forecast_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    withClue(p) {
+      assert(p.contains("PushedFilters"))
+      assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("LessThan(l_quantity,24.0)") &&
+        p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+      // Column pruning: the scan must not read the full 11-column row.
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+        s"scan reads more columns than projected: $readSchema")
+    }
+  }
+
+  test("waiting suppliers (Q21): semi/anti equi-joins, no quadratic path") {
+    val p = planOf("q_waiting_suppliers")
+    withClue(p) {
+      assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("PQ ANN: encode is a hash-agg argmin (no SortAggregate), LUT broadcasts") {
+    val p = planOf("q_ann_pq")
+    withClue(p) {
+      assert(!p.contains("SortAggregate"),
+        "PQ encode regressed to a sort aggregate")
+      assert(p.contains("BroadcastHashJoin"))
+    }
+  }
+
   test("no query plan contains a driver-side collect or cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
