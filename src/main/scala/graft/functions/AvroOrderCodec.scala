@@ -36,6 +36,28 @@ object AvroOrder {
 
   lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
 
+  /** Evolved reader schema (the schema-registry compatibility story the
+    * reference relies on): `price` promoted float→double (legal Avro
+    * resolution) and a new `currency` field with a default — v1 binary
+    * payloads decode under it unchanged. */
+  val schemaV2Json: String =
+    """{"namespace":"com.bigdata.orders","type":"record","name":"Order",
+      |"fields":[{"name":"orderId","type":"string"},
+      |{"name":"product","type":"string"},
+      |{"name":"price","type":"double"},
+      |{"name":"timestamp","type":{"type":"long","logicalType":"timestamp-millis"}},
+      |{"name":"currency","type":"string","default":"USD"}]}"""
+      .stripMargin
+
+  lazy val schemaV2: Schema = new Schema.Parser().parse(schemaV2Json)
+
+  val sparkTypeV2: StructType = StructType(Seq(
+    StructField("orderId", StringType, nullable = true),
+    StructField("product", StringType, nullable = true),
+    StructField("price", DoubleType, nullable = true),
+    StructField("timestamp", LongType, nullable = true),
+    StructField("currency", StringType, nullable = true)))
+
   // Fields are nullable so SQL-side Cast coercion resolves (Cast cannot
   // add NOT NULL); the Avro schema has no null union, so the encoder
   // rejects actual nulls with a clear error instead.
@@ -66,6 +88,9 @@ object AvroOrder {
     registry.createOrReplaceTempFunction(
       "try_from_avro_order",
       (args: Seq[Expression]) => TryFromAvroOrder(args.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "from_avro_order_v2",
+      (args: Seq[Expression]) => FromAvroOrderV2(args.head), "built-in")
   }
 }
 
@@ -151,6 +176,50 @@ case class FromAvroOrder(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): FromAvroOrder =
+    copy(child = newChild)
+}
+
+/** Schema-evolution decode: v1 binary payloads read under the v2 reader
+  * schema through Avro's standard resolution (writer = v1, reader = v2):
+  * `price` float→double promotion, `currency` filled from its default.
+  * This is the consumer-upgrades-first compatibility path a schema
+  * registry promises (reference: the registry client in
+  * src/utils/kafka_utils.py); no re-encode of the stored stream needed.
+  */
+case class FromAvroOrderV2(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = AvroOrder.sparkTypeV2
+
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](AvroOrder.schema, AvroOrder.schemaV2)
+
+  def decode(bytes: Array[Byte]): InternalRow =
+    try {
+      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      InternalRow(
+        UTF8String.fromString(rec.get(0).toString),
+        UTF8String.fromString(rec.get(1).toString),
+        rec.get(2).asInstanceOf[Double],
+        rec.get(3).asInstanceOf[Long],
+        UTF8String.fromString(rec.get(4).toString))
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"from_avro_order_v2: malformed Avro Order payload (${bytes.length} bytes)", e)
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fromAvroOrderV2", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.decode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FromAvroOrderV2 =
     copy(child = newChild)
 }
 

@@ -40,6 +40,28 @@ object StreamQueries {
         sum(col("payload_bytes").cast("long")).as("sum_payload_bytes"))
   }
 
+  /** Schema evolution: the SAME v1 binary payloads decoded under the v2
+    * reader schema (price float→double promotion, `currency` from its
+    * default) — the consumer-upgrades-first path a schema registry
+    * certifies. The oracle replays the promotion as
+    * CAST(CAST(value AS FLOAT) AS DOUBLE) and the default as a literal,
+    * proving resolution changed nothing else.
+    */
+  def avroEvolution(spark: SparkSession, dir: String): DataFrame = {
+    AvroOrder.register(spark)
+    Tables.events(spark, dir)
+      .select(expr(
+        """to_avro_order(named_struct(
+          |  'orderId', concat('ORD-', lpad(cast(event_id as string), 7, '0')),
+          |  'product', event_type,
+          |  'price', cast(value as float),
+          |  'timestamp', ts div 1000000)) AS avro_bytes""".stripMargin))
+      .select(expr("from_avro_order_v2(avro_bytes)").as("o"))
+      .groupBy(col("o.product").as("product"), col("o.currency").as("currency"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(round(col("o.price") * 100, 0).cast("long")).as("sum_price_cents"))
+  }
+
   /** Tumbling-hour stats per product — the batch face of
     * OrderStream.windowedStats (same code path minus the watermark, which
     * is a no-op on batch input).
@@ -50,6 +72,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_roundtrip" -> avroRoundtrip,
+    "q_avro_evolution" -> avroEvolution,
     "q_windowed_stats" -> windowedStats)
 
   val oracles: Map[String, String] = Map(
@@ -61,6 +84,12 @@ object StreamQueries {
         |       max(epoch_ns(ts) // 1000000) AS max_ts_ms,
         |       CAST(sum(CAST(11 + 1 + length(event_type) + 1 + 4 + 6 AS BIGINT)) AS BIGINT) AS sum_payload_bytes
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_avro_evolution" ->
+      """SELECT event_type AS product,
+        |       'USD' AS currency,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_windowed_stats" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
         |       event_type AS product,
