@@ -63,12 +63,42 @@ object Profiling {
         expr("shiftleft(CAST(1 AS BIGINT), log2_bucket + 1) - 1").as("bucket_hi"),
         col("n_docs"))
 
+  /** Mergeable-sketch architecture: per-(event_type, day) HLL sketches
+    * (Datasketches blobs — what a 100 TB pipeline persists as its
+    * pre-aggregated sketch table), then a union per event_type and one
+    * estimate. The raw stream is touched once per day at ingest; every
+    * later rollup works off KB-sized sketches — the incremental
+    * analytics shape exact distinct cannot give. Emits the exact count
+    * plus an estimate-in-bounds flag (the sketch blob itself is not
+    * cross-engine-replayable; the bound check is the oracle contract,
+    * same pattern as q_approx_distinct_users). */
+  def distinctUsersMergeable(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05 + lit(16)).as("estimate_in_bounds"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
+    "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile)
 
   val oracles: Map[String, String] = Map(
+    "q_distinct_mergeable" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |       true AS estimate_in_bounds
+        |FROM events GROUP BY 1""".stripMargin,
     // MG recall guarantee ⇒ equals the full-groupBy heavy-key answer.
     "q_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS n_events
