@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AvroOrder, FromAvroOrder, ToAvroOrder}
+import graft.functions.{AvroOrder, FromAvroOrder, FromAvroOrderV2, ToAvroOrder, TryFromAvroOrder}
 
 /** Library entry point for `spark.sql.extensions`: registers the graft
   * SQL functions on every session, so a user of the library runs
@@ -28,5 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FromAvroOrder].getName, "from_avro_order"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AvroOrder.fromAvroBuilder(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("try_from_avro_order"),
+      new ExpressionInfo(classOf[TryFromAvroOrder].getName, "try_from_avro_order"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TryFromAvroOrder(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("from_avro_order_v2"),
+      new ExpressionInfo(classOf[FromAvroOrderV2].getName, "from_avro_order_v2"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FromAvroOrderV2(args.head)))
   }
 }

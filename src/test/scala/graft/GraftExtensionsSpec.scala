@@ -33,6 +33,23 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(3) == 1704067200000L)
   }
 
+  test("v2 reader and permissive decode resolve through the extension") {
+    val row = spark.sql(
+      """SELECT from_avro_order_v2(to_avro_order(named_struct(
+        |  'orderId', 'ORD-0000008', 'product', 'Keyboard',
+        |  'price', CAST(49.5 AS FLOAT), 'timestamp', 1704067200000))) AS o"""
+        .stripMargin)
+      .selectExpr("o.orderId", "o.price", "o.currency")
+      .collect().head
+    assert(row.getString(0) == "ORD-0000008")
+    assert(row.getDouble(1) == 49.5f.toDouble) // float→double promotion
+    assert(row.getString(2) == "USD")          // defaulted field
+    val corrupt = spark.sql(
+      "SELECT try_from_avro_order(CAST('nonsense' AS BINARY)) AS o")
+      .collect().head
+    assert(corrupt.isNullAt(0))
+  }
+
   test("round-trip elision removes the codec from the optimized plan") {
     val df = spark.sql(
       """SELECT from_avro_order(to_avro_order(named_struct(
