@@ -400,6 +400,70 @@ object OlapQueries {
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
   }
 
+  /** TPC-H Q8 shape: national market share — the fraction of a region's
+    * market revenue supplied from one nation, per year. The share is a
+    * conditional sum over the full star join; both the numerator and
+    * denominator are exact integer e4 sums, divided once. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val asiaCust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nation
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"), "left_semi")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revenueE4.as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("n_name") === "NATION_3", col("rev_e4")).otherwise(0L))
+          .as("nation_rev_e4"),
+        sum("rev_e4").as("total_rev_e4"))
+      .select(col("o_year"),
+        (col("nation_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
+          .as("mkt_share"),
+        (col("total_rev_e4").cast("double") / 10000.0).as("market_revenue"))
+  }
+
+  /** TPC-H Q9 shape: product profit by supplier nation and year over a
+    * color-named part subset (Q9's '%green%' filter) — a 5-table star with a derived measure
+    * (revenue minus quantity·retail cost), all in exact integer e4
+    * units until the final division. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part5 = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("retail_cents"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"), revenueE4.as("rev_e4"))
+      .join(broadcast(part5), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("rev_e4") - col("qty") * col("retail_cents") * 100)
+        .as("profit_e4"))
+      .select(col("nation"), col("o_year"),
+        (col("profit_e4").cast("double") / 10000.0).as("profit"))
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -606,6 +670,8 @@ object OlapQueries {
     "q_small_qty_revenue" -> smallQtyRevenue,
     "q_idle_rich_customers" -> idleRichCustomers,
     "q_priority_late_orders" -> priorityLateOrders,
+    "q_market_share" -> marketShare,
+    "q_product_profit" -> productProfit,
     "q_forecast_revenue" -> forecastRevenue,
     "q_cheapest_supplier" -> cheapestSupplierPerPart,
     "q_top_supplier_revenue" -> topSupplierRevenue,
@@ -617,6 +683,37 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |       CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+         |                     THEN $revenueE4Sql ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |       / CAST(CAST(sum($revenueE4Sql) AS BIGINT) AS DOUBLE) AS mkt_share,
+         |       CAST(CAST(sum($revenueE4Sql) AS BIGINT) AS DOUBLE) / 10000.0
+         |         AS market_revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA')
+         |GROUP BY 1""".stripMargin,
+    "q_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |       CAST(year(o_orderdate) AS INT) AS o_year,
+         |       CAST(CAST(sum($revenueE4Sql
+         |           - CAST(l_quantity AS BIGINT)
+         |             * CAST(round(p_retailprice * 100, 0) AS BIGINT) * 100)
+         |         AS BIGINT) AS DOUBLE) / 10000.0 AS profit
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin,
     "q_priority_late_orders" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
