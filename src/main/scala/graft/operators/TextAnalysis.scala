@@ -28,6 +28,43 @@ object TextAnalysis {
           .as("bpe_ish_tokens"),
         length(col("text")).as("char_len"))
 
+  /** Document chunking: fixed 200-char windows at stride 150 (50-char
+    * overlap) — the pre-embedding pass that turns long documents into
+    * model-sized pieces. Pure per-row array construction, no shuffle;
+    * the digest over the concatenated chunks proves the exact window
+    * boundaries survive. Zero-length docs chunk to an empty list (the
+    * sequence(0,-1)-descends guard again). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("char_len"),
+        expr("""CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<STRING>)
+                ELSE transform(
+                  sequence(0, CAST(floor((length(text) - 1) / 150) AS INT)),
+                  i -> substring(text, i * 150 + 1, 200)) END""").as("chunks"))
+      .select(col("doc_id"), col("char_len"),
+        size(col("chunks")).as("n_chunks"),
+        expr("aggregate(chunks, 0L, (a, c) -> a + length(c))")
+          .as("sum_chunk_chars"),
+        md5(concat_ws("", col("chunks"))).as("chunks_digest"))
+
+  /** Tokenizer-vocabulary coverage: the fraction of all token
+    * OCCURRENCES covered by the top-k vocabulary — the number that
+    * decides a tokenizer's OOV rate. Two aggregates over one token
+    * explode; the k-row vocab broadcasts back against the stream.
+    * Coverage is one division of exact counts. */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(explode(tokens).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k).select("tok")
+    val total = tok.agg(count(lit(1)).as("total_tokens"))
+    tok.join(broadcast(vocab), Seq("tok"), "left_semi")
+      .agg(count(lit(1)).as("covered_tokens"))
+      .join(broadcast(total))
+      .select(col("total_tokens"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens"))
+          .as("coverage"))
+  }
+
   /** Repetition ratio — the degenerate-text quality signal (boilerplate,
     * keyword stuffing, decoding loops): fraction of a doc's word
     * trigrams that are repeats of an earlier trigram,
@@ -146,11 +183,42 @@ object TextAnalysis {
     "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
     "q_repetition_ratio" -> repetitionRatio,
+    "q_doc_chunks" -> docChunks,
+    "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "q_doc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS char_len,
+        |         CASE WHEN length(text) = 0 THEN []
+        |         ELSE list_transform(range(0, (length(text) - 1) // 150 + 1),
+        |              i -> substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) END
+        |           AS chunks
+        |  FROM documents)
+        |SELECT doc_id, CAST(char_len AS INT) AS char_len,
+        |       CAST(len(chunks) AS INT) AS n_chunks,
+        |       CAST(coalesce(list_sum(list_transform(chunks,
+        |            c2 -> CAST(length(c2) AS BIGINT))), 0) AS BIGINT)
+        |         AS sum_chunk_chars,
+        |       md5(array_to_string(chunks, '')) AS chunks_digest
+        |FROM c""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+        |    ORDER BY cnt DESC, tok LIMIT 1000) v),
+        |tot AS (SELECT count(*) AS total_tokens FROM tok),
+        |cov AS (SELECT count(*) AS covered_tokens FROM tok
+        |        WHERE tok IN (SELECT tok FROM vocab))
+        |SELECT total_tokens, covered_tokens,
+        |       CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
+        |FROM tot CROSS JOIN cov""".stripMargin,
     "q_repetition_ratio" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
