@@ -464,6 +464,32 @@ object OlapQueries {
         (col("profit_e4").cast("double") / 10000.0).as("profit"))
   }
 
+  /** TPC-H Q20 shape: suppliers who dominate a filtered part's volume —
+    * nested aggregates (per-(part, supplier) then per-part totals), an
+    * exact cross-multiplied >15% threshold, then a semi chain back to
+    * the supplier dim. (This corpus has no partsupp/availqty, so Q20's
+    * "excess stock" predicate becomes volume dominance; the nested-agg
+    * + IN-chain decorrelation shape is what Q20 exercises.) */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val blue = Tables.part(spark, dir)
+      .filter(col("p_name").contains("blue")).select("p_partkey")
+    val perSupp = Tables.lineitem(spark, dir)
+      .join(broadcast(blue), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+    val perPart = perSupp.groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum("supp_qty").as("part_qty"))
+    val dominant = perSupp
+      .join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(col("supp_qty") * 20 > col("part_qty") * 3)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+  }
+
   /** Time-bucket rollup: revenue per month. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -672,6 +698,7 @@ object OlapQueries {
     "q_priority_late_orders" -> priorityLateOrders,
     "q_market_share" -> marketShare,
     "q_product_profit" -> productProfit,
+    "q_dominant_suppliers" -> dominantSuppliers,
     "q_forecast_revenue" -> forecastRevenue,
     "q_cheapest_supplier" -> cheapestSupplierPerPart,
     "q_top_supplier_revenue" -> topSupplierRevenue,
@@ -683,6 +710,23 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%blue%'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pp_key,
+        |              CAST(sum(supp_qty) AS BIGINT) AS part_qty
+        |       FROM ps GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey
+        |        FROM ps JOIN pt ON l_partkey = pp_key
+        |        WHERE supp_qty * 20 > part_qty * 3)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
     "q_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          |       CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
