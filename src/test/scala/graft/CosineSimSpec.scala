@@ -53,6 +53,23 @@ class CosineSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("non-array inputs fail analysis instead of reading garbage bytes") {
+    val e = Tables.embeddings(spark, sf)
+    // CosineSim on a string column must be an analysis-time type error
+    // (checkInputDataTypes), not a silent wrong answer at runtime.
+    val ex = intercept[Exception] {
+      e.select(CosineSim(col("vec_id").cast("string"), col("embedding")))
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cosine_sim") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+    val ex2 = intercept[Exception] {
+      e.select(DotConst(col("label"), Seq(1.0, 2.0))).collect()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("dot_const") ||
+      ex2.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("DotConst equals a literal-array HOF dot") {
     val w = Array.tabulate(64)(k => math.sin(k * 1.7) / 2)
     val wLit = array(w.map(lit): _*)
