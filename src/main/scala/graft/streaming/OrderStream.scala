@@ -201,6 +201,61 @@ object OrderStream {
     out.iterator
   }
 
+  /** A closed user session: emitted only once the event-time timeout
+    * proves no more events can join it. */
+  case class SessionOut(
+      user_id: Long, n_events: Long, sum_cents: Long,
+      first_ms: Long, last_ms: Long)
+
+  case class SessionState(
+      n: Long, sumCents: Long, firstMs: Long, lastMs: Long)
+
+  /** Timeout-closed sessionization via flatMapGroupsWithState +
+    * EventTimeTimeout: state accumulates a user's events; when the
+    * WATERMARK (not wall clock — replay-safe) passes last-event + gap,
+    * the timeout fires, the finished session emits once, and its state
+    * is freed. This is the "emit exactly when the session is provably
+    * over" pattern that `session_window` aggregation can't express when
+    * the per-session payload is custom logic rather than an aggregate.
+    * Input needs columns (user_id, event_time TIMESTAMP, value), with
+    * the watermark already declared on event_time.
+    */
+  def timeoutSessions(
+      events: Dataset[org.apache.spark.sql.Row], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // The watermarked `event_time` column itself must flow into the
+    // stateful operator (projecting it away strips the watermark
+    // metadata and EventTimeTimeout refuses to plan).
+    events
+      .selectExpr("user_id", "event_time",
+        "CAST(round(value * 100, 0) AS LONG) AS cents")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n, s.sumCents, s.firstMs, s.lastMs))
+          } else {
+            var s = state.getOption.getOrElse(
+              SessionState(0L, 0L, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, t, cents) =>
+              val ms = t.getTime
+              s = SessionState(s.n + 1, s.sumCents + cents,
+                math.min(s.firstMs, ms), math.max(s.lastMs, ms))
+            }
+            state.update(s)
+            // Close when the watermark passes the gap after the session's
+            // last event — replayable, unlike ProcessingTimeTimeout.
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** DLQ split sink (avro_order_consumer.py:123-155): per micro-batch,
     * valid records go to the main sink, failures to the DLQ sink with
     * provenance columns. Use with `stream.writeStream.foreachBatch(

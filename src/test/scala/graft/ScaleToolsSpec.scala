@@ -159,6 +159,44 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout sessions emit exactly when the watermark closes them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val m = 60L * 1000000000L // 1 min in nanos
+    val base = 1704067200000L * 1000000L
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val schema = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val src = input.toDF().toDF(schema: _*)
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", "10 minutes")
+    val q = OrderStream.timeoutSessions(src, gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      // User 1: two events 1 min apart (one session, 300 cents).
+      input.addData(
+        (1L, base, 1L, "view", 1.0, "{}"),
+        (2L, base + m, 1L, "purchase", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() == 0,
+        "session must stay open before the watermark passes its gap")
+      // Far-future event pushes the watermark past last + gap; one more
+      // batch applies it (watermark from batch N applies to batch N+1).
+      input.addData((9L, base + 1000 * m, 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      input.addData((10L, base + 1001 * m, 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("timeout_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out.contains((1L, 2L, 300L)),
+        s"closed session for user 1 expected, got $out")
+      // User 9's session is still open (watermark never passes it).
+      assert(!out.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("Observation metrics account a pass with no second scan") {
     import org.apache.spark.sql.Observation
     // Data-quality accounting piggybacked on the pass itself — at 100 TB
