@@ -129,6 +129,35 @@ object Analytics {
       .filter(col("rk") <= 20)
   }
 
+  /** CDC compaction: the latest event per (user, event_type) — the
+    * keep-newest-version pass every change-capture ingest runs before
+    * serving. Window + rank-1 filter; Spark's WindowGroupLimit turns it
+    * into a per-partition top-1 so the shuffle carries only survivors
+    * upward. Tie on ts broken by event_id (latest id wins). */
+  def latestEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("ts_s"),
+        round(col("value"), 2).as("value"))
+  }
+
+  /** SCD2 historization: each event's value holds from its own time
+    * until the user's next event — the effective-range form used to
+    * join facts "as of" a dimension version. One shuffle on user_id;
+    * `lead` closes each range, the current row stays open (null). */
+  def scd2Ranges(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("valid_from_s"),
+        expr("next_ts div 1000000000").as("valid_to_s"))
+  }
+
   /** Explicit GROUPING SETS — ((returnflag), (linestatus)) is NOT a
     * rollup/cube prefix, so this exercises the general grouping-sets
     * path plus grouping_id(), through the SQL surface. One expand +
@@ -217,10 +246,25 @@ object Analytics {
     "q_top_bigrams" -> topBigrams,
     "q_grouping_sets" -> groupingSetsStats,
     "q_trailing_revenue" -> trailingRevenue,
+    "q_latest_events" -> latestEvents,
+    "q_scd2_ranges" -> scd2Ranges,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "q_latest_events" ->
+      """SELECT user_id, event_type, event_id,
+        |       epoch_ns(ts) // 1000000000 AS ts_s,
+        |       round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) e
+        |WHERE rn = 1""".stripMargin,
+    "q_scd2_ranges" ->
+      """SELECT user_id, event_id, event_type,
+        |       epoch_ns(ts) // 1000000000 AS valid_from_s,
+        |       epoch_ns(lead(ts, 1) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id)) // 1000000000 AS valid_to_s
+        |FROM events""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
