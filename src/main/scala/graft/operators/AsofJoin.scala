@@ -72,9 +72,32 @@ object AsofJoin {
         expr("(p_ts - v_ts) div 1000000000").as("view_to_purchase_s"))
   }
 
+  /** The native as-of join with a 1-hour staleness bound: a view older
+    * than an hour no longer attributes (nulls instead) — the
+    * trade-to-quote tolerance semantics. The oracle takes DuckDB's
+    * unbounded ASOF answer and nulls matches beyond the tolerance,
+    * which is definitionally the same operator. */
+  def purchaseAttributionTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("attributed_view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.NativeAsofJoin
+      .asofJoin(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "p_ts", "v_ts",
+        toleranceNs = Some(3600L * 1000000000L))
+      .select(col("purchase_id"), col("user_id"), col("purchase_value"),
+        col("attributed_view_id"),
+        expr("(p_ts - v_ts) div 1000000000").as("view_to_purchase_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_attribution" -> purchaseAttribution,
     "q_asof_native" -> purchaseAttributionNative,
+    "q_asof_tolerance" -> purchaseAttributionTolerance,
     "q_asof_stats" -> attributionStats)
 
   private val asofOracleSql =
@@ -93,6 +116,25 @@ object AsofJoin {
 
   val oracles: Map[String, String] = Map(
     "q_asof_native" -> asofOracleSql,
+    "q_asof_tolerance" ->
+      """WITH views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |         p.value AS purchase_value,
+        |         v.event_id AS matched_view_id,
+        |         epoch_ns(p.ts) - epoch_ns(v.ts) AS gap_ns
+        |  FROM purchases p
+        |  ASOF LEFT JOIN views v
+        |    ON p.user_id = v.user_id AND v.ts < p.ts)
+        |SELECT purchase_id, user_id, purchase_value,
+        |       CASE WHEN gap_ns <= 3600000000000 THEN matched_view_id END
+        |         AS attributed_view_id,
+        |       CASE WHEN gap_ns <= 3600000000000 THEN gap_ns // 1000000000 END
+        |         AS view_to_purchase_s
+        |FROM a""".stripMargin,
     "q_asof_attribution" ->
       """WITH views AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

@@ -35,7 +35,8 @@ case class AsofJoinNode(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    toleranceNs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -48,8 +49,8 @@ case class AsofJoinNode(
   * `spark.experimental.extraStrategies` (ensureRegistered). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lts, rts) =>
-      AsofJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lts, rts, tol) =>
+      AsofJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -60,7 +61,8 @@ case class AsofJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    toleranceNs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -114,6 +116,8 @@ case class AsofJoinExec(
       // matches and whose ts stays strictly below the current left ts.
       var lastKey: InternalRow = null
       var lastMatch: InternalRow = null
+      var lastMatchTs: Long = Long.MinValue
+      val tol = toleranceNs.getOrElse(Long.MaxValue)
 
       li.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -127,12 +131,16 @@ case class AsofJoinExec(
           val lTs = lTsVal.asInstanceOf[Long]
           var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           while (rRow != null && (cmp < 0 || (cmp == 0 && rTs < lTs))) {
-            if (cmp == 0) { lastMatch = rRow.copy(); lastKey = rKey }
+            if (cmp == 0) { lastMatch = rRow.copy(); lastKey = rKey; lastMatchTs = rTs }
             advanceRight()
             cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           }
+          // Tolerance: the retained match must also lie within
+          // `toleranceNs` of the left ts (lTs - matchTs is positive by
+          // the strict < merge condition). Long.MaxValue = unbounded.
           val m =
-            if (lastMatch != null && keyOrd.compare(lastKey, lKey) == 0) lastMatch
+            if (lastMatch != null && keyOrd.compare(lastKey, lKey) == 0 &&
+              lTs - lastMatchTs <= tol) lastMatch
             else nullRight
           resultProj(joined(lRow, m))
         }
@@ -156,13 +164,17 @@ object NativeAsofJoin {
         spark.experimental.extraStrategies :+ AsofJoinStrategy
 
   /** As-of join `left` to the last strictly-earlier `right` row with
-    * equal keys. Column names must be disjoint across the two sides
-    * (pre-alias, as with any join); ts columns are LongType epoch-nanos.
+    * equal keys, optionally only when it lies within `toleranceNs` of
+    * the left timestamp (older matches null-pad — trade-to-quote with a
+    * staleness bound). Column names must be disjoint across the two
+    * sides (pre-alias, as with any join); ts columns are LongType
+    * epoch-nanos.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
-      leftTsCol: String, rightTsCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String,
+      toleranceNs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -174,6 +186,6 @@ object NativeAsofJoin {
     GraftSqlShim.ofRows(spark,
       AsofJoinNode(lp, rp,
         leftOn.map(attr(lp, _)), rightOn.map(attr(rp, _)),
-        attr(lp, leftTsCol), attr(rp, rightTsCol)))
+        attr(lp, leftTsCol), attr(rp, rightTsCol), toleranceNs))
   }
 }
