@@ -53,7 +53,26 @@ object Sampling {
       .select("lang", "pick", "doc_id", "n_chars")
   }
 
+  /** Temperature-based mixture re-weighting (the multilingual
+    * count^α formula, α = 0.5): sampling weight ∝ sqrt(stratum size),
+    * which up-weights low-resource strata relative to proportional
+    * sampling. sqrt is correctly-rounded IEEE (safe cross-engine, no
+    * libm drift) and weights sum as exact integer micro-units, so the
+    * normalized share is one deterministic division. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micro",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val total = counts.agg(sum("weight_micro").as("total_micro"))
+    counts.join(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("weight_micro"),
+        (col("weight_micro").cast("double") / col("total_micro"))
+          .as("sample_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_mix" -> temperatureMixture,
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
     "q_sample_mixture" -> sampleMixture)
@@ -65,6 +84,16 @@ object Sampling {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+        |              AS BIGINT) AS weight_micro
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS total_micro FROM c)
+        |SELECT lang, n_docs, weight_micro,
+        |       CAST(weight_micro AS DOUBLE) / total_micro AS sample_share
+        |FROM c CROSS JOIN t""".stripMargin,
     "q_stratified_sample" -> sampleSql,
     "q_reservoir_sample" ->
       """WITH tagged AS (

@@ -72,6 +72,26 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
+  /** Hard-negative mining for contrastive training: the top-5 most
+    * similar vectors with a DIFFERENT label per query — maximally
+    * confusable out-of-class examples. Same scoring kernel as annTopK
+    * with the label inequality pushed into the join, so at scale it
+    * rides whatever ANN index the corpus already has. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    queries.join(e,
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 5)
+  }
+
   /** Hyperplane-LSH banding parameters, tuned empirically on the
     * corpus (see the scaladoc of [[annLshNearDup]]): 92 bands of 8 sign
     * bits each (736 hyperplanes), a pair is a candidate when ≥ 2 bands
@@ -291,7 +311,8 @@ object Similarity {
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
-    "q_ann_pq" -> annPq)
+    "q_ann_pq" -> annPq,
+    "q_hard_negatives" -> hardNegatives)
 
   /** Cosine between two array operands in DuckDB SQL, same fold order as
     * the Spark `cosine` above (sequential list_sum, divide by each norm
@@ -381,6 +402,19 @@ object Similarity {
          |       round($cosineSql, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round($cosineSql, 6) >= 0.45""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id, e.label,
+         |         round(${cosSql("q.qv", "e.embedding")}, 6) AS cos_sim
+         |  FROM q JOIN embeddings e
+         |    ON e.vec_id <> q.query_id AND e.label <> q.q_label)
+         |SELECT query_id, vec_id, label, cos_sim, CAST(r AS INT) AS neg_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
+         |WHERE r <= 5""".stripMargin,
     "q_ann_topk" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
