@@ -49,6 +49,13 @@ object Bench {
     "q_small_qty_revenue",
     "q_forecast_revenue",
     "q_returned_item_loss",
+    "q_market_share",
+    "q_grouping_sets",
+    "q_trailing_revenue",
+    "q_latest_events",
+    "q_hard_negatives",
+    "q_asof_tolerance",
+    "q_leakage_safe_split",
     "q_token_counts",
     "q_corpus_pipeline",
     "q_media_features")
