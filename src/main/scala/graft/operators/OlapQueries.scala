@@ -587,6 +587,20 @@ object OlapQueries {
       .agg(count(lit(1)).as("event_count"),
         round(sum("value"), 2).as("total_value"))
 
+  /** Semi-structured extraction through Spark 4's VARIANT type:
+    * `parse_json` once into the binary variant encoding, then typed
+    * `variant_get` paths — the open-schema ingestion shape (parse once,
+    * extract many, no per-path JSON re-parse like get_json_object).
+    * The oracle replays the same paths with DuckDB's JSON functions. */
+  def propsVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("parse_json(props)").as("v"), col("value"))
+      .select(expr("variant_get(v, '$.k', 'int')").as("k"), col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("event_count"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        round(sum("value"), 2).as("total_value"))
+
   /** Union of two activity sources + per-source aggregate. */
   def unionActivity(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -706,6 +720,7 @@ object OlapQueries {
     "q_supplier_diversity" -> supplierDiversity,
     "q_value_percentiles" -> valuePercentiles,
     "q_props_extract" -> propsExtract,
+    "q_props_variant" -> propsVariant,
     "q_union_activity" -> unionActivity,
     "q_event_type_pivot" -> eventTypePivot)
 
@@ -1030,6 +1045,13 @@ object OlapQueries {
     "q_props_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |       count(*) AS event_count,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_props_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |       count(*) AS event_count,
+        |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
     "q_union_activity" ->

@@ -201,6 +201,50 @@ object OrderStream {
     out.iterator
   }
 
+  /** The same per-product running stats on Spark 4's NEWEST
+    * arbitrary-state API: `transformWithState` with a StatefulProcessor
+    * holding an explicit `ValueState` handle, backed by the RocksDB
+    * state store (set `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider). Successor of flatMapGroupsWithState —
+    * typed state handles, TTL support, timers; kept side by side with
+    * [[runningStats]] so both stateful APIs stay covered (the spec
+    * asserts output parity between them). */
+  class ProductStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, OrderEvent, RunningStat] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[ProductState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ProductState]("stats",
+        org.apache.spark.sql.Encoders.product[ProductState], TTLConfig.NONE)
+    override def handleInputRows(
+        product: String, rows: Iterator[OrderEvent],
+        timers: TimerValues): Iterator[RunningStat] = {
+      var s = if (st.exists()) st.get()
+        else ProductState(0L, 0L, Long.MaxValue, Long.MinValue)
+      val out = rows.toSeq
+        .sortBy(o => (o.eventTimeMs, o.orderId))
+        .map { o =>
+          val cents = math.round(o.price * 100)
+          s = ProductState(s.orderCount + 1, s.sumCents + cents,
+            math.min(s.minCents, cents), math.max(s.maxCents, cents))
+          RunningStat(product, o.orderId, s.orderCount,
+            s.sumCents / s.orderCount, s.minCents, s.maxCents)
+        }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def runningStatsTws(orders: Dataset[OrderEvent]): Dataset[RunningStat] = {
+    import orders.sparkSession.implicits._
+    orders
+      .groupByKey(_.product)
+      .transformWithState(new ProductStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** A closed user session: emitted only once the event-time timeout
     * proves no more events can join it. */
   case class SessionOut(

@@ -83,6 +83,46 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState running stats match the flatMapGroupsWithState form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The new arbitrary-state API requires the RocksDB state store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val valid = sampleOrders.filter(o => o.price > 0 && o.product != "error")
+      val batch2 = valid.map(o =>
+        o.copy(orderId = o.orderId + "-b2", eventTimeMs = o.eventTimeMs + 10000))
+      // Drive both pipelines with IDENTICAL micro-batch boundaries so
+      // per-batch emission sequences are comparable row for row.
+      def run(name: String,
+          pipeline: org.apache.spark.sql.Dataset[OrderEvent] =>
+            org.apache.spark.sql.Dataset[OrderStream.RunningStat]): Seq[String] = {
+        val input = MemoryStream[OrderEvent]
+        val q = pipeline(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(valid: _*)
+          q.processAllAvailable()
+          input.addData(batch2: _*)
+          q.processAllAvailable()
+          spark.table(name).as[OrderStream.RunningStat]
+            .collect().map(_.toString).sorted.toSeq
+        } finally q.stop()
+      }
+      val tws = run("running_stats_tws", OrderStream.runningStatsTws)
+      val fmgws = run("running_stats_fmgws", OrderStream.runningStats)
+      assert(tws == fmgws && tws.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("runningStats state persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
