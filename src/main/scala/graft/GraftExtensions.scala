@@ -32,11 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("try_from_avro_order"),
       new ExpressionInfo(classOf[TryFromAvroOrder].getName, "try_from_avro_order"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TryFromAvroOrder(args.head)))
+        TryFromAvroOrder(AvroOrder.exactlyOne("try_from_avro_order", args))))
     ext.injectFunction((
       new FunctionIdentifier("from_avro_order_v2"),
       new ExpressionInfo(classOf[FromAvroOrderV2].getName, "from_avro_order_v2"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FromAvroOrderV2(args.head)))
+        FromAvroOrderV2(AvroOrder.exactlyOne("from_avro_order_v2", args))))
   }
 }

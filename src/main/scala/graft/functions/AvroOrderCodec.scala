@@ -73,11 +73,20 @@ object AvroOrder {
   /** SQL builder: coerce the struct argument to the exact Order shape
     * (so e.g. an INT timestamp literal casts to LONG instead of failing
     * deep in the encoder). */
+  /** Arity check shared by every registration path: a clear
+    * wrong-number-of-arguments error instead of silently dropping extra
+    * arguments or NoSuchElementException-ing on none. */
+  def exactlyOne(name: String, args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"$name expects exactly 1 argument, got ${args.length}")
+    args.head
+  }
+
   def toAvroBuilder(args: Seq[Expression]): Expression =
-    ToAvroOrder(Cast(args.head, sparkType))
+    ToAvroOrder(Cast(exactlyOne("to_avro_order", args), sparkType))
 
   def fromAvroBuilder(args: Seq[Expression]): Expression =
-    FromAvroOrder(args.head)
+    FromAvroOrder(exactlyOne("from_avro_order", args))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -87,10 +96,12 @@ object AvroOrder {
       "from_avro_order", fromAvroBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "try_from_avro_order",
-      (args: Seq[Expression]) => TryFromAvroOrder(args.head), "built-in")
+      (args: Seq[Expression]) =>
+        TryFromAvroOrder(exactlyOne("try_from_avro_order", args)), "built-in")
     registry.createOrReplaceTempFunction(
       "from_avro_order_v2",
-      (args: Seq[Expression]) => FromAvroOrderV2(args.head), "built-in")
+      (args: Seq[Expression]) =>
+        FromAvroOrderV2(exactlyOne("from_avro_order_v2", args)), "built-in")
   }
 }
 

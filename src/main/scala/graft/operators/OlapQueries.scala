@@ -437,7 +437,7 @@ object OlapQueries {
   }
 
   /** TPC-H Q9 shape: product profit by supplier nation and year over a
-    * color-named part subset (Q9's '%green%' filter) — a 5-table star with a derived measure
+    * color-named part subset ('%red%', the analogue of Q9's '%green%') — a 5-table star with a derived measure
     * (revenue minus quantity·retail cost), all in exact integer e4
     * units until the final division. */
   def productProfit(spark: SparkSession, dir: String): DataFrame = {

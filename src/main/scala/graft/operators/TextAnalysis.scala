@@ -55,11 +55,15 @@ object TextAnalysis {
   def vocabCoverage(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
     val tok = Tables.documents(spark, dir).select(explode(tokens).as("tok"))
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok")).limit(k).select("tok")
-    val total = tok.agg(count(lit(1)).as("total_tokens"))
-    tok.join(broadcast(vocab), Seq("tok"), "left_semi")
-      .agg(count(lit(1)).as("covered_tokens"))
-      .join(broadcast(total))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("hit"))
+    // One pass over the token stream for BOTH counts: left join against
+    // the broadcast vocab, count(*) vs count(hit) — tokenization (the
+    // dominant cost at corpus scale) runs twice total (vocab + this),
+    // not three times.
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .agg(count(lit(1)).as("total_tokens"),
+        count(col("hit")).as("covered_tokens"))
       .select(col("total_tokens"), col("covered_tokens"),
         (col("covered_tokens").cast("double") / col("total_tokens"))
           .as("coverage"))

@@ -284,18 +284,33 @@ object OrderStream {
             state.remove()
             Iterator.single(SessionOut(uid, s.n, s.sumCents, s.firstMs, s.lastMs))
           } else {
+            // True gap sessionization: an event more than `gapMs` after
+            // the accumulated session's last event CLOSES it immediately
+            // (emitted now) and starts a new one — without this split,
+            // gap-separated events arriving in the same micro-batch (or
+            // before the lagging watermark fires the timeout) would
+            // merge into one arbitrarily long session.
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
             var s = state.getOption.getOrElse(
               SessionState(0L, 0L, Long.MaxValue, Long.MinValue))
-            rows.foreach { case (_, t, cents) =>
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, cents) =>
               val ms = t.getTime
+              if (s.n > 0 && ms - s.lastMs > gapMs) {
+                closed += SessionOut(uid, s.n, s.sumCents, s.firstMs, s.lastMs)
+                s = SessionState(0L, 0L, Long.MaxValue, Long.MinValue)
+              }
               s = SessionState(s.n + 1, s.sumCents + cents,
                 math.min(s.firstMs, ms), math.max(s.lastMs, ms))
             }
             state.update(s)
-            // Close when the watermark passes the gap after the session's
-            // last event — replayable, unlike ProcessingTimeTimeout.
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
-            Iterator.empty
+            // The still-open tail closes when the watermark passes the
+            // gap after its last event — replayable, unlike
+            // ProcessingTimeTimeout. A late (within-watermark) event can
+            // put lastMs+gap behind the current watermark, which Spark
+            // rejects; clamp just past it (fires next batch).
+            state.setTimeoutTimestamp(
+              math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator
           }
       }
   }

@@ -66,7 +66,8 @@ class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // parquet — not re-shingle the raw documents table.
     for (df <- Seq(minhashIx, deconIx)) {
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ix"), "consumer must scan the index parquet")
+      assert(plan.contains(ixPath),
+        s"consumer must scan the index parquet at $ixPath")
       assert(!plan.contains("shingles("),
         "consumer must not re-run shingle extraction")
     }

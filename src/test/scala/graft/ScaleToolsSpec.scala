@@ -175,13 +175,24 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("timeout_sessions")
       .outputMode("append").start()
     try {
-      // User 1: two events 1 min apart (one session, 300 cents).
+      // User 1: two events 1 min apart (one session, 300 cents); user 2:
+      // two events 30 min apart IN THE SAME BATCH — a gap split, the
+      // first session closes immediately without waiting for a timeout.
       input.addData(
         (1L, base, 1L, "view", 1.0, "{}"),
-        (2L, base + m, 1L, "purchase", 2.0, "{}"))
+        (2L, base + m, 1L, "purchase", 2.0, "{}"),
+        (3L, base, 2L, "view", 5.0, "{}"),
+        (4L, base + 30 * m, 2L, "view", 7.0, "{}"))
       q.processAllAvailable()
-      assert(spark.table("timeout_sessions").count() == 0,
-        "session must stay open before the watermark passes its gap")
+      // Batch 1's max event (base+30m) puts the watermark at base+20m
+      // (10-min delay), and the follow-up no-data micro-batch fires
+      // timeouts against it: user 1's session (timeout base+6m) closes,
+      // user 2's first closed already via the in-batch gap split, and
+      // user 2's second (timeout base+35m) is still open.
+      val early = spark.table("timeout_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(early == Set((2L, 1L, 500L), (1L, 2L, 300L)),
+        s"unexpected early emissions: $early")
       // Far-future event pushes the watermark past last + gap; one more
       // batch applies it (watermark from batch N applies to batch N+1).
       input.addData((9L, base + 1000 * m, 9L, "view", 1.0, "{}"))
@@ -192,6 +203,8 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(out.contains((1L, 2L, 300L)),
         s"closed session for user 1 expected, got $out")
+      // User 2's second (post-gap) session closed via the timeout.
+      assert(out.contains((2L, 1L, 700L)), s"got $out")
       // User 9's session is still open (watermark never passes it).
       assert(!out.exists(_._1 == 9L))
     } finally q.stop()
