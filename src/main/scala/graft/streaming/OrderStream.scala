@@ -245,6 +245,68 @@ object OrderStream {
         OutputMode.Append())
   }
 
+  /** The gap-sessionizer on the transformWithState TIMER surface:
+    * per-key event-time timers (`registerTimer` on the handle,
+    * `handleExpiredTimer` when the watermark passes one) replace
+    * flatMapGroupsWithState's single timeout slot — a key can hold many
+    * timers, so this is the API a multi-deadline process (session close
+    * + SLA alerts + TTL sweeps at once) actually needs. Same semantics
+    * as [[timeoutSessions]] (spec asserts output parity).
+    */
+  class GapSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var s = if (st.exists()) st.get()
+        else SessionState(0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, cents) =>
+        val ms = t.getTime
+        if (s.n > 0 && ms - s.lastMs > gapMs) {
+          closed += SessionOut(uid, s.n, s.sumCents, s.firstMs, s.lastMs)
+          s = SessionState(0L, 0L, Long.MaxValue, Long.MinValue)
+        }
+        s = SessionState(s.n + 1, s.sumCents + cents,
+          math.min(s.firstMs, ms), math.max(s.lastMs, ms))
+      }
+      st.update(s)
+      // One live close-timer per key: re-arm at the new session end.
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(s.lastMs + gapMs, timers.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+    override def handleExpiredTimer(
+        uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(SessionOut(uid, s.n, s.sumCents, s.firstMs, s.lastMs))
+      } else Iterator.empty
+  }
+
+  def timeoutSessionsTws(
+      events: Dataset[org.apache.spark.sql.Row], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "event_time",
+        "CAST(round(value * 100, 0) AS LONG) AS cents")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new GapSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** A closed user session: emitted only once the event-time timeout
     * proves no more events can join it. */
   case class SessionOut(

@@ -210,6 +210,53 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState timer sessions match the flatMapGroupsWithState form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val m = 60L * 1000000000L
+      val base = 1704067200000L * 1000000L
+      val schema = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batch1 = Seq(
+        (1L, base, 1L, "view", 1.0, "{}"),
+        (2L, base + m, 1L, "purchase", 2.0, "{}"),
+        (3L, base, 2L, "view", 5.0, "{}"),
+        (4L, base + 30 * m, 2L, "view", 7.0, "{}"))
+      val flush1 = Seq((9L, base + 1000 * m, 9L, "view", 1.0, "{}"))
+      val flush2 = Seq((10L, base + 1001 * m, 9L, "view", 1.0, "{}"))
+      def run(name: String,
+          pipeline: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] =>
+            org.apache.spark.sql.Dataset[OrderStream.SessionOut]): Seq[String] = {
+        val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+        val src = input.toDF().toDF(schema: _*)
+          .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+          .withWatermark("event_time", "10 minutes")
+        val q = pipeline(src).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          for (b <- Seq(batch1, flush1, flush2)) {
+            input.addData(b: _*); q.processAllAvailable()
+          }
+          spark.table(name).collect().map(_.toString).sorted.toSeq
+        } finally q.stop()
+      }
+      val tws = run("gap_sessions_tws",
+        df => OrderStream.timeoutSessionsTws(df, gapMs = 5 * 60 * 1000))
+      val fmgws = run("gap_sessions_fmgws",
+        df => OrderStream.timeoutSessions(df, gapMs = 5 * 60 * 1000))
+      assert(tws == fmgws && tws.size >= 3, s"tws=$tws fmgws=$fmgws")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("Observation metrics account a pass with no second scan") {
     import org.apache.spark.sql.Observation
     // Data-quality accounting piggybacked on the pass itself — at 100 TB
