@@ -59,6 +59,24 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == expected)
   }
 
+  test("compaction write: maxRecordsPerFile bounds output files, data intact") {
+    // The small-files discipline of a 100 TB pipeline: one task writes
+    // bounded-size files instead of one giant (or thousands of tiny)
+    // parquet parts — reader parallelism is then controlled by file
+    // layout, not by the writing job's partitioning.
+    val sf = "/root/testdata/sf0.001"
+    val out = new java.io.File(warehouse, "compacted-events").getAbsolutePath
+    val events = Tables.events(spark, sf)
+    val n = events.count()
+    events.coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 300).parquet(out)
+    val parts = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val expected = math.ceil(n / 300.0).toInt
+    assert(parts == expected, s"$n rows at 300/file should yield $expected parts, got $parts")
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("partitioned write enables partition pruning on read") {
     val sf = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft-part").toFile.getAbsolutePath
