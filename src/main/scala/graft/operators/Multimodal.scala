@@ -110,11 +110,37 @@ object Multimodal {
         size(col("sampled")).as("n_sampled"),
         md5(concat_ws("", col("sampled"))).as("sample_digest"))
 
+  /** Integrity audit: declared metadata vs actual payload bytes — the
+    * truncated/corrupt-upload gate every binary ingest runs before
+    * spending decode time. Pure per-row projection + one aggregate;
+    * at scale this is a free rider on the ingest scan. (On this corpus
+    * payloads are UTF-8 text, so byte length equals declared n_chars
+    * exactly when the text is ASCII — the check also certifies that.) */
+  def mediaIntegrity(spark: SparkSession, dir: String): DataFrame =
+    asMediaTable(spark, dir)
+      .select(col("media_type"),
+        (length(col("payload")) === col("declared_bytes")).as("size_ok"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("size_ok"), 1L).otherwise(0L)).as("n_size_ok"),
+        sum(when(!col("size_ok"), 1L).otherwise(0L)).as("n_mismatched"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
+    "q_media_integrity" -> mediaIntegrity,
     "q_frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
+    "q_media_integrity" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       count(*) AS n_media,
+        |       CAST(sum(CASE WHEN octet_length(encode(text)) = n_chars
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_size_ok,
+        |       CAST(sum(CASE WHEN octet_length(encode(text)) = n_chars
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatched
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, text AS txt
