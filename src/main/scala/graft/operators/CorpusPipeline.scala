@@ -40,10 +40,51 @@ object CorpusPipeline {
         max("doc_id").as("max_doc_id"))
   }
 
+  /** Corpus data card: the one-table release summary accompanying a
+    * training dataset (docs, languages, sources, token volume, exact-dup
+    * and near-dup rates) — every value an exact integer so the card is
+    * bit-reproducible. Each metric is an independent aggregate; Spark
+    * runs them as parallel jobs over the shared scans and the union is
+    * driver-free. */
+  def corpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = split(lower(col("text")), "\\s+")
+    def metric(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      docs.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
+    val base = Seq(
+      metric("n_docs", count(lit(1))),
+      metric("n_langs", countDistinct(col("lang"))),
+      metric("n_sources", countDistinct(col("source"))),
+      metric("total_chars", sum(col("n_chars").cast("long"))),
+      metric("total_ws_tokens", sum(size(toks).cast("long"))),
+      metric("exact_dup_docs",
+        count(lit(1)) - countDistinct(
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))))
+    val nearDups = Dedup.dedupMinhash(spark, dir)
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("near_dup_pairs").as("metric"), col("value"))
+    (base :+ nearDups).reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_corpus_pipeline" -> preprocess)
+    "q_corpus_pipeline" -> preprocess,
+    "q_corpus_datacard" -> corpusDatacard)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_datacard" ->
+      s"""SELECT 'n_docs' AS metric, count(*) AS value FROM documents
+         |UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
+         |UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM documents
+         |UNION ALL SELECT 'total_chars', CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) FROM documents
+         |UNION ALL SELECT 'total_ws_tokens',
+         |  CAST(sum(CAST(length(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)) AS BIGINT)
+         |  FROM documents
+         |UNION ALL SELECT 'exact_dup_docs',
+         |  count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+         |  FROM documents
+         |UNION ALL SELECT 'near_dup_pairs',
+         |  (SELECT count(*) FROM (${Dedup.jaccardPairsSql}) jp WHERE jaccard >= 0.8)"""
+        .stripMargin,
     "q_corpus_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id, source,
