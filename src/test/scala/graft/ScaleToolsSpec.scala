@@ -313,7 +313,7 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.functions.AvroOrder.register(spark)
     val gen = for {
       id <- Gen.stringOf(Gen.asciiPrintableChar)
-      product <- Gen.oneOf(Gen.alphaNumStr, Gen.stringOf(Gen.choose(' ', '퟿')))
+      product <- Gen.oneOf(Gen.alphaNumStr, Gen.stringOf(Gen.choose('\u0000', '\ud7ff')))
       price <- Gen.oneOf(Gen.chooseNum(-1e30f, 1e30f), Gen.oneOf(
         0.0f, -0.0f, Float.MinPositiveValue, Float.MaxValue,
         Float.PositiveInfinity, Float.NegativeInfinity))
