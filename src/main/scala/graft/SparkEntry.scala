@@ -31,7 +31,8 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracles),
       (Analytics.queries, Analytics.oracles),
       (Profiling.queries, Profiling.oracles),
-      (CorpusPipeline.queries, CorpusPipeline.oracles))
+      (CorpusPipeline.queries, CorpusPipeline.oracles),
+      (CorpusClean.queries, CorpusClean.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

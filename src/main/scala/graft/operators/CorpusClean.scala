@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-cleaning operators for LLM-training-data pipelines: exact
+  * duplicated-span detection/removal (the "dedup at the substring
+  * level" pass that doc-level dedup misses — boilerplate, quoted
+  * passages, template text shared across otherwise-distinct documents)
+  * and PII redaction.
+  *
+  * Scale design: span detection is one codegen'd positional-shingle
+  * projection (`shingles_all`, zero shuffles) followed by ONE shuffle
+  * on the shingle string for the corpus-wide occurrence count; removal
+  * is a semi/anti join keyed by (doc_id, position) — never any n² pair
+  * enumeration. At a real 100 TB run the shingle column would be
+  * xxhash64-masked before the shuffle (64-bit keys instead of strings,
+  * as the MinHash path in [[Dedup]] does); kept as strings here so the
+  * DuckDB oracle replays the count exactly. PII redaction is a pure
+  * per-row projection (precompiled regexes inside whole-stage codegen),
+  * zero shuffles.
+  */
+object CorpusClean {
+
+  /** Span length in words. Substring-level dedup conventionally uses
+    * ~50 BPE tokens; 8 words is scaled to this corpus' short synthetic
+    * docs while exercising the identical machinery. */
+  val SpanWords = 8
+
+  /** (doc_id, pos, sh) — every word 8-gram occurrence in the corpus,
+    * positional and non-distinct, via the codegen'd `shingles_all`. */
+  private def spanOccurrences(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShinglesAll.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(s"shingles_all(text, $SpanWords)")).as(Seq("pos", "sh")))
+  }
+
+  /** Spans occurring ≥2 times corpus-wide (counting same-doc repeats —
+    * a doc that repeats its own boilerplate is still boilerplate). */
+  private def dupSpanKeys(occ: DataFrame): DataFrame =
+    occ.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("sh")
+
+  /** Per-document duplicated-span statistics: how much of each doc is
+    * corpus-duplicated 8-gram text. The per-doc `dup_frac` is the
+    * standard filter signal (drop or down-weight docs dominated by
+    * duplicated spans). */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val occ = spanOccurrences(spark, dir)
+    val perDoc = occ.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
+    val dupPerDoc = occ.join(dupSpanKeys(occ), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        (coalesce(col("n_dup_pos"), lit(0L)).cast("double") / col("n_pos"))
+          .as("dup_frac"))
+  }
+
+  /** Exact duplicated-span REMOVAL: reconstruct each document with
+    * every word position covered by a corpus-duplicated 8-gram dropped
+    * (the span-level analogue of exact doc dedup; overlapping dup
+    * spans merge naturally because coverage is a distinct position
+    * set). Output is the cleaned text plus audit counts.
+    *
+    * Shape at scale: coverage = dup-occurrence rows exploded ×8 then
+    * distinct (one shuffle on (doc_id, position)); reconstruction is a
+    * per-doc sort of kept positions inside one aggregation — no
+    * full-text re-shuffle of the corpus beyond the final groupBy
+    * doc_id.
+    */
+  def stripSpans(spark: SparkSession, dir: String): DataFrame = {
+    val occ = spanOccurrences(spark, dir)
+    val covered = occ.join(dupSpanKeys(occ), Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanWords - 1))).as("cov"))
+      .distinct()
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+    val kept = words.join(covered,
+      words("doc_id") === covered("doc_id") && words("pos") === covered("cov"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+        " ").as("clean_text"))
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_words"))
+    sizes.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  // ---------------------------------------------------------------- PII
+
+  /** Redaction patterns (the RE2 ∩ java.util.regex dialect, so the
+    * DuckDB oracle applies the identical strings). */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Synthetic contact record per customer — the tables carry no real
+    * PII (synthetic TPC-H-ish data), so the operator's input is built
+    * deterministically from customer fields; the redactor itself is
+    * exactly what would run over real text. */
+  private def contactText: Column = concat_ws("",
+    col("c_name"), lit(" <"),
+    regexp_replace(lower(col("c_name")), lit("#"), lit(".")),
+    lit("@example.com> tel ("),
+    (col("c_custkey") % 900 + 100), lit(") "),
+    (col("c_custkey") * 7 % 900 + 100), lit("-"),
+    (col("c_custkey") * 13 % 9000 + 1000),
+    lit(" ip 10."),
+    (col("c_nationkey") % 256), lit("."),
+    (col("c_custkey") % 256), lit("."),
+    (col("c_custkey") * 7 % 256))
+
+  /** PII redaction: mask emails, phone numbers and IPv4 addresses with
+    * typed placeholders, and count what was masked (the audit trail a
+    * release pipeline keeps per shard). Pure narrow projection — the
+    * three regexes are precompiled once per codegen instance and the
+    * whole operator lives inside one whole-stage-codegen span. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val raw = contactText
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, lit(EmailPat), lit("<EMAIL>")),
+          lit(PhonePat), lit("<PHONE>")),
+        lit(Ipv4Pat), lit("<IP>")).as("redacted"),
+      regexp_count(raw, lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(raw, lit(PhonePat)).cast("long").as("n_phones"),
+      regexp_count(raw, lit(Ipv4Pat)).cast("long").as("n_ips"))
+  }
+
+  // ------------------------------------------------------------ driver
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans" -> ((s, d) => dupSpans(s, d)),
+    "q_strip_spans" -> ((s, d) => stripSpans(s, d)),
+    "q_pii_redact" -> ((s, d) => piiRedact(s, d)))
+
+  /** Shared oracle CTE: positional 8-gram occurrences, replaying
+    * `shingles_all` (w[i:i+7] is DuckDB's inclusive 1-based slice). */
+  private val occSql =
+    """t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |      FROM documents),
+      |occ AS (SELECT doc_id, i - 1 AS pos,
+      |               list_aggregate(w[i:i+7], 'string_agg', ' ') AS sh
+      |        FROM t, unnest(range(1, len(w) - 6)) AS u(i))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dup_spans" ->
+      s"""WITH $occSql,
+         |counted AS (SELECT doc_id, pos,
+         |                   count(*) OVER (PARTITION BY sh) AS cnt
+         |            FROM occ)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+         |       CAST(count(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_dup_pos,
+         |       CAST(count(*) FILTER (WHERE cnt >= 2) AS DOUBLE) / count(*)
+         |         AS dup_frac
+         |FROM counted GROUP BY 1""".stripMargin,
+    "q_strip_spans" ->
+      s"""WITH $occSql,
+         |dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT o.doc_id, o.pos + k.k AS cov
+         |        FROM occ o JOIN dup USING (sh), unnest(range(0, 8)) AS k(k)),
+         |words AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+         |          FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+         |kept AS (SELECT wd.doc_id, wd.pos, wd.word FROM words wd
+         |         ANTI JOIN cov c ON wd.doc_id = c.doc_id AND wd.pos = c.cov),
+         |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+         |                   string_agg(word, ' ' ORDER BY pos) AS clean_text
+         |            FROM kept GROUP BY 1),
+         |sizes AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM t)
+         |SELECT s.doc_id, s.n_words,
+         |       s.n_words - coalesce(r.n_kept, 0) AS n_removed,
+         |       coalesce(r.clean_text, '') AS clean_text
+         |FROM sizes s LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH raw AS (
+         |  SELECT c_custkey,
+         |         c_name || ' <' || replace(lower(c_name), '#', '.')
+         |           || '@example.com> tel ('
+         |           || CAST(c_custkey % 900 + 100 AS VARCHAR) || ') '
+         |           || CAST(c_custkey * 7 % 900 + 100 AS VARCHAR) || '-'
+         |           || CAST(c_custkey * 13 % 9000 + 1000 AS VARCHAR)
+         |           || ' ip 10.' || CAST(c_nationkey % 256 AS VARCHAR)
+         |           || '.' || CAST(c_custkey % 256 AS VARCHAR)
+         |           || '.' || CAST(c_custkey * 7 % 256 AS VARCHAR) AS txt
+         |  FROM customer)
+         |SELECT c_custkey,
+         |       regexp_replace(regexp_replace(regexp_replace(txt,
+         |         '$EmailPat', '<EMAIL>', 'g'),
+         |         '$PhonePat', '<PHONE>', 'g'),
+         |         '$Ipv4Pat', '<IP>', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(txt, '$EmailPat')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(txt, '$PhonePat')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(txt, '$Ipv4Pat')) AS BIGINT) AS n_ips
+         |FROM raw""".stripMargin)
+}
