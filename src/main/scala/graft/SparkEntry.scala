@@ -32,7 +32,8 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracles),
       (Profiling.queries, Profiling.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
-      (CorpusClean.queries, CorpusClean.oracles))
+      (CorpusClean.queries, CorpusClean.oracles),
+      (ZOrder.queries, ZOrder.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

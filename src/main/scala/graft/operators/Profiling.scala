@@ -88,13 +88,61 @@ object Profiling {
           col("exact_distinct") * 0.05 + lit(16)).as("estimate_in_bounds"))
   }
 
+  /** Count-min-sketch frequency estimates for the top-20 users by
+    * exact count: ONE 4×256 mergeable sketch of the whole event stream
+    * (see functions.CountMinSketch — associative merges, deterministic
+    * md5 buckets), then per-key estimates read out of the broadcast
+    * sketch row. `overcount = est - exact` is ≥ 0 by the CMS
+    * never-undercount property and, because the hashes are fixed, is
+    * exactly reproducible — the oracle replays the bucket sums in SQL
+    * and hash-checks the estimates, a stronger statement than the
+    * usual ≤ εN bounds check. */
+  def cmsUserCounts(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val cms = udaf(graft.functions.CountMinSketch.aggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val sketch = ev.agg(cms(col("user_id").cast("string")).as("sketch"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+    val est = (0 until depth).map { d =>
+      element_at(col("sketch"),
+        (expr(s"CAST(conv(substr(md5(concat_ws(':', user_id, $d)), 1, 8), 16, 10) AS BIGINT)")
+          % width + d * width + 1).cast("int"))
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact_cnt"), est.as("est_cnt"),
+        (est - col("exact_cnt")).as("overcount"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_doclen_histogram" -> docLengthHistogram,
-    "q_data_profile" -> customerProfile)
+    "q_data_profile" -> customerProfile,
+    "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // Replay the sketch arithmetic: per-(d, bucket) mass = sum of the
+    // exact counts of every key hashing there; est = min over rows.
+    "q_cms_user_counts" ->
+      """WITH cnt AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, exact_cnt, d.d,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+        |               CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+        |  FROM cnt, (SELECT unnest([0, 1, 2, 3]) AS d) d),
+        |bs AS (SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS s
+        |       FROM b GROUP BY 1, 2),
+        |est AS (SELECT b.user_id, min(bs.s) AS est_cnt
+        |        FROM b JOIN bs ON b.d = bs.d AND b.bucket = bs.bucket
+        |        GROUP BY 1),
+        |top AS (SELECT user_id, exact_cnt FROM cnt
+        |        ORDER BY exact_cnt DESC, user_id LIMIT 20)
+        |SELECT t.user_id, t.exact_cnt, e.est_cnt,
+        |       e.est_cnt - t.exact_cnt AS overcount
+        |FROM top t JOIN est e USING (user_id)""".stripMargin,
     "q_distinct_mergeable" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds

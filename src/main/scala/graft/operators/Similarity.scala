@@ -306,13 +306,42 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
+  /** SemDeDup-style semantic dedup: cluster the corpus coarsely, then
+    * drop vectors that have a more-senior (lower-id) in-cell neighbour
+    * with cosine ≥ τ. Cells here are the `label` column — the same
+    * kmeans-cell stand-in [[ivfCentroids]] documents — so pair
+    * enumeration is bounded to Σ|cell|² ≈ n²/k, not n²: the whole point
+    * of SemDeDup at 100 TB is that the quadratic step happens only
+    * inside cells (and AQE's skew-join handling covers fat cells).
+    * Output is a per-vector keep/drop verdict (always n rows) plus the
+    * dominating keeper id for audit. The join condition carries only
+    * the cheap label/id comparisons; the cosine is computed once
+    * post-join behind [[OptimizerBarrier]] (same BNLJ-condition lesson
+    * as [[embeddingNearDup]]).
+    */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dominated = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("senior"),
+        OptimizerBarrier(
+          round(cosine(col("a.embedding"), col("b.embedding")), 6)).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .groupBy("vec_id").agg(min("senior").as("dominator"))
+    e.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("cell"),
+        col("dominator").isNull.as("kept"),
+        coalesce(col("dominator"), col("vec_id")).as("keeper"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
-    "q_hard_negatives" -> hardNegatives)
+    "q_hard_negatives" -> hardNegatives,
+    "q_semdedup" -> ((s, d) => semDedup(s, d)))
 
   /** Cosine between two array operands in DuckDB SQL, same fold order as
     * the Spark `cosine` above (sequential list_sum, divide by each norm
@@ -415,6 +444,17 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
          |WHERE r <= 5""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH dom AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dominator
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round($cosineSql, 6) >= 0.45
+         |  GROUP BY 1)
+         |SELECT e.vec_id, e.label AS cell,
+         |       dom.dominator IS NULL AS kept,
+         |       coalesce(dom.dominator, e.vec_id) AS keeper
+         |FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.vec_id""".stripMargin,
     "q_ann_topk" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

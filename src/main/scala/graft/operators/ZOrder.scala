@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Z-order (Morton) clustering for multi-dimensional data skipping.
+  *
+  * A table laid out by one sort key skips files only for predicates on
+  * that key; interleaving the bits of two keys into one sort value
+  * gives every file a tight bounding box in BOTH dimensions, so
+  * min/max footer stats prune box predicates on either or both —
+  * the standard layout trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) for
+  * 100 TB scans that filter on multiple columns.
+  *
+  * The z-value is a pure bitwise projection (codegen'd shifts/masks,
+  * zero shuffles to compute); clustering by it costs one range
+  * repartition + in-partition sort at write time — exactly the
+  * existing compaction-write shape. `ZOrderSpec` writes the same table
+  * in orderkey-order vs z-order and asserts the z layout's per-file
+  * (partkey, suppkey) bounding boxes overlap a box predicate in far
+  * fewer files.
+  */
+object ZOrder {
+
+  val Bits = 16
+
+  /** Interleave the low 16 bits of x (even positions) and y (odd
+    * positions) into a 32-bit Morton code (computed in long to keep
+    * bit 31 unsigned). */
+  def zValue(x: Column, y: Column): Column =
+    (0 until Bits).map { k =>
+      shiftleft(shiftright(x.cast("long"), k).bitwiseAND(1), 2 * k)
+        .bitwiseOR(
+          shiftleft(shiftright(y.cast("long"), k).bitwiseAND(1), 2 * k + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave as DuckDB SQL text. */
+  def zSql(x: String, y: String): String =
+    (0 until Bits).map { k =>
+      s"((($x >> $k) & 1) << ${2 * k}) | ((($y >> $k) & 1) << ${2 * k + 1})"
+    }.mkString("(", " | ", ")")
+
+  /** Per-bucket bounding boxes of the z-ordered lineitem: consecutive
+    * z-ranges (the file granularity of a clustered write) and the
+    * (partkey, suppkey) extents each would carry in its footer stats —
+    * the locality the skipping relies on, as a hash-checkable query. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        shiftright(zValue(col("l_partkey"), col("l_suppkey")), 16)
+          .as("z_bucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("partkey_lo"), max("l_partkey").as("partkey_hi"),
+        min("l_suppkey").as("suppkey_lo"), max("l_suppkey").as("suppkey_hi"))
+
+  /** Write `df` z-clustered by (x, y): range-partition on the Morton
+    * code, sort within partitions, bound file size — each output file
+    * covers a contiguous z-range. Returns the re-read table. */
+  def writeZOrdered(df: DataFrame, x: String, y: String, out: String,
+      files: Int = 30): DataFrame = {
+    val rowsPerFile = math.max(1L, df.count() / files)
+    df.withColumn("z", zValue(col(x), col(y)))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(out)
+    df.sparkSession.read.parquet(out)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_cluster" -> ((s, d) => clusterStats(s, d)))
+
+  private val zExpr =
+    zSql("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")
+
+  val oracles: Map[String, String] = Map(
+    "q_zorder_cluster" ->
+      s"""SELECT $zExpr >> 16 AS z_bucket,
+         |       count(*) AS n_rows,
+         |       min(l_partkey) AS partkey_lo, max(l_partkey) AS partkey_hi,
+         |       min(l_suppkey) AS suppkey_lo, max(l_suppkey) AS suppkey_hi
+         |FROM lineitem GROUP BY 1""".stripMargin)
+}
