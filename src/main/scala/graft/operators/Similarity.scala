@@ -334,7 +334,42 @@ object Similarity {
         coalesce(col("dominator"), col("vec_id")).as("keeper"))
   }
 
+  /** Johnson-Lindenstrauss dims and the deterministic ±1 sign for
+    * (output dim j, input dim k) — parity of the same md5-derived
+    * 48-bit hash the LSH hyperplanes use, so both engines derive the
+    * identical matrix independently. */
+  val JlDims = 16
+  private[graft] def jlSign(j: Int, k: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl_${j}_$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Random-projection (JL) dimensionality reduction 64 → 16 with a
+    * deterministic ±1 sign matrix: the cheap pre-filter for ANN at
+    * 100 TB — score candidates on 4× smaller vectors, exact-verify the
+    * survivors in full dimension (cosines are scale-invariant, so the
+    * customary 1/√d scaling is omitted). Each component is one
+    * codegen'd `DotConst` fold (bit-identical to the oracle's ordered
+    * list_sum); emitted in long (vec_id, j, value) form — scalar
+    * digests, no float-array columns in the compare surface.
+    * PipelineOpsSpec checks the point of the operator: projected-space
+    * cosines track full-space cosines within JL distortion.
+    */
+  def jlProject(spark: SparkSession, dir: String): DataFrame = {
+    val comps = (0 until JlDims).map { j =>
+      struct(lit(j).as("j"),
+        round(graft.functions.DotConst(
+          col("embedding"), (0 until 64).map(k => jlSign(j, k))), 6).as("v"))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.j").as("j"), col("c.v").as("proj_r6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jl_project" -> jlProject,
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
@@ -444,6 +479,17 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
          |WHERE r <= 5""".stripMargin,
+    // Same md5-parity sign matrix, re-derived in SQL; k-1 maps DuckDB's
+    // 1-based list index onto the Scala matrix's 0-based input dim.
+    "q_jl_project" ->
+      """SELECT e.vec_id, CAST(j.j AS INT) AS j,
+        |       round(list_sum(list_transform(range(1, 65), k ->
+        |         CAST(e.embedding[k] AS DOUBLE) *
+        |         (CASE WHEN CAST(('0x' || substr(md5('jl_' ||
+        |                  CAST(j.j AS VARCHAR) || '_' ||
+        |                  CAST(k - 1 AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END))), 6) AS proj_r6
+        |FROM embeddings e, range(0, 16) j(j)""".stripMargin,
     "q_semdedup" ->
       s"""WITH dom AS (
          |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dominator

