@@ -58,7 +58,16 @@ object Bench {
     "q_leakage_safe_split",
     "q_token_counts",
     "q_corpus_pipeline",
-    "q_media_features")
+    "q_media_features",
+    "q_dup_spans",
+    "q_strip_spans",
+    "q_pii_redact",
+    "q_semdedup",
+    "q_cms_user_counts",
+    "q_zorder_cluster",
+    "q_jl_project",
+    "q_incremental_dedup",
+    "q_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -238,6 +238,26 @@ object Analytics {
         sum("value_cents").as("total_cents"))
   }
 
+  /** ORC sink→source round-trip over the order lines: columnar-to-
+    * columnar interchange (ORC ships in Spark's default distribution —
+    * the other lake format next to parquet), exact integer cents, with
+    * a predicate on the re-read side so the scan exercises ORC's
+    * predicate pushdown path too. The oracle aggregates the original
+    * parquet — hash equality proves losslessness. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("orc", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"),
+        col("l_quantity"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_quantity") >= 25)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("price_cents").as("total_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
@@ -249,7 +269,8 @@ object Analytics {
     "q_latest_events" -> latestEvents,
     "q_scd2_ranges" -> scd2Ranges,
     "q_csv_roundtrip" -> csvRoundtrip,
-    "q_json_roundtrip" -> jsonRoundtrip)
+    "q_json_roundtrip" -> jsonRoundtrip,
+    "q_orc_roundtrip" -> orcRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q_latest_events" ->
@@ -342,6 +363,12 @@ object Analytics {
         |SELECT bigram, df, CAST(rk AS INT) AS rk
         |FROM (SELECT *, row_number() OVER (ORDER BY df DESC, bigram) AS rk FROM c)
         |WHERE rk <= 20""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM lineitem WHERE l_quantity >= 25 GROUP BY 1""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_customers,

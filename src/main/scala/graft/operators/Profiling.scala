@@ -107,7 +107,7 @@ object Profiling {
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
     val est = (0 until depth).map { d =>
       element_at(col("sketch"),
-        (expr(s"CAST(conv(substr(md5(concat_ws(':', user_id, $d)), 1, 8), 16, 10) AS BIGINT)")
+        (expr(s"CAST(conv(substr(md5(CAST(user_id AS STRING)), ${1 + 8 * d}, 8), 16, 10) AS BIGINT)")
           % width + d * width + 1).cast("int"))
     }.reduce(least(_, _))
     top.crossJoin(broadcast(sketch))
@@ -130,8 +130,8 @@ object Profiling {
         |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
         |b AS (
         |  SELECT user_id, exact_cnt, d.d,
-        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
-        |               CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |               1 + 8 * d.d, 8)) AS BIGINT) % 256 AS bucket
         |  FROM cnt, (SELECT unnest([0, 1, 2, 3]) AS d) d),
         |bs AS (SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS s
         |       FROM b GROUP BY 1, 2),
