@@ -67,7 +67,9 @@ object Bench {
     "q_zorder_cluster",
     "q_jl_project",
     "q_incremental_dedup",
-    "q_orc_roundtrip")
+    "q_orc_roundtrip",
+    "q_hopping_stats",
+    "q_anomalous_events")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

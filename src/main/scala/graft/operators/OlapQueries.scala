@@ -682,7 +682,34 @@ object OlapQueries {
         (sum("rev_e4").cast("double") / 10000.0).as("revenue"))
   }
 
+  /** Exact 2-sigma anomaly gate over event values, per event type —
+    * outlier iff (x − mean)² > 4·σ², evaluated WITHOUT any float mean
+    * or sqrt: multiplying through by n² gives
+    * `(n·x − S)² > 4·(n·Q − S²)` with S = Σx, Q = Σx² in integer
+    * cents, computed in DECIMAL(38,0) (HUGEINT in the oracle) so the
+    * 10²⁰-magnitude squares can't overflow int64. Two exact integer
+    * aggregates + a broadcast of the 5-row stats table — the shape that
+    * holds at any scale, and bit-reproducible across engines where a
+    * float mean/stddev pipeline would drift. */
+  def anomalousEvents(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val ev = Tables.events(spark, dir)
+      .filter(col("value") > 0 && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), cents.as("x"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("s"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dev = dec(col("n")) * dec(col("x")) - dec(col("s"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev >
+        dec(lit(4)) * (dec(col("n")) * col("q") - dec(col("s")) * dec(col("s"))))
+      .select(col("event_id"), col("event_type"), col("x").as("value_cents"),
+        (dev > 0).as("is_high"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomalous_events" -> anomalousEvents,
     "q_top_acctbal_per_nation" -> topAcctbalPerNation,
     "q_promo_revenue_share" -> promoRevenueShare,
     "q_brand_size_revenue" -> brandSizeRevenue,
@@ -725,6 +752,22 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    // Same n²-scaled inequality in HUGEINT — no float mean, no sqrt.
+    "q_anomalous_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events WHERE value > 0 AND event_type IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS s,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, x AS value_cents,
+        |       (CAST(n AS HUGEINT) * x - s) > 0 AS is_high
+        |FROM e JOIN st USING (event_type)
+        |WHERE (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s) >
+        |      4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)""".stripMargin,
     "q_dominant_suppliers" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

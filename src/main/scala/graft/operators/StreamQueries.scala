@@ -70,10 +70,34 @@ object StreamQueries {
     OrderStream.windowedStats(
       OrderStream.asOrders(Tables.events(spark, dir)))
 
+  /** Hopping (sliding) windows — 1-hour length, 30-minute slide, so
+    * every event lands in exactly length/slide = 2 windows. The
+    * overlapping-window shape smooths windowed metrics without waiting
+    * a full window for freshness; on a watermarked stream the identical
+    * `window(col, len, slide)` call runs incrementally with state
+    * bounded by the watermark. The oracle replays the fan-out as an
+    * explicit 2-row unnest per event. */
+  def hoppingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value") > 0 && col("event_type").isNotNull &&
+        col("event_type") =!= "error")
+      .select(
+        window(timestamp_millis(expr("ts div 1000000")),
+          "1 hour", "30 minutes").as("w"),
+        col("event_type"), col("value"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_s"),
+        col("event_type").as("product"),
+        col("order_count"), col("sum_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_roundtrip" -> avroRoundtrip,
     "q_avro_evolution" -> avroEvolution,
-    "q_windowed_stats" -> windowedStats)
+    "q_windowed_stats" -> windowedStats,
+    "q_hopping_stats" -> hoppingStats)
 
   val oracles: Map[String, String] = Map(
     "q_avro_roundtrip" ->
@@ -90,6 +114,20 @@ object StreamQueries {
         |       count(*) AS order_count,
         |       CAST(sum(CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_hopping_stats" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type, value
+        |  FROM events
+        |  WHERE value > 0 AND event_type IS NOT NULL AND event_type <> 'error'),
+        |h AS (
+        |  SELECT (tsec // 1800 - k.k) * 1800 AS window_start_s,
+        |         event_type, value
+        |  FROM e, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT window_start_s, event_type AS product,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM h GROUP BY 1, 2""".stripMargin,
     "q_windowed_stats" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
         |       event_type AS product,
