@@ -69,7 +69,9 @@ object Bench {
     "q_incremental_dedup",
     "q_orc_roundtrip",
     "q_hopping_stats",
-    "q_anomalous_events")
+    "q_anomalous_events",
+    "q_pagerank_trade",
+    "q_schema_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

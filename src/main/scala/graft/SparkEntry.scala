@@ -33,7 +33,8 @@ object SparkEntry {
       (Profiling.queries, Profiling.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (CorpusClean.queries, CorpusClean.oracles),
-      (ZOrder.queries, ZOrder.oracles))
+      (ZOrder.queries, ZOrder.oracles),
+      (GraphOps.queries, GraphOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

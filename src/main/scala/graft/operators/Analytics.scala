@@ -258,6 +258,31 @@ object Analytics {
         sum("price_cents").as("total_cents"))
   }
 
+  /** Schema-drift ingestion: two parquet batches written with DIFFERENT
+    * schemas (the second adds `price_cents`), read back as ONE table
+    * with `mergeSchema` — the additive-evolution path a long-lived
+    * corpus directory takes (old shards never rewritten; missing
+    * columns surface as NULLs). The oracle reproduces the union from
+    * the original table, proving the merged read loses nothing. */
+  def schemaMergeRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("schemamerge", dir)
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("price_cents")).as("n_priced"),
+        sum(coalesce(col("price_cents"), lit(0L))).as("total_cents"))
+      .select(col("batch").cast("int").as("batch"), col("n_orders"),
+        col("n_priced"), col("total_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
@@ -270,7 +295,8 @@ object Analytics {
     "q_scd2_ranges" -> scd2Ranges,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip,
-    "q_orc_roundtrip" -> orcRoundtrip)
+    "q_orc_roundtrip" -> orcRoundtrip,
+    "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
     "q_latest_events" ->
@@ -363,6 +389,15 @@ object Analytics {
         |SELECT bigram, df, CAST(rk AS INT) AS rk
         |FROM (SELECT *, row_number() OVER (ORDER BY df DESC, bigram) AS rk FROM c)
         |WHERE rk <= 20""".stripMargin,
+    "q_schema_merge" ->
+      """SELECT CAST(1 + o_orderkey % 2 AS INT) AS batch,
+        |       count(*) AS n_orders,
+        |       CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+        |         AS n_priced,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |                THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                ELSE 0 END) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag,
         |       count(*) AS n_lines,
