@@ -30,28 +30,19 @@ object CountMinSketch {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** Row d's bucket = hex window [8d, 8d+8) of ONE md5(key), i.e. bytes
-    * [4d, 4d+4) as an unsigned 32-bit int, mod width — the standard
-    * derive-d-hashes-from-one-digest trick, and exactly what the SQL
-    * side reads with `substr(md5(key), 1 + 8*d, 8)`. One thread-local
-    * digest per input row, no hex-string round-trip (the naive
-    * per-(row, d) digest + format was 13× slower in the bench). depth
-    * ≤ 4 fits md5's 16 bytes. */
-  def bucket(key: String, d: Int, width: Int): Int = {
-    val md = localMd5.get()
-    md.reset()
-    val b = md.digest(key.getBytes("UTF-8"))
-    val v = ((b(4 * d) & 0xFFL) << 24) | ((b(4 * d + 1) & 0xFFL) << 16) |
-      ((b(4 * d + 2) & 0xFFL) << 8) | (b(4 * d + 3) & 0xFFL)
-    (v % width).toInt
-  }
-
   def aggregator(depth: Int, width: Int): Aggregator[String, Array[Long], Seq[Long]] =
     new Aggregator[String, Array[Long], Seq[Long]] {
       require(depth <= 4, "md5 provides at most 4 independent 32-bit windows")
 
       override def zero: Array[Long] = new Array[Long](depth * width)
 
+      /** Row d's bucket = hex window [8d, 8d+8) of ONE md5(key), i.e.
+        * bytes [4d, 4d+4) as an unsigned 32-bit int, mod width — the
+        * standard derive-d-hashes-from-one-digest trick, and exactly
+        * what the SQL side reads with `substr(md5(key), 1 + 8*d, 8)`.
+        * One thread-local digest per input row, no hex-string
+        * round-trip (the naive per-(row, d) digest + format was 13×
+        * slower in the bench). */
       override def reduce(b: Array[Long], key: String): Array[Long] = {
         if (key != null) {
           val md = localMd5.get()

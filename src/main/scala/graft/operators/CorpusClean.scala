@@ -11,16 +11,18 @@ import graft.Tables
   * passages, template text shared across otherwise-distinct documents)
   * and PII redaction.
   *
-  * Scale design: span detection is one codegen'd positional-shingle
-  * projection (`shingles_all`, zero shuffles) followed by ONE shuffle
-  * on the shingle string for the corpus-wide occurrence count; removal
-  * is a semi/anti join keyed by (doc_id, position) — never any n² pair
-  * enumeration. At a real 100 TB run the shingle column would be
-  * xxhash64-masked before the shuffle (64-bit keys instead of strings,
-  * as the MinHash path in [[Dedup]] does); kept as strings here so the
-  * DuckDB oracle replays the count exactly. PII redaction is a pure
-  * per-row projection (precompiled regexes inside whole-stage codegen),
-  * zero shuffles.
+  * Scale design: span extraction is a codegen'd positional-shingle
+  * projection (`shingles_all`, shuffle-free); the corpus-wide
+  * occurrence count is one shuffle on the shingle; removal is a
+  * semi/anti join keyed by (doc_id, position) — never any n² pair
+  * enumeration. The plans here re-derive the occurrence projection per
+  * branch (each re-derivation is a columnar text scan + codegen pass);
+  * a 100 TB run materializes the span index once and feeds every
+  * consumer from it — exactly [[Dedup.persistedShingleIndex]]'s shape
+  * — and xxhash64-masks the shingle before the shuffle (64-bit keys
+  * instead of strings; strings kept here so the DuckDB oracle replays
+  * the count exactly). PII redaction is a pure per-row projection
+  * (precompiled regexes inside whole-stage codegen), zero shuffles.
   */
 object CorpusClean {
 

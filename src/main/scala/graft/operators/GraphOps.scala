@@ -57,9 +57,15 @@ object GraphOps {
       .select(col("n_nationkey").as("node"))
     var mass = nodes.withColumn("mass", lit(TotalMass / nNodes))
     for (_ <- 0 until Iterations) {
+      // floor(mass·w/ow) via the split identity
+      // (mass div ow)·w + (mass mod ow)·w div ow — exact (mass = q·ow + r
+      // ⇒ floor((q·ow+r)w/ow) = q·w + floor(r·w/ow)) and overflow-free:
+      // q·w ≤ mass and r·w < ow·w, where the naive mass·w passes
+      // Long.MaxValue once edge weights reach ~9·10⁶ (sf≈100).
       val in = edges.join(out, "src")
         .join(mass, col("node") === col("src"))
-        .select(col("dst"), expr("mass * w div ow").as("c"))
+        .select(col("dst"),
+          expr("(mass div ow) * w + ((mass % ow) * w) div ow").as("c"))
         .groupBy("dst").agg(sum("c").as("inm"))
       mass = nodes.join(in, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -89,7 +95,9 @@ object GraphOps {
        |  SELECT n.node,
        |         85 * coalesce(i.inm, 0) // 100 + 6000000000 AS mass
        |  FROM nodes n LEFT JOIN (
-       |    SELECT e.dst AS node, CAST(sum(m.mass * e.w // o.ow) AS BIGINT) AS inm
+       |    SELECT e.dst AS node,
+       |           CAST(sum((m.mass // o.ow) * e.w
+       |                    + ((m.mass % o.ow) * e.w) // o.ow) AS BIGINT) AS inm
        |    FROM m$k m JOIN edges e ON m.node = e.src JOIN outw o ON o.src = e.src
        |    GROUP BY 1) i USING (node))""".stripMargin
 

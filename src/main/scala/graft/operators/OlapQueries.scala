@@ -696,10 +696,13 @@ object OlapQueries {
     val ev = Tables.events(spark, dir)
       .filter(col("value") > 0 && col("event_type").isNotNull)
       .select(col("event_id"), col("event_type"), cents.as("x"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // The cast must wrap each FACTOR, not the int64 product — x² alone
+    // can pass Long.MaxValue (ANSI would throw, non-ANSI would wrap
+    // away from the HUGEINT oracle).
     val stats = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum("x").as("s"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
-    val dec = (c: Column) => c.cast("decimal(38,0)")
+      sum(dec(col("x")) * dec(col("x"))).as("q"))
     val dev = dec(col("n")) * dec(col("x")) - dec(col("s"))
     ev.join(broadcast(stats), "event_type")
       .filter(dev * dev >

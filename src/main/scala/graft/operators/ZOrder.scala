@@ -24,11 +24,15 @@ import graft.Tables
   */
 object ZOrder {
 
-  val Bits = 16
+  /** Bits interleaved per key: 31 each → a 62-bit Morton code, so any
+    * key up to 2³¹−1 round-trips without aliasing (16 bits would
+    * silently fold keys ≥ 65536 onto the same code and quietly destroy
+    * the per-file bounding-box tightness the layout exists for — the
+    * extra constant-folded terms cost nothing at eval time). */
+  val Bits = 31
 
-  /** Interleave the low 16 bits of x (even positions) and y (odd
-    * positions) into a 32-bit Morton code (computed in long to keep
-    * bit 31 unsigned). */
+  /** Interleave the low 31 bits of x (even positions) and y (odd
+    * positions) into a 62-bit Morton code (computed in long). */
   def zValue(x: Column, y: Column): Column =
     (0 until Bits).map { k =>
       shiftleft(shiftright(x.cast("long"), k).bitwiseAND(1), 2 * k)

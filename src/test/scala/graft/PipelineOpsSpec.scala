@@ -201,13 +201,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // Mean |cos_proj - cos_full| over a deterministic pair sample: JL
     // with 16 dims gives distortion ~1/sqrt(16); allow 0.2 mean, and
-    // require it beats a broken projection (all-ones) by being < half
-    // its error.
+    // require it beats a broken rank-1 projection (all-+1 signs, whose
+    // projected cosine collapses to sign agreement) by at least 2x.
     val ids = full.keys.toSeq.sorted.take(30)
-    val diffs = for {
-      i <- ids; j <- ids if i < j
-    } yield math.abs(cos(proj(i).toArray, proj(j).toArray) - cos(full(i), full(j)))
+    val pairs = for { i <- ids; j <- ids if i < j } yield (i, j)
+    val sums = full.map { case (id, v) => id -> v.sum }
+    val diffs = pairs.map { case (i, j) =>
+      math.abs(cos(proj(i).toArray, proj(j).toArray) - cos(full(i), full(j)))
+    }
+    val onesDiffs = pairs.map { case (i, j) =>
+      math.abs(math.signum(sums(i)) * math.signum(sums(j)) - cos(full(i), full(j)))
+    }
     val meanErr = diffs.sum / diffs.size
+    val meanErrOnes = onesDiffs.sum / onesDiffs.size
     assert(meanErr < 0.2, s"mean cosine distortion $meanErr too high")
+    assert(meanErr * 2 < meanErrOnes,
+      s"JL ($meanErr) should beat the rank-1 sign projection ($meanErrOnes) by 2x")
   }
 }
