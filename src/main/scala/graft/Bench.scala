@@ -71,7 +71,8 @@ object Bench {
     "q_hopping_stats",
     "q_anomalous_events",
     "q_pagerank_trade",
-    "q_schema_merge")
+    "q_schema_merge",
+    "q_dsv2_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

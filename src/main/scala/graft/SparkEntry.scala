@@ -34,7 +34,8 @@ object SparkEntry {
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (CorpusClean.queries, CorpusClean.oracles),
       (ZOrder.queries, ZOrder.oracles),
-      (GraphOps.queries, GraphOps.oracles))
+      (GraphOps.queries, GraphOps.oracles),
+      (graft.sources.OrdersSource.queries, graft.sources.OrdersSource.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A from-scratch DataSource V2 batch connector: the deterministic
+  * order-event generator exposed as a real Spark table
+  * (`spark.read.format("graft.sources.OrdersSource")`), the way a
+  * custom wire format or internal feed would be wired into this engine
+  * when no stock connector exists (the Kafka-source seam documented in
+  * [[graft.streaming.OrderStream]] is the streaming face of the same
+  * idea).
+  *
+  * Scale behaviour is the point of the exemplar:
+  *   - **partition planning**: the id space [0, rows) splits into
+  *     `parts` contiguous `InputPartition`s — each task generates only
+  *     its slice, nothing materializes on the driver;
+  *   - **filter pushdown** (`SupportsPushDownFilters`): `order_id`
+  *     range predicates are accepted at planning time and (a) prune
+  *     whole partitions whose range can't match, (b) narrow the
+  *     generation bounds inside surviving partitions — the DSv2
+  *     analogue of parquet row-group pruning (`OrdersSourceSpec`
+  *     asserts both);
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`): readers
+  *     only compute the projected columns.
+  *
+  * Row content is pure integer arithmetic on the row id (same catalog
+  * trick as [[graft.streaming.OrderProducer]]), so the DuckDB oracle
+  * regenerates the identical table from `range()`.
+  */
+class OrdersSource extends org.apache.spark.sql.connector.catalog.TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OrdersSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OrdersTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("parts", "8").toInt)
+}
+
+object OrdersSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("order_id", LongType, nullable = false),
+    StructField("product", StringType, nullable = false),
+    StructField("price_cents", LongType, nullable = false)))
+
+  val Products: Array[String] =
+    Array("Laptop", "Mouse", "Keyboard", "Monitor",
+      "Webcam", "Headset", "Dock", "Cable")
+
+  def product(id: Long): String = Products(((id * 2654435761L) % 8).toInt)
+  def priceCents(id: Long): Long = (id * 7919L) % 99000L + 1000L
+
+  /** Revenue by product over the connector with BOTH `order_id` bounds
+    * pushed into the source (partition pruning + in-partition bound
+    * narrowing); the oracle regenerates the identical rows from
+    * `range()`. Input dir is unused — the source IS the data. */
+  def revenueQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.OrdersSource")
+      .option("rows", "20000").option("parts", "8").load()
+      .filter(col("order_id") >= 2000 && col("order_id") < 18000)
+      .groupBy("product")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("price_cents").as("total_cents"))
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    Map("q_dsv2_source" -> revenueQuery)
+
+  val oracles: Map[String, String] = Map(
+    "q_dsv2_source" ->
+      """WITH ids AS (SELECT unnest(range(2000, 18000)) AS i),
+        |o AS (SELECT
+        |  ['Laptop','Mouse','Keyboard','Monitor',
+        |   'Webcam','Headset','Dock','Cable']
+        |    [CAST((i * 2654435761) % 8 AS INT) + 1] AS product,
+        |  (i * 7919) % 99000 + 1000 AS price_cents
+        |  FROM ids)
+        |SELECT product, count(*) AS n_orders,
+        |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM o GROUP BY 1""".stripMargin)
+}
+
+private class OrdersTable(rows: Long, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_orders($rows)"
+  override def schema(): StructType = OrdersSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OrdersScanBuilder(rows, parts)
+}
+
+private class OrdersScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows
+  private val pushed = mutable.ArrayBuffer.empty[Filter]
+  private var required: StructType = OrdersSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.filter {
+      case GreaterThanOrEqual("order_id", v: Long) =>
+        lo = math.max(lo, v); pushed += GreaterThanOrEqual("order_id", v); false
+      case LessThan("order_id", v: Long) =>
+        hi = math.min(hi, v); pushed += LessThan("order_id", v); false
+      case _ => true // everything else stays a post-scan filter
+    }
+  }
+  override def pushedFilters(): Array[Filter] = pushed.toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new OrdersScan(rows, parts, lo, hi, required)
+}
+
+private case class OrdersRange(start: Long, end: Long) extends InputPartition
+
+private class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_orders rows=$rows PushedBounds=[$lo, $hi)"
+
+  /** Split [0, rows) evenly, clamp each slice to the pushed bounds and
+    * drop slices the bounds empty out — partition-level pruning. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(p => OrdersRange(math.max(p * per, lo),
+        math.min(math.min((p + 1) * per, rows), hi)))
+      .filter(r => r.start < r.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OrdersReaderFactory(required)
+}
+
+private class OrdersReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[OrdersRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1
+      // Column generators resolved once per reader from the pruned schema.
+      private val gens: Array[Long => Any] = required.fields.map(_.name).map {
+        case "order_id" => (i: Long) => i
+        case "product" => (i: Long) =>
+          UTF8String.fromString(OrdersSource.product(i))
+        case "price_cents" => (i: Long) => OrdersSource.priceCents(i)
+      }
+      override def next(): Boolean = { id += 1; id < r.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DataSource V2 connector: planning-time behaviour
+  * (partition pruning + pushed bounds) and row-content determinism.
+  */
+class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("orders-source-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def read(rows: Int, parts: Int) =
+    spark.read.format("graft.sources.OrdersSource")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  test("generates the full deterministic id space across partitions") {
+    val df = read(10000, 8)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 10000)
+    val row = df.filter(col("order_id") === 7L)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(row == (graft.sources.OrdersSource.product(7L),
+      graft.sources.OrdersSource.priceCents(7L)))
+  }
+
+  test("order_id bounds prune partitions and narrow generation") {
+    // rows=20000, parts=8 → 2500 ids per slice; [5000, 10000) covers
+    // exactly slices 2 and 3 — the other six must not even be planned.
+    val df = read(20000, 8)
+      .filter(col("order_id") >= 5000L && col("order_id") < 10000L)
+    assert(df.rdd.getNumPartitions == 2,
+      s"expected 2 surviving partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 5000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedBounds=[5000, 10000)"),
+      s"pushed bounds missing from scan description:\n$plan")
+  }
+
+  test("non-pushable predicates remain post-scan filters") {
+    val df = read(1000, 4).filter(col("product") === "Mouse")
+    // product filter can't prune the id space — all partitions planned,
+    // rows still correct.
+    assert(df.rdd.getNumPartitions == 4)
+    val expected = (0L until 1000L)
+      .count(graft.sources.OrdersSource.product(_) == "Mouse")
+    assert(df.count() == expected)
+  }
+}
