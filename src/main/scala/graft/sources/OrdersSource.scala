@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,12 +102,14 @@ private class OrdersTable(rows: Long, parts: Int)
   override def name(): String = s"graft_orders($rows)"
   override def schema(): StructType = OrdersSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OrdersScanBuilder(rows, parts)
+    new OrdersScanBuilder(rows, parts,
+      options.getOrDefault("rowsPerBatch", "250").toLong)
 }
 
-private class OrdersScanBuilder(rows: Long, parts: Int)
+private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -129,32 +132,69 @@ private class OrdersScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new OrdersScan(rows, parts, lo, hi, required)
+  override def build(): Scan =
+    new OrdersScan(rows, parts, lo, hi, required, rowsPerBatch)
 }
 
 private case class OrdersRange(start: Long, end: Long) extends InputPartition
 
+private case class OrdersOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
 private class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_orders rows=$rows PushedBounds=[$lo, $hi)"
 
-  /** Split [0, rows) evenly, clamp each slice to the pushed bounds and
-    * drop slices the bounds empty out — partition-level pruning. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def slices(from: Long, until: Long): Array[InputPartition] = {
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0 until parts).iterator
-      .map(p => OrdersRange(math.max(p * per, lo),
-        math.min(math.min((p + 1) * per, rows), hi)))
+      .map(p => OrdersRange(math.max(p * per, from),
+        math.min(math.min((p + 1) * per, rows), until)))
       .filter(r => r.start < r.end)
       .toArray[InputPartition]
   }
 
+  /** Split [0, rows) evenly, clamp each slice to the pushed bounds and
+    * drop slices the bounds empty out — partition-level pruning. */
+  override def planInputPartitions(): Array[InputPartition] = slices(lo, hi)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new OrdersReaderFactory(required)
+
+  /** Streaming face: the same id space consumed incrementally. Offsets
+    * are positions in the id space (`rowsPerBatch` ids admitted per
+    * micro-batch); each batch's [start, end) re-partitions through the
+    * identical slicing, and restart recovery is the checkpointed offset
+    * replayed through `deserializeOffset` — the consumer-group
+    * commit/seek semantics of the reference's Kafka consumer, expressed
+    * as a DSv2 stream. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      private var planned = lo
+      override def initialOffset(): Offset = OrdersOffset(lo)
+      override def latestOffset(): Offset = {
+        planned = math.min(planned + rowsPerBatch, hi)
+        OrdersOffset(planned)
+      }
+      override def deserializeOffset(json: String): Offset = {
+        // Restart path: never let latestOffset fall behind the
+        // checkpointed position.
+        planned = math.max(planned, json.toLong)
+        OrdersOffset(json.toLong)
+      }
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        slices(start.asInstanceOf[OrdersOffset].id,
+          end.asInstanceOf[OrdersOffset].id)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new OrdersReaderFactory(required)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
 }
 
 private class OrdersReaderFactory(required: StructType)

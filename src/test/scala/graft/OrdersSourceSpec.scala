@@ -42,6 +42,29 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pushed bounds missing from scan description:\n$plan")
   }
 
+  test("streams the id space incrementally as a MicroBatchStream") {
+    // 1000 ids at 300/batch → batches of 300/300/300/100; the memory
+    // sink must end up with every id exactly once, same content as the
+    // batch read — the custom source working as a drop-in readStream.
+    val q = spark.readStream.format("graft.sources.OrdersSource")
+      .option("rows", "1000").option("parts", "4")
+      .option("rowsPerBatch", "300").load()
+      .writeStream.format("memory").queryName("orders_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("orders_stream_test")
+      assert(got.count() == 1000)
+      assert(got.select("order_id").distinct().count() == 1000)
+      val sample = got.filter(col("order_id") === 999L)
+        .collect().map(r => (r.getString(1), r.getLong(2))).head
+      assert(sample == (graft.sources.OrdersSource.product(999L),
+        graft.sources.OrdersSource.priceCents(999L)))
+      assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+        "expected exactly 4 non-empty micro-batches")
+    } finally q.stop()
+  }
+
   test("non-pushable predicates remain post-scan filters") {
     val df = read(1000, 4).filter(col("product") === "Mouse")
     // product filter can't prune the id space — all partitions planned,
