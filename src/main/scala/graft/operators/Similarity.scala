@@ -368,8 +368,24 @@ object Similarity {
       .select(col("vec_id"), col("c.j").as("j"), col("c.v").as("proj_r6"))
   }
 
+  /** Retrieval (the RAG serving shape): ANN candidates from the IVF
+    * index joined back to the document store for the payload — index
+    * finds, store serves. The doc join happens AFTER the top-k filter,
+    * so only k rows per query ever touch the (wide) text column; at
+    * corpus scale that join is a point-lookup pattern against a
+    * doc_id-bucketed store. */
+  def retrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annIvf(spark, dir)
+      .filter(col("nn_rank") <= k)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("query_id"), col("nn_rank"), col("vec_id"), col("cos_sim"),
+        col("source"), substring(col("text"), 1, 80).as("snippet"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jl_project" -> jlProject,
+    "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
@@ -392,6 +408,38 @@ object Similarity {
   // operating point has recall ≈ 0.85-0.93 by design (measured above) —
   // PipelineOpsSpec checks the recall bound, the subset property, and
   // the candidate-count bound instead of a SQL oracle.
+
+  /** Full IVF quantize→probe→score replay, shared by the q_ann_ivf
+    * oracle and the retrieval wrapper. */
+  private lazy val ivfSql: String =
+    s"""WITH cent AS (
+       |  SELECT label AS cell, k,
+       |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
+       |  FROM embeddings, range(1, 65) t(k)
+       |  GROUP BY label, k),
+       |centroids AS (
+       |  SELECT cell, list(c ORDER BY k) AS centroid FROM cent GROUP BY cell),
+       |queries AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |cellsim AS (
+       |  SELECT query_id, qv, cell,
+       |         round(${cosSql("qv", "centroid")}, 6) AS cell_sim
+       |  FROM queries CROSS JOIN centroids),
+       |probed AS (
+       |  SELECT query_id, qv, cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cell_sim DESC, cell) AS r FROM cellsim)
+       |  WHERE r <= 2),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id, p.cell,
+       |         round(${cosSql("p.qv", "e.embedding")}, 6) AS cos_sim
+       |  FROM probed p JOIN embeddings e
+       |    ON e.label = p.cell AND e.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, cell, cos_sim, CAST(r AS INT) AS nn_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
+       |WHERE r <= 10""".stripMargin
   /** Left-associated squared-L2 sum for subspace `m.m` in DuckDB,
     * term-for-term the tree pqDistances builds (1-based list indexing
     * vs Spark's 0-based getItem — same elements). */
@@ -431,35 +479,13 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY approx_l2_micro, vec_id) AS r FROM scored)
          |WHERE r <= 10""".stripMargin,
-    "q_ann_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT label AS cell, k,
-         |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
-         |  FROM embeddings, range(1, 65) t(k)
-         |  GROUP BY label, k),
-         |centroids AS (
-         |  SELECT cell, list(c ORDER BY k) AS centroid FROM cent GROUP BY cell),
-         |queries AS (
-         |  SELECT vec_id AS query_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id < 5),
-         |cellsim AS (
-         |  SELECT query_id, qv, cell,
-         |         round(${cosSql("qv", "centroid")}, 6) AS cell_sim
-         |  FROM queries CROSS JOIN centroids),
-         |probed AS (
-         |  SELECT query_id, qv, cell
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cell_sim DESC, cell) AS r FROM cellsim)
-         |  WHERE r <= 2),
-         |scored AS (
-         |  SELECT p.query_id, e.vec_id, p.cell,
-         |         round(${cosSql("p.qv", "e.embedding")}, 6) AS cos_sim
-         |  FROM probed p JOIN embeddings e
-         |    ON e.label = p.cell AND e.vec_id <> p.query_id)
-         |SELECT query_id, vec_id, cell, cos_sim, CAST(r AS INT) AS nn_rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
-         |WHERE r <= 10""".stripMargin,
+    "q_ann_ivf" -> ivfSql,
+    "q_retrieval" ->
+      s"""WITH r AS ($ivfSql)
+         |SELECT r.query_id, r.nn_rank, r.vec_id, r.cos_sim,
+         |       d.source, substr(d.text, 1, 80) AS snippet
+         |FROM r JOIN documents d ON r.vec_id = d.doc_id
+         |WHERE r.nn_rank <= 5""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
          |       a.label = b.label AS same_label,
