@@ -73,7 +73,8 @@ object Bench {
     "q_pagerank_trade",
     "q_schema_merge",
     "q_dsv2_source",
-    "q_retrieval")
+    "q_retrieval",
+    "q_bm25_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -182,7 +183,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_parts"),
         min("p_partkey").as("min_partkey"))
 
+  /** BM25 query terms and parameters. k1 = 1.2 and b = 0.75 enter the
+    * formula only through the exact rationals 22/10, 3/10, 9/10 (see
+    * [[bm25TopDocs]]), so no float constant ever rounds. */
+  val Bm25Terms: Seq[String] = Seq("spark", "table", "fast")
+
+  /** BM25 ranking, engine-exact: the classic
+    * idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl)) per term, algebra'd
+    * into a ratio of two int64 products (multiply through by 10·N·n and
+    * use the log-free Robertson idf (n−df+½)/(df+½) = (2n−2df+1)/(2df+1)):
+    *
+    *   score_t = (2n−2df+1)·22·tf·N / ((2df+1)·(10·tf·N + 3·N + 9·len·n))
+    *
+    * with n = #docs, N = Σ len (so avgdl = N/n never materializes as a
+    * float). Each term's score is ONE integer-ratio division; the three
+    * terms add in fixed left-assoc order — bit-identical in both
+    * engines, where a textbook float BM25 (log, float avgdl, SUM over a
+    * group) would drift. One token-explode pass computes tf and len;
+    * corpus stats broadcast as a 1-row cross join. Top-10 by (score,
+    * doc_id). */
+  def bm25TopDocs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+    val tfCols = Bm25Terms.map(t =>
+      count(when(col("w") === t, 1)).as(s"tf_$t"))
+    val perDoc = words.groupBy("doc_id")
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+    val dfCols = sum("len").as("nsum") +: Bm25Terms.map(t =>
+      count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val stats = perDoc.agg(count(lit(1)).as("n"), dfCols: _*)
+    val contribs = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val num = (lit(2) * col("n") - lit(2) * df + 1) * 22 * tf * col("nsum")
+      val den = (lit(2) * df + 1) *
+        (lit(10) * tf * col("nsum") + lit(3) * col("nsum") +
+          lit(9) * col("len") * col("n"))
+      num.cast("double") / den.cast("double")
+    }
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // Barrier: without it Catalyst folds the whole scoring expression
+    // into the broadcast-nested-loop join CONDITION via the score > 0
+    // pushdown (the exact regression class PlanRegressionSpec guards —
+    // it caught this one).
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("len"),
+        graft.functions.OptimizerBarrier(
+          round(contribs.reduceLeft(_ + _), 6)).as("score"))
+      .filter(col("score") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_rank" -> ((s, d) => bm25TopDocs(s, d)),
     "q_tfidf_top_terms" -> ((s, d) => tfIdfTopTerms(s, d)),
     "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
@@ -194,6 +247,38 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprint)
 
   val oracles: Map[String, String] = Map(
+    // Same integer products, one division per term, same left-assoc
+    // addition order — see bm25TopDocs for the algebra.
+    "q_bm25_rank" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS wl
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(len(wl) AS BIGINT) AS len,
+        |         CAST(len(list_filter(wl, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |         CAST(len(list_filter(wl, x -> x = 'table')) AS BIGINT) AS tf_table,
+        |         CAST(len(list_filter(wl, x -> x = 'fast')) AS BIGINT) AS tf_fast
+        |  FROM t),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS nsum,
+        |         CAST(count(*) FILTER (WHERE tf_spark > 0) AS BIGINT) AS df_spark,
+        |         CAST(count(*) FILTER (WHERE tf_table > 0) AS BIGINT) AS df_table,
+        |         CAST(count(*) FILTER (WHERE tf_fast > 0) AS BIGINT) AS df_fast
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc_id, len, round(
+        |    CAST((2*n - 2*df_spark + 1) * 22 * tf_spark * nsum AS DOUBLE)
+        |      / CAST((2*df_spark + 1) * (10*tf_spark*nsum + 3*nsum + 9*len*n) AS DOUBLE)
+        |    + CAST((2*n - 2*df_table + 1) * 22 * tf_table * nsum AS DOUBLE)
+        |      / CAST((2*df_table + 1) * (10*tf_table*nsum + 3*nsum + 9*len*n) AS DOUBLE)
+        |    + CAST((2*n - 2*df_fast + 1) * 22 * tf_fast * nsum AS DOUBLE)
+        |      / CAST((2*df_fast + 1) * (10*tf_fast*nsum + 3*nsum + 9*len*n) AS DOUBLE)
+        |  , 6) AS score
+        |  FROM perdoc CROSS JOIN stats)
+        |SELECT doc_id, len, score, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |      FROM scored WHERE score > 0)
+        |WHERE rk <= 10""".stripMargin,
     "q_doc_chunks" ->
       """WITH c AS (
         |  SELECT doc_id, length(text) AS char_len,

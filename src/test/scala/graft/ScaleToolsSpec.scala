@@ -108,6 +108,39 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join resolves the dim per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The enrichment shape: a streaming fact joined to a static
+    // (broadcastable) dimension — planned as a broadcast hash join
+    // inside every micro-batch, no stream-stream state at all. The dim
+    // here is the supplier→nation mapping from parquet, keyed by a
+    // product-to-supplier hash on the stream side.
+    val dim = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val input = MemoryStream[graft.streaming.OrderStream.OrderEvent]
+    val enriched = input.toDF()
+      .withColumn("supp", abs(xxhash64(col("product"))) % 10)
+      .join(broadcast(dim), col("supp") === col("s_suppkey"))
+      .select(col("orderId"), col("product"), col("s_nationkey"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("stream_static_test").outputMode("append").start()
+    try {
+      input.addData(graft.streaming.OrderStream.OrderEvent("ORD-1", "Laptop", 10.0, 1704067200000L),
+        graft.streaming.OrderStream.OrderEvent("ORD-2", "Mouse", 5.0, 1704067201000L))
+      q.processAllAvailable()
+      input.addData(graft.streaming.OrderStream.OrderEvent("ORD-3", "Laptop", 12.0, 1704067202000L))
+      q.processAllAvailable()
+      val got = spark.table("stream_static_test").collect()
+        .map(r => (r.getString(0), r.getInt(2))).toMap
+      assert(got.size == 3, s"every order must enrich exactly once: $got")
+      // Same product → same dim row across micro-batches.
+      assert(got("ORD-1") == got("ORD-3"))
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join null-pads after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
