@@ -74,7 +74,8 @@ object Bench {
     "q_schema_merge",
     "q_dsv2_source",
     "q_retrieval",
-    "q_bm25_rank")
+    "q_bm25_rank",
+    "q_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

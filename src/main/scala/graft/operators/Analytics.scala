@@ -283,7 +283,40 @@ object Analytics {
         col("n_priced"), col("total_cents"))
   }
 
+  /** MERGE / upsert (the lakehouse CDC-apply): a deterministic change
+    * batch — balance deltas from orders, tombstones for custkey % 89,
+    * brand-new rows for custkey % 97 — applied to the customer base in
+    * ONE full-outer join producing the next snapshot: matched+delta →
+    * updated, matched+tombstone → dropped, unmatched change → inserted,
+    * untouched base → kept. This is `MERGE INTO` semantics as pure
+    * DataFrame algebra (what Delta/Iceberg run under the hood); the
+    * join shuffles both sides once on the key and all arithmetic is
+    * integer cents. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(col("c_custkey").as("key"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    val deltas = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("delta"))
+    val changes = deltas.filter(col("key") % 89 =!= 0)
+      .select(col("key"), lit("U").as("op"), col("delta"))
+      .unionByName(base.filter(col("key") % 89 === 0)
+        .select(col("key"), lit("D").as("op"), lit(0L).as("delta")))
+      .unionByName(base.filter(col("key") % 97 === 0)
+        .select((col("key") + 1000000L).as("key"), lit("I").as("op"),
+          (col("key") * 100).as("delta")))
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key").cast("long").as("key"),
+        (coalesce(col("bal_cents"), lit(0L)) + coalesce(col("delta"), lit(0L)))
+          .as("bal_cents"),
+        when(col("op").isNull, "kept")
+          .when(col("op") === "I", "inserted")
+          .otherwise("updated").as("action"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> mergeUpsert,
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
     "q_time_range_join" -> timeRangeJoin,
@@ -389,6 +422,30 @@ object Analytics {
         |SELECT bigram, df, CAST(rk AS INT) AS rk
         |FROM (SELECT *, row_number() OVER (ORDER BY df DESC, bigram) AS rk FROM c)
         |WHERE rk <= 20""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |deltas AS (
+        |  SELECT o_custkey AS key,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS delta
+        |  FROM orders GROUP BY 1),
+        |changes AS (
+        |  SELECT key, 'U' AS op, delta FROM deltas WHERE key % 89 <> 0
+        |  UNION ALL
+        |  SELECT key, 'D', CAST(0 AS BIGINT) FROM base WHERE key % 89 = 0
+        |  UNION ALL
+        |  SELECT key + 1000000, 'I', CAST(key * 100 AS BIGINT)
+        |  FROM base WHERE key % 97 = 0)
+        |SELECT CAST(coalesce(b.key, c.key) AS BIGINT) AS key,
+        |       coalesce(b.bal_cents, 0) + coalesce(c.delta, 0) AS bal_cents,
+        |       CASE WHEN c.op IS NULL THEN 'kept'
+        |            WHEN c.op = 'I' THEN 'inserted'
+        |            ELSE 'updated' END AS action
+        |FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
     "q_schema_merge" ->
       """SELECT CAST(1 + o_orderkey % 2 AS INT) AS batch,
         |       count(*) AS n_orders,
