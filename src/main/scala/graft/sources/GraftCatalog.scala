@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `CatalogPlugin`: the generator tables exposed through
+  * Spark's catalog API, so plain SQL reaches the custom connector with
+  * no `format(...).load()` plumbing —
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft",
+  *   "graft.sources.GraftCatalog")
+  * spark.sql("SELECT count(*) FROM graft.orders10000")
+  * }}}
+  *
+  * Table names are `orders<N>` (N = row count); resolution is pure
+  * name parsing, so the catalog is stateless and trivially
+  * HA/driver-restart safe. Pushdown, partition planning and the
+  * streaming face all come from [[OrdersSource]]'s table — the catalog
+  * only routes identifiers, which is exactly the division of labour a
+  * metastore-backed catalog has at scale.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName = "graft"
+  private val pattern = "orders(\\d+)".r
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "orders1000"))
+
+  override def tableExists(ident: Identifier): Boolean =
+    pattern.matches(ident.name.toLowerCase)
+
+  override def loadTable(ident: Identifier): Table = ident.name.toLowerCase match {
+    case pattern(n) => new OrdersTable(n.toLong, parts = 8)
+    case _ => throw new NoSuchTableException(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def createTable(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}

@@ -65,6 +65,21 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("catalog plugin serves the connector through plain SQL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val n = spark.sql("SELECT count(*) AS n FROM graft.orders2500")
+      .collect()(0).getLong(0)
+    assert(n == 2500)
+    // Pushdown still applies through the catalog path.
+    val agg = spark.sql(
+      """SELECT product, count(*) AS c FROM graft.orders2500
+        |WHERE order_id >= 2000 GROUP BY product""".stripMargin)
+    assert(agg.collect().map(_.getLong(1)).sum == 500)
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM graft.nope").collect())
+    assert(err.getMessage.toLowerCase.contains("table"))
+  }
+
   test("non-pushable predicates remain post-scan filters") {
     val df = read(1000, 4).filter(col("product") === "Mouse")
     // product filter can't prune the id space — all partitions planned,

@@ -41,6 +41,39 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CMS never undercounts and is merge-order independent (property)") {
+    // The two CMS contracts the operator relies on: est(key) >= exact
+    // for EVERY key (min over rows of colliding-mass sums), and the
+    // sketch is identical no matter how the input is partitioned —
+    // exercised directly on the Aggregator (reduce/merge), including a
+    // width small enough to force collisions.
+    val agg = graft.functions.CountMinSketch.aggregator(4, 32)
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(5000)(s"u${rnd.nextInt(300)}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def sketchOf(parts: Int): Seq[Long] = {
+      val bufs = items.grouped(math.max(1, items.size / parts))
+        .map(chunk => chunk.foldLeft(agg.zero)(agg.reduce)).toList
+      agg.finish(bufs.reduce(agg.merge))
+    }
+    val s1 = sketchOf(1)
+    assert(s1 == sketchOf(7) && s1 == sketchOf(32),
+      "sketch must be independent of partitioning")
+    assert(s1.sum == 4L * items.size, "each row holds the full mass")
+    exact.foreach { case (key, n) =>
+      val est = (0 until 4).map { d =>
+        // same bucket the aggregator uses: window d of md5(key)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(key.getBytes("UTF-8"))
+        val v = ((h(4 * d) & 0xFFL) << 24) | ((h(4 * d + 1) & 0xFFL) << 16) |
+          ((h(4 * d + 2) & 0xFFL) << 8) | (h(4 * d + 3) & 0xFFL)
+        s1(d * 32 + (v % 32).toInt)
+      }.min
+      assert(est >= n, s"CMS undercounted $key: est $est < exact $n")
+    }
+  }
+
   test("verified heavy hitters equal the exact groupBy answer") {
     val sf = "/root/testdata/sf0.01"
     val viaSketch = graft.operators.Profiling.heavyEventTypes(spark, sf)
