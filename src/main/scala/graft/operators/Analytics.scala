@@ -302,8 +302,11 @@ object Analytics {
       .select(col("key"), lit("U").as("op"), col("delta"))
       .unionByName(base.filter(col("key") % 89 === 0)
         .select(col("key"), lit("D").as("op"), lit(0L).as("delta")))
+      // Insert keys live in the negative range: custkeys are >= 0 at
+      // EVERY scale factor, so -(key+1) can never collide with a real
+      // key (a fixed positive offset collides once custkey passes it).
       .unionByName(base.filter(col("key") % 97 === 0)
-        .select((col("key") + 1000000L).as("key"), lit("I").as("op"),
+        .select((-(col("key") + 1L)).cast("long").as("key"), lit("I").as("op"),
           (col("key") * 100).as("delta")))
     base.join(changes, Seq("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
@@ -437,7 +440,7 @@ object Analytics {
         |  UNION ALL
         |  SELECT key, 'D', CAST(0 AS BIGINT) FROM base WHERE key % 89 = 0
         |  UNION ALL
-        |  SELECT key + 1000000, 'I', CAST(key * 100 AS BIGINT)
+        |  SELECT CAST(-(key + 1) AS BIGINT), 'I', CAST(key * 100 AS BIGINT)
         |  FROM base WHERE key % 97 = 0)
         |SELECT CAST(coalesce(b.key, c.key) AS BIGINT) AS key,
         |       coalesce(b.bal_cents, 0) + coalesce(c.delta, 0) AS bal_cents,

@@ -212,11 +212,17 @@ object TextAnalysis {
     val dfCols = sum("len").as("nsum") +: Bm25Terms.map(t =>
       count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
     val stats = perDoc.agg(count(lit(1)).as("n"), dfCols: _*)
+    // The OUTER products run in DECIMAL(38,0) (HUGEINT in the oracle):
+    // num ≈ 2n·22·tf·N and den ≈ 2df·(10·tf·N) pass 2^63 around
+    // sf10-scale corpora, where int64 would wrap silently. The inner
+    // den sum stays int64 (≤ ~10·tf·N, safe far past that).
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val contribs = Bm25Terms.map { t =>
       val tf = col(s"tf_$t"); val df = col(s"df_$t")
-      val num = (lit(2) * col("n") - lit(2) * df + 1) * 22 * tf * col("nsum")
-      val den = (lit(2) * df + 1) *
-        (lit(10) * tf * col("nsum") + lit(3) * col("nsum") +
+      val num =
+        dec(lit(2) * col("n") - lit(2) * df + 1) * 22 * dec(tf) * dec(col("nsum"))
+      val den = dec(lit(2) * df + 1) *
+        dec(lit(10) * tf * col("nsum") + lit(3) * col("nsum") +
           lit(9) * col("len") * col("n"))
       num.cast("double") / den.cast("double")
     }
@@ -246,39 +252,45 @@ object TextAnalysis {
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
+  /** BM25 oracle generated from [[Bm25Terms]] (same HUGEINT outer
+    * products, one division per term, same left-assoc addition order —
+    * see bm25TopDocs for the algebra). */
+  private lazy val bm25Sql: String = {
+    val tfs = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(wl, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n|         ")
+    val dfs = Bm25Terms.map(t =>
+      s"CAST(count(*) FILTER (WHERE tf_$t > 0) AS BIGINT) AS df_$t")
+      .mkString(",\n|         ")
+    val terms = Bm25Terms.map(t =>
+      s"""CAST(CAST((2*n - 2*df_$t + 1) AS HUGEINT) * 22 * tf_$t * nsum AS DOUBLE)
+         |      / CAST(CAST((2*df_$t + 1) AS HUGEINT)
+         |             * (10*tf_$t*nsum + 3*nsum + 9*len*n) AS DOUBLE)"""
+        .stripMargin).mkString("\n|    + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wl
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(len(wl) AS BIGINT) AS len,
+       |         $tfs
+       |  FROM t),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS nsum,
+       |         $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id, len, round(
+       |    $terms
+       |  , 6) AS score
+       |  FROM perdoc CROSS JOIN stats)
+       |SELECT doc_id, len, score, CAST(rk AS INT) AS rk
+       |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |      FROM scored WHERE score > 0)
+       |WHERE rk <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // Same integer products, one division per term, same left-assoc
-    // addition order — see bm25TopDocs for the algebra.
-    "q_bm25_rank" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS wl
-        |  FROM documents),
-        |perdoc AS (
-        |  SELECT doc_id, CAST(len(wl) AS BIGINT) AS len,
-        |         CAST(len(list_filter(wl, x -> x = 'spark')) AS BIGINT) AS tf_spark,
-        |         CAST(len(list_filter(wl, x -> x = 'table')) AS BIGINT) AS tf_table,
-        |         CAST(len(list_filter(wl, x -> x = 'fast')) AS BIGINT) AS tf_fast
-        |  FROM t),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS nsum,
-        |         CAST(count(*) FILTER (WHERE tf_spark > 0) AS BIGINT) AS df_spark,
-        |         CAST(count(*) FILTER (WHERE tf_table > 0) AS BIGINT) AS df_table,
-        |         CAST(count(*) FILTER (WHERE tf_fast > 0) AS BIGINT) AS df_fast
-        |  FROM perdoc),
-        |scored AS (
-        |  SELECT doc_id, len, round(
-        |    CAST((2*n - 2*df_spark + 1) * 22 * tf_spark * nsum AS DOUBLE)
-        |      / CAST((2*df_spark + 1) * (10*tf_spark*nsum + 3*nsum + 9*len*n) AS DOUBLE)
-        |    + CAST((2*n - 2*df_table + 1) * 22 * tf_table * nsum AS DOUBLE)
-        |      / CAST((2*df_table + 1) * (10*tf_table*nsum + 3*nsum + 9*len*n) AS DOUBLE)
-        |    + CAST((2*n - 2*df_fast + 1) * 22 * tf_fast * nsum AS DOUBLE)
-        |      / CAST((2*df_fast + 1) * (10*tf_fast*nsum + 3*nsum + 9*len*n) AS DOUBLE)
-        |  , 6) AS score
-        |  FROM perdoc CROSS JOIN stats)
-        |SELECT doc_id, len, score, CAST(rk AS INT) AS rk
-        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-        |      FROM scored WHERE score > 0)
-        |WHERE rk <= 10""".stripMargin,
+    "q_bm25_rank" -> bm25Sql,
     "q_doc_chunks" ->
       """WITH c AS (
         |  SELECT doc_id, length(text) AS char_len,

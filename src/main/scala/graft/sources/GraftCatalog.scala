@@ -33,15 +33,27 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** `orders<N>` in the root namespace, with N small enough to parse
+    * as a Long (18 digits) — anything else is a clean miss, never a
+    * NumberFormatException escaping the analyzer. */
+  private def rowsOf(ident: Identifier): Option[Long] =
+    if (ident.namespace.nonEmpty) None
+    else ident.name.toLowerCase match {
+      case pattern(n) if n.length <= 18 => Some(n.toLong)
+      case _ => None
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "orders1000"))
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "orders1000"))
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(catalogName +: namespace)
 
   override def tableExists(ident: Identifier): Boolean =
-    pattern.matches(ident.name.toLowerCase)
+    rowsOf(ident).isDefined
 
-  override def loadTable(ident: Identifier): Table = ident.name.toLowerCase match {
-    case pattern(n) => new OrdersTable(n.toLong, parts = 8)
-    case _ => throw new NoSuchTableException(ident)
+  override def loadTable(ident: Identifier): Table = rowsOf(ident) match {
+    case Some(n) => new OrdersTable(n, parts = 8)
+    case None => throw new NoSuchTableException(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

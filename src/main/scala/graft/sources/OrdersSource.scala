@@ -61,8 +61,14 @@ object OrdersSource {
     Array("Laptop", "Mouse", "Keyboard", "Monitor",
       "Webcam", "Headset", "Dock", "Cable")
 
-  def product(id: Long): String = Products(((id * 2654435761L) % 8).toInt)
-  def priceCents(id: Long): Long = (id * 7919L) % 99000L + 1000L
+  // floorMod, not %: the multiply wraps negative past id ~3.5e9 (and
+  // ~1.2e15 for the price), where a plain % would hand Products a
+  // negative index. Identical to % for every id below the wrap, so the
+  // oracle's (i * k) % m stays bit-equal over any queried range.
+  def product(id: Long): String =
+    Products(java.lang.Math.floorMod(id * 2654435761L, 8L).toInt)
+  def priceCents(id: Long): Long =
+    java.lang.Math.floorMod(id * 7919L, 99000L) + 1000L
 
   /** Revenue by product over the connector with BOTH `order_id` bounds
     * pushed into the source (partition pruning + in-partition bound
