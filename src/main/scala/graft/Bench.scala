@@ -75,7 +75,9 @@ object Bench {
     "q_dsv2_source",
     "q_retrieval",
     "q_bm25_rank",
-    "q_merge_upsert")
+    "q_merge_upsert",
+    "q_funnel",
+    "q_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

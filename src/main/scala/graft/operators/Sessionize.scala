@@ -47,9 +47,58 @@ object Sessionize {
         count(lit(1)).as("n_sessions"),
         sum("duration_s").as("total_duration_s"))
 
+  /** Conversion funnel (the windowFunnel shape): the earliest strictly
+    * ordered signup → view → purchase chain per user, computed as three
+    * conditional-min aggregations chained by user-keyed joins — every
+    * stage shuffles on the same key, no per-user sequence scan on the
+    * driver, ties broken by the min itself. Emits every user with the
+    * deepest stage reached and the chain's epoch-micro timestamps. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // All stage arithmetic in MICROS: DuckDB reads parquet
+    // TIMESTAMP(NANOS) at micro precision, so both the emitted chain
+    // timestamps AND the strict `>` comparisons must run at micro
+    // resolution or a sub-microsecond gap could order differently in
+    // the two engines.
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("t1_us"))
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "view" && col("tsu") > col("t1_us"))
+      .groupBy("user_id").agg(min("tsu").as("t2_us"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("tsu") > col("t2_us"))
+      .groupBy("user_id").agg(min("tsu").as("t3_us"))
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3_us").isNotNull, 3).when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1).otherwise(0).as("stage"),
+        col("t1_us"), col("t2_us"), col("t3_us"))
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active epoch-week,
+    * cell (cohort, offset) = distinct users from that cohort active
+    * `offset` weeks later. Two aggregations on (user, week) — the
+    * standard retention triangle, integer weeks end to end. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessions,
-    "q_session_stats" -> sessionStats)
+    "q_session_stats" -> sessionStats,
+    "q_funnel" -> funnel,
+    "q_retention" -> retention)
 
   private val sessionsSql =
     s"""WITH marked AS (
@@ -72,6 +121,36 @@ object Sessionize {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(tsu) AS t1_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tsu) AS t2_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND tsu > t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tsu) AS t3_us
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tsu > t2_us GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+        |                 WHEN t2_us IS NOT NULL THEN 2
+        |                 WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |       t1_us, t2_us, t3_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_ns(ts) // 1000) // 604800000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT c.cohort_week, u.wk - c.cohort_week AS week_offset,
+        |       count(*) AS n_users
+        |FROM uw u JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" -> sessionsSql,
     "q_session_stats" ->
       s"""SELECT n_events, count(*) AS n_sessions,
