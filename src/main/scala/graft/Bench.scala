@@ -77,7 +77,8 @@ object Bench {
     "q_bm25_rank",
     "q_merge_upsert",
     "q_funnel",
-    "q_retention")
+    "q_retention",
+    "q_pareto_frontier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

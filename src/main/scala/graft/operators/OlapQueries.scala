@@ -711,7 +711,33 @@ object OlapQueries {
         (dev > 0).as("is_high"))
   }
 
+  /** Skyline (Pareto frontier) over per-part (total quantity, revenue):
+    * keep parts no other part dominates (≥ in both dimensions, > in
+    * one). Not a pair join — one sort by quantity with two window
+    * maxima decides dominance: `max(rev)` over the strictly-higher-qty
+    * RANGE frame catches (q' > q, r' ≥ r), and `max(rev)` within the
+    * same-qty peer group catches (q' = q, r' > r). O(n log n) where
+    * the naive formulation is an n² self-join; the windows run over
+    * post-aggregate part rows (the known-bounded unpartitioned-window
+    * pattern, see PLANS.md). */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("revenue_cents"))
+    val higherQty = Window.orderBy(col("sum_qty").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameQty = Window.partitionBy("sum_qty")
+    pa.withColumn("mr_hi", max("revenue_cents").over(higherQty))
+      .withColumn("mr_same", max("revenue_cents").over(sameQty))
+      .filter((col("mr_hi").isNull || col("mr_hi") < col("revenue_cents")) &&
+        col("mr_same") <= col("revenue_cents"))
+      .select("l_partkey", "sum_qty", "revenue_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_frontier" -> paretoFrontier,
     "q_anomalous_events" -> anomalousEvents,
     "q_top_acctbal_per_nation" -> topAcctbalPerNation,
     "q_promo_revenue_share" -> promoRevenueShare,
@@ -755,6 +781,22 @@ object OlapQueries {
     "q_event_type_pivot" -> eventTypePivot)
 
   val oracles: Map[String, String] = Map(
+    "q_pareto_frontier" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |         max(revenue_cents) OVER (ORDER BY sum_qty DESC
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mr_hi,
+        |         max(revenue_cents) OVER (PARTITION BY sum_qty) AS mr_same
+        |  FROM pa)
+        |SELECT l_partkey, sum_qty, revenue_cents FROM w
+        |WHERE (mr_hi IS NULL OR mr_hi < revenue_cents)
+        |  AND mr_same <= revenue_cents""".stripMargin,
     // Same n²-scaled inequality in HUGEINT — no float mean, no sqrt.
     "q_anomalous_events" ->
       """WITH e AS (
