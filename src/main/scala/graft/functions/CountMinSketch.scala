@@ -32,7 +32,9 @@ object CountMinSketch {
 
   def aggregator(depth: Int, width: Int): Aggregator[String, Array[Long], Seq[Long]] =
     new Aggregator[String, Array[Long], Seq[Long]] {
-      require(depth <= 4, "md5 provides at most 4 independent 32-bit windows")
+      require(depth >= 1 && depth <= 4,
+        "depth must be in [1, 4]: md5 provides at most 4 independent 32-bit windows")
+      require(width >= 1, "width must be >= 1")
 
       override def zero: Array[Long] = new Array[Long](depth * width)
 

@@ -63,10 +63,16 @@ object ZOrder {
 
   /** Write `df` z-clustered by (x, y): range-partition on the Morton
     * code, sort within partitions, bound file size — each output file
-    * covers a contiguous z-range. Returns the re-read table. */
+    * covers a contiguous z-range. Returns the re-read table.
+    *
+    * Pass `knownRows` when the caller already knows the input size
+    * (file footers, a prior agg); only when absent does this fall back
+    * to a `count()` — an extra scan worth avoiding on a 100 TB input
+    * whose row count the catalog usually has anyway. */
   def writeZOrdered(df: DataFrame, x: String, y: String, out: String,
-      files: Int = 30): DataFrame = {
-    val rowsPerFile = math.max(1L, df.count() / files)
+      files: Int = 30, knownRows: Option[Long] = None): DataFrame = {
+    val rowsPerFile =
+      math.max(1L, knownRows.getOrElse(df.count()) / files)
     df.withColumn("z", zValue(col(x), col(y)))
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions("z")

@@ -33,13 +33,16 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  /** `orders<N>` in the root namespace, with N small enough to parse
-    * as a Long (18 digits) — anything else is a clean miss, never a
-    * NumberFormatException escaping the analyzer. */
+  /** `orders<N>` in the root namespace, with N capped at 10⁹ rows —
+    * a typo'd identifier like `orders100000000000` must fail at
+    * analysis time as an unknown table, not silently plan a ~10¹⁴-row
+    * generated scan. (The length guard keeps `toLong` from throwing a
+    * NumberFormatException out of the analyzer.) */
   private def rowsOf(ident: Identifier): Option[Long] =
     if (ident.namespace.nonEmpty) None
     else ident.name.toLowerCase match {
-      case pattern(n) if n.length <= 18 => Some(n.toLong)
+      case pattern(n) if n.length <= 10 && n.toLong <= GraftCatalog.MaxRows =>
+        Some(n.toLong)
       case _ => None
     }
 
@@ -67,4 +70,10 @@ class GraftCatalog extends TableCatalog {
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+object GraftCatalog {
+  /** Largest `orders<N>` the catalog resolves; beyond this a name is
+    * treated as unknown so fat-finger identifiers fail fast. */
+  val MaxRows: Long = 1000000000L
 }

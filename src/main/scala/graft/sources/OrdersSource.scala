@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -124,13 +124,34 @@ private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
   private val pushed = mutable.ArrayBuffer.empty[Filter]
   private var required: StructType = OrdersSource.Schema
 
+  /** Catalyst hands numeric literals as whatever boxed type the user
+    * wrote (`Long` from a long literal, `Integer` from an int one);
+    * accepting only one silently drops pruning for the other. */
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.longValue)
+    case _ => None
+  }
+
+  /** Every range shape on `order_id` narrows the generated [lo, hi):
+    * `=v` as [v, v+1), `>v` as [v+1, ∞), `<=v` as (−∞, v+1). Anything
+    * unrecognized stays a post-scan filter — correct, just unpruned. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.filter {
-      case GreaterThanOrEqual("order_id", v: Long) =>
-        lo = math.max(lo, v); pushed += GreaterThanOrEqual("order_id", v); false
-      case LessThan("order_id", v: Long) =>
-        hi = math.min(hi, v); pushed += LessThan("order_id", v); false
-      case _ => true // everything else stays a post-scan filter
+    filters.filter { f =>
+      val bound = f match {
+        case GreaterThanOrEqual("order_id", v) => asLong(v).map(l => (l, hi))
+        case GreaterThan("order_id", v) => asLong(v).map(l => (l + 1, hi))
+        case LessThan("order_id", v) => asLong(v).map(l => (lo, l))
+        case LessThanOrEqual("order_id", v) => asLong(v).map(l => (lo, l + 1))
+        case EqualTo("order_id", v) => asLong(v).map(l => (l, l + 1))
+        case _ => None
+      }
+      bound match {
+        case Some((newLo, newHi)) =>
+          lo = math.max(lo, newLo); hi = math.min(hi, newHi)
+          pushed += f; false
+        case None => true // stays a post-scan filter
+      }
     }
   }
   override def pushedFilters(): Array[Filter] = pushed.toArray

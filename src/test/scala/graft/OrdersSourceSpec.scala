@@ -78,6 +78,30 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val err = intercept[Exception](
       spark.sql("SELECT * FROM graft.nope").collect())
     assert(err.getMessage.toLowerCase.contains("table"))
+    // A fat-fingered row count (> 10^9) must fail as an unknown table,
+    // not silently plan a ~10^14-row generated scan.
+    val tooBig = intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.orders100000000000").collect())
+    assert(tooBig.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("equality, strict and inclusive bounds all prune, int or long typed") {
+    // = v plans as [v, v+1): exactly one partition, one row.
+    val eq = read(20000, 8).filter(col("order_id") === 12345)
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.queryExecution.executedPlan.toString
+      .contains("PushedBounds=[12345, 12346)"))
+    assert(eq.count() == 1)
+
+    // > v / <= v with INT-typed literals: [15001, 17500) — slice 6 only
+    // (slices are [15000, 17500) and [17500, 20000)).
+    val range = read(20000, 8)
+      .filter(col("order_id") > 15000 && col("order_id") <= 17499)
+    assert(range.rdd.getNumPartitions == 1,
+      s"expected 1 surviving partition, got ${range.rdd.getNumPartitions}")
+    assert(range.queryExecution.executedPlan.toString
+      .contains("PushedBounds=[15001, 17500)"))
+    assert(range.count() == 2499)
   }
 
   test("non-pushable predicates remain post-scan filters") {

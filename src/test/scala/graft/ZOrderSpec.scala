@@ -68,7 +68,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byOrder = spark.read.parquet(s"$base/by_orderkey")
 
     val byZ = ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey",
-      s"$base/by_z", files = 30)
+      s"$base/by_z", files = 30, knownRows = Some(rowsPerFile * 30))
 
     val (zHit, zTotal) = overlappingFiles(byZ)
     val (oHit, oTotal) = overlappingFiles(byOrder)
