@@ -36,13 +36,20 @@ class GraftCatalog extends TableCatalog {
   /** `orders<N>` in the root namespace, with N capped at 10⁹ rows —
     * a typo'd identifier like `orders100000000000` must fail at
     * analysis time as an unknown table, not silently plan a ~10¹⁴-row
-    * generated scan. (The length guard keeps `toLong` from throwing a
-    * NumberFormatException out of the analyzer.) */
+    * generated scan. Leading zeros are stripped before the cap check so
+    * a zero-padded `orders00000000001` resolves like `orders1`; the
+    * post-strip length guard keeps `toLong` from throwing a
+    * NumberFormatException out of the analyzer. */
   private def rowsOf(ident: Identifier): Option[Long] =
     if (ident.namespace.nonEmpty) None
     else ident.name.toLowerCase match {
-      case pattern(n) if n.length <= 10 && n.toLong <= GraftCatalog.MaxRows =>
-        Some(n.toLong)
+      case pattern(n) =>
+        val digits = n.dropWhile(_ == '0')
+        val rows =
+          if (digits.isEmpty) 0L
+          else if (digits.length <= 10) digits.toLong
+          else Long.MaxValue // over any 10-digit value; fails the cap
+        if (rows <= GraftCatalog.MaxRows) Some(rows) else None
       case _ => None
     }
 

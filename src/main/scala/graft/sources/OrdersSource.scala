@@ -135,15 +135,20 @@ private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
 
   /** Every range shape on `order_id` narrows the generated [lo, hi):
     * `=v` as [v, v+1), `>v` as [v+1, ∞), `<=v` as (−∞, v+1). Anything
-    * unrecognized stays a post-scan filter — correct, just unpruned. */
+    * unrecognized stays a post-scan filter — correct, just unpruned.
+    * The three `l + 1` shapes decline `l == Long.MaxValue` (the +1
+    * would wrap negative and, because accepted filters are consumed
+    * rather than re-applied, silently flip the result set); declined
+    * predicates just stay post-scan filters. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val exclusive = (v: Any) => asLong(v).filter(_ < Long.MaxValue)
     filters.filter { f =>
       val bound = f match {
         case GreaterThanOrEqual("order_id", v) => asLong(v).map(l => (l, hi))
-        case GreaterThan("order_id", v) => asLong(v).map(l => (l + 1, hi))
+        case GreaterThan("order_id", v) => exclusive(v).map(l => (l + 1, hi))
         case LessThan("order_id", v) => asLong(v).map(l => (lo, l))
-        case LessThanOrEqual("order_id", v) => asLong(v).map(l => (lo, l + 1))
-        case EqualTo("order_id", v) => asLong(v).map(l => (l, l + 1))
+        case LessThanOrEqual("order_id", v) => exclusive(v).map(l => (lo, l + 1))
+        case EqualTo("order_id", v) => exclusive(v).map(l => (l, l + 1))
         case _ => None
       }
       bound match {

@@ -104,6 +104,37 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(range.count() == 2499)
   }
 
+  test("Long.MaxValue bounds stay post-scan filters, results stay right") {
+    // `order_id > MaxValue` / `<= MaxValue` / `= MaxValue` would wrap
+    // negative under the +1 pushdown arithmetic; the builder must
+    // decline them (keep them post-scan) so the results stay correct.
+    val max = Long.MaxValue
+    val gt = read(1000, 4).filter(col("order_id") > max)
+    assert(gt.count() == 0, "order_id > Long.MaxValue must match nothing")
+    val le = read(1000, 4).filter(col("order_id") <= max)
+    assert(le.count() == 1000, "order_id <= Long.MaxValue must match all")
+    val eq = read(1000, 4).filter(col("order_id") === max)
+    assert(eq.count() == 0)
+    // Declined means NOT consumed: no pushed bound tighter than the
+    // full id space may appear in the scan description.
+    assert(le.queryExecution.executedPlan.toString
+      .contains("PushedBounds=[0, 1000)"),
+      "MaxValue predicate must not narrow the pushed bounds")
+  }
+
+  test("catalog resolves zero-padded identifiers within the cap") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // 11 digits as written, value 1 — leading zeros must not trip the
+    // overflow length guard.
+    val n = spark.sql("SELECT count(*) AS n FROM graft.orders00000000001")
+      .collect()(0).getLong(0)
+    assert(n == 1)
+    // Zero-padded but over the cap still fails at analysis.
+    val over = intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.orders0100000000000").collect())
+    assert(over.getMessage.toLowerCase.contains("table"))
+  }
+
   test("non-pushable predicates remain post-scan filters") {
     val df = read(1000, 4).filter(col("product") === "Mouse")
     // product filter can't prune the id space — all partitions planned,

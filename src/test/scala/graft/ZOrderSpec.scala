@@ -60,7 +60,8 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = Files.createTempDirectory("zorder").toString
 
     // Baseline: the natural (orderkey-clustered) layout.
-    val rowsPerFile = li.count() / 30
+    val totalRows = li.count()
+    val rowsPerFile = totalRows / 30
     li.repartitionByRange(30, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
       .write.mode("overwrite").option("maxRecordsPerFile", rowsPerFile)
@@ -68,7 +69,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byOrder = spark.read.parquet(s"$base/by_orderkey")
 
     val byZ = ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey",
-      s"$base/by_z", files = 30, knownRows = Some(rowsPerFile * 30))
+      s"$base/by_z", files = 30, knownRows = Some(totalRows))
 
     val (zHit, zTotal) = overlappingFiles(byZ)
     val (oHit, oTotal) = overlappingFiles(byOrder)
