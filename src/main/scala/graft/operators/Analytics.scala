@@ -158,6 +158,43 @@ object Analytics {
         expr("next_ts div 1000000000").as("valid_to_s"))
   }
 
+  /** First-order Markov transition matrix of user behaviour: for each
+    * consecutive pair of events per user (event-time order, event_id
+    * tiebreak), count (prev_type → event_type) and its conditional
+    * probability — the session-model / next-event-prediction statistic.
+    * One shuffle on user_id for the lag, one aggregate on the 25-cell
+    * transition key; the probability is a single division of exact
+    * counts. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withPrev = Tables.events(spark, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val wp = Window.partitionBy("prev_type")
+    withPrev
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prob",
+        col("n_trans").cast("double") / sum("n_trans").over(wp))
+  }
+
+  /** UNPIVOT / melt: the wide-to-long reshape (per-flag metric columns
+    * → (metric, value) rows) — how a fixed-schema metrics table feeds a
+    * generic (name, value) sink. The wide aggregate is the usual
+    * partial+final hash agg; the unpivot itself is an Expand (3 rows
+    * per input row, no shuffle). All metrics in exact BIGINT. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("n_items"),
+        sum(cents).as("revenue_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty_sum"), col("n_items"), col("revenue_cents")),
+        "metric", "value")
+  }
+
   /** Explicit GROUPING SETS — ((returnflag), (linestatus)) is NOT a
     * rollup/cube prefix, so this exercises the general grouping-sets
     * path plus grouping_id(), through the SQL surface. One expand +
@@ -329,12 +366,41 @@ object Analytics {
     "q_trailing_revenue" -> trailingRevenue,
     "q_latest_events" -> latestEvents,
     "q_scd2_ranges" -> scd2Ranges,
+    "q_event_transitions" -> eventTransitions,
+    "q_unpivot_metrics" -> unpivotMetrics,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        |       CAST(n_trans AS DOUBLE) /
+        |         sum(n_trans) OVER (PARTITION BY prev_type) AS prob
+        |FROM c""".stripMargin,
+    "q_unpivot_metrics" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |         count(*) AS n_items,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty_sum' AS metric, qty_sum AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_items', n_items FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'revenue_cents', revenue_cents FROM wide"""
+        .stripMargin,
     "q_latest_events" ->
       """SELECT user_id, event_type, event_id,
         |       epoch_ns(ts) // 1000000000 AS ts_s,

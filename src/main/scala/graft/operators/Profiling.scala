@@ -63,6 +63,29 @@ object Profiling {
         expr("shiftleft(CAST(1 AS BIGINT), log2_bucket + 1) - 1").as("bucket_hi"),
         col("n_docs"))
 
+  /** Exact equi-depth (equi-height) histogram of order totals — the
+    * optimizer-statistics primitive (selectivity estimation wants equal
+    * mass per bucket, not equal width): ntile(10) over a total order
+    * (integer cents, orderkey tiebreak → bit-deterministic bucket
+    * membership), then per-bucket count/lo/hi. The exact form needs one
+    * global sort, which is the honest cost of exact quantile boundaries
+    * at 100 TB; the streaming/approximate sibling is
+    * `q_approx_percentile` (and at real scale stats collection samples
+    * first). */
+  def equidepthHistogram(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price_cents"), col("o_orderkey"))
+    graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("price_cents").as("lo_cents"),
+        max("price_cents").as("hi_cents"))
+  }
+
   /** Mergeable-sketch architecture: per-(event_type, day) HLL sketches
     * (Datasketches blobs — what a 100 TB pipeline persists as its
     * pre-aggregated sketch table), then a union per event_type and one
@@ -120,9 +143,23 @@ object Profiling {
     "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
+    "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_equidepth_hist" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT price_cents,
+        |         CAST(ntile(10) OVER (ORDER BY price_cents, o_orderkey) AS INT)
+        |           AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_orders,
+        |       min(price_cents) AS lo_cents, max(price_cents) AS hi_cents
+        |FROM b GROUP BY 1""".stripMargin,
     // Replay the sketch arithmetic: per-(d, bucket) mass = sum of the
     // exact counts of every key hashing there; est = min over rows.
     "q_cms_user_counts" ->

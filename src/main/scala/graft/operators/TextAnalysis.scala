@@ -171,6 +171,96 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", 2021, §A1.1 repetition/quality filters — the rule FAMILY,
+    * re-derived): per-document boolean rules, each an exact-integer
+    * cross-multiplied comparison so the kept SET is bit-reproducible —
+    * a corpus gate you can re-run at 100 TB and get the same corpus.
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]   (3n ≤ Σlen ≤ 10n)
+    *   - symbol-to-word ratio ≤ 0.1    ('#' + '...' ; 10·sym ≤ n)
+    *   - ≥ 80% of words alphabetic     (10·alpha ≥ 8n)
+    *   - ≥ 2 distinct required stopwords
+    *
+    * One narrow projection, no shuffle; the HOF folds are per-row over
+    * short token arrays (at real corpus scale the Σlen/alpha counts
+    * would move into a custom codegen'd expression like `Shingles`).
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("word_chars"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(reqStop.map(lit(_)): _*))).as("n_req_stop"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).as("n_symbols"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_word_len",
+        lit(3) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol_ratio",
+        lit(10) * col("n_symbols") <= col("n_words"))
+      .withColumn("r_alpha_words",
+        lit(10) * col("n_alpha") >= lit(8) * col("n_words"))
+      .withColumn("r_stopwords", col("n_req_stop") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** Exact phrase search over a positional inverted index — the IR
+    * primitive behind "find verbatim quotes of X in the corpus"
+    * (attribution sweeps, memorization probes). Each term filters the
+    * token index FIRST (the selective step), then consecutive terms
+    * join on (doc_id, position+i) — candidate volume is the posting
+    * list of the rarest term, never a text rescan. Positions are
+    * 0-based token offsets. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("fast", "table", "scan")): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+    val first = tok.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.tail.zipWithIndex.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        tok.filter(col("tok") === w)
+          .select(col("doc_id").as("d2"), col("pos").as("p2")),
+        col("doc_id") === col("d2") && col("p2") === col("pos") + (i + 1))
+        .select(col("doc_id"), col("pos"))
+    }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+  }
+
+  /** First BPE merge decision: global counts of adjacent character
+    * pairs inside words — the statistic byte-pair-encoding training
+    * computes each round (Sennrich, Haddow & Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", 2016). Top-20 by
+    * (count, pair). The per-word pair extraction is a short HOF fold
+    * (tokens are ≤ ~10 chars); a full tokenizer-training run would make
+    * it a codegen'd expression like `Shingles`, but the aggregate —
+    * partial map-side counts, one shuffle on the pair — is already the
+    * 100 TB shape. */
+  def bpePairCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    Tables.documents(spark, dir)
+      .select(explode(tokens).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Edit-distance bucketing of part names against a probe string —
     * the string-distance operator family (fuzzy matching / canonical-
     * ization in entity resolution pipelines).
@@ -249,6 +339,9 @@ object TextAnalysis {
     "q_doc_chunks" -> docChunks,
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "q_quality_score" -> qualityScore,
+    "q_quality_gate" -> qualityGate,
+    "q_phrase_search" -> ((s, d) => phraseSearch(s, d)),
+    "q_bpe_pairs" -> ((s, d) => bpePairCounts(s, d)),
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
@@ -366,6 +459,65 @@ object TextAnalysis {
         |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |       CAST(length(text) AS INT) AS char_len
         |FROM documents""".stripMargin,
+    "q_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INT) AS n_words,
+        |         CAST(list_sum(list_transform(toks,
+        |              t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT) AS word_chars,
+        |         CAST(len(list_filter(toks,
+        |              t2 -> regexp_matches(t2, '[a-z]'))) AS INT) AS n_alpha,
+        |         CAST(len(list_intersect(list_distinct(toks),
+        |              ['the','be','to','of','and','that','have','with'])) AS INT)
+        |           AS n_req_stop,
+        |         CAST(length(regexp_extract_all(text, '#'))
+        |            + length(regexp_extract_all(text, '\.\.\.')) AS INT)
+        |           AS n_symbols
+        |  FROM t)
+        |SELECT doc_id, n_words, word_chars, n_alpha, n_req_stop, n_symbols,
+        |       (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        |       (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        |         AS r_mean_word_len,
+        |       (10 * n_symbols <= n_words) AS r_symbol_ratio,
+        |       (10 * n_alpha >= 8 * n_words) AS r_alpha_words,
+        |       (n_req_stop >= 2) AS r_stopwords,
+        |       ((n_words BETWEEN 50 AND 100000)
+        |         AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |         AND 10 * n_symbols <= n_words
+        |         AND 10 * n_alpha >= 8 * n_words
+        |         AND n_req_stop >= 2) AS keep
+        |FROM m""".stripMargin,
+    // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
+    "q_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |         list_filter(range(1, len(w) - 1),
+        |           i -> w[i] = 'fast' AND w[i+1] = 'table' AND w[i+2] = 'scan')
+        |           AS pos1
+        |  FROM t)
+        |SELECT doc_id, CAST(len(pos1) AS BIGINT) AS n_matches,
+        |       CAST(pos1[1] - 1 AS INT) AS first_pos
+        |FROM hits WHERE len(pos1) > 0""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |         i -> substr(tok, CAST(i AS BIGINT), 2))) AS pair
+        |  FROM tok WHERE length(tok) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+        |      FROM c)
+        |WHERE rk <= 20""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(length(text) AS INT) AS char_len,

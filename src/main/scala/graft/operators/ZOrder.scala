@@ -83,13 +83,57 @@ object ZOrder {
     df.sparkSession.read.parquet(out)
   }
 
+  /** Small-files compaction planner — the maintenance pass every
+    * streaming ingest needs: an hourly sink writes one file per hour
+    * (720 small files/month here, modeled as the events table's hour
+    * buckets), and the compactor bins consecutive files into
+    * target-sized outputs (Delta/Iceberg OPTIMIZE bin-packing, hive
+    * concatenate). Greedy first-fit in file order: each file joins the
+    * bin its cumulative start offset falls in, so bins are contiguous
+    * time ranges (~`targetRows` each) and the plan is pure integer
+    * arithmetic — bit-deterministic, replayable, and auditable before
+    * any data moves. The manifest is post-aggregate (one row per file),
+    * so the unpartitioned cumulative window is bounded by file count,
+    * not data size; the actual rewrite would then be one
+    * repartitionByRange(bin) write like [[writeZOrdered]]. */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetRows: Long = 2500): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("hour_file")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("hour_file"))
+      .groupBy("hour_file").agg(count(lit(1)).as("n_rows"))
+      .withColumn("cum_before", coalesce(sum("n_rows").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${targetRows}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        min("hour_file").as("first_file"), max("hour_file").as("last_file"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zorder_cluster" -> ((s, d) => clusterStats(s, d)))
+    "q_zorder_cluster" -> ((s, d) => clusterStats(s, d)),
+    "q_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   private val zExpr =
     zSql("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")
 
   val oracles: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hour_file,
+        |         count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT hour_file, n_rows,
+        |         coalesce(CAST(sum(n_rows) OVER (ORDER BY hour_file
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum_before
+        |  FROM f)
+        |SELECT cum_before // 2500 AS bin,
+        |       count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |       min(hour_file) AS first_file, max(hour_file) AS last_file
+        |FROM c GROUP BY 1""".stripMargin,
     "q_zorder_cluster" ->
       s"""SELECT $zExpr >> 16 AS z_bucket,
          |       count(*) AS n_rows,

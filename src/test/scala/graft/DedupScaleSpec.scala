@@ -54,6 +54,34 @@ class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.reliableCheckpoints", "false")
   }
 
+  test("ppjoin prefix filter prunes candidates and loses no true pair") {
+    val ex = Dedup.shingleIndex(spark, sfDir)
+    // Baseline candidate space: every pair sharing >=1 shingle (what
+    // the exact jaccard join enumerates).
+    val fullPairs = ex.as("a")
+      .join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val candidates = Dedup.ppjoinCandidates(ex)
+    val nCand = candidates.count()
+    assert(nCand * 4 <= fullPairs,
+      s"prefix+size filtering should prune >=75% of shared-shingle pairs, " +
+        s"kept $nCand of $fullPairs")
+    // Losslessness (the PPJoin theorem, empirically): every exact pair
+    // at J >= 0.7 appears among the candidates.
+    val exact = Dedup.jaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.7).select("doc_i", "doc_j")
+    assert(exact.join(candidates, Seq("doc_i", "doc_j"), "left_anti")
+      .count() == 0, "prefix filtering must be lossless at J >= 0.7")
+    // And the operator's final output equals the exact join's.
+    val pp = Dedup.ppjoinPairs(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val ref = Dedup.jaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.7).collect().map(_.toString).sorted
+    assert(pp.sameElements(ref) && pp.nonEmpty)
+  }
+
   test("persisted shingle index feeds minhash + decontaminate from one parquet") {
     val out = Files.createTempDirectory("graft-shingle-ix").toFile
     val ixPath = new java.io.File(out, "ix").getAbsolutePath
