@@ -78,7 +78,15 @@ object Bench {
     "q_merge_upsert",
     "q_funnel",
     "q_retention",
-    "q_pareto_frontier")
+    "q_pareto_frontier",
+    "q_ppjoin_pairs",
+    "q_quality_gate",
+    "q_phrase_search",
+    "q_bpe_pairs",
+    "q_event_transitions",
+    "q_unpivot_metrics",
+    "q_equidepth_hist",
+    "q_compaction_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
