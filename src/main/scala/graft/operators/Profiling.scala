@@ -65,25 +65,67 @@ object Profiling {
 
   /** Exact equi-depth (equi-height) histogram of order totals — the
     * optimizer-statistics primitive (selectivity estimation wants equal
-    * mass per bucket, not equal width): ntile(10) over a total order
-    * (integer cents, orderkey tiebreak → bit-deterministic bucket
-    * membership), then per-bucket count/lo/hi. The exact form needs one
-    * global sort, which is the honest cost of exact quantile boundaries
-    * at 100 TB; the streaming/approximate sibling is
-    * `q_approx_percentile` (and at real scale stats collection samples
-    * first). */
+    * mass per bucket, not equal width). The naive form is `ntile` over
+    * one global sort, i.e. a single-partition WindowExec pulling the
+    * whole fact table through one task — a scale killer. Here the exact
+    * global rank is computed DISTRIBUTED instead: `repartitionByRange`
+    * on the total order (integer cents, orderkey tiebreak → unique key,
+    * bit-deterministic ranks), per-range-partition counts roll up to a
+    * broadcast table of cumulative offsets (one tiny row per partition),
+    * and bucket membership is the closed-form ntile arithmetic on
+    * `offset + local row_number`. Identical answer to the oracle's
+    * `ntile(10)`; every stage over the fact table stays partitioned.
+    * The streaming/approximate sibling is `q_approx_percentile`. */
   def equidepthHistogram(spark: SparkSession, dir: String,
-      buckets: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("price_cents"), col("o_orderkey"))
-    graft.Tables.orders(spark, dir)
-      .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
-      .withColumn("bucket", ntile(buckets).over(w))
+      buckets: Int = 10): DataFrame =
+    equidepthOf(
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents")),
+      valueCol = "price_cents", keyCol = "o_orderkey", buckets = buckets)
+
+  /** Distributed exact ntile histogram over (valueCol, keyCol) — keyCol
+    * must make the sort key unique so global ranks are well-defined.
+    * Shape: range shuffle (balanced) → P-row count aggregate → broadcast
+    * offsets join → per-partition window rank → final groupBy. No
+    * unpartitioned window anywhere in the plan. */
+  private[graft] def equidepthOf(input: DataFrame, valueCol: String,
+      keyCol: String, buckets: Int, parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = input
+      .repartitionByRange(parts, col(valueCol), col(keyCol))
+      .withColumn("pid", spark_partition_id())
+    // Per-partition counts: `parts` rows, tiny whatever the table size.
+    // Prefix sums over that table come from a broadcast triangular join
+    // (≤ parts² comparisons) rather than a global window, so the whole
+    // operator plans ZERO unpartitioned WindowExecs — the bench log
+    // stays free of single-partition-window warnings.
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n"))
+    val offs = counts
+      .join(broadcast(counts.select(col("pid").as("bpid"),
+        col("cnt").as("bcnt"))), col("bpid") < col("pid"), "left")
+      .groupBy("pid")
+      .agg(coalesce(sum("bcnt"), lit(0L)).as("off"))
+      .crossJoin(broadcast(total))
+      .select(col("pid"), col("off"), col("n"))
+    val localW = Window.partitionBy("pid").orderBy(col(valueCol), col(keyCol))
+    ranged
+      .withColumn("lrk", row_number().over(localW).cast("long"))
+      .join(broadcast(offs), "pid")
+      // 0-based exact global rank (range partitions are ordered, so
+      // offset + local rank IS the global sort position), then the
+      // closed-form ntile: the first n%b buckets take (n div b)+1 rows,
+      // the rest n div b. All-integer → engine-exact.
+      .selectExpr(valueCol, "off + lrk - 1 AS rk0",
+        s"n div $buckets AS q", s"n % $buckets AS r")
+      .selectExpr(valueCol,
+        "CAST(CASE WHEN rk0 < r * (q + 1) THEN rk0 div (q + 1) " +
+          "ELSE r + (rk0 - r * (q + 1)) div q END + 1 AS INT) AS bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_orders"),
-        min("price_cents").as("lo_cents"),
-        max("price_cents").as("hi_cents"))
+        min(valueCol).as("lo_cents"),
+        max(valueCol).as("hi_cents"))
   }
 
   /** Mergeable-sketch architecture: per-(event_type, day) HLL sketches

@@ -152,6 +152,45 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no unpartitioned window runs over an unbounded input") {
+    // An unpartitioned Window pulls its ENTIRE input through a single
+    // task — fine when the input is already cardinality-bounded (the
+    // output of an aggregate or a limit: post-agg top-k ranks), fatal on
+    // a fact-table input at scale (the r7 q_equidepth_hist weak plan,
+    // fixed by Profiling.equidepthOf — this guard would have caught it).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, Join, LeafNode, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LeafNode => false
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      withClue(s"$name:\n${offenders.map(_.simpleString(200)).mkString("\n")}") {
+        assert(offenders.isEmpty,
+          s"$name runs an unpartitioned window over a non-aggregated input")
+      }
+    }
+  }
+
+  test("equidepth histogram: exact rank is distributed, no global window at all") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("q_equidepth_hist")(spark, sf)
+      .queryExecution.optimizedPlan
+    val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    withClue(globals.map(_.simpleString(200)).mkString("\n")) {
+      assert(globals.isEmpty,
+        "q_equidepth_hist must not plan any unpartitioned window — " +
+          "exact ranks come from range partitions + broadcast offsets")
+    }
+  }
+
   test("no nested-loop join evaluates compute-heavy expressions in its condition") {
     // BroadcastNestedLoopJoin conditions run interpreted, per candidate
     // pair, BEFORE cheaper conjuncts — an expensive expression there is

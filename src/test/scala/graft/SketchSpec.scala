@@ -74,6 +74,32 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distributed equi-depth histogram equals the single-window ntile form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Exercise n % buckets != 0 (both oracle datasets land on r = 0, so
+    // the first-r-buckets-take-one-extra branch of the closed form is
+    // only pinned here), n < buckets, ties in the value column, and a
+    // partition count that doesn't divide the data evenly.
+    val rnd = new scala.util.Random(7)
+    for ((n, b) <- Seq((23, 10), (7, 10), (1000, 10), (40, 8))) {
+      val df = rnd.shuffle((0 until n).toList)
+        .map(i => (i.toLong, (i.toLong * 37) % 101))
+        .toDF("o_orderkey", "price_cents")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val got = rows(graft.operators.Profiling
+        .equidepthOf(df, "price_cents", "o_orderkey", buckets = b, parts = 5))
+      val w = Window.orderBy(col("price_cents"), col("o_orderkey"))
+      val ref = rows(df.withColumn("bucket", ntile(b).over(w))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"),
+          min("price_cents").as("lo_cents"),
+          max("price_cents").as("hi_cents")))
+      assert(got == ref, s"n=$n buckets=$b: $got != $ref")
+    }
+  }
+
   test("verified heavy hitters equal the exact groupBy answer") {
     val sf = "/root/testdata/sf0.01"
     val viaSketch = graft.operators.Profiling.heavyEventTypes(spark, sf)
