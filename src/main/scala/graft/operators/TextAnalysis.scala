@@ -215,28 +215,63 @@ object TextAnalysis {
           col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
   }
 
-  /** Exact phrase search over a positional inverted index — the IR
-    * primitive behind "find verbatim quotes of X in the corpus"
-    * (attribution sweeps, memorization probes). Each term filters the
-    * token index FIRST (the selective step), then consecutive terms
-    * join on (doc_id, position+i) — candidate volume is the posting
-    * list of the rarest term, never a text rescan. Positions are
-    * 0-based token offsets. */
-  def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = Seq("fast", "table", "scan")): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  /** Default probe phrase — the SINGLE source of truth for both the
+    * registered `q_phrase_search` operator and its generated oracle SQL
+    * ([[phraseSearchSql]]), so operator and oracle cannot drift. */
+  private[graft] val DefaultPhrase: Seq[String] = Seq("fast", "table", "scan")
+
+  /** (doc_id, pos, tok) positional token index written to parquet once
+    * and handed back as the on-disk copy — the positional sibling of
+    * `Dedup.persistedShingleIndex`: at corpus scale every phrase query
+    * re-tokenizing raw text is the dominant cost, so the pipeline
+    * materializes the index once and each phrase query is a single
+    * pushdown-filtered columnar scan of it. */
+  private[graft] def persistedTokenIndex(
+      spark: SparkSession, dir: String, out: String): DataFrame = {
+    Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
-    val first = tok.filter(col("tok") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    phrase.tail.zipWithIndex.foldLeft(first) { case (acc, (w, i)) =>
-      acc.join(
-        tok.filter(col("tok") === w)
-          .select(col("doc_id").as("d2"), col("pos").as("p2")),
-        col("doc_id") === col("d2") && col("p2") === col("pos") + (i + 1))
-        .select(col("doc_id"), col("pos"))
-    }
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** Exact phrase search over the persisted positional inverted index —
+    * the IR primitive behind "find verbatim quotes of X in the corpus"
+    * (attribution sweeps, memorization probes). See
+    * [[phraseSearchIndexed]] for the single-scan plan shape. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = DefaultPhrase): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-token-ix").toFile.getAbsolutePath
+    phraseSearchIndexed(persistedTokenIndex(spark, dir, out), phrase)
+  }
+
+  /** Phrase match as ONE scan of the positional index: filter postings
+    * to the phrase's terms (pushed to the parquet scan), explode each
+    * posting over the phrase slot(s) its token fills, and align on
+    * `anchor = pos − slot` — a full match at start position `anchor`
+    * iff all L slots report in, which is one `groupBy (doc_id, anchor)`
+    * count (each slot contributes at most one row per anchor since
+    * (doc_id, pos) is unique). Candidate volume is the SUM of the
+    * phrase terms' posting lists — never a text rescan, never one
+    * index pass per term like the naive consecutive-join plan. */
+  private[graft] def phraseSearchIndexed(
+      ix: DataFrame, phrase: Seq[String]): DataFrame = {
+    // token → phrase slots it occupies (a literal map; handles phrases
+    // with repeated words).
+    val slots = phrase.zipWithIndex.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq
+    val slotMap = map(slots.flatMap { case (w, ss) =>
+      Seq(lit(w), array(ss.map(lit(_)): _*))
+    }: _*)
+    ix.filter(col("tok").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("pos"), explode(slotMap(col("tok"))).as("slot"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === phrase.length)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+      .agg(count(lit(1)).as("n_matches"), min("anchor").as("first_pos"))
   }
 
   /** First BPE merge decision: global counts of adjacent character
@@ -382,6 +417,36 @@ object TextAnalysis {
        |WHERE rk <= 10""".stripMargin
   }
 
+  /** Phrase-search oracle generated from the SAME phrase Seq the
+    * operator defaults to — interpolating both the per-slot equality
+    * chain and the valid-start range bound, so changing [[DefaultPhrase]]
+    * (or its length) can never desynchronize operator and oracle. */
+  private[graft] def phraseSearchSql(phrase: Seq[String]): String = {
+    val conds = phrase.zipWithIndex.map {
+      case (w, 0) => s"w[i] = '$w'"
+      case (w, i) => s"w[i+$i] = '$w'"
+    }.mkString(" AND ")
+    // Valid 1-based starts: 1 .. len(w) − L + 1, i.e. range(1, upper)
+    // with exclusive upper = len(w) + 2 − L.
+    val upper = (2 - phrase.length) match {
+      case 0 => "len(w)"
+      case d if d > 0 => s"len(w) + $d"
+      case d => s"len(w) - ${-d}"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |         list_filter(range(1, $upper),
+       |           i -> $conds)
+       |           AS pos1
+       |  FROM t)
+       |SELECT doc_id, CAST(len(pos1) AS BIGINT) AS n_matches,
+       |       CAST(pos1[1] - 1 AS INT) AS first_pos
+       |FROM hits WHERE len(pos1) > 0""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bm25_rank" -> bm25Sql,
     "q_doc_chunks" ->
@@ -492,19 +557,7 @@ object TextAnalysis {
         |         AND n_req_stop >= 2) AS keep
         |FROM m""".stripMargin,
     // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
-    "q_phrase_search" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
-        |  FROM documents),
-        |hits AS (
-        |  SELECT doc_id,
-        |         list_filter(range(1, len(w) - 1),
-        |           i -> w[i] = 'fast' AND w[i+1] = 'table' AND w[i+2] = 'scan')
-        |           AS pos1
-        |  FROM t)
-        |SELECT doc_id, CAST(len(pos1) AS BIGINT) AS n_matches,
-        |       CAST(pos1[1] - 1 AS INT) AS first_pos
-        |FROM hits WHERE len(pos1) > 0""".stripMargin,
+    "q_phrase_search" -> phraseSearchSql(DefaultPhrase),
     "q_bpe_pairs" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

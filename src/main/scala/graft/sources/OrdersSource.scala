@@ -174,8 +174,12 @@ private case class OrdersOffset(id: Long) extends Offset {
   override def json(): String = id.toString
 }
 
-private class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
+private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, rowsPerBatch: Long) extends Scan with Batch {
+
+  /** Structural view of the consumed id bounds, for tests — asserting
+    * on these beats substring-matching [[description]]'s formatting. */
+  def pushedBounds: (Long, Long) = (lo, hi)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -19,6 +19,18 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.read.format("graft.sources.OrdersSource")
       .option("rows", rows.toString).option("parts", parts.toString).load()
 
+  /** The [lo, hi) id bounds the scan actually consumed, read
+    * structurally off the planned OrdersScan — robust to any formatting
+    * change in the scan's description string. */
+  private def pushedBounds(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    } match {
+      case Some(s: graft.sources.OrdersScan) => s.pushedBounds
+      case other => fail(s"no OrdersScan in plan, found: $other")
+    }
+
   test("generates the full deterministic id space across partitions") {
     val df = read(10000, 8)
     assert(df.rdd.getNumPartitions == 8)
@@ -37,9 +49,7 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions == 2,
       s"expected 2 surviving partitions, got ${df.rdd.getNumPartitions}")
     assert(df.count() == 5000)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedBounds=[5000, 10000)"),
-      s"pushed bounds missing from scan description:\n$plan")
+    assert(pushedBounds(df) == (5000L, 10000L))
   }
 
   test("streams the id space incrementally as a MicroBatchStream") {
@@ -89,8 +99,7 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // = v plans as [v, v+1): exactly one partition, one row.
     val eq = read(20000, 8).filter(col("order_id") === 12345)
     assert(eq.rdd.getNumPartitions == 1)
-    assert(eq.queryExecution.executedPlan.toString
-      .contains("PushedBounds=[12345, 12346)"))
+    assert(pushedBounds(eq) == (12345L, 12346L))
     assert(eq.count() == 1)
 
     // > v / <= v with INT-typed literals: [15001, 17500) — slice 6 only
@@ -99,8 +108,7 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("order_id") > 15000 && col("order_id") <= 17499)
     assert(range.rdd.getNumPartitions == 1,
       s"expected 1 surviving partition, got ${range.rdd.getNumPartitions}")
-    assert(range.queryExecution.executedPlan.toString
-      .contains("PushedBounds=[15001, 17500)"))
+    assert(pushedBounds(range) == (15001L, 17500L))
     assert(range.count() == 2499)
   }
 
@@ -115,10 +123,9 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(le.count() == 1000, "order_id <= Long.MaxValue must match all")
     val eq = read(1000, 4).filter(col("order_id") === max)
     assert(eq.count() == 0)
-    // Declined means NOT consumed: no pushed bound tighter than the
-    // full id space may appear in the scan description.
-    assert(le.queryExecution.executedPlan.toString
-      .contains("PushedBounds=[0, 1000)"),
+    // Declined means NOT consumed: the scan's bounds must remain the
+    // full id space — no narrowed bound may have been consumed.
+    assert(pushedBounds(le) == (0L, 1000L),
       "MaxValue predicate must not narrow the pushed bounds")
   }
 

@@ -218,4 +218,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meanErr * 2 < meanErrOnes,
       s"JL ($meanErr) should beat the rank-1 sign projection ($meanErrOnes) by 2x")
   }
+
+  test("phrase search serves from ONE pushdown-filtered scan of the token index") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-token-ix-spec").toFile.getAbsolutePath
+    val ix = TextAnalysis.persistedTokenIndex(spark, sf, out)
+    val phrase = TextAnalysis.DefaultPhrase
+    val q = TextAnalysis.phraseSearchIndexed(ix, phrase)
+
+    // Plan shape: exactly one scan, of the index parquet, with the
+    // term filter pushed to it — never a re-tokenization of documents.
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 index scan, got $scans:\n$plan")
+    assert(plan.contains(out), "the one scan must read the index parquet")
+    assert(plan.toLowerCase.contains("pushedfilters: [in(tok"),
+      s"term filter must be pushed to the index scan:\n$plan")
+
+    // Result parity with a naive per-term consecutive-position join.
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+"))
+        .as(Seq("pos", "tok")))
+    val naive = phrase.zipWithIndex.tail
+      .foldLeft(tok.filter(col("tok") === phrase.head)
+        .select(col("doc_id"), col("pos"))) { case (acc, (w, i)) =>
+        acc.join(tok.filter(col("tok") === w)
+          .select(col("doc_id").as("d2"), col("pos").as("p2")),
+          col("doc_id") === col("d2") && col("p2") === col("pos") + i)
+          .select(col("doc_id"), col("pos"))
+      }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+    assert(q.collect().map(_.toString).sorted
+      .sameElements(naive.collect().map(_.toString).sorted))
+  }
+
+  test("phrase search handles repeated words in the phrase") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" at 0 and 2
+      (2L, "a b c a b"), // no "a b a"
+      (3L, "b a b a b") // "a b a" at 1
+    ).toDF("doc_id", "text")
+    val ix = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val got = TextAnalysis.phraseSearchIndexed(ix, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (3L, 1L, 1)))
+  }
 }
