@@ -296,6 +296,101 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Number of BPE merge rounds for the registered query — the single
+    * source of truth for operator and generated oracle. */
+  private[graft] val BpeRounds = 5
+
+  /** ITERATIVE BPE training (Sennrich, Haddow & Birch 2016): `rounds`
+    * greedy merge rounds over the corpus word-frequency table,
+    * returning the learned merge list — the actual tokenizer-training
+    * loop, of which [[bpePairCounts]] is one round's statistic.
+    *
+    * Representation: each distinct word (weighted by corpus count — the
+    * standard vocab-table reduction, so the loop's cost scales with
+    * VOCABULARY not corpus size) is held as its symbol sequence joined
+    * by a two-space delimiter and padded: `"  h  e  l  l  o  "`.
+    * A merge of (a, b) is then the literal (non-regex) substring
+    * replacement `" a  b " → " ab "`, whose left-to-right non-overlap
+    * semantics are exactly BPE's greedy scan AND identical between
+    * Spark's `replace` and DuckDB's — so the oracle replays the whole
+    * adaptive loop as an unrolled CTE chain, bit-for-bit. The
+    * single-space borders of the pattern make a match impossible except
+    * at exact symbol boundaries (symbols never contain spaces).
+    *
+    * Each round: adjacent-pair counts (one map-side-partial aggregate
+    * over the vocab), top-1 by (count, pair) — broadcast joined into
+    * the next round's replacement, NO driver-side collect of data. The
+    * per-round `localCheckpoint` keeps the k-round plan linear instead
+    * of exponential (each round references the previous round twice:
+    * once for pairs, once for the rewrite), the same fixpoint
+    * materialization discipline as the connected-components loop. */
+  def bpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    var words = Tables.documents(spark, dir)
+      .select(explode(tokens).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  "))
+        .as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = (1 to rounds).map { round =>
+      val pairs = words
+        .select(split(trim(col("s")), "  ").as("syms"), col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).localCheckpoint()
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .select(expr(
+          "replace(s, ' ' || bl || '  ' || br || ' ', ' ' || bl || br || ' ')")
+          .as("s"), col("cnt"))
+        .localCheckpoint()
+      best.select(lit(round).as("merge_round"), col("l").as("lhs"),
+        col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
+        col("cnt").as("pair_count"))
+    }
+    merges.reduce(_ unionAll _)
+  }
+
+  /** Oracle for [[bpeMerges]], generated for the SAME round count: the
+    * adaptive merge loop unrolled as a CTE chain (w0 → p1/b1/w1 → …),
+    * each round's best pair applied with the same literal two-space
+    * replacement — see bpeMerges for why the two engines' `replace`
+    * agree exactly. */
+  private[graft] def bpeMergesSql(rounds: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS s, cnt
+        |  FROM (SELECT tok AS word, count(*) AS cnt
+        |        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |              FROM documents)
+        |        WHERE length(tok) >= 1 GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |               i -> {'l': syms[i-1], 'r': syms[i]})) AS pr, cnt
+         |        FROM (SELECT str_split(trim(s), '  ') AS syms, cnt FROM w${r - 1})
+         |        WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$r AS (SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |                       ' ' || b.l || b.r || ' ') AS s, w.cnt
+         |        FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    }
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS merge_round, l AS lhs, r AS rhs,
+         |       l || r AS merged, cnt AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (base +: roundCtes).mkString(",\n") + "\n" + unions
+  }
+
   /** Edit-distance bucketing of part names against a probe string —
     * the string-distance operator family (fuzzy matching / canonical-
     * ization in entity resolution pipelines).
@@ -377,6 +472,7 @@ object TextAnalysis {
     "q_quality_gate" -> qualityGate,
     "q_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "q_bpe_pairs" -> ((s, d) => bpePairCounts(s, d)),
+    "q_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
@@ -558,6 +654,7 @@ object TextAnalysis {
         |FROM m""".stripMargin,
     // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
     "q_phrase_search" -> phraseSearchSql(DefaultPhrase),
+    "q_bpe_merges" -> bpeMergesSql(BpeRounds),
     "q_bpe_pairs" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

@@ -254,6 +254,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(naive.collect().map(_.toString).sorted))
   }
 
+  test("iterative BPE merges match a naive reference implementation") {
+    import org.apache.spark.sql.functions._
+    // Reference: the textbook greedy BPE training loop over the same
+    // word-frequency table.
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val expected = (1 to 5).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((l, rr), c) = counts.toSeq
+        .sortBy { case ((l, rr), c) => (-c, l, rr) }.head
+      vocab = vocab.map { case (syms, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+            out += l + rr; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> cnt
+      }
+      (r, l, rr, l + rr, c)
+    }
+    val got = TextAnalysis.bpeMerges(spark, sf, 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == expected,
+      s"spark merges ${got.toSeq} != reference $expected")
+  }
+
+  test("served retrieval reads only the persisted IVF index, result = recompute form") {
+    val direct = Similarity.retrieval(spark, sf)
+      .collect().map(_.toString).sorted
+    val served = Similarity.retrievalServed(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-ix"),
+      "served plan must scan the persisted index parquet")
+    assert(!plan.contains("embeddings.parquet"),
+      s"served plan must not re-scan the embeddings table:\n$plan")
+    assert(served.collect().map(_.toString).sorted.sameElements(direct))
+  }
+
   test("phrase search handles repeated words in the phrase") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
