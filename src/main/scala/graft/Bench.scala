@@ -86,7 +86,9 @@ object Bench {
     "q_event_transitions",
     "q_unpivot_metrics",
     "q_equidepth_hist",
-    "q_compaction_plan")
+    "q_compaction_plan",
+    "q_bpe_merges",
+    "q_retrieval_served")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

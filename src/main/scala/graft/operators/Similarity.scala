@@ -417,10 +417,19 @@ object Similarity {
     * re-quantized) plus the doc store post-top-k — the index-build /
     * index-serve split of a production vector-search deployment.
     * Result is identical to [[retrieval]] (same oracle). */
+  /** Corpus dir → persisted IVF index path, built at most once per JVM
+    * (same build-once/serve-many cache discipline as the token index —
+    * see TextAnalysis.tokenIndexCache). */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def retrievalServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-ivf-ix").toFile.getAbsolutePath
-    buildIvfIndex(spark, dir, out)
+    val out = ivfIndexCache.computeIfAbsent(dir, d => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-ix").toFile.getAbsolutePath
+      buildIvfIndex(spark, d, path)
+      path
+    })
     retrievalFrom(
       annIvfFrom(spark.read.parquet(s"$out/assignments"),
         spark.read.parquet(s"$out/centroids")),

@@ -234,15 +234,28 @@ object TextAnalysis {
     spark.read.parquet(out)
   }
 
+  /** Corpus dir → on-disk token index path, built at most once per JVM:
+    * the index-build / index-serve split — every phrase query after the
+    * first serves from the same parquet (the testdata corpora are
+    * immutable; a changing corpus calls [[persistedTokenIndex]] with
+    * its own lifecycle). ConcurrentHashMap so concurrent first queries
+    * (Verify runs 6-way) build exactly once. */
+  private val tokenIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Exact phrase search over the persisted positional inverted index —
     * the IR primitive behind "find verbatim quotes of X in the corpus"
     * (attribution sweeps, memorization probes). See
     * [[phraseSearchIndexed]] for the single-scan plan shape. */
   def phraseSearch(spark: SparkSession, dir: String,
       phrase: Seq[String] = DefaultPhrase): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-token-ix").toFile.getAbsolutePath
-    phraseSearchIndexed(persistedTokenIndex(spark, dir, out), phrase)
+    val ix = tokenIndexCache.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-token-ix").toFile.getAbsolutePath
+      persistedTokenIndex(spark, d, out)
+      out
+    })
+    phraseSearchIndexed(spark.read.parquet(ix), phrase)
   }
 
   /** Phrase match as ONE scan of the positional index: filter postings
