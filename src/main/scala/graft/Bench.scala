@@ -88,7 +88,9 @@ object Bench {
     "q_equidepth_hist",
     "q_compaction_plan",
     "q_bpe_merges",
-    "q_retrieval_served")
+    "q_retrieval_served",
+    "q_bpe_encode",
+    "q_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

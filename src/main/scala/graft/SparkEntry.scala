@@ -29,6 +29,7 @@ object SparkEntry {
       (Sessionize.queries, Sessionize.oracles),
       (AsofJoin.queries, AsofJoin.oracles),
       (Sampling.queries, Sampling.oracles),
+      (Packing.queries, Packing.oracles),
       (Analytics.queries, Analytics.oracles),
       (Profiling.queries, Profiling.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Training-sequence assembly: the last batch stage of a pretraining
+  * data pipeline — documents are shuffled deterministically,
+  * concatenated, and chunked into fixed-length training sequences
+  * (GPT-style packing: no padding, documents split across sequence
+  * boundaries). The operator emits the per-document PLACEMENT MANIFEST
+  * (which sequences a doc lands in, at what offset) — the metadata a
+  * sharded tokenizer-writer fans out over, and the provenance map
+  * "which docs fed sequence i" needed for contamination tracebacks.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence for the registered query. */
+  private[graft] val SeqLen = 2048L
+
+  /** Append `cum_before` = exact global cumulative sum of `weightCol`
+    * strictly before each row in `orderCols` order (which must be a
+    * unique key), computed DISTRIBUTED: `repartitionByRange` on the
+    * order → per-partition totals (one tiny row each) → broadcast
+    * triangular prefix join → per-partition window sum. The naive form
+    * — one unpartitioned running-sum window — pulls the whole table
+    * through a single task; this shape keeps every stage over the data
+    * partitioned (same discipline as `Profiling.equidepthOf`'s exact
+    * rank, generalized from counts to weights). */
+  private[graft] def withGlobalCumsum(input: DataFrame, weightCol: String,
+      orderCols: Seq[String], parts: Int = 32): DataFrame = {
+    val ranged = input
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn("pid", spark_partition_id())
+    val sums = ranged.groupBy("pid").agg(sum(weightCol).as("psum"))
+    val offs = sums
+      .join(broadcast(sums.select(col("pid").as("bpid"), col("psum").as("bsum"))),
+        col("bpid") < col("pid"), "left")
+      .groupBy("pid").agg(coalesce(sum("bsum"), lit(0L)).as("poff"))
+    val localW = Window.partitionBy("pid").orderBy(orderCols.map(col): _*)
+    ranged
+      .withColumn("lcum", coalesce(sum(col(weightCol)).over(
+        localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offs), "pid")
+      .withColumn("cum_before", col("poff") + col("lcum"))
+      .drop("pid", "lcum", "poff")
+  }
+
+  /** Concat-and-chunk packing manifest at `seqLen` tokens: documents in
+    * deterministic md5 shuffle order, each doc's token span
+    * [cum_before, cum_before + n_tokens) mapped to its first/last
+    * training sequence and in-sequence offset — all integer closed
+    * forms on the distributed exact cumsum, zero unpartitioned windows,
+    * bit-identical across engines. */
+  def seqPack(spark: SparkSession, dir: String,
+      seqLen: Long = SeqLen): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rnd"))
+    withGlobalCumsum(docs, "n_tokens", Seq("rnd", "doc_id"))
+      .selectExpr("doc_id", "n_tokens", "cum_before",
+        s"cum_before div ${seqLen}L AS first_seq",
+        s"cum_before % ${seqLen}L AS offset_in_first",
+        s"(cum_before + n_tokens - 1) div ${seqLen}L AS last_seq")
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pack" -> ((s, d) => seqPack(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    // The oracle MAY use the single global running-sum window — DuckDB
+    // is the referee, not the scale exemplar.
+    "q_seq_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+         |           AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS rnd
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rnd, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, n_tokens, cum_before,
+         |       cum_before // ${SeqLen} AS first_seq,
+         |       cum_before % ${SeqLen} AS offset_in_first,
+         |       (cum_before + n_tokens - 1) // ${SeqLen} AS last_seq,
+         |       (cum_before + n_tokens - 1) // ${SeqLen}
+         |         - cum_before // ${SeqLen} + 1 AS n_seqs
+         |FROM c""".stripMargin)
+}

@@ -338,7 +338,19 @@ object TextAnalysis {
     * once for pairs, once for the rewrite), the same fixpoint
     * materialization discipline as the connected-components loop. */
   def bpeMerges(spark: SparkSession, dir: String,
-      rounds: Int = BpeRounds): DataFrame = {
+      rounds: Int = BpeRounds): DataFrame =
+    bpeTrain(spark, dir, rounds).zipWithIndex.map { case (best, i) =>
+      best.select(lit(i + 1).as("merge_round"), col("l").as("lhs"),
+        col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
+        col("cnt").as("pair_count"))
+    }.reduce(_ unionAll _)
+
+  /** The training loop proper: returns the per-round best-pair tables
+    * (each a checkpointed single row (l, r, cnt)), in merge order —
+    * consumed by [[bpeMerges]] (the merge list) and [[bpeEncode]] (the
+    * corpus-wide apply). */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int): Seq[DataFrame] = {
     var words = Tables.documents(spark, dir)
       .select(explode(tokens).as("word"))
       .filter(length(col("word")) >= 1)
@@ -346,7 +358,7 @@ object TextAnalysis {
       .select(concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  "))
         .as("s"), col("cnt"))
       .localCheckpoint()
-    val merges = (1 to rounds).map { round =>
+    (1 to rounds).map { _ =>
       val pairs = words
         .select(split(trim(col("s")), "  ").as("syms"), col("cnt"))
         .filter(size(col("syms")) >= 2)
@@ -364,11 +376,38 @@ object TextAnalysis {
           "replace(s, ' ' || bl || '  ' || br || ' ', ' ' || bl || br || ' ')")
           .as("s"), col("cnt"))
         .localCheckpoint()
-      best.select(lit(round).as("merge_round"), col("l").as("lhs"),
-        col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
-        col("cnt").as("pair_count"))
+      best
     }
-    merges.reduce(_ unionAll _)
+  }
+
+  /** ENCODE with the learned merges: apply the k trained BPE merges, in
+    * merge order, to every token occurrence in the corpus and report
+    * per-document symbol counts before/after — the train→apply split of
+    * tokenizer deployment (the merge list is vocabulary-sized state,
+    * broadcast into k literal substring replacements over the corpus;
+    * one narrow projection chain, one final aggregate, no shuffle until
+    * the per-doc groupBy). */
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    val merges = bpeTrain(spark, dir, rounds)
+    var enc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(col("doc_id"), length(col("word")).cast("long").as("n_chars"),
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("s"))
+    for (best <- merges)
+      enc = enc
+        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .select(col("doc_id"), col("n_chars"), expr(
+          "replace(s, ' ' || bl || '  ' || br || ' ', ' ' || bl || br || ' ')")
+          .as("s"))
+    enc
+      .select(col("doc_id"), col("n_chars"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+      .groupBy("doc_id")
+      .agg(sum("n_chars").as("n_chars"),
+        sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("merges_saved", col("n_chars") - col("n_bpe_tokens"))
   }
 
   /** Oracle for [[bpeMerges]], generated for the SAME round count: the
@@ -376,7 +415,9 @@ object TextAnalysis {
     * each round's best pair applied with the same literal two-space
     * replacement — see bpeMerges for why the two engines' `replace`
     * agree exactly. */
-  private[graft] def bpeMergesSql(rounds: Int): String = {
+  /** The shared training CTE chain `WITH w0, p1, b1, w1, …, wk` —
+    * prefix of both generated oracles. */
+  private def bpeTrainCtes(rounds: Int): String = {
     val base =
       """WITH w0 AS (
         |  SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS s, cnt
@@ -397,11 +438,45 @@ object TextAnalysis {
          |                       ' ' || b.l || b.r || ' ') AS s, w.cnt
          |        FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }
+    (base +: roundCtes).mkString(",\n")
+  }
+
+  private[graft] def bpeMergesSql(rounds: Int): String = {
     val unions = (1 to rounds).map { r =>
       s"""SELECT CAST($r AS INT) AS merge_round, l AS lhs, r AS rhs,
          |       l || r AS merged, cnt AS pair_count FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    (base +: roundCtes).mkString(",\n") + "\n" + unions
+    bpeTrainCtes(rounds) + "\n" + unions
+  }
+
+  /** Oracle for [[bpeEncode]]: the same training CTE chain as
+    * [[bpeMergesSql]] (b1..bk), then the k merges applied to every
+    * token occurrence and rolled up per document. */
+  private[graft] def bpeEncodeSql(rounds: Int): String = {
+    val e0 =
+      """e0 AS (
+        |  SELECT doc_id, CAST(length(word) AS BIGINT) AS n_chars,
+        |         '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS s
+        |  FROM (SELECT doc_id,
+        |               unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) >= 1)""".stripMargin
+    val applyCtes = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, n_chars,
+         |         replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |                 ' ' || b.l || b.r || ' ') AS s
+         |  FROM e${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }
+    val fin =
+      s"""SELECT doc_id, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(n_chars) - sum(n_syms) AS BIGINT) AS merges_saved
+         |FROM (SELECT doc_id, n_chars,
+         |             CAST(len(str_split(trim(s), '  ')) AS BIGINT) AS n_syms
+         |      FROM e$rounds)
+         |GROUP BY doc_id""".stripMargin
+    (Seq(bpeTrainCtes(rounds), e0) ++ applyCtes).mkString(",\n") + "\n" + fin
   }
 
   /** Edit-distance bucketing of part names against a probe string —
@@ -486,6 +561,7 @@ object TextAnalysis {
     "q_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "q_bpe_pairs" -> ((s, d) => bpePairCounts(s, d)),
     "q_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
@@ -668,6 +744,7 @@ object TextAnalysis {
     // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
     "q_phrase_search" -> phraseSearchSql(DefaultPhrase),
     "q_bpe_merges" -> bpeMergesSql(BpeRounds),
+    "q_bpe_encode" -> bpeEncodeSql(BpeRounds),
     "q_bpe_pairs" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

@@ -254,36 +254,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(naive.collect().map(_.toString).sorted))
   }
 
-  test("iterative BPE merges match a naive reference implementation") {
-    import org.apache.spark.sql.functions._
-    // Reference: the textbook greedy BPE training loop over the same
-    // word-frequency table.
-    val words = Tables.documents(spark, sf)
-      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy("w").count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+  /** Greedy left-to-right application of one BPE merge to a symbol
+    * sequence — the textbook reference semantics. */
+  private def naiveApply(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  /** Textbook BPE training over a word-frequency table: the k
+    * (round, lhs, rhs, merged, count) merge decisions. */
+  private def naiveTrain(words: Map[String, Long],
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] =
       words.map { case (w, c) => w.map(_.toString).toVector -> c }
-    val expected = (1 to 5).map { r =>
+    (1 to rounds).map { r =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
         counts((syms(i), syms(i + 1))) =
           counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
       val ((l, rr), c) = counts.toSeq
         .sortBy { case ((l, rr), c) => (-c, l, rr) }.head
-      vocab = vocab.map { case (syms, cnt) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
-            out += l + rr; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        out.toVector -> cnt
-      }
+      vocab = vocab.map { case (syms, cnt) => naiveApply(syms, l, rr) -> cnt }
       (r, l, rr, l + rr, c)
     }
+  }
+
+  private lazy val corpusWords: Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+  }
+
+  test("iterative BPE merges match a naive reference implementation") {
+    val expected = naiveTrain(corpusWords, 5)
     val got = TextAnalysis.bpeMerges(spark, sf, 5)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
@@ -291,6 +303,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_._1)
     assert(got.toSeq == expected,
       s"spark merges ${got.toSeq} != reference $expected")
+  }
+
+  test("BPE encode applies the learned merges exactly (per-doc counts match naive)") {
+    import org.apache.spark.sql.functions._
+    val merges = naiveTrain(corpusWords, 5).map(m => (m._2, m._3))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split("\\s+", -1).filter(_.nonEmpty)
+      val before = toks.map(_.length.toLong).sum
+      val after = toks.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (syms, (l, r)) => naiveApply(syms, l, r)
+        }.length.toLong
+      }.sum
+      id -> ((before, after))
+    }.toMap
+    val got = TextAnalysis.bpeEncode(spark, sf, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("seq packing manifest tiles the token stream exactly") {
+    val rows = Packing.seqPack(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_._2) // by cum_before
+    // Perfect tiling: each doc starts exactly where the previous ended.
+    rows.sliding(2).foreach {
+      case Array((n0, c0, _, _, _, _), (_, c1, _, _, _, _)) =>
+        assert(c0 + n0 == c1, s"gap or overlap at cum_before=$c1")
+      case _ =>
+    }
+    // Closed forms are consistent.
+    for ((n, c, first, off, last, nseq) <- rows) {
+      assert(first == c / 2048 && off == c % 2048)
+      assert(last == (c + n - 1) / 2048 && nseq == last - first + 1)
+    }
+    assert(rows.head._2 == 0L)
   }
 
   test("served retrieval reads only the persisted IVF index, result = recompute form") {
