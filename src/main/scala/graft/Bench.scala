@@ -90,7 +90,9 @@ object Bench {
     "q_bpe_merges",
     "q_retrieval_served",
     "q_bpe_encode",
-    "q_seq_pack")
+    "q_seq_pack",
+    "q_triangle_count",
+    "q_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

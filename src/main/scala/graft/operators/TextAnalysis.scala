@@ -479,6 +479,43 @@ object TextAnalysis {
     (Seq(bpeTrainCtes(rounds), e0) ++ applyCtes).mkString(",\n") + "\n" + fin
   }
 
+  /** Top PMI collocations: bigrams whose observed frequency most
+    * exceeds the independence expectation — the classic collocation /
+    * multi-word-expression detector (Church & Hanks 1990). PMI =
+    * log(p(xy)/(p(x)p(y))) is ranked WITHOUT logs or floats: the ratio
+    * c_xy·N² / (M·c_x·c_y) is monotone in PMI, and its floor at 10⁻⁶
+    * resolution is computed in DECIMAL(38) / HUGEINT exact integer
+    * arithmetic (`div` → BIGINT micro-units), so the ranking — and the
+    * hash — cannot drift between engines. Min support c_xy ≥ 5 bounds
+    * the candidate set before the vocab joins; the final top-k window
+    * runs over that aggregate-bounded input. */
+  def pmiCollocations(spark: SparkSession, dir: String, k: Int = 20,
+      minCount: Long = 5): DataFrame = {
+    graft.functions.ShinglesAll.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(tokens).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cx"))
+    val nTot = uni.agg(sum("cx").as("n"))
+    val bi = docs.select(explode(expr("shingles_all(text, 2)")).as("xy"))
+      .groupBy("xy").agg(count(lit(1)).as("cxy"))
+    val mTot = bi.agg(sum("cxy").as("m"))
+    val w = Window.orderBy(col("pmi_micro").desc, col("xy"))
+    bi.filter(col("cxy") >= minCount)
+      .select(col("xy"), col("cxy"),
+        split(col("xy"), " ").getItem(0).as("xw"),
+        split(col("xy"), " ").getItem(1).as("yw"))
+      .filter(length(col("xw")) >= 1 && length(col("yw")) >= 1)
+      .join(uni.select(col("x").as("xw"), col("cx")), "xw")
+      .join(uni.select(col("x").as("yw"), col("cx").as("cy")), "yw")
+      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(mTot))
+      .select(col("xy"), col("cxy"), col("cx"), col("cy"),
+        expr("CAST(cxy AS DECIMAL(38,0)) * n * n * 1000000" +
+          " div (CAST(m AS DECIMAL(38,0)) * cx * cy)").as("pmi_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Edit-distance bucketing of part names against a probe string —
     * the string-distance operator family (fuzzy matching / canonical-
     * ization in entity resolution pipelines).
@@ -562,6 +599,7 @@ object TextAnalysis {
     "q_bpe_pairs" -> ((s, d) => bpePairCounts(s, d)),
     "q_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "q_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "q_lang_id" -> langId,
     "q_doc_fingerprint" -> docFingerprint)
 
@@ -745,6 +783,34 @@ object TextAnalysis {
     "q_phrase_search" -> phraseSearchSql(DefaultPhrase),
     "q_bpe_merges" -> bpeMergesSql(BpeRounds),
     "q_bpe_encode" -> bpeEncodeSql(BpeRounds),
+    "q_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS x FROM toks),
+        |ucnt AS (SELECT x, CAST(count(*) AS BIGINT) AS cx FROM uni GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        |big AS (
+        |  SELECT unnest(list_transform(range(2, len(ws) + 1),
+        |                i -> ws[i-1] || ' ' || ws[i])) AS xy
+        |  FROM toks),
+        |bcnt AS (SELECT xy, CAST(count(*) AS BIGINT) AS cxy FROM big GROUP BY 1),
+        |mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM big),
+        |sc AS (
+        |  SELECT b.xy, b.cxy, u1.cx AS cx, u2.cx AS cy,
+        |         CAST(CAST(b.cxy AS HUGEINT) * n.n * n.n * 1000000
+        |              // (CAST(m.m AS HUGEINT) * u1.cx * u2.cx) AS BIGINT)
+        |           AS pmi_micro
+        |  FROM bcnt b
+        |  JOIN ucnt u1 ON u1.x = str_split(b.xy, ' ')[1]
+        |  JOIN ucnt u2 ON u2.x = str_split(b.xy, ' ')[2]
+        |  CROSS JOIN ntot n CROSS JOIN mtot m
+        |  WHERE b.cxy >= 5
+        |    AND length(str_split(b.xy, ' ')[1]) >= 1
+        |    AND length(str_split(b.xy, ' ')[2]) >= 1)
+        |SELECT xy, cxy, cx, cy, pmi_micro, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, xy) AS rk
+        |      FROM sc)
+        |WHERE rk <= 20""".stripMargin,
     "q_bpe_pairs" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

@@ -358,6 +358,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.collect().map(_.toString).sorted.sameElements(direct))
   }
 
+  test("triangle counting: planted K4 + pendant edge, each triangle once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3), duplicate and
+    // reversed edges thrown in, plus a pendant edge 5-6 (none).
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleCountOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("phrase search handles repeated words in the phrase") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
