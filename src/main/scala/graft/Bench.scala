@@ -92,7 +92,8 @@ object Bench {
     "q_bpe_encode",
     "q_seq_pack",
     "q_triangle_count",
-    "q_pmi_collocations")
+    "q_pmi_collocations",
+    "q_theta_audience")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -153,6 +153,54 @@ object Profiling {
           col("exact_distinct") * 0.05 + lit(16)).as("estimate_in_bounds"))
   }
 
+  /** Theta-sketch SET ALGEBRA over user audiences — the sketch family
+    * that, unlike HLL, supports intersection and difference: "users who
+    * clicked AND purchased" over 100 TB is a merge of two KB-sized
+    * sketches, not a distinct-join of two fact scans. Per-event_type
+    * theta sketches are built in one pass (mergeable → pre-aggregable
+    * into the same sketch-table architecture as
+    * [[distinctUsersMergeable]]); union / intersection / difference
+    * estimates for the (click, purchase) audience pair are then checked
+    * against the exact set algebra the small SF can still afford. The
+    * sketch blob is not cross-engine-replayable, so the oracle contract
+    * is the exact counts plus the estimate-in-bounds flag (±5% + slack
+    * — theta at default lgK=12 is ~±1.6% at 3σ for these
+    * cardinalities). */
+  def thetaAudience(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val pair = sk.filter(col("event_type") === "click")
+      .select(col("sk").as("cs"))
+      .crossJoin(broadcast(sk.filter(col("event_type") === "purchase")
+        .select(col("sk").as("ps"))))
+    val ests = pair.select(
+      expr("theta_sketch_estimate(theta_union(cs, ps))").as("est_union"),
+      expr("theta_sketch_estimate(theta_intersection(cs, ps))").as("est_inter"),
+      expr("theta_sketch_estimate(theta_difference(cs, ps))").as("est_diff"))
+    val exact = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(count(lit(1)).as("ex_union"),
+        sum(col("c") * col("p")).as("ex_inter"),
+        sum(col("c") * (lit(1) - col("p"))).as("ex_diff"))
+    exact.crossJoin(broadcast(ests))
+      .select(explode(array(
+        struct(lit("union").as("op"), col("ex_union").as("exact_count"),
+          (abs(col("est_union") - col("ex_union")) <=
+            col("ex_union") * 0.05 + lit(16)).as("estimate_in_bounds")),
+        struct(lit("intersection").as("op"), col("ex_inter").as("exact_count"),
+          (abs(col("est_inter") - col("ex_inter")) <=
+            col("ex_inter") * 0.05 + lit(16)).as("estimate_in_bounds")),
+        struct(lit("difference").as("op"), col("ex_diff").as("exact_count"),
+          (abs(col("est_diff") - col("ex_diff")) <=
+            col("ex_diff") * 0.05 + lit(16)).as("estimate_in_bounds"))))
+        .as("r"))
+      .select(col("r.op"), col("r.exact_count"), col("r.estimate_in_bounds"))
+  }
+
   /** Count-min-sketch frequency estimates for the top-20 users by
     * exact count: ONE 4×256 mergeable sketch of the whole event stream
     * (see functions.CountMinSketch — associative merges, deterministic
@@ -183,6 +231,7 @@ object Profiling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_distinct_mergeable" -> distinctUsersMergeable,
+    "q_theta_audience" -> thetaAudience,
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
@@ -226,6 +275,22 @@ object Profiling {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    // Exact set algebra; the sketch side of the contract is the
+    // in-bounds flag (same pattern as q_distinct_mergeable).
+    "q_theta_audience" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT op, exact_count, true AS estimate_in_bounds
+        |FROM (
+        |  SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS exact_count FROM f
+        |  UNION ALL
+        |  SELECT 'intersection', CAST(sum(c * p) AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT 'difference', CAST(sum(c * (1 - p)) AS BIGINT) FROM f)""".stripMargin,
     // MG recall guarantee ⇒ equals the full-groupBy heavy-key answer.
     "q_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS n_events

@@ -245,6 +245,90 @@ object OrderStream {
         OutputMode.Append())
   }
 
+  /** Per-order view of the last `n` same-product order ids that
+    * preceded it (event-time order). */
+  case class RecentOut(product: String, order_id: String, prev_ids: Seq[String])
+
+  /** Bounded recent-history buffer on the transformWithState LIST-state
+    * surface: per product, `ListState` holds the last `n` order ids and
+    * each arriving order emits the ids that preceded it — the
+    * recent-context feature pattern (fraud scoring, "last N purchases")
+    * that ValueState can't hold without a monolithic blob rewrite per
+    * event. `put` rewrites the trimmed list here for a deterministic
+    * spec; a pure append workload would use `appendValue`, which maps
+    * to an O(1) RocksDB merge instead of a full list replace. */
+  class RecentOrdersProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, OrderEvent, RecentOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[String]("recent",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(
+        product: String, rows: Iterator[OrderEvent],
+        timers: TimerValues): Iterator[RecentOut] = {
+      var buf = if (st.exists()) st.get().toVector else Vector.empty[String]
+      val out = rows.toSeq.sortBy(o => (o.eventTimeMs, o.orderId)).map { o =>
+        val r = RecentOut(product, o.orderId, buf.takeRight(n))
+        buf = (buf :+ o.orderId).takeRight(n)
+        r
+      }
+      st.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  def recentOrdersTws(orders: Dataset[OrderEvent], n: Int = 3): Dataset[RecentOut] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.product)
+      .transformWithState(new RecentOrdersProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Per-order bucket occupancy after this order arrived. */
+  case class BucketOut(
+      product: String, order_id: String, bucket: Long, bucket_count: Long)
+
+  /** Per-key histogram on the transformWithState MAP-state surface:
+    * per product, `MapState[bucket → count]` of 10-dollar price
+    * buckets, incremented per order; each order emits its bucket's new
+    * occupancy. MapState gives per-ENTRY point reads/writes (`getValue`
+    * / `updateValue` touch one RocksDB key), where a ValueState map
+    * blob would deserialize and rewrite the whole histogram per event —
+    * the difference between O(1) and O(|buckets|) state I/O per input. */
+  class BucketCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, OrderEvent, BucketOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var st:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[Long, Long]("buckets",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        product: String, rows: Iterator[OrderEvent],
+        timers: TimerValues): Iterator[BucketOut] = {
+      val out = rows.toSeq.sortBy(o => (o.eventTimeMs, o.orderId)).map { o =>
+        val bucket = math.round(o.price * 100) / 1000L
+        val c = (if (st.containsKey(bucket)) st.getValue(bucket) else 0L) + 1L
+        st.updateValue(bucket, c)
+        BucketOut(product, o.orderId, bucket, c)
+      }
+      out.iterator
+    }
+  }
+
+  def bucketCountsTws(orders: Dataset[OrderEvent]): Dataset[BucketOut] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.product)
+      .transformWithState(new BucketCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The gap-sessionizer on the transformWithState TIMER surface:
     * per-key event-time timers (`registerTimer` on the handle,
     * `handleExpiredTimer` when the watermark passes one) replace

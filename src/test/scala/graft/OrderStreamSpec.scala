@@ -123,6 +123,61 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ListState recent-buffer and MapState histogram processors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(
+        OrderStream.OrderEvent("o1", "a", 12.00, 1000L),
+        OrderStream.OrderEvent("o2", "a", 13.00, 2000L),
+        OrderStream.OrderEvent("x1", "b", 55.00, 1500L))
+      val b2 = Seq(
+        OrderStream.OrderEvent("o3", "a", 12.50, 3000L),
+        OrderStream.OrderEvent("o4", "a", 99.00, 4000L),
+        OrderStream.OrderEvent("x2", "b", 55.10, 2500L))
+
+      val in1 = MemoryStream[OrderStream.OrderEvent]
+      val q1 = OrderStream.recentOrdersTws(in1.toDS(), n = 3)
+        .writeStream.format("memory").queryName("recent_tws")
+        .outputMode("append").start()
+      try {
+        in1.addData(b1: _*); q1.processAllAvailable()
+        in1.addData(b2: _*); q1.processAllAvailable()
+        val got = spark.table("recent_tws")
+          .as[OrderStream.RecentOut].collect()
+          .map(r => r.order_id -> r.prev_ids.toList).toMap
+        assert(got == Map(
+          "o1" -> Nil, "o2" -> List("o1"), "x1" -> Nil,
+          "o3" -> List("o1", "o2"), "o4" -> List("o1", "o2", "o3"),
+          "x2" -> List("x1")))
+      } finally q1.stop()
+
+      val in2 = MemoryStream[OrderStream.OrderEvent]
+      val q2 = OrderStream.bucketCountsTws(in2.toDS())
+        .writeStream.format("memory").queryName("buckets_tws")
+        .outputMode("append").start()
+      try {
+        in2.addData(b1: _*); q2.processAllAvailable()
+        in2.addData(b2: _*); q2.processAllAvailable()
+        val got = spark.table("buckets_tws")
+          .as[OrderStream.BucketOut].collect()
+          .map(r => r.order_id -> ((r.bucket, r.bucket_count))).toMap
+        // $12.00/$13.00/$12.50 share bucket 1; $99.00 bucket 9;
+        // $55.00/$55.10 bucket 5 for product b.
+        assert(got == Map(
+          "o1" -> ((1L, 1L)), "o2" -> ((1L, 2L)), "o3" -> ((1L, 3L)),
+          "o4" -> ((9L, 1L)), "x1" -> ((5L, 1L)), "x2" -> ((5L, 2L))))
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("runningStats state persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
