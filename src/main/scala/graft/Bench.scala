@@ -93,7 +93,9 @@ object Bench {
     "q_seq_pack",
     "q_triangle_count",
     "q_pmi_collocations",
-    "q_theta_audience")
+    "q_theta_audience",
+    "q_constraint_report",
+    "q_ivm_monthly_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

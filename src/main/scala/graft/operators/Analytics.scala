@@ -355,8 +355,80 @@ object Analytics {
           .otherwise("updated").as("action"))
   }
 
+  /** Declarative data-quality CONSTRAINT REPORT (the Deequ/
+    * Great-Expectations shape): completeness, uniqueness, domain,
+    * range and referential-integrity checks computed as ONE aggregate
+    * pass over each fact (plus one anti-join for the FK), emitted as a
+    * (constraint, violations, passed) table a pipeline gate can act on.
+    * Every metric is an exact integer count — bit-reproducible, so the
+    * report itself is oracle-checkable, unlike sampled validators. */
+  def constraintReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("bad_status"),
+      sum(when(col("o_orderdate") < to_timestamp_ntz(lit("1990-01-01")) ||
+        col("o_orderdate") >= to_timestamp_ntz(lit("2030-01-01")), 1L)
+        .otherwise(0L)).as("date_range"))
+    val orphans = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    agg.crossJoin(broadcast(orphans))
+      .select(explode(array(
+        struct(lit("orderkey_unique").as("constraint"),
+          col("dup_keys").as("violations")),
+        struct(lit("custkey_complete").as("constraint"),
+          col("null_cust").as("violations")),
+        struct(lit("totalprice_positive").as("constraint"),
+          col("nonpos_price").as("violations")),
+        struct(lit("orderstatus_domain").as("constraint"),
+          col("bad_status").as("violations")),
+        struct(lit("orderdate_in_range").as("constraint"),
+          col("date_range").as("violations")),
+        struct(lit("lineitem_fk_orders").as("constraint"),
+          col("fk_orphans").as("violations")))).as("r"))
+      .select(col("r.constraint"), col("r.violations"),
+        (col("r.violations") === 0L).as("passed"))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE of a monthly revenue aggregate: the
+    * persisted agg-state table (orders before the cutover) merged with
+    * a delta batch's partial aggregate via one full-outer coalesce —
+    * the pre-aggregation pattern every 100 TB rollup pipeline runs
+    * nightly (touch only the delta, never rescan history). The oracle
+    * is the FULL recompute over all orders: merged state ≡ recompute
+    * proves the maintenance algebra (sums and counts are abelian-group
+    * aggregates; min/max would need the retraction-free caveat). */
+  def incrementalMonthlyRevenue(spark: SparkSession, dir: String,
+      cutover: String = "1998-01-01"): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    def monthly(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_orders"))
+    val o = Tables.orders(spark, dir)
+    val base = monthly(o.filter(col("o_orderdate") < to_timestamp_ntz(lit(cutover))))
+    val delta = monthly(o.filter(col("o_orderdate") >= to_timestamp_ntz(lit(cutover))))
+    base.select(col("month"), col("revenue_cents").as("b_rev"),
+      col("n_orders").as("b_n"))
+      .join(delta.select(col("month"), col("revenue_cents").as("d_rev"),
+        col("n_orders").as("d_n")), Seq("month"), "full_outer")
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        (coalesce(col("b_rev"), lit(0L)) + coalesce(col("d_rev"), lit(0L)))
+          .as("revenue_cents"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> mergeUpsert,
+    "q_constraint_report" -> constraintReport,
+    "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
     "q_time_range_join" -> timeRangeJoin,
@@ -374,6 +446,38 @@ object Analytics {
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_constraint_report" ->
+      """WITH a AS (
+        |  SELECT count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+        |         CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        |           AS null_cust,
+        |         CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+        |           AS nonpos_price,
+        |         CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+        |           AS BIGINT) AS bad_status,
+        |         CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+        |              OR o_orderdate >= TIMESTAMP '2030-01-01') AS BIGINT)
+        |           AS date_range
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS fk_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL)
+        |SELECT c.constraint, c.violations, c.violations = 0 AS passed
+        |FROM a, fk, LATERAL (VALUES
+        |  ('orderkey_unique', a.dup_keys),
+        |  ('custkey_complete', a.null_cust),
+        |  ('totalprice_positive', a.nonpos_price),
+        |  ('orderstatus_domain', a.bad_status),
+        |  ('orderdate_in_range', a.date_range),
+        |  ('lineitem_fk_orders', fk.fk_orphans)) AS c("constraint", violations)""".stripMargin,
+    // Full recompute — merged incremental state must equal it exactly.
+    "q_ivm_monthly_revenue" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_event_transitions" ->
       """WITH p AS (
         |  SELECT user_id, event_type,
