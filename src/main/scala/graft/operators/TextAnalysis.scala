@@ -337,13 +337,33 @@ object TextAnalysis {
     * of exponential (each round references the previous round twice:
     * once for pairs, once for the rewrite), the same fixpoint
     * materialization discipline as the connected-components loop. */
+  /** Corpus dir|rounds → parquet path of the trained merge table,
+    * built at most once per JVM — the tokenizer is TRAINED once and
+    * applied everywhere (same build/serve cache discipline as the
+    * token/IVF indexes; the persisted merge list IS what a tokenizer
+    * release ships). */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def trainedMerges(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val path = bpeMergeCache.computeIfAbsent(s"$dir|$rounds", _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bpe-merges").toFile.getAbsolutePath
+      bpeTrain(spark, dir, rounds).zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("merge_round"), col("l").as("lhs"),
+          col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
+          col("cnt").as("pair_count"))
+      }.reduce(_ unionAll _)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
   def bpeMerges(spark: SparkSession, dir: String,
       rounds: Int = BpeRounds): DataFrame =
-    bpeTrain(spark, dir, rounds).zipWithIndex.map { case (best, i) =>
-      best.select(lit(i + 1).as("merge_round"), col("l").as("lhs"),
-        col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
-        col("cnt").as("pair_count"))
-    }.reduce(_ unionAll _)
+    trainedMerges(spark, dir, rounds)
 
   /** The training loop proper: returns the per-round best-pair tables
     * (each a checkpointed single row (l, r, cnt)), in merge order —
@@ -389,15 +409,16 @@ object TextAnalysis {
     * the per-doc groupBy). */
   def bpeEncode(spark: SparkSession, dir: String,
       rounds: Int = BpeRounds): DataFrame = {
-    val merges = bpeTrain(spark, dir, rounds)
+    val merges = trainedMerges(spark, dir, rounds)
     var enc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens).as("word"))
       .filter(length(col("word")) >= 1)
       .select(col("doc_id"), length(col("word")).cast("long").as("n_chars"),
         concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("s"))
-    for (best <- merges)
+    for (r <- 1 to rounds)
       enc = enc
-        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .crossJoin(broadcast(merges.filter(col("merge_round") === r)
+          .select(col("lhs").as("bl"), col("rhs").as("br"))))
         .select(col("doc_id"), col("n_chars"), expr(
           "replace(s, ' ' || bl || '  ' || br || ' ', ' ' || bl || br || ' ')")
           .as("s"))
