@@ -74,6 +74,33 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SortedIntersectSize equals array_intersect size on random sorted sets (property)") {
+    // The PPJoin verify kernel's contract: for any two duplicate-free
+    // ascending string arrays, the merge count equals the engine's own
+    // array_intersect cardinality — exercised through SQL so the
+    // codegen path (not just nullSafeEval) is what runs. Includes
+    // empties, disjoint, identical, prefix-overlap and unicode cases.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "ab", "abc", "b", "ba", "cc", "d0", "Δδ", "ζ", "z9")
+    val cases = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq.empty[String]),
+      (alphabet.sorted, alphabet.sorted)) ++
+      Seq.fill(200) {
+        def randSet() = rnd.shuffle(alphabet).take(rnd.nextInt(alphabet.size + 1))
+          .distinct.sorted
+        (randSet(): Seq[String], randSet(): Seq[String])
+      }
+    val df = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.SortedIntersectSize(col("x"), col("y")).as("merge_n"),
+        size(array_intersect(col("x"), col("y"))).cast("long").as("ref_n"))
+    val bad = df.filter(col("merge_n") =!= col("ref_n")).collect()
+    assert(bad.isEmpty, s"kernel mismatch: ${bad.take(3).mkString("; ")}")
+  }
+
   test("distributed equi-depth histogram equals the single-window ntile form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
