@@ -95,7 +95,8 @@ object Bench {
     "q_pmi_collocations",
     "q_theta_audience",
     "q_constraint_report",
-    "q_ivm_monthly_revenue")
+    "q_ivm_monthly_revenue",
+    "q_pps_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

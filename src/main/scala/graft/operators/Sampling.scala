@@ -71,7 +71,44 @@ object Sampling {
           .as("sample_share"))
   }
 
+  /** Weighted sampling, probability ∝ token count, by SYSTEMATIC PPS
+    * selection over the distributed exact cumsum: lay the docs'
+    * weight intervals [cum, cum+w) end to end in deterministic md5
+    * shuffle order, then take k evenly-strided sample points
+    * (offset s/2, stride s = W div k) — a doc is drawn once per point
+    * its interval covers, so inclusion probability is ∝ weight with
+    * ZERO floating point (classic PPS systematic sampling; the
+    * log-free alternative to Efraimidis-Spirakis exponential keys,
+    * whose u^(1/w) ranks can't hash-match across engines). The cumsum
+    * is [[Packing.withGlobalCumsum]] — every stage partitioned. Exactly
+    * k draws total (spec asserts Σ n_picks = k), multi-draw docs
+    * surface with n_picks > 1 (the oversample-large-docs accounting a
+    * mixture audit needs). */
+  def ppsSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("w"),
+        md5(col("doc_id").cast("string")).as("rnd"))
+    val cum = Packing.withGlobalCumsum(docs, "w", Seq("rnd", "doc_id"))
+    val tot = cum.agg(sum("w").as("wtot"))
+    // g(x) = #points below x = floor((x − off + s − 1) / s) clamped to
+    // [0, k]; operands stay non-negative so truncating `div` == floor
+    // on both engines. n_picks = g(cum + w) − g(cum).
+    cum.crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "w", "cum_before",
+        s"wtot div ${k}L AS s")
+      .selectExpr("doc_id", "w", "cum_before",
+        s"least(greatest((cum_before + w - (s div 2) + s - 1) div s, 0L), ${k}L)" +
+          " AS g_hi",
+        s"least(greatest((cum_before - (s div 2) + s - 1) div s, 0L), ${k}L)" +
+          " AS g_lo")
+      .select(col("doc_id"), col("w").as("n_tokens"),
+        (col("g_hi") - col("g_lo")).as("n_picks"))
+      .filter(col("n_picks") >= 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pps_sample" -> ((s, d) => ppsSample(s, d)),
     "q_temperature_mix" -> temperatureMixture,
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
@@ -84,6 +121,27 @@ object Sampling {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pps_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |           AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rnd
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         CAST(COALESCE(SUM(w) OVER (ORDER BY rnd, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before,
+        |         CAST(SUM(w) OVER () AS BIGINT) // 100 AS s
+        |  FROM d)
+        |SELECT doc_id, w AS n_tokens,
+        |       least(greatest((cum_before + w - (s // 2) + s - 1) // s, 0), 100)
+        |         - least(greatest((cum_before - (s // 2) + s - 1) // s, 0), 100)
+        |         AS n_picks
+        |FROM c
+        |WHERE least(greatest((cum_before + w - (s // 2) + s - 1) // s, 0), 100)
+        |    - least(greatest((cum_before - (s // 2) + s - 1) // s, 0), 100) >= 1""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs,

@@ -326,6 +326,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("PPS sample draws exactly k points, inclusion proportional to weight") {
+    val rows = Sampling.ppsSample(spark, sf, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 100L,
+      s"systematic PPS must draw exactly k points, got ${rows.map(_._3).sum}")
+    assert(rows.forall(_._3 >= 1))
+    // A doc can only be drawn multiple times if its weight spans
+    // multiple strides: n_picks <= w/s + 1.
+    val wtot = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(sum(size(split(lower(text), '\\\\s+'))) AS LONG)"))
+      .collect()(0).getLong(0)
+    val s = wtot / 100
+    rows.foreach { case (id, w, n) =>
+      assert(n <= w / s + 1, s"doc $id drawn $n times with weight $w, stride $s")
+    }
+  }
+
   test("seq packing manifest tiles the token stream exactly") {
     val rows = Packing.seqPack(spark, sf)
       .collect()
