@@ -22,6 +22,50 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The built-in Spark-first answer to join skew (salting is the
+    // manual fallback below): with skew-join enabled, AQE detects the
+    // oversized shuffle partition at RUNTIME from map output stats and
+    // splits it across tasks — the final adaptive plan marks the
+    // shuffle read `skew=true`. Thresholds are lowered to test scale;
+    // at 100 TB the defaults (256 MB) play the same role.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left rows land on key 0 with a fat payload — one
+      // shuffle partition far past threshold × factor.
+      // md5 hex = incompressible payload: the skewed partition's
+      // SHUFFLE bytes (lz4'd) must clear the threshold, so a
+      // constant-ish pad would vanish under compression.
+      val left = spark.range(0, 120000)
+        .select(when(col("id") < 108000, 0L).otherwise(col("id")).as("k"),
+          concat(md5(col("id").cast("string")),
+            md5((col("id") + 1).cast("string"))).as("pad"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k"), col("id").as("v"))
+      // Aggregate the payload VALUE so the (incompressible, unique)
+      // strings flow THROUGH the join shuffle — count(pad) folds to
+      // count(1) on a non-null column, prunes pad, and the
+      // constant-key partition then compresses under the skew
+      // threshold.
+      val q = left.join(right.hint("merge"), "k")
+        .selectExpr("count(1) AS n", "max(pad) AS m")
+      val n = q.collect()(0).getLong(0)
+      assert(n == 108000L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join under 90% single-key skew") {
     import spark.implicits._
     // 10k rows, 90% on key 1 — the "one hot user" shape.
