@@ -67,3 +67,48 @@ object SortedIntersectSize {
         org.apache.spark.sql.GraftSqlShim.expression(a),
         org.apache.spark.sql.GraftSqlShim.expression(b)))
 }
+
+/** `l2sq(a, b)` — squared L2 distance between two equal-length LONG
+  * arrays as one codegen'd loop of exact integer arithmetic: the
+  * distance kernel of quantized-vector clustering (k-means over int8
+  * codes), where a HOF `aggregate(zip_with(...))` pays interpreted
+  * per-element lambda dispatch. Same codegen-resident design as
+  * [[SortedIntersectSize]]. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  def dist(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2sq", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.dist($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2Sq {
+  /** Column-level API: equal-length array<long> operands. */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      L2Sq(
+        org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
+}

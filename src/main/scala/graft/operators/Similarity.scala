@@ -392,6 +392,50 @@ object Similarity {
       .select(col("vec_id"), col("c.j").as("j"), col("c.v").as("proj_r6"))
   }
 
+  /** One EXACT k-means (Lloyd) iteration over globally-quantized
+    * integer vectors — the clustering step under IVF/SemDeDup cell
+    * builds, made bit-reproducible: float k-means drifts with partial-
+    * sum merge order, so at 100 TB two runs of the "same" clustering
+    * disagree. Here every stage is exact integer arithmetic — one
+    * corpus-wide symmetric int8 quantization (single global scale, so
+    * integer L2 is a monotone image of float L2), assignment by the
+    * codegen'd [[graft.functions.L2Sq]] kernel against k broadcast
+    * centroids with (distance, cluster) tie-break, and the centroid
+    * update as a floor-div mean in +128-shifted space (operands stay
+    * non-negative, so truncating `div` == floor on both engines).
+    * Output: the updated centroids, exploded (cluster, pos, c_new,
+    * n_members) — the full quantize→assign→update pipeline the DuckDB
+    * oracle replays. Initial centroids are the first k vectors
+    * (deterministic; production uses k-means||, the iteration is
+    * identical). */
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val absMax = e.agg(greatest(max(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))), lit(1e-30))
+      .as("absmax"))
+    val qv = e.crossJoin(broadcast(absMax))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * (lit(127.0) / col("absmax")) + lit(0.5))
+            .cast("long")).as("q"))
+    val cents = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("q").as("c"))
+    val wNearest = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("cluster"))
+    val assign = qv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"), col("q"),
+        graft.functions.L2Sq(col("q"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+    assign
+      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v") + lit(128L)).as("ssum"), count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("pos"),
+        (expr("ssum div n_members") - lit(128L)).as("c_new"),
+        col("n_members"))
+  }
+
   /** Retrieval (the RAG serving shape): ANN candidates from the IVF
     * index joined back to the document store for the payload — index
     * finds, store serves. The doc join happens AFTER the top-k filter,
@@ -440,6 +484,7 @@ object Similarity {
     "q_jl_project" -> jlProject,
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
+    "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
@@ -540,6 +585,38 @@ object Similarity {
          |       d.source, substr(d.text, 1, 80) AS snippet
          |FROM r JOIN documents d ON r.vec_id = d.doc_id
          |WHERE r.nn_rank <= 5""".stripMargin,
+    // Full quantize→assign→update replay in exact integers.
+    "q_kmeans_step" ->
+      """WITH am AS (
+        |  SELECT greatest(max(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 1e-30) AS absmax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * (127.0 / am.absmax) + 0.5)
+        |             AS BIGINT)) AS q
+        |  FROM embeddings, am),
+        |c AS (SELECT vec_id AS cluster, q AS c FROM q WHERE vec_id < 8),
+        |d AS (
+        |  SELECT q.vec_id, c.cluster, q.q,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d2
+        |  FROM q CROSS JOIN c),
+        |a AS (
+        |  SELECT cluster, q FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY d2, cluster) AS rn
+        |    FROM d) WHERE rn = 1),
+        |e AS (
+        |  SELECT a.cluster, CAST(r.range - 1 AS INT) AS pos,
+        |         a.q[r.range] AS v
+        |  FROM a CROSS JOIN range(1, 65) r)
+        |SELECT cluster, pos,
+        |       CAST((CAST(sum(v + 128) AS BIGINT) // count(*)) - 128 AS BIGINT)
+        |         AS c_new,
+        |       count(*) AS n_members
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // Served form is result-identical to q_retrieval by construction
     // (same quantizer, same assignments, just persisted) — same oracle.
     "q_retrieval_served" ->
