@@ -267,8 +267,17 @@ object Similarity {
     * interpreted HOF fold. The 16-row anchor table broadcasts. */
   def pqDistances(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val anchors = e.filter(col("vec_id") < PqAnchors)
+    pqDistancesOf(e, pqAnchors(e))
+  }
+
+  private def pqAnchors(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqAnchors)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor"))
+
+  /** The distance table for an arbitrary vector set — lets the query
+    * path compute its KB-sized LUT from the query vectors ALONE
+    * instead of re-deriving the full corpus table. */
+  private def pqDistancesOf(vecs: DataFrame, anchors: DataFrame): DataFrame = {
     val ssds = (0 until PqSubspaces).map { m =>
       struct(lit(m).as("m"),
         (0 until PqSubDim).map { j =>
@@ -277,7 +286,7 @@ object Similarity {
           d * d
         }.reduce(_ + _).as("ssd"))
     }
-    e.join(broadcast(anchors))
+    vecs.join(broadcast(anchors))
       .select(col("vec_id"), col("anchor_id"), explode(array(ssds: _*)).as("s"))
       .select(col("vec_id"), col("anchor_id"),
         col("s.m").as("m"), col("s.ssd").as("ssd"))
@@ -287,6 +296,9 @@ object Similarity {
     * the 32× compressed corpus representation a 100 TB vector store
     * actually persists (the full floats stay in cold storage). */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesFrom(pqDistances(spark, dir))
+
+  private def pqCodesFrom(dists: DataFrame): DataFrame =
     // argmin as min over ONE packed long: micro-quantized ssd × 16 +
     // anchor_id. A struct-min would carry the tiebreak too but plans as
     // SortAggregate (struct isn't hash-aggregable) — two extra
@@ -294,7 +306,7 @@ object Similarity {
     // hash agg. Quantizing the argmin to micro-units (with the
     // anchor_id tiebreak) is replayed identically by the oracle, so
     // codebook assignment stays bit-deterministic.
-    pqDistances(spark, dir)
+    dists
       .select(col("vec_id"), col("m"),
         (floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long") * 16 +
           col("anchor_id")).as("packed"))
@@ -311,9 +323,25 @@ object Similarity {
     * so the M-way sum is order-independent (hash-agg merge order is
     * not deterministic for doubles) and hash-matches the DuckDB replay.
     */
+  /** Corpus dir → persisted PQ codes path, built at most once per JVM:
+    * the codes ARE the compressed corpus a PQ deployment ships — 2
+    * bytes per vector here vs 256 raw — so encoding belongs to index
+    * build, not query time (same cache discipline as the IVF/token
+    * indexes). */
+  private val pqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val dists = pqDistances(spark, dir)
-    val lut = dists.filter(col("vec_id") < 5)
+    val e = Tables.embeddings(spark, dir)
+    // Serve the corpus codes from the persisted index; compute only the
+    // KB-sized query LUT (5 query vectors × 16 anchors) at query time.
+    val codesPath = pqCodesCache.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pq-codes").toFile.getAbsolutePath
+      pqCodesFrom(pqDistances(spark, d)).write.mode("overwrite").parquet(out)
+      out
+    })
+    val lut = pqDistancesOf(e.filter(col("vec_id") < 5), pqAnchors(e))
       .select(col("vec_id").as("query_id"), col("m"), col("anchor_id"),
         floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
     val w = Window.partitionBy("query_id")
@@ -321,7 +349,7 @@ object Similarity {
     // The LUT is queries × subspaces × anchors rows (640 here, KBs at
     // any scale) — broadcast it so corpus codes never shuffle for the
     // join.
-    pqCodes(spark, dir).join(broadcast(lut),
+    spark.read.parquet(codesPath).join(broadcast(lut),
         col("c_m") === col("m") && col("code") === col("anchor_id") &&
           col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
