@@ -130,7 +130,11 @@ object Similarity {
     * Exposed separately so specs can assert the candidate-count bound.
     */
   def annLshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val x = annLshBandsExploded(spark, dir)
+    // Both self-join sides read the band table; materialize it once —
+    // otherwise each side re-runs the 92-band hyperplane signature
+    // kernel over the whole corpus (the dominant cost). At 100 TB the
+    // signature table is the persisted LSH index parquet.
+    val x = annLshBandsExploded(spark, dir).localCheckpoint()
     x.as("x").join(x.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
