@@ -97,7 +97,8 @@ object Bench {
     "q_constraint_report",
     "q_ivm_monthly_revenue",
     "q_pps_sample",
-    "q_kmeans_step")
+    "q_kmeans_step",
+    "q_kmeans_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

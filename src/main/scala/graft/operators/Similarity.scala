@@ -440,7 +440,20 @@ object Similarity {
     * oracle replays. Initial centroids are the first k vectors
     * (deterministic; production uses k-means||, the iteration is
     * identical). */
-  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** Lloyd iterations for the registered `q_kmeans_train` — shared with
+    * its generated oracle so operator and replay cannot drift. */
+  private[graft] val KmeansRounds = 3
+
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kmeansTrain(spark, dir, k, rounds = 1)
+
+  /** The full iterative loop: `rounds` Lloyd iterations, each
+    * re-assembling the updated (cluster, pos, c_new) rows into array
+    * centroids for the next assignment — checkpointed per round like
+    * the CC/PageRank/BPE fixpoints so the unrolled plan stays linear.
+    * Output: the final round's update table. */
+  def kmeansTrain(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = KmeansRounds): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val absMax = e.agg(greatest(max(aggregate(col("embedding"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))), lit(1e-30))
@@ -450,22 +463,32 @@ object Similarity {
         transform(col("embedding"), x =>
           floor(x.cast("double") * (lit(127.0) / col("absmax")) + lit(0.5))
             .cast("long")).as("q"))
-    val cents = qv.filter(col("vec_id") < k)
+      .localCheckpoint()
+    var cents = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("q").as("c"))
-    val wNearest = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("cluster"))
-    val assign = qv.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cluster"), col("q"),
-        graft.functions.L2Sq(col("q"), col("c")).as("d2"))
-      .withColumn("rn", row_number().over(wNearest))
-      .filter(col("rn") === 1)
-    assign
-      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos")
-      .agg(sum(col("v") + lit(128L)).as("ssum"), count(lit(1)).as("n_members"))
-      .select(col("cluster"), col("pos"),
-        (expr("ssum div n_members") - lit(128L)).as("c_new"),
-        col("n_members"))
+    var update: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val wNearest = Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cluster"))
+      val assign = qv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cluster"), col("q"),
+          graft.functions.L2Sq(col("q"), col("c")).as("d2"))
+        .withColumn("rn", row_number().over(wNearest))
+        .filter(col("rn") === 1)
+      update = assign
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v") + lit(128L)).as("ssum"), count(lit(1)).as("n_members"))
+        .select(col("cluster"), col("pos"),
+          (expr("ssum div n_members") - lit(128L)).as("c_new"),
+          col("n_members"))
+        .localCheckpoint()
+      cents = update
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c_new")))).as("pc"))
+        .select(col("cluster"), expr("transform(pc, p -> p.c_new)").as("c"))
+    }
+    update
   }
 
   /** Retrieval (the RAG serving shape): ANN candidates from the IVF
@@ -517,6 +540,7 @@ object Similarity {
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
+    "q_kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
@@ -581,6 +605,50 @@ object Similarity {
       s"($e - $a) * ($e - $a)"
     }.mkString(" + ")
 
+  /** Oracle for [[kmeansTrain]], generated for the same round count:
+    * quantize once, then per round the assignment (argmin with
+    * (distance, cluster) tie-break), the floor-div centroid update in
+    * +128-shifted space, and the list re-assembly feeding the next
+    * round — the adaptive loop unrolled as CTEs (same technique as the
+    * BPE oracle). */
+  private def kmeansSql(rounds: Int): String = {
+    val base =
+      """WITH am AS (
+        |  SELECT greatest(max(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 1e-30) AS absmax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * (127.0 / am.absmax) + 0.5)
+        |             AS BIGINT)) AS q
+        |  FROM embeddings, am),
+        |c0 AS (SELECT vec_id AS cluster, q AS c FROM q WHERE vec_id < 8)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT q.vec_id, c.cluster, q.q,
+         |         list_sum(list_transform(range(1, 65), i ->
+         |           (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d2
+         |  FROM q CROSS JOIN c${r - 1} c),
+         |a$r AS (
+         |  SELECT cluster, q FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY d2, cluster) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |u$r AS (
+         |  SELECT a.cluster, CAST(rr.range - 1 AS INT) AS pos,
+         |         CAST((CAST(sum(a.q[rr.range] + 128) AS BIGINT) // count(*))
+         |              - 128 AS BIGINT) AS c_new,
+         |         count(*) AS n_members
+         |  FROM a$r a CROSS JOIN range(1, 65) rr
+         |  GROUP BY 1, 2),
+         |c$r AS (SELECT cluster, list(c_new ORDER BY pos) AS c
+         |        FROM u$r GROUP BY 1)""".stripMargin
+    }
+    (base +: roundCtes).mkString(",\n") +
+      s"\nSELECT cluster, pos, c_new, n_members FROM u$rounds"
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ann_pq" ->
       s"""WITH a AS (
@@ -617,38 +685,10 @@ object Similarity {
          |       d.source, substr(d.text, 1, 80) AS snippet
          |FROM r JOIN documents d ON r.vec_id = d.doc_id
          |WHERE r.nn_rank <= 5""".stripMargin,
-    // Full quantize→assign→update replay in exact integers.
-    "q_kmeans_step" ->
-      """WITH am AS (
-        |  SELECT greatest(max(list_max(list_transform(embedding,
-        |           x -> abs(CAST(x AS DOUBLE))))), 1e-30) AS absmax
-        |  FROM embeddings),
-        |q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x ->
-        |           CAST(floor(CAST(x AS DOUBLE) * (127.0 / am.absmax) + 0.5)
-        |             AS BIGINT)) AS q
-        |  FROM embeddings, am),
-        |c AS (SELECT vec_id AS cluster, q AS c FROM q WHERE vec_id < 8),
-        |d AS (
-        |  SELECT q.vec_id, c.cluster, q.q,
-        |         list_sum(list_transform(range(1, 65), i ->
-        |           (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d2
-        |  FROM q CROSS JOIN c),
-        |a AS (
-        |  SELECT cluster, q FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY d2, cluster) AS rn
-        |    FROM d) WHERE rn = 1),
-        |e AS (
-        |  SELECT a.cluster, CAST(r.range - 1 AS INT) AS pos,
-        |         a.q[r.range] AS v
-        |  FROM a CROSS JOIN range(1, 65) r)
-        |SELECT cluster, pos,
-        |       CAST((CAST(sum(v + 128) AS BIGINT) // count(*)) - 128 AS BIGINT)
-        |         AS c_new,
-        |       count(*) AS n_members
-        |FROM e GROUP BY 1, 2""".stripMargin,
+    // Full quantize→assign→update replay in exact integers; the train
+    // form unrolls the SAME per-round CTEs for KmeansRounds.
+    "q_kmeans_step" -> kmeansSql(1),
+    "q_kmeans_train" -> kmeansSql(KmeansRounds),
     // Served form is result-identical to q_retrieval by construction
     // (same quantizer, same assignments, just persisted) — same oracle.
     "q_retrieval_served" ->
