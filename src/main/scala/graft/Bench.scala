@@ -98,7 +98,8 @@ object Bench {
     "q_ivm_monthly_revenue",
     "q_pps_sample",
     "q_kmeans_step",
-    "q_kmeans_train")
+    "q_kmeans_train",
+    "q_seq_materialize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

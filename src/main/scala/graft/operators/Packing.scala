@@ -68,8 +68,49 @@ object Packing {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** MATERIALIZE the packed sequences themselves — the writer stage the
+    * [[seqPack]] manifest plans for: each doc slices its token array
+    * into the sequence(s) its span covers (pure closed-form arithmetic
+    * on the cumsum — no re-scan, no per-sequence search), and each
+    * sequence assembles its slices in stream order. Emitted as
+    * (seq_id, n_docs, n_tokens, seq_md5) with the content hashed so the
+    * oracle pins the EXACT byte content of every sequence without
+    * shipping 2048-token strings through the compare. Bounded to the
+    * first `kSeqs` sequences for the registered query (a shard writer
+    * fans out over all of them). */
+  def seqMaterialize(spark: SparkSession, dir: String,
+      seqLen: Long = SeqLen, kSeqs: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(lower(col("text")), "\\s+").as("toks"),
+        md5(col("doc_id").cast("string")).as("rnd"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val cum = withGlobalCumsum(docs, "n_tokens", Seq("rnd", "doc_id"))
+    val spans = cum
+      .select(col("doc_id"), col("toks"), col("n_tokens"), col("cum_before"),
+        explode(expr(
+          s"sequence(cum_before div ${seqLen}L," +
+            s" (cum_before + n_tokens - 1) div ${seqLen}L)")).as("seq_id"))
+      .filter(col("seq_id") < kSeqs)
+      // overlap of [cum, cum+n) with [seq·L, (seq+1)·L) in LOCAL token
+      // coordinates; slice is 1-based.
+      .selectExpr("seq_id", "cum_before",
+        s"slice(toks, CAST(greatest(seq_id * ${seqLen}L, cum_before)" +
+          " - cum_before + 1 AS INT)," +
+          s" CAST(least((seq_id + 1) * ${seqLen}L, cum_before + n_tokens)" +
+          s" - greatest(seq_id * ${seqLen}L, cum_before) AS INT)) AS part")
+    spans
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("part"))).cast("long").as("n_tokens"),
+        md5(array_join(expr(
+          "flatten(transform(array_sort(collect_list(struct(cum_before, part)))," +
+            " p -> p.part))"), " ")).as("seq_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_seq_pack" -> ((s, d) => seqPack(s, d)))
+    "q_seq_pack" -> ((s, d) => seqPack(s, d)),
+    "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)))
 
   val oracles: Map[String, String] = Map(
     // The oracle MAY use the single global running-sum window — DuckDB
@@ -93,5 +134,34 @@ object Packing {
          |       (cum_before + n_tokens - 1) // ${SeqLen} AS last_seq,
          |       (cum_before + n_tokens - 1) // ${SeqLen}
          |         - cum_before // ${SeqLen} + 1 AS n_seqs
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+    "q_seq_materialize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks,
+         |         md5(CAST(doc_id AS VARCHAR)) AS rnd
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+         |           ORDER BY rnd, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM d),
+         |x AS (
+         |  SELECT toks, n_tokens, cum_before,
+         |         unnest(range(cum_before // ${SeqLen},
+         |           (cum_before + n_tokens - 1) // ${SeqLen} + 1)) AS seq_id
+         |  FROM c),
+         |s AS (
+         |  SELECT seq_id, cum_before,
+         |         toks[CAST(greatest(seq_id * ${SeqLen}, cum_before)
+         |                - cum_before + 1 AS BIGINT):
+         |              CAST(least((seq_id + 1) * ${SeqLen},
+         |                cum_before + n_tokens) - cum_before AS BIGINT)] AS part
+         |  FROM x WHERE seq_id < 20)
+         |SELECT seq_id, count(*) AS n_docs,
+         |       CAST(sum(len(part)) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(array_to_string(part, ' '), ' '
+         |           ORDER BY cum_before)) AS seq_md5
+         |FROM s GROUP BY 1""".stripMargin)
 }

@@ -344,6 +344,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("materialized sequences are full-length except possibly the stream tail") {
+    val rows = Packing.seqMaterialize(spark, sf, kSeqs = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val maxSeq = rows.map(_._1).max
+    rows.foreach { case (seq, nDocs, nTok) =>
+      assert(nDocs >= 1)
+      if (seq < maxSeq)
+        assert(nTok == 2048L, s"sequence $seq has $nTok tokens, want 2048")
+      else assert(nTok >= 1 && nTok <= 2048L)
+    }
+    // No gaps: every sequence id up to the tail is present.
+    assert(rows.map(_._1).toSeq == (0L to maxSeq).toSeq)
+  }
+
   test("seq packing manifest tiles the token stream exactly") {
     val rows = Packing.seqPack(spark, sf)
       .collect()
