@@ -99,7 +99,8 @@ object Bench {
     "q_pps_sample",
     "q_kmeans_step",
     "q_kmeans_train",
-    "q_seq_materialize")
+    "q_seq_materialize",
+    "q_bitmap_audience")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

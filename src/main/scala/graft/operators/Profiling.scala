@@ -201,6 +201,40 @@ object Profiling {
       .select(col("r.op"), col("r.exact_count"), col("r.estimate_in_bounds"))
   }
 
+  /** EXACT audience set algebra via mergeable BITMAPS — the exact
+    * counterpart of [[thetaAudience]]: one bit per user id
+    * (ClickHouse/Doris groupBitmap shape), aggregated with word-wise OR
+    * (associative, partial-agg friendly, partitioning-independent), and
+    * the union / intersection / difference are POPCOUNTs over
+    * word-wise boolean algebra on two KB-sized arrays — no re-scan, no
+    * estimate. The trade against theta: exact and algebra-closed, but
+    * memory ∝ id-domain (fine to ~billions of ids with run compression
+    * — roaring — whose aggregation algebra is identical). Null-safe
+    * padding handles bitmaps of different grown lengths. */
+  def bitmapAudience(spark: SparkSession, dir: String): DataFrame = {
+    val bm = udaf(graft.functions.BitmapAgg.aggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(bm(col("user_id")).as("bits"))
+    def pop(f: String) = expr(
+      s"aggregate(zip_with(cb, pb, (x, y) -> bit_count($f)), 0L," +
+        " (a, v) -> a + CAST(v AS BIGINT))")
+    sk.filter(col("event_type") === "click").select(col("bits").as("cb"))
+      .crossJoin(broadcast(
+        sk.filter(col("event_type") === "purchase").select(col("bits").as("pb"))))
+      .select(
+        pop("coalesce(x, 0L) | coalesce(y, 0L)").as("n_union"),
+        pop("coalesce(x, 0L) & coalesce(y, 0L)").as("n_inter"),
+        pop("coalesce(x, 0L) & ~coalesce(y, 0L)").as("n_diff"))
+      .select(explode(array(
+        struct(lit("union").as("op"), col("n_union").as("n_users")),
+        struct(lit("intersection").as("op"), col("n_inter").as("n_users")),
+        struct(lit("difference").as("op"), col("n_diff").as("n_users")))).as("r"))
+      .select(col("r.op"), col("r.n_users"))
+  }
+
   /** Count-min-sketch frequency estimates for the top-20 users by
     * exact count: ONE 4×256 mergeable sketch of the whole event stream
     * (see functions.CountMinSketch — associative merges, deterministic
@@ -232,6 +266,7 @@ object Profiling {
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_theta_audience" -> thetaAudience,
+    "q_bitmap_audience" -> bitmapAudience,
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
@@ -275,6 +310,19 @@ object Profiling {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    // Bitmaps are exact: straight hash-equality against the set algebra.
+    "q_bitmap_audience" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n_users FROM f
+        |UNION ALL
+        |SELECT 'intersection', CAST(sum(c * p) AS BIGINT) FROM f
+        |UNION ALL
+        |SELECT 'difference', CAST(sum(c * (1 - p)) AS BIGINT) FROM f""".stripMargin,
     // Exact set algebra; the sketch side of the contract is the
     // in-bounds flag (same pattern as q_distinct_mergeable).
     "q_theta_audience" ->

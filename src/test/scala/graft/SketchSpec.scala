@@ -101,6 +101,27 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"kernel mismatch: ${bad.take(3).mkString("; ")}")
   }
 
+  test("bitmap aggregator is exact and merge-order independent (property)") {
+    val agg = graft.functions.BitmapAgg.aggregator
+    val rnd = new scala.util.Random(13)
+    val ids = Seq.fill(5000)(rnd.nextInt(1500).toLong)
+    def bitmapOf(parts: Int): Seq[Long] = {
+      val bufs = ids.grouped(math.max(1, ids.size / parts))
+        .map(chunk => chunk.foldLeft(agg.zero)(agg.reduce)).toList
+      agg.finish(bufs.reduceLeft(agg.merge))
+    }
+    val b1 = bitmapOf(1)
+    assert(b1 == bitmapOf(7) && b1 == bitmapOf(32),
+      "bitmap must be independent of partitioning")
+    assert(b1.map(java.lang.Long.bitCount(_).toLong).sum == ids.distinct.size,
+      "popcount must equal the exact distinct count")
+    // Merging disjoint halves = bitmap of the union.
+    val (l, r) = ids.partition(_ < 750)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged == b1)
+  }
+
   test("distributed equi-depth histogram equals the single-window ntile form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
