@@ -54,17 +54,23 @@ class GraftCatalog extends TableCatalog {
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "orders1000"))
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "orders1000"),
+      Identifier.of(namespace, "sink"))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(catalogName +: namespace)
 
   override def tableExists(ident: Identifier): Boolean =
-    rowsOf(ident).isDefined
+    isSink(ident) || rowsOf(ident).isDefined
 
-  override def loadTable(ident: Identifier): Table = rowsOf(ident) match {
-    case Some(n) => new OrdersTable(n, parts = 8)
-    case None => throw new NoSuchTableException(ident)
-  }
+  private def isSink(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name.equalsIgnoreCase("sink")
+
+  override def loadTable(ident: Identifier): Table =
+    if (isSink(ident)) new GraftSinkTable
+    else rowsOf(ident) match {
+      case Some(n) => new OrdersTable(n, parts = 8)
+      case None => throw new NoSuchTableException(ident)
+    }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog is read-only")

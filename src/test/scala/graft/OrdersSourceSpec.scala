@@ -129,6 +129,27 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "MaxValue predicate must not narrow the pushed bounds")
   }
 
+  test("DSv2 write path: commit protocol carries exact per-task row accounting") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    graft.sources.GraftSinkRegistry.reset()
+    spark.sql(
+      "INSERT INTO graft.sink SELECT order_id, product, price_cents " +
+        "FROM graft.orders2500")
+    assert(graft.sources.GraftSinkRegistry.commits.get() == 1L,
+      "exactly one job-level commit")
+    assert(graft.sources.GraftSinkRegistry.lastCommitRows.get() == 2500L,
+      "commit messages must account for every written row")
+    // One writer (and one commit message) per input partition: the
+    // 2500-row generator plans 8 slices.
+    assert(graft.sources.GraftSinkRegistry.lastCommitTasks.get() == 8L)
+    assert(graft.sources.GraftSinkRegistry.aborts.get() == 0L)
+
+    // Schema contract enforced at analysis time, not at runtime.
+    val err = intercept[Exception](spark.sql(
+      "INSERT INTO graft.sink SELECT order_id FROM graft.orders2500"))
+    assert(err.getMessage.toLowerCase.matches("(?s).*(column|schema|insert).*"))
+  }
+
   test("catalog resolves zero-padded identifiers within the cap") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     // 11 digits as written, value 1 — leading zeros must not trip the
