@@ -100,7 +100,8 @@ object Bench {
     "q_kmeans_step",
     "q_kmeans_train",
     "q_seq_materialize",
-    "q_bitmap_audience")
+    "q_bitmap_audience",
+    "q_corpus_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

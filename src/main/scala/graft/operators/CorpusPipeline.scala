@@ -66,11 +66,124 @@ object CorpusPipeline {
     (base :+ nearDups).reduce(_ unionAll _)
   }
 
+  /** The round-8 composite: Gopher-style quality gate → exact dedup →
+    * systematic PPS weighted sample → packing manifest, ONE declarative
+    * plan, emitted as per-stage accounting rows (stage, n_rows,
+    * n_tokens) — the funnel report a corpus release publishes. `n_rows`
+    * is docs for the doc stages, DRAWS for the sample stage and
+    * SEQUENCES for the pack stage. Every stage reuses the registered
+    * operator's exact algebra (the gate's cross-multiplied integer
+    * rules, dedup's min-id-per-hash, the distributed-cumsum PPS picks,
+    * the closed-form sequence count), so the chain is as
+    * hash-reproducible as its parts. */
+  def preprocessV2(spark: SparkSession, dir: String,
+      seqLen: Long = Packing.SeqLen, k: Int = 100): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val gated = TextAnalysis.qualityGate(spark, dir)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"))
+      .join(raw.select(col("doc_id"), col("text")), "doc_id")
+    val keepIds = gated
+      .withColumn("content_hash",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+    val survivors = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rnd"))
+    val cum = Packing.withGlobalCumsum(survivors, "n_tokens", Seq("rnd", "doc_id"))
+      .localCheckpoint() // feeds the sample AND the pack accounting
+    val tot = cum.agg(sum("n_tokens").as("wtot"))
+    val picks = cum.crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "n_tokens", "cum_before", s"wtot div ${k}L AS s")
+      .selectExpr("doc_id", "n_tokens",
+        s"least(greatest((cum_before + n_tokens - (s div 2) + s - 1) div s, 0L), ${k}L)" +
+          s" - least(greatest((cum_before - (s div 2) + s - 1) div s, 0L), ${k}L)" +
+          " AS n_picks")
+      .filter(col("n_picks") >= 1)
+    def stage(name: String, df: DataFrame, rows: org.apache.spark.sql.Column,
+        toks: org.apache.spark.sql.Column): DataFrame =
+      df.agg(rows.cast("long").as("n_rows"), toks.cast("long").as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_rows"), col("n_tokens"))
+    Seq(
+      stage("raw", raw, count(lit(1)), sum("n_tokens")),
+      stage("quality_gate", gated, count(lit(1)), sum("n_tokens")),
+      stage("exact_dedup", cum, count(lit(1)), sum("n_tokens")),
+      stage("pps_sample", picks, sum("n_picks"),
+        sum(col("n_tokens") * col("n_picks"))),
+      stage("seq_pack", cum, expr(s"(sum(n_tokens) + ${seqLen}L - 1) div ${seqLen}L"),
+        sum("n_tokens"))).reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_pipeline" -> preprocess,
+    "q_corpus_pipeline_v2" -> ((s, d) => preprocessV2(s, d)),
     "q_corpus_datacard" -> corpusDatacard)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_pipeline_v2" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(list_sum(list_transform(toks,
+        |              t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT) AS word_chars,
+        |         CAST(len(list_filter(toks,
+        |              t2 -> regexp_matches(t2, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |         CAST(len(list_intersect(list_distinct(toks),
+        |              ['the','be','to','of','and','that','have','with']))
+        |           AS BIGINT) AS n_req_stop,
+        |         CAST(length(regexp_extract_all(text, '#'))
+        |            + length(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+        |           AS n_symbols
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, text, n_tokens FROM m
+        |  WHERE n_tokens BETWEEN 50 AND 100000
+        |    AND 3 * n_tokens <= word_chars AND word_chars <= 10 * n_tokens
+        |    AND 10 * n_symbols <= n_tokens
+        |    AND 10 * n_alpha >= 8 * n_tokens
+        |    AND n_req_stop >= 2),
+        |h AS (
+        |  SELECT doc_id, n_tokens,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch
+        |  FROM g),
+        |kk AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch),
+        |s AS (
+        |  SELECT h.doc_id, h.n_tokens, md5(CAST(h.doc_id AS VARCHAR)) AS rnd
+        |  FROM h JOIN kk USING (doc_id)),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rnd, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before,
+        |         CAST(SUM(n_tokens) OVER () AS BIGINT) // 100 AS st
+        |  FROM s),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |         least(greatest((cum_before + n_tokens - (st // 2) + st - 1)
+        |           // st, 0), 100)
+        |         - least(greatest((cum_before - (st // 2) + st - 1) // st, 0),
+        |             100) AS n_picks
+        |  FROM c)
+        |SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM m
+        |UNION ALL
+        |SELECT 'quality_gate', CAST(count(*) AS BIGINT),
+        |       CAST(sum(n_tokens) AS BIGINT) FROM g
+        |UNION ALL
+        |SELECT 'exact_dedup', CAST(count(*) AS BIGINT),
+        |       CAST(sum(n_tokens) AS BIGINT) FROM s
+        |UNION ALL
+        |SELECT 'pps_sample', CAST(sum(n_picks) AS BIGINT),
+        |       CAST(sum(n_tokens * n_picks) AS BIGINT)
+        |FROM p WHERE n_picks >= 1
+        |UNION ALL
+        |SELECT 'seq_pack', (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048,
+        |       CAST(sum(n_tokens) AS BIGINT) FROM s""".stripMargin,
     "q_corpus_datacard" ->
       s"""SELECT 'n_docs' AS metric, count(*) AS value FROM documents
          |UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
