@@ -359,6 +359,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._1).toSeq == (0L to maxSeq).toSeq)
   }
 
+  test("distributed global cumsum equals the single-window form on random data (property)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // Random weights incl. zeros and duplicates of the order key prefix;
+    // keys made unique by the id component, several partition counts.
+    val rows = (0L until 5000L).map(id => (id, rnd.nextInt(50).toLong,
+      s"k${rnd.nextInt(40)}"))
+    val df = rows.toDF("id", "w", "grp")
+    val expected = df
+      .withColumn("cum_before", coalesce(sum("w").over(
+        Window.orderBy("grp", "id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "cum_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Packing.withGlobalCumsum(df, "w", Seq("grp", "id"), parts)
+        .select("id", "cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"cumsum mismatch at parts=$parts")
+    }
+  }
+
   test("seq packing manifest tiles the token stream exactly") {
     val rows = Packing.seqPack(spark, sf)
       .collect()
