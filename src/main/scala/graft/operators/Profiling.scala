@@ -201,6 +201,41 @@ object Profiling {
       .select(col("r.op"), col("r.exact_count"), col("r.estimate_in_bounds"))
   }
 
+  /** SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE/IF procedural surface):
+    * exact median order price by BINARY SEARCH over the value domain —
+    * each probe is one distributed COUNT, the driver-side script only
+    * steers [lo, hi). ~26 scans replace one global sort: the classic
+    * trade for a metric you need exactly but rarely, and a shape
+    * (iterative scalar probes over a fact table) the DataFrame API can
+    * only express with a driver loop — here it is ONE SQL statement, the
+    * stored-procedure migration path. Deterministic: integer halving,
+    * exact counts. */
+  def scriptMedianSearch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+      .createOrReplaceTempView("graft_script_pc")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql(
+      """BEGIN
+        |  DECLARE lo BIGINT = 0;
+        |  DECLARE hi BIGINT = 0;
+        |  DECLARE mid BIGINT = 0;
+        |  DECLARE n BIGINT = 0;
+        |  SET hi = (SELECT max(pc) FROM graft_script_pc);
+        |  SET n = (SELECT count(*) FROM graft_script_pc);
+        |  WHILE lo < hi DO
+        |    SET mid = (lo + hi) DIV 2;
+        |    IF (SELECT count(*) FROM graft_script_pc WHERE pc <= mid) * 2 >= n
+        |    THEN
+        |      SET hi = mid;
+        |    ELSE
+        |      SET lo = mid + 1;
+        |    END IF;
+        |  END WHILE;
+        |  SELECT lo AS median_cents;
+        |END""".stripMargin)
+  }
+
   /** EXACT audience set algebra via mergeable BITMAPS — the exact
     * counterpart of [[thetaAudience]]: one bit per user id
     * (ClickHouse/Doris groupBitmap shape), aggregated with word-wise OR
@@ -267,6 +302,7 @@ object Profiling {
     "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_theta_audience" -> thetaAudience,
     "q_bitmap_audience" -> bitmapAudience,
+    "q_script_median" -> scriptMedianSearch,
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
@@ -310,6 +346,15 @@ object Profiling {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    // Smallest integer T with count(pc <= T)·2 >= n — counts only step
+    // at data values, so T is the minimal data value satisfying it.
+    "q_script_median" ->
+      """WITH t AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        |  FROM orders),
+        |r AS (SELECT pc, row_number() OVER (ORDER BY pc) AS rn FROM t)
+        |SELECT min(pc) AS median_cents FROM r
+        |WHERE 2 * rn >= (SELECT count(*) FROM t)""".stripMargin,
     // Bitmaps are exact: straight hash-equality against the set algebra.
     "q_bitmap_audience" ->
       """WITH f AS (
