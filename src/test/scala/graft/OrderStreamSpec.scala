@@ -178,6 +178,37 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("update output mode emits only the windows a micro-batch touched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Tumbling 1-minute counts in UPDATE mode: the delta stream an
+    // upsert sink consumes — batch 2 touches ONE window, so exactly one
+    // row (the new total for that window) is emitted, not a re-dump of
+    // all state (complete) and not nothing-until-watermark (append).
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = input.toDF().toDF("event_time", "v")
+      .groupBy(window(col("event_time"), "1 minute"))
+      .count()
+      .selectExpr("CAST(window.start AS LONG) AS w", "count")
+      .writeStream.format("memory").queryName("update_mode_test")
+      .outputMode("update").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      input.addData((ts(0), 1L), (ts(0), 2L), (ts(1), 3L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("update_mode_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(afterB1 == Seq((0L, 2L), (60L, 1L)))
+      input.addData((ts(1), 4L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("update_mode_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // One NEW row for the minute-1 window with its updated total;
+      // minute-0's state was untouched and must not re-emit.
+      assert(afterB2 == Seq((0L, 2L), (60L, 1L), (60L, 2L)))
+    } finally q.stop()
+  }
+
   test("runningStats state persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
