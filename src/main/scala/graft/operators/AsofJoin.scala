@@ -94,7 +94,43 @@ object AsofJoin {
         expr("(p_ts - v_ts) div 1000000000").as("view_to_purchase_s"))
   }
 
+  /** POINT-IN-TIME feature aggregation — the leakage-free feature-store
+    * join: for every purchase, the SAME user's click/view counts in the
+    * hour strictly BEFORE it (`f_ts ∈ [p_ts − 1h, p_ts)` — never ≥, so
+    * no label leakage). Candidates come from an equi-join on
+    * (user_id, hour bucket) with each feature event exploded into the
+    * ≤2 buckets whose purchases it can serve — work scales with
+    * same-user-same-hour pairs, never |purchases| × |events|; the
+    * window predicate rides IN the left join's condition so
+    * feature-less purchases survive with zero counts. Exact integer
+    * nanos throughout. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000000L // 1 h in ns
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), expr(s"ts div ${W}L").as("bucket"))
+    val feats = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("f_user"), col("event_type").as("f_type"),
+        col("ts").as("f_ts"))
+      .withColumn("b0", expr(s"f_ts div ${W}L"))
+      .select(col("f_user"), col("f_type"), col("f_ts"),
+        explode(array(col("b0"), col("b0") + 1)).as("f_bucket"))
+    purchases.join(feats,
+        col("user_id") === col("f_user") &&
+          col("bucket") === col("f_bucket") &&
+          col("f_ts") >= col("p_ts") - W && col("f_ts") < col("p_ts"),
+        "left")
+      .groupBy("purchase_id", "user_id")
+      .agg(
+        sum(when(col("f_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks_1h"),
+        sum(when(col("f_type") === "view", 1L).otherwise(0L))
+          .as("n_views_1h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pit_features" -> pitFeatures,
     "q_asof_attribution" -> purchaseAttribution,
     "q_asof_native" -> purchaseAttributionNative,
     "q_asof_tolerance" -> purchaseAttributionTolerance,
@@ -115,6 +151,22 @@ object AsofJoin {
       |  ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pit_features" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS f_ts
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT p.purchase_id, p.user_id,
+        |       CAST(count(*) FILTER (WHERE f.event_type = 'click') AS BIGINT)
+        |         AS n_clicks_1h,
+        |       CAST(count(*) FILTER (WHERE f.event_type = 'view') AS BIGINT)
+        |         AS n_views_1h
+        |FROM p LEFT JOIN f
+        |  ON f.user_id = p.user_id
+        | AND f.f_ts >= p.p_ts - 3600000000000 AND f.f_ts < p.p_ts
+        |GROUP BY 1, 2""".stripMargin,
     "q_asof_native" -> asofOracleSql,
     "q_asof_tolerance" ->
       """WITH views AS (
