@@ -201,6 +201,35 @@ object Profiling {
       .select(col("r.op"), col("r.exact_count"), col("r.estimate_in_bounds"))
   }
 
+  /** EXACT distributed AUC (Mann-Whitney U / rank statistic) — the
+    * model-evaluation primitive, computed without a single-partition
+    * sort and without floats until the final micro-unit division:
+    * scores collapse to a per-distinct-score (count, positives) table,
+    * the distributed exact cumsum ([[Packing.withGlobalCumsum]]) gives
+    * each score's rank offset, ties take the standard midrank (kept
+    * integral by working in doubled ranks), and
+    * AUC = (Σ midrank₂(pos) − n₊(n₊+1)) / (2·n₊·n₋) floors to
+    * micro-units in DECIMAL(38) — engine-exact, so two eval runs can
+    * never report different AUCs for the same data. Here: how well
+    * `value` separates purchases from other events. */
+  def aucPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.events(spark, dir)
+      .select(round(col("value") * 100, 0).cast("long").as("score_cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      .groupBy("score_cents")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+    Packing.withGlobalCumsum(grouped, "n", Seq("score_cents"))
+      // doubled midrank of every item at this score: 2·cum_before + n + 1
+      .select(((col("cum_before") * 2 + col("n") + 1) * col("n_pos"))
+        .as("rank2_pos"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"))
+      .agg(sum("rank2_pos").as("sum_rank2"), sum("n_pos").as("np"),
+        sum("n_neg").as("nn"))
+      .select(
+        expr("CAST(sum_rank2 - np * (np + 1) AS DECIMAL(38,0)) * 1000000" +
+          " div (2 * np * nn)").as("auc_micro"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
   /** SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE/IF procedural surface):
     * exact median order price by BINARY SEARCH over the value domain —
     * each probe is one distributed COUNT, the driver-side script only
@@ -303,6 +332,7 @@ object Profiling {
     "q_theta_audience" -> thetaAudience,
     "q_bitmap_audience" -> bitmapAudience,
     "q_script_median" -> scriptMedianSearch,
+    "q_auc_purchase" -> aucPurchase,
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
@@ -346,6 +376,28 @@ object Profiling {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    // Tie-corrected Mann-Whitney replay in exact integers.
+    "q_auc_purchase" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(label) AS BIGINT) AS n_pos
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT sc, n, n_pos,
+        |             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS cb
+        |      FROM g),
+        |s AS (SELECT CAST(sum((2 * cb + n + 1) * n_pos) AS BIGINT) AS sum_rank2,
+        |             CAST(sum(n_pos) AS BIGINT) AS np,
+        |             CAST(sum(n - n_pos) AS BIGINT) AS nn
+        |      FROM c)
+        |SELECT CAST(CAST(sum_rank2 - np * (np + 1) AS HUGEINT) * 1000000
+        |         // (2 * np * nn) AS BIGINT) AS auc_micro,
+        |       np AS n_pos, nn AS n_neg
+        |FROM s""".stripMargin,
     // Smallest integer T with count(pc <= T)·2 >= n — counts only step
     // at data values, so T is the minimal data value satisfying it.
     "q_script_median" ->
