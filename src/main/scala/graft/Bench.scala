@@ -103,7 +103,8 @@ object Bench {
     "q_bitmap_audience",
     "q_corpus_pipeline_v2",
     "q_pit_features",
-    "q_auc_purchase")
+    "q_auc_purchase",
+    "q_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

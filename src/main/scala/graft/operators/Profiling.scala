@@ -230,6 +230,32 @@ object Profiling {
         col("np").as("n_pos"), col("nn").as("n_neg"))
   }
 
+  /** Calibration / reliability table, AUC's reporting sibling: score
+    * deciles → (n, positives, rate in exact micro-units). Tied scores
+    * stay TOGETHER — each distinct-score group lands in the decile of
+    * its first global rank (floor(10·cum_before/N)), a deterministic
+    * closed form on the same distributed cumsum, where a row-level
+    * `ntile` would split tied rows arbitrarily and differently per
+    * engine. */
+  def calibrationTable(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val grouped = Tables.events(spark, dir)
+      .select(round(col("value") * 100, 0).cast("long").as("score_cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      .groupBy("score_cents")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+    val cum = Packing.withGlobalCumsum(grouped, "n", Seq("score_cents"))
+    val tot = cum.agg(sum("n").as("total"))
+    cum.crossJoin(broadcast(tot))
+      .selectExpr("score_cents", "n", "n_pos",
+        s"CAST(($buckets * cum_before) div total AS INT) AS bucket")
+      .groupBy("bucket")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
+        min("score_cents").as("lo_cents"), max("score_cents").as("hi_cents"))
+      .selectExpr("bucket", "n", "n_pos", "lo_cents", "hi_cents",
+        "n_pos * 1000000 div n AS pos_rate_micro")
+  }
+
   /** SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE/IF procedural surface):
     * exact median order price by BINARY SEARCH over the value domain —
     * each probe is one distributed COUNT, the driver-side script only
@@ -333,6 +359,7 @@ object Profiling {
     "q_bitmap_audience" -> bitmapAudience,
     "q_script_median" -> scriptMedianSearch,
     "q_auc_purchase" -> aucPurchase,
+    "q_calibration" -> ((s, d) => calibrationTable(s, d)),
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
@@ -376,6 +403,25 @@ object Profiling {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    "q_calibration" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(label) AS BIGINT) AS n_pos
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT sc, n, n_pos,
+        |             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS cb,
+        |             CAST(SUM(n) OVER () AS BIGINT) AS total
+        |      FROM g)
+        |SELECT CAST((10 * cb) // total AS INT) AS bucket,
+        |       CAST(sum(n) AS BIGINT) AS n, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |       min(sc) AS lo_cents, max(sc) AS hi_cents,
+        |       CAST(sum(n_pos) * 1000000 // sum(n) AS BIGINT) AS pos_rate_micro
+        |FROM c GROUP BY 1""".stripMargin,
     // Tie-corrected Mann-Whitney replay in exact integers.
     "q_auc_purchase" ->
       """WITH e AS (
