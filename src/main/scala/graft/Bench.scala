@@ -104,7 +104,8 @@ object Bench {
     "q_corpus_pipeline_v2",
     "q_pit_features",
     "q_auc_purchase",
-    "q_calibration")
+    "q_calibration",
+    "q_item_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

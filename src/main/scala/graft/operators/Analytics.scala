@@ -355,6 +355,27 @@ object Analytics {
           .otherwise("updated").as("action"))
   }
 
+  /** Market-basket co-occurrence: top part pairs by the number of
+    * orders containing BOTH — the support statistic of frequent-itemset
+    * mining. The self-join is keyed on the ORDER, so fan-out is bounded
+    * by basket size squared (≤ ~7² per order regardless of corpus
+    * size — the safe kind of quadratic), and the distinct() first
+    * collapses multi-line items so a part counted twice in one order
+    * can't inflate support. Top-k ranks over the aggregate-bounded
+    * pair table. */
+  def itemPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val w = Window.orderBy(col("n_orders").desc, col("part_i"), col("part_j"))
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_i"), col("b.l_partkey").as("part_j"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Declarative data-quality CONSTRAINT REPORT (the Deequ/
     * Great-Expectations shape): completeness, uniqueness, domain,
     * range and referential-integrity checks computed as ONE aggregate
@@ -428,6 +449,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> mergeUpsert,
     "q_constraint_report" -> constraintReport,
+    "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
@@ -446,6 +468,18 @@ object Analytics {
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_item_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS part_i, b.l_partkey AS part_j,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM i a JOIN i b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_i, part_j, n_orders, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY n_orders DESC,
+        |        part_i, part_j) AS rk FROM p)
+        |WHERE rk <= 20""".stripMargin,
     "q_constraint_report" ->
       """WITH a AS (
         |  SELECT count(*) - count(DISTINCT o_orderkey) AS dup_keys,
