@@ -105,7 +105,8 @@ object Bench {
     "q_pit_features",
     "q_auc_purchase",
     "q_calibration",
-    "q_item_pairs")
+    "q_item_pairs",
+    "q_batch_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

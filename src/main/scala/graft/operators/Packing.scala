@@ -108,9 +108,33 @@ object Packing {
             " p -> p.part))"), " ")).as("seq_md5"))
   }
 
+  /** Length-bucketed INFERENCE batch plan: docs grouped into power-of-2
+    * token-length buckets (⌊log2 n⌋ via binary-string length — exact on
+    * both engines, no float log), then split into fixed-size batches in
+    * deterministic md5 order WITHIN each bucket — the padding-waste
+    * minimization every batched-inference service runs (padding cost is
+    * bounded by 2× within a bucket instead of max-doc-length across the
+    * corpus). The per-bucket rank is a PARTITIONED window — batch
+    * assignment never needs a global order. */
+  def inferenceBatchPlan(spark: SparkSession, dir: String,
+      batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("rnd", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rnd"))
+      .withColumn("bucket", expr("CAST(length(bin(n_tokens)) - 1 AS INT)"))
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY rnd, doc_id)" +
+          s" - 1) div $batchSize"))
+      .select("doc_id", "n_tokens", "bucket", "batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> ((s, d) => seqPack(s, d)),
-    "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)))
+    "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
+    "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
     // The oracle MAY use the single global running-sum window — DuckDB
@@ -135,6 +159,19 @@ object Packing {
          |       (cum_before + n_tokens - 1) // ${SeqLen}
          |         - cum_before // ${SeqLen} + 1 AS n_seqs
          |FROM c""".stripMargin,
+    "q_batch_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rnd
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+        |       CAST((row_number() OVER (
+        |          PARTITION BY CAST(length(bin(n_tokens)) - 1 AS INT)
+        |          ORDER BY rnd, doc_id) - 1) // 32 AS BIGINT) AS batch_id
+        |FROM d""".stripMargin,
     "q_seq_materialize" ->
       s"""WITH d AS (
          |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks,
