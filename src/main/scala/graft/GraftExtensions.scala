@@ -38,5 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FromAvroOrderV2].getName, "from_avro_order_v2"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FromAvroOrderV2(AvroOrder.exactlyOne("from_avro_order_v2", args))))
+    // The vector/set kernels, SQL-visible for parity with the Column
+    // APIs: sorted_intersect_size(a, b) (PPJoin verify merge) and
+    // l2sq(a, b) (quantized k-means distance).
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(a, b) => graft.functions.SortedIntersectSize(a, b)
+          case other => throw new IllegalArgumentException(
+            s"sorted_intersect_size(a, b) takes 2 args, got ${other.size}")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2sq"),
+      new ExpressionInfo(classOf[graft.functions.L2Sq].getName, "l2sq"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(a, b) => graft.functions.L2Sq(a, b)
+          case other => throw new IllegalArgumentException(
+            s"l2sq(a, b) takes 2 args, got ${other.size}")
+        }))
   }
 }

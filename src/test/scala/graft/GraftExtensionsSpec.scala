@@ -50,6 +50,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corrupt.isNullAt(0))
   }
 
+  test("vector/set kernels resolve through the extension in plain SQL") {
+    val r = spark.sql(
+      """SELECT sorted_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd')) AS s,
+        |       l2sq(array(1L, 2L, 3L), array(4L, 0L, 3L)) AS d""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 13L) // 3² + 2² + 0²
+  }
+
   test("round-trip elision removes the codec from the optimized plan") {
     val df = spark.sql(
       """SELECT from_avro_order(to_avro_order(named_struct(
