@@ -106,7 +106,9 @@ object Bench {
     "q_auc_purchase",
     "q_calibration",
     "q_item_pairs",
-    "q_batch_plan")
+    "q_batch_plan",
+    "q_bitext_mining",
+    "q_source_dedup_rates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

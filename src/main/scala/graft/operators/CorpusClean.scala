@@ -145,7 +145,25 @@ object CorpusClean {
 
   // ------------------------------------------------------------ driver
 
+  /** Per-SOURCE exact-duplication diagnostics — which ingestion feeds
+    * are polluting the corpus: docs vs distinct normalized-content
+    * hashes per source, with the dup rate in exact micro-units. The
+    * drill-down a data card's corpus-level dup number triggers; one
+    * aggregate pass. */
+  def sourceDedupRates(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("content_hash"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_unique"))
+      .selectExpr("source", "n_docs", "n_unique",
+        "n_docs - n_unique AS n_dups",
+        "(n_docs - n_unique) * 1000000 div n_docs AS dup_rate_micro")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_dedup_rates" -> sourceDedupRates,
     "q_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "q_strip_spans" -> ((s, d) => stripSpans(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)))
@@ -160,6 +178,17 @@ object CorpusClean {
       |        FROM t, unnest(range(1, len(w) - 6)) AS u(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_source_dedup_rates" ->
+      """WITH h AS (
+        |  SELECT source,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT ch) AS BIGINT) AS n_unique,
+        |       CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dups,
+        |       CAST((count(*) - count(DISTINCT ch)) * 1000000 // count(*)
+        |         AS BIGINT) AS dup_rate_micro
+        |FROM h GROUP BY 1""".stripMargin,
     "q_dup_spans" ->
       s"""WITH $occSql,
          |counted AS (SELECT doc_id, pos,

@@ -55,6 +55,38 @@ object Similarity {
       .filter(col("cos_sim") >= 0.45)
   }
 
+  /** BITEXT MINING (CCMatrix/LASER shape): the top cross-lingual
+    * document pairs by embedding cosine — candidate translation pairs
+    * for parallel-corpus construction. The language-mismatch conjunct
+    * rides in the join condition (cheap, evaluated before any vector
+    * math); scoring sits behind the barrier; the global top-k is a
+    * TakeOrderedAndProject (no unpartitioned window over the unbounded
+    * pair stream — the rank is attached after the k-row limit). At
+    * corpus scale candidates come from the LSH/IVF index exactly like
+    * the dedup family — this is the exact-verification kernel. The
+    * probe side is declared broadcast (it is the per-bucket candidate
+    * set at scale); without the hint the lang-join's inflated size
+    * estimate tips Catalyst into a CartesianProduct. */
+  def bitextMining(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val ei = Tables.embeddings(spark, dir)
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"))
+    val w = Window.orderBy(col("cos_sim").desc, col("vec_i"), col("vec_j"))
+    ei.as("a").join(broadcast(ei.as("b")),
+        col("a.vec_id") < col("b.vec_id") && col("a.lang") =!= col("b.lang"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        col("a.lang").as("lang_i"), col("b.lang").as("lang_j"),
+        OptimizerBarrier(
+          round(cosine(col("a.embedding"), col("b.embedding")), 6))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy(col("cos_sim").desc, col("vec_i"), col("vec_j"))
+      .limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < 5), the
     * 10 nearest neighbours. At scale this is the per-bucket scoring
     * kernel; the full-corpus form is the LSH query below.
@@ -541,6 +573,7 @@ object Similarity {
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "q_kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
+    "q_bitext_mining" -> ((s, d) => bitextMining(s, d)),
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLshNearDup,
@@ -685,6 +718,21 @@ object Similarity {
          |       d.source, substr(d.text, 1, 80) AS snippet
          |FROM r JOIN documents d ON r.vec_id = d.doc_id
          |WHERE r.nn_rank <= 5""".stripMargin,
+    "q_bitext_mining" ->
+      s"""WITH ei AS (
+         |  SELECT e.vec_id, e.embedding, d.lang
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |p AS (
+         |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         |         a.lang AS lang_i, b.lang AS lang_j,
+         |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM ei a JOIN ei b
+         |    ON a.vec_id < b.vec_id AND a.lang <> b.lang)
+         |SELECT vec_i, vec_j, lang_i, lang_j, cos_sim, CAST(rk AS INT) AS rk
+         |FROM (SELECT *, row_number() OVER (ORDER BY cos_sim DESC,
+         |        vec_i, vec_j) AS rk
+         |      FROM p WHERE cos_sim >= 0.45)
+         |WHERE rk <= 20""".stripMargin,
     // Full quantize→assign→update replay in exact integers; the train
     // form unrolls the SAME per-round CTEs for KmeansRounds.
     "q_kmeans_step" -> kmeansSql(1),
