@@ -108,7 +108,10 @@ object Bench {
     "q_item_pairs",
     "q_batch_plan",
     "q_bitext_mining",
-    "q_source_dedup_rates")
+    "q_source_dedup_rates",
+    "q_er_parts",
+    "q_canonical_docs",
+    "q_lang_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -137,6 +137,20 @@ object TextAnalysis {
       .select("doc_id", "lang", "predicted_lang")
   }
 
+  /** Language CONFUSION MATRIX: declared `lang` tag vs the n-gram
+    * language-ID prediction — the mislabeled-language audit a corpus
+    * data card runs before lang-filtered training mixes. One hash
+    * aggregate over the lang-ID projection; the per-declared-lang share
+    * is exact integer micro-units over a window partitioned by the
+    * (bounded-cardinality) declared lang.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_micro",
+        expr("n_docs * 1000000 div (sum(n_docs) OVER (PARTITION BY lang))"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text,
     * truncated to 64 bits — the cheap exact-dedup / shard-routing key.
     */
@@ -622,6 +636,7 @@ object TextAnalysis {
     "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "q_lang_id" -> langId,
+    "q_lang_confusion" -> langConfusion,
     "q_doc_fingerprint" -> docFingerprint)
 
   /** BM25 oracle generated from [[Bm25Terms]] (same HUGEINT outer
@@ -690,6 +705,27 @@ object TextAnalysis {
        |       CAST(pos1[1] - 1 AS INT) AS first_pos
        |FROM hits WHERE len(pos1) > 0""".stripMargin
   }
+
+  // Shared by q_lang_id and q_lang_confusion so the confusion matrix
+  // can never drift from the classifier it audits.
+  private val langIdSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    length(list_filter(toks, t -> t IN ('the','a','is','of'))) AS score_en,
+      |    length(list_filter(toks, t -> t IN ('el','la','de','que'))) AS score_es,
+      |    length(list_filter(toks, t -> t IN ('le','la','et','les'))) AS score_fr,
+      |    length(list_filter(toks, t -> t IN ('der','die','und','das'))) AS score_de
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+      |       WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+      |       WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+      |       WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang
+      |FROM s""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bm25_rank" -> bm25Sql,
@@ -863,24 +899,16 @@ object TextAnalysis {
         |            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
         |          / length(toks) < 0.5) AS is_quality
         |FROM t""".stripMargin,
-    "q_lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, lang,
-        |    length(list_filter(toks, t -> t IN ('the','a','is','of'))) AS score_en,
-        |    length(list_filter(toks, t -> t IN ('el','la','de','que'))) AS score_es,
-        |    length(list_filter(toks, t -> t IN ('le','la','et','les'))) AS score_fr,
-        |    length(list_filter(toks, t -> t IN ('der','die','und','das'))) AS score_de
-        |  FROM t)
-        |SELECT doc_id, lang,
-        |  CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
-        |       WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
-        |       WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
-        |       WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
-        |       ELSE 'de' END AS predicted_lang
-        |FROM s""".stripMargin,
+    "q_lang_id" -> langIdSql,
+    "q_lang_confusion" ->
+      s"""WITH li AS ($langIdSql),
+         |c AS (SELECT lang, predicted_lang, count(*) AS n_docs
+         |      FROM li GROUP BY 1, 2)
+         |SELECT lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_docs * 1000000 //
+         |         (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+         |         AS share_micro
+         |FROM c""".stripMargin,
     "q_doc_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id,

@@ -152,6 +152,23 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("entity resolution: candidates come from a blocking-key hash join") {
+    // The ER scale contract: the pair space is generated by an
+    // EQUI-join on the blocking key (never a nested-loop over n²
+    // records), and the Levenshtein verify stays out of the join
+    // condition (it must run on bucket-mates only, once per pair).
+    val p = planOf("q_er_parts")
+    withClue(p) {
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        "blocking join regressed from a hash/sort-merge equi-join")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"))
+      val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+      assert(!joinLine.contains("levenshtein"),
+        "edit-distance verify leaked into the join condition")
+    }
+  }
+
   test("no unpartitioned window runs over an unbounded input") {
     // An unpartitioned Window pulls its ENTIRE input through a single
     // task — fine when the input is already cardinality-bounded (the
