@@ -111,7 +111,9 @@ object Bench {
     "q_source_dedup_rates",
     "q_er_parts",
     "q_canonical_docs",
-    "q_lang_confusion")
+    "q_lang_confusion",
+    "q_source_deciles",
+    "q_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -162,8 +162,38 @@ object CorpusClean {
         "n_docs - n_unique AS n_dups",
         "(n_docs - n_unique) * 1000000 div n_docs AS dup_rate_micro")
 
+  /** CROSS-SOURCE contamination matrix: for every source pair, the
+    * count of shared distinct 8-gram spans and the span-set Jaccard in
+    * exact micro-units — which ingestion feeds are copying from each
+    * other (mirror sites, syndicated boilerplate). Whole-doc hashes
+    * miss this (the corpus has no exact cross-source doc dup); the
+    * span level is where feed contamination actually shows. Shape:
+    * distinct (source, shingle) pairs meet by shingle equi-join, so a
+    * shingle contributes at most |sources|² rows — never doc-pair
+    * enumeration; at 100 TB the shingle is xxhash64-masked first and
+    * served from the persisted span index (see class doc). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShinglesAll.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr(s"shingles_all(text, $SpanWords)")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_i"), col("b.source").as("source_j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("source").as("source_i"),
+        col("n").as("n_i"))), "source_i")
+      .join(broadcast(sizes.select(col("source").as("source_j"),
+        col("n").as("n_j"))), "source_j")
+      .selectExpr("source_i", "source_j", "n_i", "n_j", "shared",
+        "shared * 1000000 div (n_i + n_j - shared) AS jaccard_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_dedup_rates" -> sourceDedupRates,
+    "q_source_overlap" -> sourceOverlap,
     "q_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "q_strip_spans" -> ((s, d) => stripSpans(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)))
@@ -189,6 +219,25 @@ object CorpusClean {
         |       CAST((count(*) - count(DISTINCT ch)) * 1000000 // count(*)
         |         AS BIGINT) AS dup_rate_micro
         |FROM h GROUP BY 1""".stripMargin,
+    "q_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |              list_aggregate(w[i:i+7], 'string_agg', ' ') AS sh
+        |       FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
+        |s AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS source_i, b.source AS source_j,
+        |             count(*) AS shared
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_i, source_j,
+        |       CAST(si.n AS BIGINT) AS n_i, CAST(sj.n AS BIGINT) AS n_j,
+        |       CAST(shared AS BIGINT) AS shared,
+        |       CAST(shared * 1000000 // (si.n + sj.n - shared) AS BIGINT)
+        |         AS jaccard_micro
+        |FROM p JOIN s si ON p.source_i = si.source
+        |       JOIN s sj ON p.source_j = sj.source""".stripMargin,
     "q_dup_spans" ->
       s"""WITH $occSql,
          |counted AS (SELECT doc_id, pos,

@@ -128,6 +128,63 @@ object Profiling {
         max(valueCol).as("hi_cents"))
   }
 
+  /** Per-SOURCE exact equi-depth histogram of document token counts —
+    * the per-feed length-distribution profile a mixture designer reads
+    * before weighting sources. Grouped generalization of
+    * [[equidepthOf]]: `ntile PARTITION BY source` has the same scale
+    * trap as the global form when one source dominates (its whole
+    * partition lands on one WindowExec task), so the exact per-group
+    * rank is computed distributed instead — see [[groupedEquidepthOf]].
+    */
+  def sourceLengthDeciles(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame =
+    groupedEquidepthOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      groupCol = "source", valueCol = "n_tokens", keyCol = "doc_id",
+      buckets = buckets)
+
+  /** Distributed exact per-GROUP ntile. Ranging on (group, value, key)
+    * keeps every group contiguous across the ordered partitions, so the
+    * per-(partition, group) counts — at most parts × |groups| tiny rows
+    * — broadcast into same-group prefix offsets exactly like the global
+    * form, and the only window is partitioned by (pid, group). This
+    * shape is safe BOTH ways a `PARTITION BY group` window dies at
+    * scale: many tiny groups (fine either way) and one giant group
+    * (which would otherwise serialize through a single task). */
+  private[graft] def groupedEquidepthOf(input: DataFrame, groupCol: String,
+      valueCol: String, keyCol: String, buckets: Int,
+      parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = input
+      .repartitionByRange(parts, col(groupCol), col(valueCol), col(keyCol))
+      .withColumn("pid", spark_partition_id())
+    val counts = ranged.groupBy("pid", groupCol).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(groupCol).agg(sum("cnt").as("n"))
+    val offs = counts
+      .join(broadcast(counts.select(col("pid").as("bpid"),
+        col(groupCol).as("bgrp"), col("cnt").as("bcnt"))),
+        col("bpid") < col("pid") && col("bgrp") === col(groupCol), "left")
+      .groupBy("pid", groupCol)
+      .agg(coalesce(sum("bcnt"), lit(0L)).as("off"))
+      .join(broadcast(totals), groupCol)
+    val localW = Window.partitionBy(col("pid"), col(groupCol))
+      .orderBy(col(valueCol), col(keyCol))
+    ranged
+      .withColumn("lrk", row_number().over(localW).cast("long"))
+      .join(broadcast(offs), Seq("pid", groupCol))
+      .selectExpr(groupCol, valueCol, "off + lrk - 1 AS rk0",
+        s"n div $buckets AS q", s"n % $buckets AS r")
+      .selectExpr(groupCol, valueCol,
+        "CAST(CASE WHEN rk0 < r * (q + 1) THEN rk0 div (q + 1) " +
+          "ELSE r + (rk0 - r * (q + 1)) div q END + 1 AS INT) AS bucket")
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(valueCol).as("lo_tokens"),
+        max(valueCol).as("hi_tokens"))
+  }
+
   /** Mergeable-sketch architecture: per-(event_type, day) HLL sketches
     * (Datasketches blobs — what a 100 TB pipeline persists as its
     * pre-aggregated sketch table), then a union per event_type and one
@@ -363,6 +420,7 @@ object Profiling {
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
+    "q_source_deciles" -> ((s, d) => sourceLengthDeciles(s, d)),
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +437,20 @@ object Profiling {
         |SELECT bucket, count(*) AS n_orders,
         |       min(price_cents) AS lo_cents, max(price_cents) AS hi_cents
         |FROM b GROUP BY 1""".stripMargin,
+    "q_source_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(regexp_split_to_array(lower(text), '\s+'))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, n_tokens,
+        |         CAST(ntile(10) OVER (PARTITION BY source
+        |           ORDER BY n_tokens, doc_id) AS INT) AS bucket
+        |  FROM t)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |       min(n_tokens) AS lo_tokens, max(n_tokens) AS hi_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // Replay the sketch arithmetic: per-(d, bucket) mass = sum of the
     // exact counts of every key hashing there; est = min over rows.
     "q_cms_user_counts" ->

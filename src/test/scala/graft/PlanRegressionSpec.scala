@@ -196,15 +196,26 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("equidepth histogram: exact rank is distributed, no global window at all") {
+  test("equidepth histograms: exact rank is distributed, no global window at all") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val plan = SparkEntry.queries("q_equidepth_hist")(spark, sf)
-      .queryExecution.optimizedPlan
-    val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-    withClue(globals.map(_.simpleString(200)).mkString("\n")) {
-      assert(globals.isEmpty,
-        "q_equidepth_hist must not plan any unpartitioned window — " +
-          "exact ranks come from range partitions + broadcast offsets")
+    // Grouped form included: its window must be partitioned by
+    // (range-partition id, group), never by the group alone — a
+    // PARTITION BY source window serializes a dominant source through
+    // one task just like the global form does the whole table.
+    for (name <- Seq("q_equidepth_hist", "q_source_deciles")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val globals = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+        case w: LWindow if !w.partitionSpec.exists(
+          _.references.exists(_.name == "pid")) => w
+      }
+      withClue(s"$name:\n${globals.map(_.simpleString(200)).mkString("\n")}") {
+        assert(globals.isEmpty,
+          s"$name must not plan a window unpartitioned or partitioned " +
+            "only by the data's own group — exact ranks come from range " +
+            "partitions + broadcast offsets")
+      }
     }
   }
 
