@@ -113,7 +113,9 @@ object Bench {
     "q_canonical_docs",
     "q_lang_confusion",
     "q_source_deciles",
-    "q_source_overlap")
+    "q_source_overlap",
+    "q_corpus_diff",
+    "q_trimmed_price_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -355,6 +355,39 @@ object Analytics {
           .otherwise("updated").as("action"))
   }
 
+  /** CORPUS SNAPSHOT DIFF — the dataset-release audit between two
+    * corpus versions: per-verdict (added / removed / changed /
+    * unchanged) doc and token counts. The two versions are derived
+    * deterministically from the documents table (v1 drops doc_id%13==0,
+    * v2 drops doc_id%7==0 and revises doc_id%11==0), so the oracle
+    * replays the exact derivation; a real release diffs two parquet
+    * snapshot roots with the identical plan. Shape: ONE full-outer
+    * equi-join on doc_id comparing content md5s, then a 4-row
+    * aggregate — with both snapshots bucketed by doc_id the join is
+    * shuffle-free; never a content-level comparison of unchanged rows
+    * beyond the hash equality. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("n_tokens").as("tok1"), col("h").as("h1"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("n_tokens").as("tok2"),
+        when(col("doc_id") % 11 === 0, md5(concat(col("h"), lit("rev2"))))
+          .otherwise(col("h")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("verdict"),
+        coalesce(col("tok2"), col("tok1")).as("n_tokens"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+  }
+
   /** Market-basket co-occurrence: top part pairs by the number of
     * orders containing BOTH — the support statistic of frequent-itemset
     * mining. The self-join is keyed on the ORDER, so fan-out is bounded
@@ -448,6 +481,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> mergeUpsert,
+    "q_corpus_diff" -> corpusDiff,
     "q_constraint_report" -> constraintReport,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
@@ -468,6 +502,27 @@ object Analytics {
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(length(regexp_split_to_array(lower(text), '\s+'))
+        |           AS BIGINT) AS n_tokens,
+        |         md5(text) AS h
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, n_tokens AS tok1, h AS h1
+        |       FROM d WHERE doc_id % 13 <> 0),
+        |v2 AS (SELECT doc_id, n_tokens AS tok2,
+        |              CASE WHEN doc_id % 11 = 0 THEN md5(h || 'rev2')
+        |                   ELSE h END AS h2
+        |       FROM d WHERE doc_id % 7 <> 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 = h2 THEN 'unchanged'
+        |            ELSE 'changed' END AS verdict,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(coalesce(tok2, tok1)) AS BIGINT) AS tokens
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     "q_item_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (

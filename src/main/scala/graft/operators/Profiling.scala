@@ -155,7 +155,26 @@ object Profiling {
     * (which would otherwise serialize through a single task). */
   private[graft] def groupedEquidepthOf(input: DataFrame, groupCol: String,
       valueCol: String, keyCol: String, buckets: Int,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32): DataFrame =
+    withGroupedRank(input, groupCol, valueCol, keyCol, parts)
+      .selectExpr(groupCol, valueCol, "rk0",
+        s"n div $buckets AS q", s"n % $buckets AS r")
+      .selectExpr(groupCol, valueCol,
+        "CAST(CASE WHEN rk0 < r * (q + 1) THEN rk0 div (q + 1) " +
+          "ELSE r + (rk0 - r * (q + 1)) div q END + 1 AS INT) AS bucket")
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(valueCol).as("lo_tokens"),
+        max(valueCol).as("hi_tokens"))
+
+  /** Exact 0-based per-GROUP rank (`rk0`) and group size (`n`) for
+    * every input row, computed distributed — range on (group, value,
+    * key), per-(partition, group) counts, broadcast same-group prefix
+    * offsets, (pid, group)-partitioned local window. keyCol must make
+    * (group, value, key) unique. The row-level primitive under the
+    * grouped equi-depth histogram and the trimmed group stats. */
+  private[graft] def withGroupedRank(input: DataFrame, groupCol: String,
+      valueCol: String, keyCol: String, parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranged = input
       .repartitionByRange(parts, col(groupCol), col(valueCol), col(keyCol))
@@ -174,16 +193,33 @@ object Profiling {
     ranged
       .withColumn("lrk", row_number().over(localW).cast("long"))
       .join(broadcast(offs), Seq("pid", groupCol))
-      .selectExpr(groupCol, valueCol, "off + lrk - 1 AS rk0",
-        s"n div $buckets AS q", s"n % $buckets AS r")
-      .selectExpr(groupCol, valueCol,
-        "CAST(CASE WHEN rk0 < r * (q + 1) THEN rk0 div (q + 1) " +
-          "ELSE r + (rk0 - r * (q + 1)) div q END + 1 AS INT) AS bucket")
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(valueCol).as("lo_tokens"),
-        max(valueCol).as("hi_tokens"))
+      .withColumn("rk0", col("off") + col("lrk") - 1)
+      .drop("pid", "lrk", "off")
   }
+
+  /** TRIMMED per-group price statistics (robust mean): per brand, drop
+    * the bottom and top decile of part prices by exact per-group rank
+    * and report the interior's exact integer mean in micro-cents — the
+    * outlier-robust aggregate (a winsorized/trimmed mean) computed
+    * without any `PARTITION BY brand` window over the raw rows; rides
+    * [[withGroupedRank]]. DECIMAL(38) sum before the integral divide
+    * keeps the micro-unit mean overflow-proof at any scale factor.
+    */
+  def trimmedPriceStats(spark: SparkSession, dir: String): DataFrame =
+    withGroupedRank(
+      Tables.part(spark, dir)
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("cents")),
+      groupCol = "p_brand", valueCol = "cents", keyCol = "p_partkey")
+      .filter(col("rk0") >= expr("n div 10") &&
+        col("rk0") < expr("n - n div 10"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("cents").as("sum_cents"),
+        min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"))
+      .withColumn("mean_microcents",
+        expr("CAST(sum_cents AS DECIMAL(38,0)) * 1000000 div n_kept"))
 
   /** Mergeable-sketch architecture: per-(event_type, day) HLL sketches
     * (Datasketches blobs — what a 100 TB pipeline persists as its
@@ -421,6 +457,7 @@ object Profiling {
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
     "q_source_deciles" -> ((s, d) => sourceLengthDeciles(s, d)),
+    "q_trimmed_price_stats" -> trimmedPriceStats,
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -437,6 +474,25 @@ object Profiling {
         |SELECT bucket, count(*) AS n_orders,
         |       min(price_cents) AS lo_cents, max(price_cents) AS hi_cents
         |FROM b GROUP BY 1""".stripMargin,
+    "q_trimmed_price_stats" ->
+      """WITH t AS (
+        |  SELECT p_brand, p_partkey,
+        |         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+        |  FROM part),
+        |r AS (
+        |  SELECT p_brand, cents,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY cents, p_partkey) - 1 AS rk0,
+        |         count(*) OVER (PARTITION BY p_brand) AS n
+        |  FROM t)
+        |SELECT p_brand, count(*) AS n_kept,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |       CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+        |         AS mean_microcents
+        |FROM r
+        |WHERE rk0 >= n // 10 AND rk0 < n - n // 10
+        |GROUP BY 1""".stripMargin,
     "q_source_deciles" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -383,6 +383,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouped distributed equidepth equals per-group ntile on random data (property)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // One dominant group (the case a PARTITION BY window dies on at
+    // scale) + several small ones, heavy value ties, group sizes not
+    // divisible by the bucket count.
+    val rows = (0L until 4000L).map { id =>
+      val g = if (rnd.nextInt(10) < 6) "big" else s"g${rnd.nextInt(7)}"
+      (id, g, rnd.nextInt(40).toLong)
+    }
+    val df = rows.toDF("id", "grp", "v")
+    val expected = df
+      .withColumn("bucket", ntile(10).over(
+        Window.partitionBy("grp").orderBy(col("v"), col("id"))))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = graft.operators.Profiling
+        .groupedEquidepthOf(df, "grp", "v", "id", 10, parts)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == expected, s"grouped equidepth mismatch at parts=$parts")
+    }
+  }
+
   test("seq packing manifest tiles the token stream exactly") {
     val rows = Packing.seqPack(spark, sf)
       .collect()
