@@ -115,7 +115,10 @@ object Bench {
     "q_source_deciles",
     "q_source_overlap",
     "q_corpus_diff",
-    "q_trimmed_price_stats")
+    "q_trimmed_price_stats",
+    "q_winnow_pairs",
+    "q_doc_rarity",
+    "q_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

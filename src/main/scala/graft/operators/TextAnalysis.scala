@@ -620,7 +620,65 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Per-document mean inverse unigram probability in exact micro-units
+    * — the engine-exact stand-in for LM surprisal: rare-token-heavy
+    * documents score high, boilerplate scores low. Each token
+    * contributes floor(10⁶·N/cnt) (N = corpus token occurrences, cnt =
+    * this token's count — exactly 10⁶/p̂(token)); the per-doc mean
+    * divides the DECIMAL(38) sum by doc length. All integer floor-divs,
+    * so the score — and every ranking built on it — is bit-identical
+    * across engines and partitionings, which a log-space perplexity
+    * never is.
+    *
+    * Scale: one token explode, one vocab aggregate (map-side partial),
+    * one token-keyed join back. The join key is Zipf-skewed ("the"
+    * carries ~5% of rows) — ordinary equi-join skew, handled by AQE
+    * skew split / salting, never pair explosion. */
+  def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("nn"))
+    words.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * nn div cnt").as("inv_p"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("inv_p").cast("decimal(38,0)")).as("s"))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "s div n_tokens AS rarity_micro")
+  }
+
+  /** CCNet-style quality buckets (Wenzek et al., LREC 2020): split each
+    * language's documents into head / middle / tail terciles of the
+    * [[docRarity]] score — the bucketing a curriculum or
+    * quality-filtered pretraining mix consumes. The per-language tercile
+    * is the distributed exact grouped rank ([[Profiling.withGroupedRank]]
+    * — range shuffle + broadcast prefix offsets + (pid, lang)-local
+    * window), so one dominant language never serializes through a
+    * single `PARTITION BY lang` window task; bucket assignment is the
+    * closed-form ntile arithmetic, engine-exact. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    Profiling.withGroupedRank(docRarity(spark, dir),
+      groupCol = "lang", valueCol = "rarity_micro", keyCol = "doc_id")
+      .selectExpr("lang", "rarity_micro", "rk0",
+        "n div 3 AS q", "n % 3 AS r")
+      .selectExpr("lang", "rarity_micro",
+        "CASE WHEN rk0 < r * (q + 1) THEN rk0 div (q + 1) " +
+          "ELSE r + (rk0 - r * (q + 1)) div q END + 1 AS b")
+      .selectExpr("lang",
+        "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+          "ELSE 'tail' END AS bucket",
+        "rarity_micro")
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("rarity_micro").as("lo_micro"),
+        max("rarity_micro").as("hi_micro"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_rarity" -> docRarity,
+    "q_ccnet_buckets" -> ccnetBuckets,
     "q_bm25_rank" -> ((s, d) => bm25TopDocs(s, d)),
     "q_tfidf_top_terms" -> ((s, d) => tfIdfTopTerms(s, d)),
     "q_edit_distance" -> editDistanceBuckets,
@@ -727,7 +785,41 @@ object TextAnalysis {
       |       ELSE 'de' END AS predicted_lang
       |FROM s""".stripMargin
 
+  /** Shared rarity CTE: replays [[docRarity]]'s per-token floor-div and
+    * the DECIMAL(38)/HUGEINT sum (DuckDB sum is HUGEINT, `//` stays
+    * exact, final cast to BIGINT matches Spark's `div`). */
+  private val raritySql =
+    """words AS (
+      |  SELECT doc_id, lang,
+      |         unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS nn FROM v),
+      |sc AS (SELECT doc_id, lang, count(*) AS n_tokens,
+      |              sum(1000000 * tot.nn // v.cnt) AS s
+      |       FROM words JOIN v USING (w) CROSS JOIN tot
+      |       GROUP BY 1, 2),
+      |rar AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |               CAST(s // n_tokens AS BIGINT) AS rarity_micro
+      |        FROM sc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_doc_rarity" ->
+      s"""WITH $raritySql
+         |SELECT doc_id, lang, n_tokens, rarity_micro FROM rar""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH $raritySql,
+         |b AS (SELECT lang, rarity_micro,
+         |             ntile(3) OVER (PARTITION BY lang
+         |               ORDER BY rarity_micro, doc_id) AS bn
+         |      FROM rar)
+         |SELECT lang,
+         |       CASE bn WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       count(*) AS n_docs,
+         |       min(rarity_micro) AS lo_micro,
+         |       max(rarity_micro) AS hi_micro
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q_bm25_rank" -> bm25Sql,
     "q_doc_chunks" ->
       """WITH c AS (

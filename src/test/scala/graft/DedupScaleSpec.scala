@@ -115,4 +115,41 @@ class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deconIx.collect().map(_.toString).sorted.sameElements(deconDirect))
     assert(minhashDirect.nonEmpty && deconDirect.nonEmpty)
   }
+
+  test("winnowing: shared >=7-word run guarantees a shared fingerprint") {
+    import spark.implicits._
+    graft.functions.ShinglesAll.register(spark)
+    // K=4, W=4 → detection floor W+K-1 = 7 words. Two documents with
+    // disjoint text except one verbatim 7-word run MUST share a
+    // fingerprint (SIGMOD'03 Thm: both see the same window of gram
+    // hashes inside the run and keep the same minimum). Exercise many
+    // run placements so the property isn't an accident of position.
+    val run = "the quick brown fox jumps over dogs"
+    val docs = (0 until 8).flatMap { i =>
+      val padA = (0 until 5 + i).map(j => s"alpha$i$j").mkString(" ")
+      val padB = (0 until 9 - i).map(j => s"beta$i$j").mkString(" ")
+      Seq((2L * i, s"$padA $run ${"tailx " * 3}".trim),
+        (2L * i + 1, s"${"heady " * 4}$run $padB".trim))
+    }.toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs)
+    val shared = fp.as("a").join(fp.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" + 1 === $"b.doc_id" &&
+          $"a.doc_id" % 2 === 0)
+      .select($"a.doc_id").distinct().count()
+    assert(shared == 8L,
+      s"all 8 planted pairs must share a fingerprint, got $shared")
+  }
+
+  test("winnowing: fingerprint density is ~2/(W+1) of gram count") {
+    graft.functions.ShinglesAll.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.selectExpr("explode(shingles_all(text, 4))").count()
+    val fps = Dedup.winnowFingerprints(docs).count()
+    // Expected density 2/(W+1) = 0.4; distinct-per-doc collapses some,
+    // so allow a generous band. The point: a true SAMPLE (far below 1)
+    // yet far above nothing.
+    val density = fps.toDouble / grams
+    assert(density > 0.15 && density < 0.6,
+      s"winnow density should be ~0.4, got $density ($fps/$grams)")
+  }
 }
