@@ -118,7 +118,9 @@ object Bench {
     "q_trimmed_price_stats",
     "q_winnow_pairs",
     "q_doc_rarity",
-    "q_ccnet_buckets")
+    "q_ccnet_buckets",
+    "q_lang_heavy_tokens",
+    "q_incremental_minhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

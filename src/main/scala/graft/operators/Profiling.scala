@@ -31,6 +31,34 @@ object Profiling {
       .select("item", "n_events")
   }
 
+  /** Per-LANGUAGE token heavy hitters — the grouped form of the
+    * Misra-Gries pattern: one MG sketch per language (groupBy + the
+    * mergeable typed Aggregator, O(k) state per group per task), then
+    * exact counts of the ≤ k−1 candidates only. The MG recall guarantee
+    * holds per group — every token above total_lang/k survives the
+    * sketch — so the exact-verified output EQUALS the full per-group
+    * groupBy answer while the shuffle carries sketch blobs + candidate
+    * rows, never the per-(lang, token) key space. Threshold compares
+    * integers cross-multiplied (n_occ·k > total), engine-exact.
+    *
+    * Scale: the vocabulary (the unbounded key space) never shuffles;
+    * per-language state is k entries regardless of corpus size — the
+    * same reason the global q_heavy_hitters scales, now per group. */
+  def langHeavyTokens(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val mg = udaf(graft.functions.HeavyHitters.aggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("item"))
+    val candidates = words.groupBy("lang").agg(mg(col("item")).as("items"))
+      .select(col("lang"), explode(col("items")).as("item"))
+    val totals = words.groupBy("lang").agg(count(lit(1)).as("total"))
+    words.join(broadcast(candidates), Seq("lang", "item"))
+      .groupBy("lang", "item").agg(count(lit(1)).as("n_occ"))
+      .join(broadcast(totals), "lang")
+      .filter(col("n_occ") * k > col("total"))
+      .select("lang", "item", "n_occ")
+  }
+
   /** Single-pass column profile of the customer table: null count and
     * distinct count per column, melted to one row per column with
     * `stack`. Spark scans the table once for all five columns; the
@@ -447,6 +475,7 @@ object Profiling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
+    "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
     "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_theta_audience" -> thetaAudience,
     "q_bitmap_audience" -> bitmapAudience,
@@ -610,6 +639,16 @@ object Profiling {
         |  SELECT 'intersection', CAST(sum(c * p) AS BIGINT) FROM f
         |  UNION ALL
         |  SELECT 'difference', CAST(sum(c * (1 - p)) AS BIGINT) FROM f)""".stripMargin,
+    // Per-group MG recall guarantee ⇒ equals the full per-group answer.
+    "q_lang_heavy_tokens" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS item
+        |  FROM documents),
+        |t AS (SELECT lang, count(*) AS total FROM w GROUP BY 1)
+        |SELECT w.lang, item, count(*) AS n_occ
+        |FROM w JOIN t USING (lang)
+        |GROUP BY w.lang, item, t.total
+        |HAVING count(*) * 32 > t.total""".stripMargin,
     // MG recall guarantee ⇒ equals the full-groupBy heavy-key answer.
     "q_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS n_events
