@@ -120,7 +120,9 @@ object Bench {
     "q_doc_rarity",
     "q_ccnet_buckets",
     "q_lang_heavy_tokens",
-    "q_incremental_minhash")
+    "q_incremental_minhash",
+    "q_mad_prices",
+    "q_mix_alloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -249,6 +249,33 @@ object Profiling {
       .withColumn("mean_microcents",
         expr("CAST(sum_cents AS DECIMAL(38,0)) * 1000000 div n_kept"))
 
+  /** Per-brand median and MAD (median absolute deviation) of part
+    * prices — the robust dispersion pair (median, MAD) next to the
+    * trimmed mean, computed EXACTLY at scale by composing
+    * [[withGroupedRank]] twice: the per-group lower median is the row
+    * at exact rank (n−1) div 2 (integer cents + partkey tiebreak, so
+    * both engines pick the same row — no even-count float midpoint),
+    * deviations join back on the group key, and the MAD is the same
+    * rank filter over |x − median|. No `PARTITION BY brand` window
+    * ever sees the raw rows; both rank passes are the distributed
+    * range-shuffle + broadcast-offset form. */
+  def madPrices(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"))
+    val med = withGroupedRank(p, "brand", "cents", "p_partkey")
+      .filter(col("rk0") === expr("(n - 1) div 2"))
+      .select(col("brand"), col("cents").as("med_cents"))
+    val dev = p.join(med, "brand")
+      .select(col("brand"), col("p_partkey"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+    withGroupedRank(dev, "brand", "dev", "p_partkey")
+      .filter(col("rk0") === expr("(n - 1) div 2"))
+      .join(med, "brand")
+      .select(col("brand"), col("med_cents"), col("dev").as("mad_cents"),
+        col("n").as("n_parts"))
+  }
+
   /** Mergeable-sketch architecture: per-(event_type, day) HLL sketches
     * (Datasketches blobs — what a 100 TB pipeline persists as its
     * pre-aggregated sketch table), then a union per event_type and one
@@ -476,6 +503,7 @@ object Profiling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
+    "q_mad_prices" -> madPrices,
     "q_distinct_mergeable" -> distinctUsersMergeable,
     "q_theta_audience" -> thetaAudience,
     "q_bitmap_audience" -> bitmapAudience,
@@ -639,6 +667,31 @@ object Profiling {
         |  SELECT 'intersection', CAST(sum(c * p) AS BIGINT) FROM f
         |  UNION ALL
         |  SELECT 'difference', CAST(sum(c * (1 - p)) AS BIGINT) FROM f)""".stripMargin,
+    // Exact-rank lower medians: same (value, key) tiebreak both engines.
+    "q_mad_prices" ->
+      """WITH p AS (
+        |  SELECT p_brand AS brand, p_partkey,
+        |         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+        |  FROM part),
+        |r1 AS (SELECT brand, p_partkey, cents,
+        |              row_number() OVER (PARTITION BY brand
+        |                ORDER BY cents, p_partkey) - 1 AS rk0,
+        |              count(*) OVER (PARTITION BY brand) AS n
+        |       FROM p),
+        |med AS (SELECT brand, cents AS med_cents FROM r1
+        |        WHERE rk0 = (n - 1) // 2),
+        |d AS (SELECT p.brand, p.p_partkey,
+        |             abs(p.cents - m.med_cents) AS dev
+        |      FROM p JOIN med m USING (brand)),
+        |r2 AS (SELECT brand, dev,
+        |              row_number() OVER (PARTITION BY brand
+        |                ORDER BY dev, p_partkey) - 1 AS rk0,
+        |              count(*) OVER (PARTITION BY brand) AS n
+        |       FROM d)
+        |SELECT r2.brand, m.med_cents, r2.dev AS mad_cents,
+        |       CAST(r2.n AS BIGINT) AS n_parts
+        |FROM r2 JOIN med m USING (brand)
+        |WHERE rk0 = (n - 1) // 2""".stripMargin,
     // Per-group MG recall guarantee ⇒ equals the full per-group answer.
     "q_lang_heavy_tokens" ->
       """WITH w AS (

@@ -107,7 +107,43 @@ object Sampling {
       .filter(col("n_picks") >= 1)
   }
 
+  /** Largest-remainder apportionment of a fixed token budget across
+    * sources — the mix-planning step that turns proportions into an
+    * EXACT integer allocation (Σ alloc = budget, guaranteed): per-source
+    * quota = ⌊budget·tokens/total⌋, and the budget − Σ quota leftover
+    * units (fewer than |sources|) go to the largest remainders
+    * (source-name tiebreak). Hamilton's method, all integer — two runs,
+    * any engine, any partitioning produce the same manifest, which is
+    * what makes a training-mix release auditable.
+    *
+    * Scale: one aggregate over the corpus; the rank window runs over
+    * |sources| post-aggregate rows (bounded), never data rows. The
+    * DECIMAL(38) product keeps budget·tokens exact past int64 at real
+    * corpus sizes. */
+  def mixAllocation(spark: SparkSession, dir: String,
+      budget: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+    val total = toks.agg(sum("n_tokens").as("w"))
+    val quotas = toks.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"),
+        expr(s"CAST($budget AS DECIMAL(38,0)) * n_tokens div w").as("quota"),
+        expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * n_tokens % w AS BIGINT)")
+          .as("rem"))
+    val leftover = quotas.agg((lit(budget) - sum("quota")).as("l"))
+    val rk = Window.orderBy(col("rem").desc, col("source"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(rk))
+      .select(col("source"), col("n_tokens"), col("quota"),
+        when(col("rk") <= col("l"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("quota") + col("extra"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_alloc" -> ((s, d) => mixAllocation(s, d)),
     "q_pps_sample" -> ((s, d) => ppsSample(s, d)),
     "q_temperature_mix" -> temperatureMixture,
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -121,6 +157,28 @@ object Sampling {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mix_alloc" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         sum(length(regexp_split_to_array(lower(text), '\s+')))
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS w FROM t),
+        |q AS (SELECT source, n_tokens,
+        |             100000 * n_tokens // tot.w AS quota,
+        |             100000 * n_tokens % tot.w AS rem
+        |      FROM t CROSS JOIN tot),
+        |l AS (SELECT 100000 - sum(quota) AS lo FROM q),
+        |r AS (SELECT source, n_tokens, quota, rem,
+        |             row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM q)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(quota AS BIGINT) AS quota,
+        |       CAST(CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT)
+        |         AS extra,
+        |       CAST(quota + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END
+        |         AS BIGINT) AS alloc
+        |FROM r CROSS JOIN l""".stripMargin,
     "q_pps_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -472,4 +472,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 0), (3L, 1L, 1)))
   }
+
+  test("mix allocation: exact apportionment sums to the budget") {
+    // Hamilton's method invariants: Σ alloc = budget exactly, every
+    // source within 1 unit of its real-valued proportional share.
+    val budget = 12345L
+    val rows = operators.Sampling.mixAllocation(spark, sf, budget).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget)
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val ideal = budget.toDouble * r.getAs[Long]("n_tokens") / totalToks
+      val alloc = r.getAs[Long]("alloc")
+      assert(math.abs(alloc - ideal) < 1.0,
+        s"${r.getAs[String]("source")}: alloc $alloc vs ideal $ideal")
+    }
+  }
 }
