@@ -73,6 +73,7 @@ object Bench {
     "q_pagerank_trade",
     "q_schema_merge",
     "q_dsv2_source",
+    "q_dsv2_agg",
     "q_retrieval",
     "q_bm25_rank",
     "q_merge_upsert",

@@ -6,7 +6,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -85,9 +86,27 @@ object OrdersSource {
         sum("price_cents").as("total_cents"))
   }
 
+  /** Price-stats rollup whose WHOLE first aggregation stage runs inside
+    * the connector ([[OrdersScanBuilder.pushAggregation]]): each of the
+    * 8 readers emits ≤8 per-group partial rows for its 25k-id slice and
+    * Spark merges them — 200k generated rows never leave the source.
+    * The oracle regenerates the identical table from `range()`. */
+  def aggPushdownQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.OrdersSource")
+      .option("rows", "200000").option("parts", "8").load()
+      .groupBy("product")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("price_cents").as("total_cents"),
+        min("price_cents").as("min_cents"),
+        max("price_cents").as("max_cents"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
-    Map("q_dsv2_source" -> revenueQuery)
+    Map("q_dsv2_source" -> revenueQuery,
+      "q_dsv2_agg" -> aggPushdownQuery)
 
   val oracles: Map[String, String] = Map(
     "q_dsv2_source" ->
@@ -100,6 +119,19 @@ object OrdersSource {
         |  FROM ids)
         |SELECT product, count(*) AS n_orders,
         |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM o GROUP BY 1""".stripMargin,
+    "q_dsv2_agg" ->
+      """WITH ids AS (SELECT unnest(range(0, 200000)) AS i),
+        |o AS (SELECT
+        |  ['Laptop','Mouse','Keyboard','Monitor',
+        |   'Webcam','Headset','Dock','Cable']
+        |    [CAST((i * 2654435761) % 8 AS INT) + 1] AS product,
+        |  (i * 7919) % 99000 + 1000 AS price_cents
+        |  FROM ids)
+        |SELECT product, count(*) AS n_orders,
+        |       CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |       min(price_cents) AS min_cents,
+        |       max(price_cents) AS max_cents
         |FROM o GROUP BY 1""".stripMargin)
 }
 
@@ -115,14 +147,77 @@ private class OrdersTable(rows: Long, parts: Int)
       options.getOrDefault("rowsPerBatch", "250").toLong)
 }
 
+/** One pushed aggregate column: how a reader folds a row id into its
+  * per-group accumulator slot. All accepted functions accumulate in a
+  * single Long (count, sum, min, max over the two integer columns), so a
+  * group's state is one `Array[Long]`. */
+private[graft] sealed trait PushedAgg {
+  def init: Long
+  def fold(acc: Long, id: Long): Long
+}
+private[graft] case object AggCountRow extends PushedAgg {
+  val init = 0L; def fold(acc: Long, id: Long): Long = acc + 1
+}
+private[graft] final case class AggSum(col: Long => Long) extends PushedAgg {
+  val init = 0L; def fold(acc: Long, id: Long): Long = acc + col(id)
+}
+private[graft] final case class AggMin(col: Long => Long) extends PushedAgg {
+  val init = Long.MaxValue; def fold(acc: Long, id: Long): Long = math.min(acc, col(id))
+}
+private[graft] final case class AggMax(col: Long => Long) extends PushedAgg {
+  val init = Long.MinValue; def fold(acc: Long, id: Long): Long = math.max(acc, col(id))
+}
+
 private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private val pushed = mutable.ArrayBuffer.empty[Filter]
   private var required: StructType = OrdersSource.Schema
+  private var pushedAgg: Option[(Seq[String], Seq[PushedAgg])] = None
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def longGen(name: String): Option[Long => Long] = name match {
+    case "order_id" => Some(identity[Long])
+    case "price_cents" => Some(OrdersSource.priceCents)
+    case _ => None // product is a string — min/max/sum over it stay post-scan
+  }
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`), deliberately
+    * PARTIAL (`supportCompletePushDown` stays false): each of the
+    * `parts` readers folds its id slice into at most |groups| rows and
+    * Spark plans the final merge (sum-of-sums, sum-of-counts,
+    * min-of-mins, max-of-maxes) above the scan. That is the shape that
+    * scales — generation AND first-stage aggregation stay distributed
+    * across executors, only group-sized partials cross the wire, and no
+    * single reader has to see the whole id space (complete pushdown
+    * would force exactly that). Accepted: COUNT(*) / COUNT(col) /
+    * SUM / MIN / MAX of the integer columns, grouped by plain columns;
+    * DISTINCT or anything else declines the whole aggregation (Spark
+    * then aggregates the raw scan — correct, just unpushed). */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggCountRow)
+      case c: Count if !c.isDistinct =>
+        // every generated column is non-null, so COUNT(col) == COUNT(*)
+        fieldOf(c.column).map(_ => AggCountRow)
+      case s: Sum if !s.isDistinct => fieldOf(s.column).flatMap(longGen).map(AggSum)
+      case m: Min => fieldOf(m.column).flatMap(longGen).map(AggMin)
+      case m: Max => fieldOf(m.column).flatMap(longGen).map(AggMax)
+      case _: AggregateFunc => None
+    }
+    if (groups.forall(_.isDefined) && funcs.forall(_.isDefined) && funcs.nonEmpty) {
+      pushedAgg = Some((groups.flatten, funcs.flatten)); true
+    } else false
+  }
 
   /** Catalyst hands numeric literals as whatever boxed type the user
     * wrote (`Long` from a long literal, `Integer` from an int one);
@@ -164,8 +259,79 @@ private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new OrdersScan(rows, parts, lo, hi, required, rowsPerBatch)
+  override def build(): Scan = pushedAgg match {
+    case Some((groupCols, aggs)) =>
+      new OrdersAggScan(rows, parts, lo, hi, groupCols, aggs)
+    case None => new OrdersScan(rows, parts, lo, hi, required, rowsPerBatch)
+  }
+}
+
+/** Scan face of a pushed (partial) aggregation: same pruned id slices
+  * as [[OrdersScan]], but each reader emits its slice's per-group
+  * accumulator rows instead of raw rows. Output schema follows the
+  * DSv2 contract — group-by columns first, then one column per
+  * aggregate (all Long here). */
+private[graft] class OrdersAggScan(rows: Long, parts: Int, lo: Long, hi: Long,
+    groupCols: Seq[String], aggs: Seq[PushedAgg]) extends Scan with Batch {
+
+  def pushedBounds: (Long, Long) = (lo, hi)
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => OrdersSource.Schema(OrdersSource.Schema.fieldIndex(c))) ++
+      aggs.zipWithIndex.map { case (_, i) =>
+        StructField(s"agg_$i", LongType, nullable = false) })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_orders rows=$rows PushedBounds=[$lo, $hi) " +
+      s"PushedAggregation=[${aggs.mkString(", ")}] groupBy=[${groupCols.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(p => OrdersRange(math.max(p * per, lo),
+        math.min(math.min((p + 1) * per, rows), hi)))
+      .filter(r => r.start < r.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OrdersAggReaderFactory(groupCols, aggs)
+}
+
+private class OrdersAggReaderFactory(groupCols: Seq[String], aggs: Seq[PushedAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[OrdersRange]
+    new PartitionReader[InternalRow] {
+      // Group key generators from the pruned group-by columns only.
+      private val keyGens: Array[Long => Any] = groupCols.toArray.map {
+        case "order_id" => (i: Long) => java.lang.Long.valueOf(i)
+        case "product" => (i: Long) => OrdersSource.product(i)
+        case "price_cents" => (i: Long) => java.lang.Long.valueOf(OrdersSource.priceCents(i))
+      }
+      private val out: Iterator[InternalRow] = {
+        val accs = mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+        var id = r.start
+        while (id < r.end) {
+          val key = keyGens.map(_(id)).toSeq
+          val acc = accs.getOrElseUpdate(key, aggs.map(_.init).toArray)
+          var j = 0
+          while (j < acc.length) { acc(j) = aggs(j).fold(acc(j), id); j += 1 }
+          id += 1
+        }
+        accs.iterator.map { case (key, acc) =>
+          InternalRow.fromSeq(key.map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          } ++ acc)
+        }
+      }
+      override def next(): Boolean = out.hasNext
+      override def get(): InternalRow = out.next()
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private case class OrdersRange(start: Long, end: Long) extends InputPartition

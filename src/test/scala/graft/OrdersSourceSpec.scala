@@ -172,4 +172,69 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(graft.sources.OrdersSource.product(_) == "Mouse")
     assert(df.count() == expected)
   }
+
+  /** The planned DSv2 scan, descending through the AQE wrapper that
+    * aggregate queries (unlike the bare filter queries above) get. */
+  private def plannedScan(df: org.apache.spark.sql.DataFrame) = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.getOrElse(fail(s"no DSv2 scan in plan:\n$plan"))
+  }
+
+  test("aggregation pushes into the source as partition partials") {
+    import graft.sources.OrdersSource.{priceCents, product}
+    val df = read(200000, 8).groupBy("product")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("s"),
+        min("price_cents").as("mn"), max("price_cents").as("mx"))
+    plannedScan(df) match {
+      case s: graft.sources.OrdersAggScan =>
+        // group column first, then one Long per aggregate
+        assert(s.readSchema().fieldNames.head == "product")
+        assert(s.readSchema().length == 5)
+      case other => fail(s"aggregation not pushed, scan = $other")
+    }
+    val expected = (0L until 200000L).groupBy(product).map { case (p, ids) =>
+      val cents = ids.map(priceCents)
+      (p, ids.size.toLong, cents.sum, cents.min, cents.max)
+    }.toSet
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("pushed aggregation composes with pushed id bounds") {
+    val df = read(20000, 8)
+      .filter(col("order_id") >= 5000L && col("order_id") < 10000L)
+      .groupBy("product").agg(count(lit(1)).as("n"))
+    plannedScan(df) match {
+      case s: graft.sources.OrdersAggScan =>
+        assert(s.pushedBounds == (5000L, 10000L))
+        // [5000, 10000) covers slices 2 and 3 only — two partial readers.
+        assert(s.planInputPartitions().length == 2)
+      case other => fail(s"aggregation not pushed, scan = $other")
+    }
+    assert(df.agg(sum("n")).collect().head.getLong(0) == 5000L)
+  }
+
+  test("DISTINCT aggregates decline pushdown and stay correct") {
+    val df = read(10000, 4)
+      .groupBy("product").agg(countDistinct("price_cents").as("n"))
+    plannedScan(df) match {
+      case _: graft.sources.OrdersScan => // declined — raw scan feeds Spark's agg
+      case other => fail(s"expected raw OrdersScan for DISTINCT, got $other")
+    }
+    val expected = (0L until 10000L)
+      .groupBy(graft.sources.OrdersSource.product)
+      .map { case (p, ids) =>
+        (p, ids.map(graft.sources.OrdersSource.priceCents).distinct.size.toLong) }
+      .toSet
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expected)
+  }
 }
