@@ -57,6 +57,7 @@ object Bench {
     "q_asof_tolerance",
     "q_leakage_safe_split",
     "q_token_counts",
+    "q_token_fertility",
     "q_corpus_pipeline",
     "q_media_features",
     "q_dup_spans",
@@ -87,6 +88,7 @@ object Bench {
     "q_event_transitions",
     "q_unpivot_metrics",
     "q_equidepth_hist",
+    "q_join_cardinality",
     "q_compaction_plan",
     "q_bpe_merges",
     "q_retrieval_served",
@@ -123,6 +125,7 @@ object Bench {
     "q_lang_heavy_tokens",
     "q_incremental_minhash",
     "q_mad_prices",
+    "q_gap_fill",
     "q_mix_alloc")
 
   def main(args: Array[String]): Unit = {

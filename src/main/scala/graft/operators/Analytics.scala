@@ -479,7 +479,54 @@ object Analytics {
           .as("n_orders"))
   }
 
+  /** Time-series densification + gap audit: the per-supplier monthly
+    * shipment series with MISSING months made explicit, then the
+    * gaps-and-islands statistic over the dense grid (longest run of
+    * consecutive zero months). The resample shape every
+    * forecasting/SLA pipeline needs — a sparse fact table never shows
+    * you the silence.
+    *
+    * Plan: ONE shuffle aggregates lineitem to (supplier, month) cells
+    * (localCheckpointed — consumed by both the span bounds and the
+    * grid join); the month dimension derives from a 1-row min/max agg
+    * exploded and BROADCAST against suppliers, so the dense grid costs
+    * no shuffle; the zero-run window partitions by supplier over at
+    * most `span` rows (calendar-bounded, never data-volume-bounded —
+    * the PlanRegressionSpec-safe kind of window). At 100 TB the only
+    * full-data pass is the first aggregate; everything after runs on
+    * |suppliers| × span cells. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .as("m"))
+      .groupBy("l_suppkey", "m").agg(count(lit(1)).as("n_ship"))
+      .localCheckpoint()
+    val months = base.agg(min("m").as("lo"), max("m").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("m"))
+    val filled = Tables.supplier(spark, dir).select(col("s_suppkey"))
+      .crossJoin(broadcast(months))
+      .join(base, col("s_suppkey") === col("l_suppkey") &&
+        months("m") === base("m"), "left")
+      .select(col("s_suppkey"), months("m").as("m"),
+        coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+    val zeros = filled.filter(col("n_ship") === 0)
+      .withColumn("grp", col("m") - row_number().over(
+        Window.partitionBy("s_suppkey").orderBy("m")))
+    val maxGap = zeros.groupBy("s_suppkey", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("s_suppkey").agg(max("run").as("mg"))
+    filled.groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_months"),
+        sum(when(col("n_ship") === 0, 1L).otherwise(0L)).as("zero_months"),
+        sum("n_ship").as("n_ship"))
+      .join(maxGap, Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"), col("n_months"), col("zero_months"),
+        coalesce(col("mg"), lit(0L)).as("max_gap"), col("n_ship"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> gapFill,
     "q_merge_upsert" -> mergeUpsert,
     "q_corpus_diff" -> corpusDiff,
     "q_constraint_report" -> constraintReport,
@@ -502,6 +549,32 @@ object Analytics {
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH base AS (
+        |  SELECT l_suppkey,
+        |         (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS m,
+        |         count(*) AS n_ship
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT min(m) AS lo, max(m) AS hi FROM base),
+        |months AS (SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS m),
+        |filled AS (
+        |  SELECT s.s_suppkey, months.m,
+        |         coalesce(base.n_ship, 0) AS n_ship
+        |  FROM supplier s CROSS JOIN months
+        |  LEFT JOIN base ON base.l_suppkey = s.s_suppkey AND base.m = months.m),
+        |zeros AS (
+        |  SELECT s_suppkey, m,
+        |         m - row_number() OVER (PARTITION BY s_suppkey ORDER BY m) AS grp
+        |  FROM filled WHERE n_ship = 0),
+        |runs AS (SELECT s_suppkey, count(*) AS run FROM zeros GROUP BY s_suppkey, grp),
+        |mx AS (SELECT s_suppkey, max(run) AS mg FROM runs GROUP BY 1)
+        |SELECT f.s_suppkey,
+        |       count(*) AS n_months,
+        |       CAST(sum(CASE WHEN f.n_ship = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_months,
+        |       CAST(coalesce(any_value(mx.mg), 0) AS BIGINT) AS max_gap,
+        |       CAST(sum(f.n_ship) AS BIGINT) AS n_ship
+        |FROM filled f LEFT JOIN mx ON mx.s_suppkey = f.s_suppkey
+        |GROUP BY 1""".stripMargin,
     "q_corpus_diff" ->
       """WITH d AS (
         |  SELECT doc_id,

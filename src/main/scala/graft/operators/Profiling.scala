@@ -500,7 +500,39 @@ object Profiling {
         (est - col("exact_cnt")).as("overcount"))
   }
 
+  /** Join-cardinality / shuffle-skew planning statistic: the EXACT
+    * output size a self-equi-join of lineitem on l_partkey would
+    * produce (Σ cnt² over key histogram), plus the top-10 keys by
+    * contribution with their ppm share of the join — the number a
+    * planner (or AQE's skew-join heuristic) needs BEFORE committing to
+    * a shuffle strategy, computed without materializing a single
+    * joined row.
+    *
+    * Plan: one partial+final HashAggregate builds the key histogram;
+    * totals are a 1-row aggregate over it broadcast into the top-k
+    * rows; top-10 is TakeOrderedAndProject (tie-broken by key — a
+    * deterministic SET, never a global sort). Σ cnt² and the ppm
+    * shares are exact integer arithmetic, so the skew report is
+    * bit-reproducible — at 100 TB this runs on the histogram
+    * (|distinct keys| rows), which is what makes join-size estimation
+    * feasible when the join itself is not. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("key_rows"))
+    val totals = cnt.agg(
+      sum(col("key_rows") * col("key_rows")).as("est_pairs"),
+      sum(col("key_rows")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    cnt.orderBy(col("key_rows").desc, col("l_partkey")).limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("l_partkey"), col("key_rows"),
+        (col("key_rows") * col("key_rows")).as("key_pairs"),
+        expr("key_rows * key_rows * 1000000 div est_pairs").as("share_ppm"),
+        col("est_pairs"), col("n_rows"), col("n_keys"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_cardinality" -> joinCardinality,
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
     "q_mad_prices" -> madPrices,
@@ -518,6 +550,21 @@ object Profiling {
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_join_cardinality" ->
+      """WITH cnt AS (
+        |  SELECT l_partkey, count(*) AS key_rows FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(key_rows * key_rows) AS BIGINT) AS est_pairs,
+        |         CAST(sum(key_rows) AS BIGINT) AS n_rows,
+        |         count(*) AS n_keys
+        |  FROM cnt)
+        |SELECT l_partkey, key_rows,
+        |       key_rows * key_rows AS key_pairs,
+        |       CAST((key_rows * key_rows * 1000000) // est_pairs AS BIGINT)
+        |         AS share_ppm,
+        |       est_pairs, n_rows, n_keys
+        |FROM cnt, tot
+        |ORDER BY key_rows DESC, l_partkey LIMIT 10""".stripMargin,
     "q_equidepth_hist" ->
       """WITH t AS (
         |  SELECT o_orderkey,

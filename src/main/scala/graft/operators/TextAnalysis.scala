@@ -29,6 +29,35 @@ object TextAnalysis {
           .as("bpe_ish_tokens"),
         length(col("text")).as("char_len"))
 
+  /** Per-language tokenizer fertility: subword tokens per whitespace
+    * word and characters per subword token, the two ratios that decide
+    * how many MODEL tokens a corpus actually costs per language (the
+    * number multilingual data budgets are written in). Uses the same
+    * BPE-ish segmentation as [[tokenCounts]] so the two reports agree
+    * by construction.
+    *
+    * Plan: one narrow codegen'd projection (two regex counts + a
+    * length) feeding a partial+final HashAggregate on lang — a single
+    * map-side-combined pass, |langs| rows out. Ratios are exact
+    * integral micro-units (BIGINT div), so the per-language budget
+    * table is bit-reproducible. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(tokens).cast("long").as("w"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("ws_tokens"),
+        sum("t").as("bpe_ish_tokens"),
+        sum("c").as("chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_ish_tokens"), col("chars"),
+        expr("bpe_ish_tokens * 1000000 div ws_tokens").as("fertility_ppm"),
+        expr("chars * 1000000 div bpe_ish_tokens").as("chars_per_tok_micro"))
+
   /** Document chunking: fixed 200-char windows at stride 150 (50-char
     * overlap) — the pre-embedding pass that turns long documents into
     * model-sized pieces. Pure per-row array construction, no shuffle;
@@ -683,6 +712,7 @@ object TextAnalysis {
     "q_tfidf_top_terms" -> ((s, d) => tfIdfTopTerms(s, d)),
     "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
+    "q_token_fertility" -> tokenFertility,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_chunks" -> docChunks,
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
@@ -896,6 +926,23 @@ object TextAnalysis {
         |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |       CAST(length(text) AS INT) AS char_len
         |FROM documents""".stripMargin,
+    "q_token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CAST(length(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS w,
+        |         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t,
+        |         CAST(length(text) AS BIGINT) AS c
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(w) AS BIGINT) AS ws_tokens,
+        |         CAST(sum(t) AS BIGINT) AS bpe_ish_tokens,
+        |         CAST(sum(c) AS BIGINT) AS chars
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n_docs, ws_tokens, bpe_ish_tokens, chars,
+        |       CAST(bpe_ish_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_ppm,
+        |       CAST(chars * 1000000 // bpe_ish_tokens AS BIGINT) AS chars_per_tok_micro
+        |FROM a""".stripMargin,
     "q_quality_gate" ->
       """WITH t AS (
         |  SELECT doc_id, text,
