@@ -399,14 +399,21 @@ object Analytics {
   def itemPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // Top-k via orderBy+limit (TakeOrderedAndProject — each task keeps a
+    // k-heap, the driver merges k·tasks rows) with the rank attached
+    // AFTER the limit, so the window only ever sees k rows. The
+    // row_number-then-filter form ran a single-partition sort over the
+    // whole |co-occurring part pairs| aggregate — the aggregate bound
+    // the guard accepts, but at pair-key cardinality it was this
+    // query's entire cost.
     val w = Window.orderBy(col("n_orders").desc, col("part_i"), col("part_j"))
     items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_i"), col("b.l_partkey").as("part_j"))
       .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_i"), col("part_j")).limit(k)
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
   }
 
   /** Declarative data-quality CONSTRAINT REPORT (the Deequ/

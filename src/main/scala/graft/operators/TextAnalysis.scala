@@ -444,33 +444,40 @@ object TextAnalysis {
   }
 
   /** ENCODE with the learned merges: apply the k trained BPE merges, in
-    * merge order, to every token occurrence in the corpus and report
-    * per-document symbol counts before/after — the train→apply split of
-    * tokenizer deployment (the merge list is vocabulary-sized state,
-    * broadcast into k literal substring replacements over the corpus;
-    * one narrow projection chain, one final aggregate, no shuffle until
-    * the per-doc groupBy). */
+    * merge order, and report per-document symbol counts before/after —
+    * the train→apply split of tokenizer deployment.
+    *
+    * Two deliberate scale moves: (1) the merge table (k rows — the
+    * artifact a tokenizer release ships) is collected ONCE and folded
+    * into the plan as k LITERAL `replace` steps — one codegen'd
+    * projection chain, no per-round broadcast joins or index re-reads;
+    * (2) merges apply to the per-document WORD VOCABULARY, not to
+    * every token occurrence — each distinct (doc, word) is encoded
+    * once and multiplied by its occurrence count in the final
+    * aggregate, so the string work scales with vocabulary while the
+    * corpus only pays an explode + groupBy. Identical per-word results
+    * by construction (BPE is a pure word function). */
   def bpeEncode(spark: SparkSession, dir: String,
       rounds: Int = BpeRounds): DataFrame = {
     val merges = trainedMerges(spark, dir, rounds)
-    var enc = Tables.documents(spark, dir)
+      .orderBy("merge_round")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens).as("word"))
       .filter(length(col("word")) >= 1)
-      .select(col("doc_id"), length(col("word")).cast("long").as("n_chars"),
-        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("s"))
-    for (r <- 1 to rounds)
-      enc = enc
-        .crossJoin(broadcast(merges.filter(col("merge_round") === r)
-          .select(col("lhs").as("bl"), col("rhs").as("br"))))
-        .select(col("doc_id"), col("n_chars"), expr(
-          "replace(s, ' ' || bl || '  ' || br || ' ', ' ' || bl || br || ' ')")
-          .as("s"))
-    enc
-      .select(col("doc_id"), col("n_chars"),
-        size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+    var s: org.apache.spark.sql.Column =
+      concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  "))
+    for ((bl, br) <- merges)
+      s = replace(s, lit(s" $bl  $br "), lit(s" $bl$br "))
+    occ
+      .select(col("doc_id"), col("n_occ"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(split(trim(s), "  ")).cast("long").as("n_syms"))
       .groupBy("doc_id")
-      .agg(sum("n_chars").as("n_chars"),
-        sum("n_syms").as("n_bpe_tokens"))
+      .agg(sum(col("n_occ") * col("n_chars")).as("n_chars"),
+        sum(col("n_occ") * col("n_syms")).as("n_bpe_tokens"))
       .withColumn("merges_saved", col("n_chars") - col("n_bpe_tokens"))
   }
 
