@@ -66,6 +66,7 @@ object Bench {
     "q_semdedup",
     "q_cms_user_counts",
     "q_zorder_cluster",
+    "q_hilbert_cluster",
     "q_jl_project",
     "q_incremental_dedup",
     "q_orc_roundtrip",
@@ -86,9 +87,11 @@ object Bench {
     "q_phrase_search",
     "q_bpe_pairs",
     "q_event_transitions",
+    "q_event_patterns",
     "q_unpivot_metrics",
     "q_equidepth_hist",
     "q_join_cardinality",
+    "q_fd_report",
     "q_compaction_plan",
     "q_bpe_merges",
     "q_retrieval_served",

@@ -53,6 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"sorted_intersect_size(a, b) takes 2 args, got ${other.size}")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(
+        classOf[graft.functions.HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(a, b) => graft.functions.HilbertIndex(a, b)
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index(x, y) takes 2 args, got ${other.size}")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("l2sq"),
       new ExpressionInfo(classOf[graft.functions.L2Sq].getName, "l2sq"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -531,7 +531,32 @@ object Profiling {
         col("est_pairs"), col("n_rows"), col("n_keys"))
   }
 
+  /** FUNCTIONAL-DEPENDENCY discovery report (the data-profiling pass
+    * schema inference and normalization tools run): for each candidate
+    * A→B, compare |distinct A| with |distinct (A,B)| — the dependency
+    * holds iff they're equal, and the difference counts exactly how
+    * many A-values map to multiple B-values. One partial+final
+    * aggregate pass per candidate over a 2-column projection, 1 row
+    * out each; all counts exact integers, so the profile itself is
+    * oracle-checkable (sampled profilers can't promise that). */
+  def fdReport(spark: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.agg(countDistinct(col(lhs)).as("n_lhs"),
+          countDistinct(col(lhs), col(rhs)).as("n_pairs"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"), col("n_pairs"),
+          (col("n_pairs") - col("n_lhs")).as("violating_keys"),
+          when(col("n_pairs") === col("n_lhs"), 1).otherwise(0).as("holds"))
+    val part = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    fd(part, "p_brand", "p_type")
+      .unionAll(fd(part, "p_name", "p_brand"))
+      .unionAll(fd(li, "l_returnflag", "l_linestatus"))
+      .unionAll(fd(li, "l_orderkey", "l_returnflag"))
+      .unionAll(fd(Tables.customer(spark, dir), "c_nationkey", "c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fd_report" -> fdReport,
     "q_join_cardinality" -> joinCardinality,
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
@@ -550,6 +575,24 @@ object Profiling {
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_fd_report" ->
+      """SELECT fd, n_lhs, n_pairs, n_pairs - n_lhs AS violating_keys,
+        |       CAST(CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS INT) AS holds
+        |FROM (
+        |  SELECT 'p_brand->p_type' AS fd, count(DISTINCT p_brand) AS n_lhs,
+        |         count(DISTINCT (p_brand, p_type)) AS n_pairs FROM part
+        |  UNION ALL
+        |  SELECT 'p_name->p_brand', count(DISTINCT p_name),
+        |         count(DISTINCT (p_name, p_brand)) FROM part
+        |  UNION ALL
+        |  SELECT 'l_returnflag->l_linestatus', count(DISTINCT l_returnflag),
+        |         count(DISTINCT (l_returnflag, l_linestatus)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_returnflag', count(DISTINCT l_orderkey),
+        |         count(DISTINCT (l_orderkey, l_returnflag)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'c_nationkey->c_mktsegment', count(DISTINCT c_nationkey),
+        |         count(DISTINCT (c_nationkey, c_mktsegment)) FROM customer)""".stripMargin,
     "q_join_cardinality" ->
       """WITH cnt AS (
         |  SELECT l_partkey, count(*) AS key_rows FROM lineitem GROUP BY 1),

@@ -94,7 +94,38 @@ object Sessionize {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** MATCH_RECOGNIZE-style SEQUENCE-PATTERN detection: each user's
+    * event history collapses to an initial-letter string in strict
+    * (ts, event_id) order, and behavioural patterns are counted as
+    * exact non-overlapping substring occurrences — direct conversions
+    * (view→purchase adjacent), click-assisted conversions
+    * (view→click→purchase) and error doublets. The substring-count
+    * identity `(len − len(replace(s, pat, ''))) / len(pat)` has
+    * identical greedy left-to-right semantics in both engines, so the
+    * pattern counts are bit-reproducible — no regex dialect in sight.
+    *
+    * Plan: one shuffle on user_id into a collect_list aggregate; the
+    * per-user sequence is session-history-bounded (the same bound
+    * every sequence-analytics engine assumes), and the pattern scan is
+    * a narrow codegen'd projection over |users| rows. */
+  def eventPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(e)), x -> x.c)"), "").as("seq"))
+    def hits(pat: String): org.apache.spark.sql.Column = expr(
+      s"CAST((length(seq) - length(replace(seq, '$pat', ''))) div ${pat.length} AS BIGINT)")
+    ev.select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+      hits("vp").as("direct_conv"),
+      hits("vcp").as("assisted_conv"),
+      hits("ee").as("error_doublets"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_patterns" -> eventPatterns,
     "q_sessionize" -> sessions,
     "q_session_stats" -> sessionStats,
     "q_funnel" -> funnel,
@@ -121,6 +152,21 @@ object Sessionize {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_event_patterns" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |       CAST(length(seq) AS BIGINT) AS n_events,
+        |       CAST((length(seq) - length(replace(seq, 'vp', ''))) // 2 AS BIGINT)
+        |         AS direct_conv,
+        |       CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3 AS BIGINT)
+        |         AS assisted_conv,
+        |       CAST((length(seq) - length(replace(seq, 'ee', ''))) // 2 AS BIGINT)
+        |         AS error_doublets
+        |FROM s""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu

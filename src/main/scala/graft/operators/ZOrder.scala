@@ -111,12 +111,36 @@ object ZOrder {
         min("hour_file").as("first_file"), max("hour_file").as("last_file"))
   }
 
+  /** Per-bucket bounding boxes of the HILBERT-ordered lineitem — the
+    * same file-granularity locality report as [[clusterStats]], with
+    * the Morton interleave upgraded to the order-31 Hilbert curve
+    * ([[graft.functions.HilbertIndex]]): consecutive curve positions
+    * are unit steps, so contiguous index ranges (files) carry strictly
+    * tighter (partkey, suppkey) boxes for min/max footer pruning.
+    * Plan identical to the z-order form: one codegen'd kernel
+    * projection, one partial+final HashAggregate. */
+  def hilbertClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        shiftright(graft.functions.HilbertIndex(
+          col("l_partkey"), col("l_suppkey")), 16).as("h_bucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy("h_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("partkey_lo"), max("l_partkey").as("partkey_hi"),
+        min("l_suppkey").as("suppkey_lo"), max("l_suppkey").as("suppkey_hi"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_cluster" -> ((s, d) => clusterStats(s, d)),
+    "q_hilbert_cluster" -> ((s, d) => hilbertClusterStats(s, d)),
     "q_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   private val zExpr =
     zSql("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")
+
+  private val HilbertBits = graft.functions.HilbertIndex.Bits
+  private val HilbertN = graft.functions.HilbertIndex.N
+  private val HilbertMask = graft.functions.HilbertIndex.Mask
 
   val oracles: Map[String, String] = Map(
     "q_compaction_plan" ->
@@ -139,5 +163,39 @@ object ZOrder {
          |       count(*) AS n_rows,
          |       min(l_partkey) AS partkey_lo, max(l_partkey) AS partkey_hi,
          |       min(l_suppkey) AS suppkey_lo, max(l_suppkey) AS suppkey_hi
-         |FROM lineitem GROUP BY 1""".stripMargin)
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    // The 31 rotate/reflect rounds replayed as ROW iterations of a
+    // recursive CTE (k = 30 … 0, one row generation per round) — the
+    // same adaptive-loop-as-CTE technique as the BPE oracles, chosen
+    // because unrolling the rounds as nested scalar expressions would
+    // double the tree per round (x and y each feed several terms of
+    // the next round). Same Wikipedia xy2d formulation as the kernel.
+    "q_hilbert_cluster" ->
+      s"""WITH RECURSIVE it AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(l_partkey AS BIGINT) & ${HilbertMask} AS x,
+         |         CAST(l_suppkey AS BIGINT) & ${HilbertMask} AS y,
+         |         CAST(0 AS BIGINT) AS d,
+         |         ${HilbertBits - 1} AS k
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT l_partkey, l_suppkey,
+         |         CASE WHEN ry = 0 THEN
+         |           CASE WHEN rx = 1 THEN ${HilbertN} - 1 - y ELSE y END
+         |         ELSE x END AS x,
+         |         CASE WHEN ry = 0 THEN
+         |           CASE WHEN rx = 1 THEN ${HilbertN} - 1 - x ELSE x END
+         |         ELSE y END AS y,
+         |         d + (CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)
+         |           * xor(3 * rx, ry) AS d,
+         |         k - 1 AS k
+         |  FROM (SELECT l_partkey, l_suppkey, x, y, d, k,
+         |               (x >> k) & 1 AS rx, (y >> k) & 1 AS ry
+         |        FROM it WHERE k >= 0))
+         |SELECT d >> 16 AS h_bucket,
+         |       count(*) AS n_rows,
+         |       min(l_partkey) AS partkey_lo, max(l_partkey) AS partkey_hi,
+         |       min(l_suppkey) AS suppkey_lo, max(l_suppkey) AS suppkey_hi
+         |FROM it WHERE k = -1 GROUP BY 1""".stripMargin)
+
 }
