@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -341,11 +341,51 @@ private case class OrdersOffset(id: Long) extends Offset {
 }
 
 private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
-    required: StructType, rowsPerBatch: Long) extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long)
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Structural view of the consumed id bounds, for tests — asserting
     * on these beats substring-matching [[description]]'s formatting. */
   def pushedBounds: (Long, Long) = (lo, hi)
+
+  // Runtime (post-planning) narrowing — the DSv2 dynamic-partition-
+  // pruning seam: when this scan sits under a join whose other side is
+  // selective, Spark evaluates the build side FIRST and hands the join
+  // keys here as an In filter before input partitions are planned.
+  // [rlo, rhi) narrows the id span (pruning whole slices); `ids` keeps
+  // the exact surviving keys so readers emit ONLY them instead of
+  // generating and discarding the rest of the slice.
+  private var rlo = lo
+  private var rhi = hi
+  private var ids: Array[Long] = null
+
+  /** Runtime-narrowed bounds + surviving-key count, for tests. */
+  def runtimeState: (Long, Long, Option[Int]) =
+    (rlo, rhi, Option(ids).map(_.length))
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("order_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("order_id", values) =>
+      val vs = values.collect {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }.filter(v => v >= rlo && v < rhi).sorted.distinct
+      ids = vs
+      rlo = if (vs.isEmpty) rhi else math.max(rlo, vs.head)
+      rhi = if (vs.isEmpty) rlo else math.min(rhi, vs.last + 1)
+    case EqualTo("order_id", v) =>
+      (v match {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None
+      }).foreach { l =>
+        rlo = math.max(rlo, l); rhi = math.min(rhi, l + 1)
+      }
+    case _ => () // unrecognized runtime filters are advisory — ignore
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -361,12 +401,13 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
       .toArray[InputPartition]
   }
 
-  /** Split [0, rows) evenly, clamp each slice to the pushed bounds and
-    * drop slices the bounds empty out — partition-level pruning. */
-  override def planInputPartitions(): Array[InputPartition] = slices(lo, hi)
+  /** Split [0, rows) evenly, clamp each slice to the pushed (and, when
+    * present, runtime) bounds and drop slices the bounds empty out —
+    * partition-level pruning. */
+  override def planInputPartitions(): Array[InputPartition] = slices(rlo, rhi)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OrdersReaderFactory(required)
+    new OrdersReaderFactory(required, ids)
 
   /** Streaming face: the same id space consumed incrementally. Offsets
     * are positions in the id space (`rowsPerBatch` ids admitted per
@@ -393,18 +434,20 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
         slices(start.asInstanceOf[OrdersOffset].id,
           end.asInstanceOf[OrdersOffset].id)
       override def createReaderFactory(): PartitionReaderFactory =
-        new OrdersReaderFactory(required)
+        new OrdersReaderFactory(required, null)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
 }
 
-private class OrdersReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+/** `runtimeIds`, when non-null, is the sorted surviving key set from a
+  * runtime (DPP) filter: readers walk only their slice of it instead of
+  * generating the whole id range and discarding misses. */
+private class OrdersReaderFactory(required: StructType,
+    runtimeIds: Array[Long]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[OrdersRange]
     new PartitionReader[InternalRow] {
-      private var id = r.start - 1
       // Column generators resolved once per reader from the pruned schema.
       private val gens: Array[Long => Any] = required.fields.map(_.name).map {
         case "order_id" => (i: Long) => i
@@ -412,7 +455,22 @@ private class OrdersReaderFactory(required: StructType)
           UTF8String.fromString(OrdersSource.product(i))
         case "price_cents" => (i: Long) => OrdersSource.priceCents(i)
       }
-      override def next(): Boolean = { id += 1; id < r.end }
+      // Either walk the runtime id list (from the first id ≥ start) or
+      // the contiguous slice.
+      private var pos =
+        if (runtimeIds == null) -1
+        else {
+          var i = java.util.Arrays.binarySearch(runtimeIds, r.start)
+          if (i < 0) i = -i - 1
+          i - 1
+        }
+      private var id = r.start - 1
+      override def next(): Boolean =
+        if (runtimeIds == null) { id += 1; id < r.end }
+        else {
+          pos += 1
+          pos < runtimeIds.length && { id = runtimeIds(pos); id < r.end }
+        }
       override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)))
       override def close(): Unit = ()
     }

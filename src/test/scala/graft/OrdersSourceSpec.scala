@@ -223,6 +223,63 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(sum("n")).collect().head.getLong(0) == 5000L)
   }
 
+  test("runtime In filter narrows bounds, prunes slices and drives id-list readers") {
+    // Unit face of SupportsRuntimeFiltering: hand the scan a runtime
+    // key set directly and observe planning + reading behaviour.
+    val scan = plannedScan(read(20000, 8)) match {
+      case s: graft.sources.OrdersScan => s
+      case other => fail(s"unexpected scan $other")
+    }
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("order_id",
+        Array[Any](java.lang.Long.valueOf(7000L), java.lang.Long.valueOf(7002L),
+          java.lang.Long.valueOf(12000L)))))
+    assert(scan.runtimeState == ((7000L, 12001L, Some(3))))
+    // [7000, 12001) spans slices 2..4 of 2500 → 3 survive.
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 3)
+    // Readers walk ONLY the surviving ids inside their slice.
+    val factory = scan.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      Iterator.continually(r).takeWhile(_.next()).map(_.get().getLong(0)).toList
+    }.sorted
+    assert(got.toSeq == Seq(7000L, 7002L, 12000L))
+  }
+
+  test("join-driven dynamic pruning reaches the source at runtime") {
+    val old = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"))
+    try {
+      // Non-AQE so the inspected plan instance IS the executed one;
+      // reuseBroadcastOnly off so DPP plans the subquery for a DSv2 scan.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      val fact = read(20000, 8)
+      val dim = spark.range(100, 160).select((col("id") * 100).as("k"))
+        .filter(col("k") % 200 === 0) // selective build side → DPP benefit
+      val j = fact.join(dim, fact("order_id") === dim("k"))
+      assert(j.collect().length == 30)
+      val b = j.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no scan"))
+      assert(b.runtimeFilters.nonEmpty, "no runtime filter planned on the scan")
+      b.scan match {
+        case s: graft.sources.OrdersScan =>
+          // 30 runtime keys in [10000, 15800] → bounds narrowed, 3/8
+          // slices survive, readers saw exactly the key list.
+          assert(s.runtimeState == ((10000L, 15801L, Some(30))))
+          assert(s.planInputPartitions().length == 3)
+        case other => fail(s"unexpected scan $other")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", old._1)
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", old._2)
+    }
+  }
+
   test("DISTINCT aggregates decline pushdown and stay correct") {
     val df = read(10000, 4)
       .groupBy("product").agg(countDistinct("price_cents").as("n"))
