@@ -67,6 +67,7 @@ object Bench {
     "q_cms_user_counts",
     "q_zorder_cluster",
     "q_hilbert_cluster",
+    "q_skipping_report",
     "q_jl_project",
     "q_incremental_dedup",
     "q_orc_roundtrip",

@@ -511,12 +511,15 @@ object Analytics {
       .localCheckpoint()
     val months = base.agg(min("m").as("lo"), max("m").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("m"))
+    // The dense grid is consumed twice (totals + the zero-run branch) —
+    // materialize it once; it is |series| × span rows, never data-sized.
     val filled = Tables.supplier(spark, dir).select(col("s_suppkey"))
       .crossJoin(broadcast(months))
       .join(base, col("s_suppkey") === col("l_suppkey") &&
         months("m") === base("m"), "left")
       .select(col("s_suppkey"), months("m").as("m"),
         coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+      .localCheckpoint()
     val zeros = filled.filter(col("n_ship") === 0)
       .withColumn("grp", col("m") - row_number().over(
         Window.partitionBy("s_suppkey").orderBy("m")))

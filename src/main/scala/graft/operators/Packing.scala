@@ -31,9 +31,23 @@ object Packing {
     * rank, generalized from counts to weights). */
   private[graft] def withGlobalCumsum(input: DataFrame, weightCol: String,
       orderCols: Seq[String], parts: Int = 32): DataFrame = {
+    // MATERIALIZE the ranged rows before fanning out. The per-partition
+    // sums, the offsets join and the local window all consume `ranged`;
+    // if Catalyst prunes them differently the exchange subtrees stop
+    // being canonical, ReuseExchange does NOT kick in, and each
+    // consumer re-runs repartitionByRange's reservoir SAMPLING with a
+    // different rddId seed — different partition boundaries per
+    // consumer, so prefix offsets from one partitioning get applied to
+    // another's window and the "exact" rank silently corrupts
+    // (observed: q_skipping_report's box columns survived pruning in
+    // one consumer only; ranks stopped being a permutation and drifted
+    // run to run). The checkpoint freezes ONE partitioning for all
+    // consumers; it is the same build-once discipline the index caches
+    // use, and the input here is always a slim projection.
     val ranged = input
       .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val sums = ranged.groupBy("pid").agg(sum(weightCol).as("psum"))
     val offs = sums
       .join(broadcast(sums.select(col("pid").as("bpid"), col("psum").as("bsum"))),

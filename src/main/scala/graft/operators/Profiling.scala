@@ -120,9 +120,13 @@ object Profiling {
   private[graft] def equidepthOf(input: DataFrame, valueCol: String,
       keyCol: String, buckets: Int, parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Materialized — one partitioning for all three consumers (see
+    // Packing.withGlobalCumsum's ranged checkpoint for the failure
+    // mode this prevents).
     val ranged = input
       .repartitionByRange(parts, col(valueCol), col(keyCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     // Per-partition counts: `parts` rows, tiny whatever the table size.
     // Prefix sums over that table come from a broadcast triangular join
     // (≤ parts² comparisons) rather than a global window, so the whole
@@ -204,9 +208,15 @@ object Profiling {
   private[graft] def withGroupedRank(input: DataFrame, groupCol: String,
       valueCol: String, keyCol: String, parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Materialized for the same reason as Packing.withGlobalCumsum's
+    // ranged checkpoint: three consumers must see ONE partitioning, and
+    // exchange reuse is not guaranteed once pruning diverges — without
+    // this the per-(pid, group) counts can come from a different range
+    // sampling than the window they offset.
     val ranged = input
       .repartitionByRange(parts, col(groupCol), col(valueCol), col(keyCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val counts = ranged.groupBy("pid", groupCol).agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy(groupCol).agg(sum("cnt").as("n"))
     val offs = counts

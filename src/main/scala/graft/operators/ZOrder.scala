@@ -130,9 +130,85 @@ object ZOrder {
         min("l_partkey").as("partkey_lo"), max("l_partkey").as("partkey_hi"),
         min("l_suppkey").as("suppkey_lo"), max("l_suppkey").as("suppkey_hi"))
 
+  /** Target file count for the simulated clustered writes. */
+  private val SimFiles = 300L
+
+  /** FILE-SKIPPING simulation — the number the whole layout family
+    * exists for, as one hash-checked report: lay lineitem out as
+    * equal-row files along the Morton order vs along the Hilbert order
+    * (the `maxRecordsPerFile` write semantics of [[writeZOrdered]]),
+    * then evaluate the same two-column box predicate against each
+    * layout's per-file min/max footer boxes. A file is SCANNED iff its
+    * box overlaps the predicate box; `waste_ppm` is the fraction of
+    * scanned rows the predicate then throws away — exactly the I/O a
+    * lakehouse reader pays, and the metric on which Hilbert's
+    * unit-step adjacency beats Z-order's quadrant teleports.
+    *
+    * Files must be equal-ROW chunks of the ordering, NOT aligned code
+    * blocks: `code >> 16` carves BOTH curves into the same 256×256
+    * tiles (a 2^16 span of either curve is exactly one aligned
+    * subtree), which would make the comparison a tautological tie. Row
+    * chunks are where the curves differ — a Z-order file straddles
+    * quadrant teleports, a Hilbert file never does.
+    *
+    * Plan: codes are one codegen'd projection, checkpointed (consumed
+    * by both rankings + the stats agg); each layout's file assignment
+    * is the distributed exact rank (range shuffle + broadcast prefix
+    * offsets — the house cumsum discipline, zero global windows);
+    * everything after the per-file aggregate runs on |files| rows.
+    * Ties in `code` need no tiebreak: the code is a bijection of
+    * (partkey, suppkey), so equal-code rows are interchangeable and
+    * any rank order yields identical per-file boxes on both engines. */
+  def skippingReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        zValue(col("l_partkey"), col("l_suppkey")).as("zcode"),
+        graft.functions.HilbertIndex(
+          col("l_partkey"), col("l_suppkey")).as("hcode"),
+        lit(1L).as("one"))
+      .localCheckpoint()
+    // Probe box + rows-per-file from one 1-row agg (broadcast): bounds
+    // at quarter-to-half of each dimension stay mid-selectivity at
+    // every SF; a real reader's literal predicate takes the same path.
+    val stats = li.agg(max("l_partkey").as("pk_max"),
+        max("l_suppkey").as("sk_max"), count(lit(1)).as("n"))
+      .select(expr("pk_max div 4").as("pk_lo"), expr("pk_max div 2").as("pk_hi"),
+        expr("sk_max div 5").as("sk_lo"), expr("sk_max div 2").as("sk_hi"),
+        expr(s"(n + ${SimFiles - 1}L) div ${SimFiles}L").as("rpf"))
+    val boxed = (code: String, layout: String) => Packing
+      .withGlobalCumsum(li, "one", Seq(code))
+      .crossJoin(broadcast(stats))
+      .select(expr("cum_before div rpf").as("file"),
+        col("l_partkey"), col("l_suppkey"),
+        col("pk_lo"), col("pk_hi"), col("sk_lo"), col("sk_hi"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        (max("l_partkey") >= first("pk_lo") && min("l_partkey") < first("pk_hi") &&
+          max("l_suppkey") >= first("sk_lo") && min("l_suppkey") < first("sk_hi"))
+          .as("scanned"))
+      .select(lit(layout).as("layout"), col("n_rows"), col("scanned"))
+    val matched = li.crossJoin(broadcast(stats))
+      .filter(col("l_partkey") >= col("pk_lo") && col("l_partkey") < col("pk_hi") &&
+        col("l_suppkey") >= col("sk_lo") && col("l_suppkey") < col("sk_hi"))
+      .agg(count(lit(1)).as("rows_matched"))
+    boxed("zcode", "zorder")
+      .unionAll(boxed("hcode", "hilbert"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .crossJoin(broadcast(matched))
+      .select(col("layout"), col("n_files"), col("files_scanned"),
+        col("rows_scanned"), col("rows_matched"),
+        expr("(rows_scanned - rows_matched) * 1000000" +
+          " div greatest(rows_scanned, 1)").as("waste_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_cluster" -> ((s, d) => clusterStats(s, d)),
     "q_hilbert_cluster" -> ((s, d) => hilbertClusterStats(s, d)),
+    "q_skipping_report" -> ((s, d) => skippingReport(s, d)),
     "q_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   private val zExpr =
@@ -171,31 +247,88 @@ object ZOrder {
     // double the tree per round (x and y each feed several terms of
     // the next round). Same Wikipedia xy2d formulation as the kernel.
     "q_hilbert_cluster" ->
-      s"""WITH RECURSIVE it AS (
-         |  SELECT l_partkey, l_suppkey,
-         |         CAST(l_partkey AS BIGINT) & ${HilbertMask} AS x,
-         |         CAST(l_suppkey AS BIGINT) & ${HilbertMask} AS y,
-         |         CAST(0 AS BIGINT) AS d,
-         |         ${HilbertBits - 1} AS k
-         |  FROM lineitem
-         |  UNION ALL
-         |  SELECT l_partkey, l_suppkey,
-         |         CASE WHEN ry = 0 THEN
-         |           CASE WHEN rx = 1 THEN ${HilbertN} - 1 - y ELSE y END
-         |         ELSE x END AS x,
-         |         CASE WHEN ry = 0 THEN
-         |           CASE WHEN rx = 1 THEN ${HilbertN} - 1 - x ELSE x END
-         |         ELSE y END AS y,
-         |         d + (CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)
-         |           * xor(3 * rx, ry) AS d,
-         |         k - 1 AS k
-         |  FROM (SELECT l_partkey, l_suppkey, x, y, d, k,
-         |               (x >> k) & 1 AS rx, (y >> k) & 1 AS ry
-         |        FROM it WHERE k >= 0))
+      s"""$hilbertCte
          |SELECT d >> 16 AS h_bucket,
          |       count(*) AS n_rows,
          |       min(l_partkey) AS partkey_lo, max(l_partkey) AS partkey_hi,
          |       min(l_suppkey) AS suppkey_lo, max(l_suppkey) AS suppkey_hi
-         |FROM it WHERE k = -1 GROUP BY 1""".stripMargin)
+         |FROM it WHERE k = -1 GROUP BY 1""".stripMargin,
+    // Both manifests, the probe box and the file math come from the
+    // SAME Scala values the operator uses ($hilbertCte, $zExpr,
+    // SimFiles), so operator and oracle cannot drift.
+    "q_skipping_report" ->
+      s"""$hilbertCte,
+         |z AS (SELECT l_partkey, l_suppkey, $zExpr AS code FROM lineitem),
+         |h AS (SELECT l_partkey, l_suppkey, d AS code FROM it WHERE k = -1),
+         |st AS (
+         |  SELECT max(l_partkey) // 4 AS pk_lo, max(l_partkey) // 2 AS pk_hi,
+         |         max(l_suppkey) // 5 AS sk_lo, max(l_suppkey) // 2 AS sk_hi,
+         |         (count(*) + ${SimFiles - 1}) // ${SimFiles} AS rpf
+         |  FROM lineitem),
+         |zf AS (
+         |  SELECT (row_number() OVER (ORDER BY code) - 1) // rpf AS f,
+         |         l_partkey, l_suppkey, pk_lo, pk_hi, sk_lo, sk_hi
+         |  FROM z, st),
+         |hf AS (
+         |  SELECT (row_number() OVER (ORDER BY code) - 1) // rpf AS f,
+         |         l_partkey, l_suppkey, pk_lo, pk_hi, sk_lo, sk_hi
+         |  FROM h, st),
+         |zu AS (
+         |  SELECT 'zorder' AS layout, count(*) AS n_rows,
+         |         (max(l_partkey) >= any_value(pk_lo) AND
+         |          min(l_partkey) < any_value(pk_hi) AND
+         |          max(l_suppkey) >= any_value(sk_lo) AND
+         |          min(l_suppkey) < any_value(sk_hi)) AS scanned
+         |  FROM zf GROUP BY f),
+         |hu AS (
+         |  SELECT 'hilbert' AS layout, count(*) AS n_rows,
+         |         (max(l_partkey) >= any_value(pk_lo) AND
+         |          min(l_partkey) < any_value(pk_hi) AND
+         |          max(l_suppkey) >= any_value(sk_lo) AND
+         |          min(l_suppkey) < any_value(sk_hi)) AS scanned
+         |  FROM hf GROUP BY f),
+         |m AS (
+         |  SELECT count(*) AS rows_matched FROM lineitem, st
+         |  WHERE l_partkey >= pk_lo AND l_partkey < pk_hi
+         |    AND l_suppkey >= sk_lo AND l_suppkey < sk_hi),
+         |agg AS (
+         |  SELECT layout, count(*) AS n_files,
+         |         CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS files_scanned,
+         |         CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)
+         |           AS rows_scanned
+         |  FROM (SELECT * FROM zu UNION ALL SELECT * FROM hu) GROUP BY 1)
+         |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
+         |       CAST((rows_scanned - rows_matched) * 1000000
+         |         // greatest(rows_scanned, 1) AS BIGINT) AS waste_ppm
+         |FROM agg, m""".stripMargin)
+
+  /** The order-31 xy2d rounds as a recursive CTE producing `it` (final
+    * rows at k = -1) — shared by the hilbert-cluster and
+    * skipping-report oracles. `lazy` because it is referenced from the
+    * `oracles` initializer above its own declaration (the
+    * interpolated-zero bug class this file hit once already). */
+  private lazy val hilbertCte: String =
+    s"""WITH RECURSIVE it AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         CAST(l_partkey AS BIGINT) & ${HilbertMask} AS x,
+       |         CAST(l_suppkey AS BIGINT) & ${HilbertMask} AS y,
+       |         CAST(0 AS BIGINT) AS d,
+       |         ${HilbertBits - 1} AS k
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT l_partkey, l_suppkey,
+       |         CASE WHEN ry = 0 THEN
+       |           CASE WHEN rx = 1 THEN ${HilbertN} - 1 - y ELSE y END
+       |         ELSE x END AS x,
+       |         CASE WHEN ry = 0 THEN
+       |           CASE WHEN rx = 1 THEN ${HilbertN} - 1 - x ELSE x END
+       |         ELSE y END AS y,
+       |         d + (CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)
+       |           * xor(3 * rx, ry) AS d,
+       |         k - 1 AS k
+       |  FROM (SELECT l_partkey, l_suppkey, x, y, d, k,
+       |               (x >> k) & 1 AS rx, (y >> k) & 1 AS ry
+       |        FROM it WHERE k >= 0))""".stripMargin
 
 }
