@@ -383,6 +383,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cumsum ranks stay a permutation under pruning-divergent consumers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Regression pin for the exchange-reuse failure q_skipping_report
+    // exposed: when the rank's consumers keep DIFFERENT column sets,
+    // Catalyst prunes the repartitionByRange subtrees differently, no
+    // exchange is reused, and (before the ranged localCheckpoint) each
+    // consumer re-sampled its own partition boundaries — offsets from
+    // one partitioning against another's window, ranks no longer a
+    // permutation and different on every run. The shape below keeps
+    // wide payload columns alive through one branch and unions it with
+    // a slim branch, then asserts exact permutation, three runs.
+    val rows = (0L until 4000L).map(id =>
+      (id, id % 37, s"pay$id", s"load${id % 11}"))
+    val df = rows.toDF("id", "code", "pay1", "pay2")
+      .withColumn("one", lit(1L))
+    for (run <- 1 to 3) {
+      val wide = Packing.withGlobalCumsum(df, "one", Seq("code", "id"))
+        .select(expr("cum_before div 13").as("file"), col("pay1"), col("pay2"))
+        .groupBy("file").agg(count(lit(1)).as("n"),
+          min("pay1").as("p1"), max("pay2").as("p2"))
+        .select(col("file"), col("n"))
+      val slim = Packing.withGlobalCumsum(df, "one", Seq("code", "id"))
+        .select(expr("cum_before div 13").as("file"))
+        .groupBy("file").agg(count(lit(1)).as("n"))
+      val got = wide.unionAll(slim).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // 4000 rows / 13 per file → files 0..307 full at 13, file 307
+      // holds the 9-row tail; both branches must agree exactly.
+      val expected = (0L until 4000L / 13L).map(f => (f, 13L)) :+
+        (4000L / 13L, 4000L % 13L)
+      assert(got.sorted.toSeq == (expected ++ expected).sorted.toSeq,
+        s"run $run: rank corruption under divergent pruning")
+    }
+  }
+
   test("grouped distributed equidepth equals per-group ntile on random data (property)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
