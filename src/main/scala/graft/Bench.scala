@@ -93,6 +93,7 @@ object Bench {
     "q_equidepth_hist",
     "q_join_cardinality",
     "q_fd_report",
+    "q_crosstab_assoc",
     "q_compaction_plan",
     "q_bpe_merges",
     "q_retrieval_served",

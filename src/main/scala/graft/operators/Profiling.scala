@@ -565,7 +565,40 @@ object Profiling {
       .unionAll(fd(Tables.customer(spark, dir), "c_nationkey", "c_mktsegment"))
   }
 
+  /** Categorical ASSOCIATION profile (crosstab + independence
+    * deviation): the (lang × source) contingency table with each
+    * cell's lift against the independence expectation, in exact ppm —
+    * `lift_ppm = obs·n·10⁶ div (row_tot·col_tot)`, 1 000 000 ⇔
+    * independent. The chi-square-shaped question ("which feeds skew
+    * which languages?") asked in integer arithmetic both engines
+    * answer bit-identically — no float expected-counts anywhere.
+    *
+    * Plan: one cell aggregate over the corpus; marginals derive from
+    * the CELL table (never a second corpus scan) and broadcast back
+    * onto it; |langs|·|sources| rows end to end after the first
+    * aggregate. */
+  def crosstabAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      .localCheckpoint()
+    val rows = cells.groupBy("lang").agg(sum("obs").as("row_tot"))
+    val cols = cells.groupBy("source").agg(sum("obs").as("col_tot"))
+    val total = cells.agg(sum("obs").as("n"))
+    cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("obs"),
+        col("row_tot"), col("col_tot"),
+        // DECIMAL(38) product before the integral divide (HUGEINT //
+        // on the DuckDB side): obs·n·10⁶ overflows int64 at corpus
+        // scale long before the cell table is large.
+        expr("CAST(obs AS DECIMAL(38,0)) * n * 1000000" +
+          " div (CAST(row_tot AS DECIMAL(38,0)) * col_tot)").as("lift_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crosstab_assoc" -> crosstabAssoc,
     "q_fd_report" -> fdReport,
     "q_join_cardinality" -> joinCardinality,
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
@@ -585,6 +618,20 @@ object Profiling {
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_crosstab_assoc" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot
+        |      FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+        |SELECT lang, source, obs, row_tot, col_tot,
+        |       CAST((CAST(obs AS HUGEINT) * n * 1000000)
+        |         // (CAST(row_tot AS HUGEINT) * col_tot) AS BIGINT)
+        |         AS lift_ppm
+        |FROM cells JOIN r USING (lang) JOIN c USING (source), t""".stripMargin,
     "q_fd_report" ->
       """SELECT fd, n_lhs, n_pairs, n_pairs - n_lhs AS violating_keys,
         |       CAST(CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS INT) AS holds
