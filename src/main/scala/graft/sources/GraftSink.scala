@@ -25,7 +25,8 @@ class GraftSinkTable extends org.apache.spark.sql.connector.catalog.Table
   override def name(): String = "graft.sink"
   override def schema(): StructType = OrdersSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -34,8 +35,46 @@ class GraftSinkTable extends org.apache.spark.sql.connector.catalog.Table
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftSinkBatchWrite
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftSinkStreamingWrite
       }
     }
+}
+
+/** Streaming face of the sink: the same two-phase protocol, keyed by
+  * EPOCH. `commit(epochId, …)` publishes idempotently — a replayed
+  * epoch (checkpoint-recovery re-running a micro-batch whose commit
+  * already landed) is detected and NOT double-counted, which is
+  * precisely the exactly-once contract a transactional streaming sink
+  * (Kafka transactions, Delta commit log) implements: task retries
+  * fold in through the message path, epoch retries through the
+  * idempotent publish. */
+private class GraftSinkStreamingWrite
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new DataWriter[InternalRow] {
+          private var n = 0L
+          override def write(record: InternalRow): Unit = n += 1
+          override def commit(): WriterCommitMessage = GraftSinkCommit(n)
+          override def abort(): Unit = ()
+          override def close(): Unit = ()
+        }
+    }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val counts = messages.collect { case m: GraftSinkCommit => m }
+    GraftSinkRegistry.recordEpoch(epochId, counts.map(_.rows).sum, counts.length)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkRegistry.aborts.incrementAndGet()
 }
 
 private class GraftSinkBatchWrite extends BatchWrite {
@@ -80,8 +119,21 @@ object GraftSinkRegistry {
     commits.incrementAndGet()
   }
 
+  /** Per-epoch streaming ledger: epochId → (rows, tasks). */
+  val epochCommits =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int)]()
+  val replayedEpochs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Idempotent epoch publish — the exactly-once seam: a re-delivered
+    * epoch leaves the ledger untouched and only bumps the replay
+    * counter. */
+  def recordEpoch(epochId: Long, rows: Long, tasks: Int): Unit =
+    if (epochCommits.putIfAbsent(epochId, (rows, tasks)) != null)
+      replayedEpochs.incrementAndGet()
+
   def reset(): Unit = {
     lastCommitRows.set(-1); lastCommitTasks.set(-1)
     commits.set(0); aborts.set(0)
+    epochCommits.clear(); replayedEpochs.set(0)
   }
 }

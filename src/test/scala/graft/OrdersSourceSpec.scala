@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -221,6 +223,40 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       case other => fail(s"aggregation not pushed, scan = $other")
     }
     assert(df.agg(sum("n")).collect().head.getLong(0) == 5000L)
+  }
+
+  test("streaming write: per-epoch two-phase commits, replayed epochs idempotent") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    graft.sources.GraftSinkRegistry.reset()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sink-stream").toFile.getAbsolutePath
+    // Custom DSv2 stream → custom DSv2 streaming sink: 1000 ids at 250
+    // per micro-batch = 4 epochs end to end through the catalog.
+    val q = spark.readStream.format("graft.sources.OrdersSource")
+      .option("rows", "1000").option("parts", "4")
+      .option("rowsPerBatch", "250").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.sink")
+    try {
+      (1 to 20).takeWhile { _ =>
+        q.processAllAvailable()
+        graft.sources.GraftSinkRegistry.epochCommits.values.asScala
+          .map(_._1).sum < 1000L
+      }
+    } finally q.stop()
+    val ledger = graft.sources.GraftSinkRegistry.epochCommits.asScala
+    assert(ledger.values.map(_._1).sum == 1000L,
+      s"epoch ledger must account for every row: $ledger")
+    assert(ledger.size == 4, s"expected 4 committed epochs: $ledger")
+    assert(graft.sources.GraftSinkRegistry.replayedEpochs.get() == 0L)
+
+    // The exactly-once seam in isolation: a re-delivered epoch commit
+    // (checkpoint recovery re-running a finished batch) must leave the
+    // ledger untouched and be counted as a replay.
+    graft.sources.GraftSinkRegistry.recordEpoch(7L, 111L, 2)
+    graft.sources.GraftSinkRegistry.recordEpoch(7L, 111L, 2)
+    assert(graft.sources.GraftSinkRegistry.epochCommits.get(7L) == ((111L, 2)))
+    assert(graft.sources.GraftSinkRegistry.replayedEpochs.get() == 1L)
   }
 
   test("runtime In filter narrows bounds, prunes slices and drives id-list readers") {
