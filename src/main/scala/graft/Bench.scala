@@ -23,6 +23,7 @@ object Bench {
     "q_running_avg",
     "q_validate_events",
     "q_windowed_stats",
+    "q_watermark_audit",
     "q_avro_roundtrip",
     "q_sessionize",
     "q_asof_attribution",

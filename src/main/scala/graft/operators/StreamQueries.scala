@@ -93,13 +93,101 @@ object StreamQueries {
         col("event_type").as("product"),
         col("order_count"), col("sum_cents"))
 
+  /** WATERMARK-TUNING audit: how late do events actually arrive, and
+    * what would a given watermark delay have dropped? Lateness of an
+    * event = (max event-time seen over all earlier ARRIVALS) − its own
+    * event time. Reported as a lateness histogram (on-time / ≤1 s /
+    * ≤10 s / ≤60 s / beyond) plus the count a 30 s watermark would
+    * discard — the numbers that decide `withWatermark` before any
+    * state blows up at scale.
+    *
+    * The synthetic log is perfectly ordered, so arrival order is
+    * simulated as event time plus a deterministic md5 transport jitter
+    * of up to 2 minutes (the multi-source consumer's reordering; a
+    * real feed would have an arrival/ingest column here — swap it in
+    * and drop the jitter).
+    *
+    * The running max over arrival order is the cumsum discipline
+    * generalized from SUM to MAX: range shuffle on the arrival key
+    * (checkpointed — one partitioning for all consumers), per-partition
+    * max, broadcast triangular PREFIX-max join, local running-max
+    * window per partition, combined with `greatest`. Zero unpartitioned
+    * windows over the stream history. */
+  def watermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        (col("ts") + expr("CAST(conv(substr(md5(CAST(event_id AS STRING))," +
+          " 1, 15), 16, 10) AS BIGINT) % 120000000000"))
+          .as("arrival"))
+      .repartitionByRange(32, col("arrival"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val pmax = ranged.groupBy("pid").agg(max("ts").as("pmax"))
+    val offs = pmax
+      .join(broadcast(pmax.select(col("pid").as("bpid"), col("pmax").as("bmax"))),
+        col("bpid") < col("pid"), "left")
+      .groupBy("pid").agg(max("bmax").as("prior_max"))
+    val localW = Window.partitionBy("pid").orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("lmax", max("ts").over(localW))
+      .join(broadcast(offs), "pid")
+      .select(col("ts"),
+        greatest(coalesce(col("lmax"), lit(Long.MinValue)),
+          coalesce(col("prior_max"), lit(Long.MinValue))).as("seen"))
+      .select(when(col("seen") === Long.MinValue, lit(0L))
+        .otherwise(greatest(col("seen") - col("ts"), lit(0L)))
+        .as("late_ns"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_ns") === 0, 1L).otherwise(0L)).as("on_time"),
+        sum(when(col("late_ns") > 0 && col("late_ns") <= 1000000000L, 1L)
+          .otherwise(0L)).as("late_1s"),
+        sum(when(col("late_ns") > 1000000000L && col("late_ns") <= 10000000000L,
+          1L).otherwise(0L)).as("late_10s"),
+        sum(when(col("late_ns") > 10000000000L && col("late_ns") <= 60000000000L,
+          1L).otherwise(0L)).as("late_60s"),
+        sum(when(col("late_ns") > 60000000000L, 1L).otherwise(0L))
+          .as("late_beyond"),
+        sum(when(col("late_ns") > 30000000000L, 1L).otherwise(0L))
+          .as("dropped_at_30s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_watermark_audit" -> watermarkAudit,
     "q_avro_roundtrip" -> avroRoundtrip,
     "q_avro_evolution" -> avroEvolution,
     "q_windowed_stats" -> windowedStats,
     "q_hopping_stats" -> hoppingStats)
 
   val oracles: Map[String, String] = Map(
+    "q_watermark_audit" ->
+      """WITH a AS (
+        |  SELECT event_id, epoch_ns(ts) AS tsn,
+        |         epoch_ns(ts) +
+        |           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 120000000000 AS arrival
+        |  FROM events),
+        |l AS (
+        |  SELECT coalesce(greatest(
+        |           max(tsn) OVER (ORDER BY arrival, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           - tsn, 0), 0) AS late_ns
+        |  FROM a)
+        |SELECT count(*) AS n_events,
+        |       CAST(sum(CASE WHEN late_ns = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS on_time,
+        |       CAST(sum(CASE WHEN late_ns > 0 AND late_ns <= 1000000000
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS late_1s,
+        |       CAST(sum(CASE WHEN late_ns > 1000000000 AND late_ns <= 10000000000
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS late_10s,
+        |       CAST(sum(CASE WHEN late_ns > 10000000000 AND late_ns <= 60000000000
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS late_60s,
+        |       CAST(sum(CASE WHEN late_ns > 60000000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS late_beyond,
+        |       CAST(sum(CASE WHEN late_ns > 30000000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS dropped_at_30s
+        |FROM l""".stripMargin,
     "q_avro_roundtrip" ->
       """SELECT event_type AS product,
         |       count(*) AS order_count,
