@@ -482,4 +482,36 @@ object OrderStream {
           batchId)
       } finally validated.unpersist()
   }
+
+  /** One observed micro-batch: what the ops dashboard ingests. */
+  final case class BatchProgress(queryName: String, batchId: Long,
+      numInputRows: Long, stateRows: Long)
+
+  /** Streaming OBSERVABILITY seam: a `StreamingQueryListener` that
+    * turns per-batch progress events into a queryable in-memory ledger
+    * — batch id, exact input row counts, state-store row counts. The
+    * consumer-lag/throughput dashboard every production stream runs
+    * (the reference's console metrics, as a structured feed); at real
+    * scale the ledger append is a metrics-bus emit, the listener code
+    * is identical. Progress events arrive on the listener bus OFF the
+    * query thread, so the ledger is concurrent and the spec drains it
+    * after `processAllAvailable`. */
+  final class ProgressLedger
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[BatchProgress]
+    val starts = new java.util.concurrent.atomic.AtomicLong(0)
+    val stops = new java.util.concurrent.atomic.AtomicLong(0)
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      starts.incrementAndGet()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      batches.add(BatchProgress(
+        Option(e.progress.name).getOrElse(""),
+        e.progress.batchId,
+        e.progress.numInputRows,
+        e.progress.stateOperators.map(_.numRowsTotal).sum))
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      stops.incrementAndGet()
+  }
 }

@@ -259,6 +259,34 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.GraftSinkRegistry.replayedEpochs.get() == 1L)
   }
 
+  test("progress listener ledgers exact per-batch row counts") {
+    val ledger = new graft.streaming.OrderStream.ProgressLedger
+    spark.streams.addListener(ledger)
+    val q = spark.readStream.format("graft.sources.OrdersSource")
+      .option("rows", "1000").option("parts", "4")
+      .option("rowsPerBatch", "250").load()
+      .writeStream.format("noop").queryName("ledger_test").start()
+    try {
+      q.processAllAvailable()
+      // Listener events are delivered asynchronously after the batch
+      // completes — wait for the ledger to catch up.
+      (1 to 100).takeWhile { _ =>
+        Thread.sleep(50)
+        ledger.batches.asScala.filter(_.numInputRows > 0).map(_.numInputRows)
+          .sum < 1000L
+      }
+    } finally {
+      q.stop()
+      spark.streams.removeListener(ledger)
+    }
+    val rows = ledger.batches.asScala.filter(_.queryName == "ledger_test")
+    assert(rows.filter(_.numInputRows > 0).map(_.numInputRows).sum == 1000L,
+      s"ledger must account for every input row: $rows")
+    assert(rows.count(_.numInputRows == 250L) == 4,
+      s"expected 4 exact 250-row batches: $rows")
+    assert(ledger.starts.get() >= 1L)
+  }
+
   test("runtime In filter narrows bounds, prunes slices and drives id-list readers") {
     // Unit face of SupportsRuntimeFiltering: hand the scan a runtime
     // key set directly and observe planning + reading behaviour.
