@@ -35,6 +35,7 @@ object SparkEntry {
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (CorpusClean.queries, CorpusClean.oracles),
       (ZOrder.queries, ZOrder.oracles),
+      (Stats.queries, Stats.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (graft.sources.OrdersSource.queries, graft.sources.OrdersSource.oracles))
 

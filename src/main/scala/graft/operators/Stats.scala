@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Exact-integer statistical operators — the regression/correlation/
+  * concentration questions an analytics engine answers over a corpus or
+  * a fact table, each computed in closed-form integer (DECIMAL(38))
+  * arithmetic so Spark and the DuckDB oracle agree bit-for-bit (no libm
+  * anywhere; negative results via the sign/abs split because Spark
+  * `div` truncates toward zero while DuckDB `//` floors).
+  *
+  * Reference anchor: the consumer-side aggregation loop
+  * (reference/consumer/order_consumer.py — running per-product stats)
+  * asks "what is the trend"; these operators answer it engine-exactly
+  * and distributed.
+  */
+object Stats {
+
+  /** Per-priority OLS trend slope of monthly revenue, in exact
+    * micro-cents-per-month: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * with x = month index since 1992-01 and y = monthly revenue cents.
+    * One full-table scan feeds a map-side-combined (priority, month)
+    * aggregate; the OLS sums run over that tiny grid. Products are
+    * DECIMAL(38) so nothing overflows at 100 TB, and the division is
+    * integer `div` on abs values with the sign applied afterward.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("priority", "mo")
+      .agg(sum("cents").as("rev"))
+      .select(col("priority"), col("mo").cast("decimal(38,0)").as("x"),
+        col("rev").cast("decimal(38,0)").as("y"))
+      .groupBy("priority")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .selectExpr("priority",
+        "CAST(n AS BIGINT) AS n_months",
+        "CAST(sy AS BIGINT) AS total_cents",
+        "n * sxy - sx * sy AS num", "n * sxx - sx * sx AS den")
+      .selectExpr("priority", "n_months", "total_cents",
+        """CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den
+          |     ELSE -((-num * 1000000) div den) END AS BIGINT)
+          |  AS slope_micro""".stripMargin)
+
+  /** Spearman rank correlation between per-customer order count and
+    * total spend, ρ·10⁶ exact: ρ = 1 − 6Σd²/(n(n²−1)) on tie-broken
+    * ranks (order key (metric, custkey) is unique, so ranks are a
+    * well-defined permutation in both engines). The two global ranks
+    * are DISTRIBUTED — `Packing.withGlobalCumsum` of weight 1 (range
+    * shuffle → broadcast triangular prefix → local window), never an
+    * unpartitioned `row_number` over the customer universe.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("y"))
+      .withColumn("one", lit(1L))
+    val rx = Packing.withGlobalCumsum(per, "one", Seq("x", "ck"))
+      .withColumnRenamed("cum_before", "rx0")
+    Packing.withGlobalCumsum(rx, "one", Seq("y", "ck"))
+      .withColumnRenamed("cum_before", "ry0")
+      .select((col("rx0") - col("ry0")).cast("decimal(38,0)").as("d"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(expr("d * d")).as("sd2"))
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        "CAST(sd2 AS BIGINT) AS sum_d2",
+        "n * (n * n - 1) AS t", "6 * sd2 AS s6")
+      .selectExpr("n_customers", "sum_d2",
+        """CAST(CASE WHEN t = 0 THEN 1000000
+          |     WHEN t - s6 >= 0 THEN ((t - s6) * 1000000) div t
+          |     ELSE -(((s6 - t) * 1000000) div t) END AS BIGINT)
+          |  AS rho_micro""".stripMargin)
+  }
+
+  /** Per-language source-concentration profile: HHI (Σ share²) and its
+    * Gini-impurity complement in exact ppm — the "is this language fed
+    * by one crawl or many" diversity question a training-mix data card
+    * answers. One (lang, source) aggregate over the corpus; the
+    * concentration arithmetic runs on the tiny cell table, shares never
+    * materialize as floats (obs²·10⁶ div n² in DECIMAL(38)).
+    */
+  def giniHhi(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"), sum("c").as("n_docs"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .selectExpr("lang", "n_sources", "n_docs",
+        """CAST((s2 * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)
+          |  AS BIGINT) AS hhi_ppm""".stripMargin)
+      .selectExpr("lang", "n_sources", "n_docs", "hhi_ppm",
+        "CAST(1000000 - hhi_ppm AS BIGINT) AS gini_ppm")
+
+  private val StopList = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality-filter SELECTIVITY SWEEP: docs and tokens retained at each
+    * stopword-ratio cutoff (5%-wide ppm buckets) — the "where do we set
+    * the filter to hit the token budget" curve, the planning query run
+    * before committing a corpus-wide quality gate. Full scan → 20-row
+    * bucket aggregate; the cumulative-retention arithmetic is a
+    * broadcast triangular self-join over those 20 rows (house prefix
+    * discipline — no window anywhere, nothing unbounded past the agg).
+    */
+  def qualitySelectivity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val buckets = Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(StopList.map(lit(_)): _*)))
+          .cast("long").as("n_stop"))
+      .select(col("n_tokens"),
+        expr("n_stop * 1000000 div greatest(n_tokens, 1L)").as("ratio_ppm"))
+      .select(expr("least(ratio_ppm div 50000, 19L)").as("bucket"),
+        col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    buckets
+      .join(broadcast(buckets.select(col("bucket").as("b2"),
+        col("n_docs").as("d2"), col("n_tokens").as("t2"))),
+        col("b2") <= col("bucket"))
+      .groupBy("bucket", "n_docs", "n_tokens")
+      .agg(sum("d2").as("docs_kept"), sum("t2").as("tokens_kept"))
+      .select(col("bucket"), ((col("bucket") + 1) * 50000L).as("threshold_ppm"),
+        col("n_docs"), col("n_tokens"), col("docs_kept"), col("tokens_kept"))
+  }
+
+  /** Deterministic WEIGHTED sample (priority sampling, Ohlsson/DLT
+    * style): each doc draws u = 48-bit md5 uniform, priority key =
+    * u·10⁴ div weight — heavier docs get systematically smaller keys,
+    * the k smallest keys are the sample. Entirely integer, seeded, and
+    * reproducible across engines AND across reruns (the property an
+    * auditable training-mix draw needs). Plans as TakeOrderedAndProject:
+    * per-partition top-k then a k-row driver merge — no global sort of
+    * the corpus.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        expr("CAST(conv(substr(md5(concat('ws_', CAST(doc_id AS STRING))), 1, 12), " +
+          "16, 10) AS DECIMAL(38,0))").as("u"))
+      .select(col("doc_id"), col("weight"),
+        expr("CAST((u * 10000) div greatest(CAST(weight AS DECIMAL(38,0)), 1) " +
+          "AS BIGINT)").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend_slope" -> (trendSlope(_, _)),
+    "q_spearman_corr" -> (spearmanCorr(_, _)),
+    "q_gini_hhi" -> (giniHhi(_, _)),
+    "q_quality_selectivity" -> (qualitySelectivity(_, _)),
+    "q_weighted_sample" -> ((s, d) => weightedSample(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    // Sign/abs split keeps `//` (floor) and `div` (trunc) identical.
+    "q_trend_slope" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS priority,
+        |         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mo,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT priority, mo, CAST(sum(cents) AS BIGINT) AS rev
+        |      FROM m GROUP BY 1, 2),
+        |s AS (SELECT priority,
+        |             CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(mo) AS HUGEINT) AS sx,
+        |             CAST(sum(rev) AS HUGEINT) AS sy,
+        |             CAST(sum(CAST(mo AS HUGEINT) * rev) AS HUGEINT) AS sxy,
+        |             CAST(sum(CAST(mo AS HUGEINT) * mo) AS HUGEINT) AS sxx
+        |      FROM g GROUP BY 1)
+        |SELECT priority, CAST(n AS BIGINT) AS n_months,
+        |       CAST(sy AS BIGINT) AS total_cents,
+        |       CAST(CASE WHEN n * sxy - sx * sy >= 0
+        |            THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        |            ELSE -(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx))
+        |            END AS BIGINT) AS slope_micro
+        |FROM s""".stripMargin,
+    "q_spearman_corr" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT ck,
+        |             row_number() OVER (ORDER BY x, ck) - 1 AS rx0,
+        |             row_number() OVER (ORDER BY y, ck) - 1 AS ry0
+        |      FROM per),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(CAST(rx0 - ry0 AS HUGEINT) * (rx0 - ry0)) AS HUGEINT) AS sd2
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers, CAST(sd2 AS BIGINT) AS sum_d2,
+        |       CAST(CASE WHEN n * (n * n - 1) = 0 THEN 1000000
+        |            WHEN n * (n * n - 1) - 6 * sd2 >= 0
+        |            THEN ((n * (n * n - 1) - 6 * sd2) * 1000000) // (n * (n * n - 1))
+        |            ELSE -(((6 * sd2 - n * (n * n - 1)) * 1000000) // (n * (n * n - 1)))
+        |            END AS BIGINT) AS rho_micro
+        |FROM s""".stripMargin,
+    "q_gini_hhi" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |             CAST(sum(c) AS HUGEINT) AS n_docs,
+        |             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+        |      FROM c GROUP BY 1)
+        |SELECT lang, n_sources, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST((s2 * 1000000) // (n_docs * n_docs) AS BIGINT) AS hhi_ppm,
+        |       CAST(1000000 - (s2 * 1000000) // (n_docs * n_docs) AS BIGINT)
+        |         AS gini_ppm
+        |FROM g""".stripMargin,
+    "q_quality_selectivity" ->
+      """WITH d AS (
+        |  SELECT CAST(length(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |              t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |           AS n_stop
+        |  FROM documents),
+        |p AS (SELECT n_tokens,
+        |             (n_stop * 1000000) // greatest(n_tokens, 1) AS ratio_ppm
+        |      FROM d),
+        |b AS (SELECT least(ratio_ppm // 50000, 19) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_tokens) AS BIGINT) AS n_toks
+        |      FROM p GROUP BY 1),
+        |c AS (SELECT b1.bucket, b1.n_docs, b1.n_toks,
+        |             CAST(sum(b2.n_docs) AS BIGINT) AS docs_kept,
+        |             CAST(sum(b2.n_toks) AS BIGINT) AS tokens_kept
+        |      FROM b b1 JOIN b b2 ON b2.bucket <= b1.bucket
+        |      GROUP BY 1, 2, 3)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST((bucket + 1) * 50000 AS BIGINT) AS threshold_ppm,
+        |       n_docs, n_toks AS n_tokens, docs_kept, tokens_kept
+        |FROM c""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |         CAST(CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)),
+        |              1, 12)) AS BIGINT) AS HUGEINT) AS u
+        |  FROM documents)
+        |SELECT doc_id, weight,
+        |       CAST((u * 10000) // greatest(CAST(weight AS HUGEINT), 1)
+        |         AS BIGINT) AS priority
+        |FROM d ORDER BY priority, doc_id LIMIT 100""".stripMargin)
+}
