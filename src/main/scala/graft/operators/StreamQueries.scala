@@ -70,6 +70,13 @@ object StreamQueries {
     OrderStream.windowedStats(
       OrderStream.asOrders(Tables.events(spark, dir)))
 
+  /** Batch face of OrderStream.tieredWindowStats — the hour→day chained
+    * stateful rollup as two ordinary hash aggregates over events.
+    */
+  def tieredWindows(spark: SparkSession, dir: String): DataFrame =
+    OrderStream.tieredWindowStats(
+      OrderStream.asOrders(Tables.events(spark, dir)))
+
   /** Hopping (sliding) windows — 1-hour length, 30-minute slide, so
     * every event lands in exactly length/slide = 2 windows. The
     * overlapping-window shape smooths windowed metrics without waiting
@@ -158,6 +165,7 @@ object StreamQueries {
     "q_avro_roundtrip" -> avroRoundtrip,
     "q_avro_evolution" -> avroEvolution,
     "q_windowed_stats" -> windowedStats,
+    "q_tiered_windows" -> tieredWindows,
     "q_hopping_stats" -> hoppingStats)
 
   val oracles: Map[String, String] = Map(
@@ -215,6 +223,23 @@ object StreamQueries {
         |       count(*) AS order_count,
         |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    // Hour buckets first (hr grid), then the day rollup — mirrors the
+    // two chained stateful aggregates tier for tier.
+    "q_tiered_windows" ->
+      """WITH h AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start_s,
+        |         event_type AS product,
+        |         count(*) AS hr_count,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS hr_cents
+        |  FROM events
+        |  WHERE value > 0 AND event_type IS NOT NULL AND event_type <> 'error'
+        |  GROUP BY 1, 2)
+        |SELECT (hour_start_s // 86400) * 86400 AS day_start_s, product,
+        |       CAST(sum(hr_count) AS BIGINT) AS order_count,
+        |       CAST(sum(hr_cents) AS BIGINT) AS sum_cents,
+        |       count(*) AS n_active_hours
         |FROM h GROUP BY 1, 2""".stripMargin,
     "q_windowed_stats" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,

@@ -76,6 +76,35 @@ object OrderStream {
         col("product"), col("order_count"), col("sum_cents"),
         col("min_price"), col("max_price"))
 
+  /** TIERED windowed rollup — two chained STATEFUL aggregations in one
+    * query (multiple-stateful-operator support, Spark 3.4+/4.x): hourly
+    * per-product stats re-aggregated into daily rollups downstream, the
+    * second `groupBy(window(col("window"), "1 day"))` consuming the
+    * first's window struct directly. On a stream both tiers keep their
+    * own watermark-bounded state and emit in append mode as windows
+    * close; the daily tier's input is one row per (hour, product) — the
+    * pre-aggregation means the wide tier never sees raw events, which
+    * is what makes hour→day→week rollup cascades viable at 100 TB. On
+    * batch input the same plan is two ordinary hash aggregates.
+    */
+  def tieredWindowStats(orders: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    validate(orders)
+      .filter(col("is_valid"))
+      .withColumn("event_time", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), "1 hour"), col("product"))
+      .agg(count(lit(1)).as("hr_count"),
+        sum(round(col("price") * 100, 0).cast("long")).as("hr_cents"))
+      .groupBy(window(col("window"), "1 day"), col("product"))
+      .agg(sum("hr_count").as("order_count"),
+        sum("hr_cents").as("sum_cents"),
+        count(lit(1)).as("n_active_hours"))
+      .select(
+        unix_timestamp(col("window.start")).as("day_start_s"),
+        col("product"), col("order_count"), col("sum_cents"),
+        col("n_active_hours"))
+
   /** Idempotent delivery: drop duplicate orderIds within the watermark
     * horizon — the consumer-side analogue of the reference producer's
     * `enable.idempotence` (kafka_order_producer.py:36-40). State is

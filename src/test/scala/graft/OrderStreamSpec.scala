@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 import graft.streaming.OrderStream
 import graft.streaming.OrderStream.OrderEvent
 
@@ -207,6 +209,74 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       // minute-0's state was untouched and must not re-emit.
       assert(afterB2 == Seq((0L, 2L), (60L, 1L), (60L, 2L)))
     } finally q.stop()
+  }
+
+  test("tieredWindowStats: chained stateful aggregations close day windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[OrderEvent]
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    // Sentinel 3 days ahead advances the watermark past day 1 so BOTH
+    // stateful tiers (hourly, then daily) evict and emit in append mode.
+    val sentinel = OrderEvent("ORD-9999999", "Laptop", 1.0,
+      base + 3 * 86400000L)
+    val q = OrderStream.tieredWindowStats(input.toDF())
+      .writeStream.format("memory").queryName("tiered_test")
+      .outputMode("append").start()
+    try {
+      input.addData(sampleOrders: _*)
+      q.processAllAvailable()
+      input.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("tiered_test")
+        .orderBy("day_start_s", "product").collect().toSeq
+      // Day 1 closed: streamed rows must equal the batch face restricted
+      // to that day (the sentinel's own window is still open).
+      val batch = OrderStream
+        .tieredWindowStats((sampleOrders :+ sentinel).toDF())
+        .filter(col("day_start_s") === base / 1000)
+        .orderBy("day_start_s", "product").collect().toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+      // 3 valid Laptop orders across 3 distinct hours, 1 Mouse order.
+      val laptop = streamed.find(_.getString(1) == "Laptop").get
+      assert(laptop.getLong(2) == 3 && laptop.getLong(4) == 3)
+    } finally q.stop()
+  }
+
+  test("windowedStats runs (and matches) on the RocksDB state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The cluster config for state beyond executor heap: same query,
+    // same answers, state pages to RocksDB. Provider is a session conf
+    // read at query start — set it, run, restore.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val input = MemoryStream[OrderEvent]
+    input.addData(sampleOrders: _*)
+    val q = OrderStream.windowedStats(input.toDF())
+      .writeStream.format("memory").queryName("rocksdb_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val fromStream = spark.table("rocksdb_test")
+        .orderBy("window_start_s", "product").collect().toSeq
+      val fromBatch = OrderStream.windowedStats(sampleOrders.toDF())
+        .orderBy("window_start_s", "product").collect().toSeq
+      assert(fromStream == fromBatch && fromStream.nonEmpty)
+      // Structural proof the provider was really RocksDB: its custom
+      // state metrics are rocksdb-prefixed.
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb custom metrics, got: ${metrics.keySet}")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("runningStats state persists across micro-batches") {
