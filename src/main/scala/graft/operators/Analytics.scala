@@ -295,6 +295,24 @@ object Analytics {
         sum("price_cents").as("total_cents"))
   }
 
+  /** XML sink→source round-trip (Spark 4 built-in XML source): the part
+    * catalog written as `<part>` row elements, read back with an
+    * explicit schema, aggregated. Same lossless-integer contract as the
+    * CSV/JSON/ORC passes — hash equality against the parquet oracle
+    * proves the XML encode/decode is bit-faithful. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("xml", dir)
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"))
+      .write.mode("overwrite").option("rowTag", "part").format("xml").save(out)
+    spark.read
+      .schema("p_partkey LONG, p_brand STRING, price_cents LONG")
+      .option("rowTag", "part").format("xml").load(out)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), sum("price_cents").as("total_cents"))
+  }
+
   /** Schema-drift ingestion: two parquet batches written with DIFFERENT
     * schemas (the second adds `price_cents`), read back as ONE table
     * with `mergeSchema` — the additive-evolution path a long-lived
@@ -556,6 +574,7 @@ object Analytics {
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_xml_roundtrip" -> xmlRoundtrip,
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
@@ -800,6 +819,12 @@ object Analytics {
         |                THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
         |                ELSE 0 END) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT p_brand,
+        |       count(*) AS n_parts,
+        |       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM part GROUP BY 1""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag,
         |       count(*) AS n_lines,

@@ -640,6 +640,41 @@ object OlapQueries {
         |                     WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
+  /** SQL PIPE syntax (Spark 4 `|>` operator chains): Q1's scan → filter
+    * → extend → aggregate written as a linear pipeline instead of
+    * nested SELECTs. Purely a parser surface — it lowers to the
+    * identical Catalyst plan, so pushdown/codegen are untouched; the
+    * row proves the engine accepts the pipe dialect a reference user
+    * may have standardized on. */
+  def pipeSqlStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_pipe")
+    spark.sql(
+      """FROM lineitem_pipe
+        !|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        !|> EXTEND CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        !|> AGGREGATE count(*) AS n_items, sum(price_cents) AS total_cents
+        !   GROUP BY l_returnflag, l_linestatus""".stripMargin('!'))
+  }
+
+  /** PARAMETERIZED SQL (named parameter markers, `spark.sql(text,
+    * args)`): the injection-safe prepared-statement surface — literals
+    * bind as typed parameters, never string-spliced. Catalyst folds the
+    * bound constants, so the plan (and the parquet pushdown) is the
+    * same as with inline literals. */
+  def paramSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_param")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders_param
+        |WHERE o_totalprice >= :minTotal
+        |  AND o_orderdate < CAST(:cutoff AS TIMESTAMP)
+        |GROUP BY 1""".stripMargin,
+      Map("minTotal" -> 150000, "cutoff" -> "1996-01-01 00:00:00"))
+  }
+
   /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
     * a fact⋈dim join, ratio of exact integer sums (one float division).
     */
@@ -748,6 +783,8 @@ object OlapQueries {
         .agg(count(lit(1)).as("n"),
           round(sum("value"), 2).as("total_value"))),
     "q1_pricing_summary" -> q1PricingSummary,
+    "q_pipe_sql" -> pipeSqlStats,
+    "q_param_sql" -> paramSql,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
     "q_top_part_per_nation" -> topPartPerNation,
@@ -1059,6 +1096,25 @@ object OlapQueries {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Pipe syntax is Spark-side only; the oracle is the plain form.
+    "q_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    // Bound parameters replayed as folded literals.
+    "q_param_sql" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders
+        |WHERE o_totalprice >= 150000
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "q3_top_orders" ->
       s"""SELECT l_orderkey,
          |       CAST(sum($revenueE4Sql) AS DOUBLE) / 10000.0 AS revenue,

@@ -152,12 +152,41 @@ object Stats {
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
 
+  /** QUANTILE NORMALIZATION across sources: every doc's length score is
+    * replaced by the GLOBAL value at the same within-source quantile —
+    * the cross-source score-comparability transform (per-source rank r
+    * of m maps to global rank r·(n−1) div (m−1), then a rank→value
+    * join). Both rank sides are distributed primitives — the grouped
+    * exact rank (range shuffle + per-(partition, group) offsets) and
+    * the global cumsum-of-ones — so no `PARTITION BY source` or global
+    * window ever sees raw rows; the final rank→value equi-join shuffles
+    * two slim long-keyed projections. Tie-broken on doc_id, so the map
+    * is a well-defined permutation in both engines.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val grouped = Profiling.withGroupedRank(docs, "source", "n_chars", "doc_id")
+    val global = Packing.withGlobalCumsum(
+      docs.select(col("n_chars").as("g_chars"), col("doc_id").as("g_doc"))
+        .withColumn("one", lit(1L)),
+      "one", Seq("g_chars", "g_doc"))
+      .select(col("cum_before").as("grk0"), col("g_chars").as("norm_chars"))
+    val total = docs.agg(count(lit(1)).as("nt"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn("g", expr("CAST(CASE WHEN n = 1 THEN (nt - 1) div 2 " +
+        "ELSE (CAST(rk0 AS DECIMAL(38,0)) * (nt - 1)) div (n - 1) END AS BIGINT)"))
+      .join(global, col("g") === col("grk0"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_trend_slope" -> (trendSlope(_, _)),
     "q_spearman_corr" -> (spearmanCorr(_, _)),
     "q_gini_hhi" -> (giniHhi(_, _)),
     "q_quality_selectivity" -> (qualitySelectivity(_, _)),
-    "q_weighted_sample" -> ((s, d) => weightedSample(s, d)))
+    "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
+    "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
     // Sign/abs split keeps `//` (floor) and `div` (trunc) identical.
@@ -238,6 +267,22 @@ object Stats {
         |       CAST((bucket + 1) * 50000 AS BIGINT) AS threshold_ppm,
         |       n_docs, n_toks AS n_tokens, docs_kept, tokens_kept
         |FROM c""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+        |g AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars, doc_id) - 1 AS rk0,
+        |             count(*) OVER (PARTITION BY source) AS m
+        |      FROM d),
+        |v AS (SELECT n_chars AS norm_chars,
+        |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS grk0
+        |      FROM d)
+        |SELECT g.doc_id, g.source, g.n_chars, v.norm_chars
+        |FROM g, t, v
+        |WHERE v.grk0 = CASE WHEN g.m = 1 THEN (t.nt - 1) // 2
+        |               ELSE (CAST(g.rk0 AS HUGEINT) * (t.nt - 1)) // (g.m - 1)
+        |               END""".stripMargin,
     "q_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars AS weight,
