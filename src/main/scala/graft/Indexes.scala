@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Explicit build step for every build-once-per-corpus persisted index.
+  *
+  * The engine keeps five corpus-level artifacts that a 100 TB deployment
+  * materializes next to the data, once, and serves many times:
+  *
+  *  - the positional token index (phrase search),
+  *  - the near-dup component labels (cluster stats / canonical picks /
+  *    leakage-safe splits),
+  *  - the trained BPE merge list (tokenizer train → apply),
+  *  - the PQ code table (compressed ANN corpus),
+  *  - the IVF index (centroids + assignments).
+  *
+  * Each is lazily built by its first consumer (ConcurrentHashMap path
+  * caches in the operator objects), which is the right default for
+  * ad-hoc use but books the build cost inside whichever query happens to
+  * run first — exactly what a benchmark or a production pipeline does
+  * NOT want. `prebuild` forces all of them for a corpus dir so serve
+  * paths are measured (and run) as serve paths. Bench calls this in its
+  * untimed warmup; a real pipeline would call it from the ingest job.
+  */
+object Indexes {
+  def prebuild(spark: SparkSession, dir: String): Unit = {
+    operators.TextAnalysis.tokenIndexPath(spark, dir)
+    operators.Dedup.ccLabels(spark, dir)
+    operators.TextAnalysis.bpeMerges(spark, dir) // build happens in the cache fill
+    operators.Similarity.pqCodesPath(spark, dir)
+    operators.Similarity.ivfIndexPath(spark, dir)
+  }
+}

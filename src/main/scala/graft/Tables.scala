@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver-generated test tables (see TESTDATA.md).
   *
@@ -14,13 +16,40 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // read as a raw long (epoch nanos). Reading nanos as long is also the
-    // lossless choice — converting to TimestampType would truncate to
-    // micros. Set here (idempotent, dynamic conf) so every entry point
-    // (Verify, Bench, tests, driver-owned sessions) gets it.
+    // events.ts is epoch time whose PHYSICAL parquet type has varied across
+    // testdata generations: TIMESTAMP(NANOS) (Spark 4 rejects it unless read
+    // as a raw long) and TIMESTAMP_MICROS isAdjustedToUTC=0 (loads as
+    // TIMESTAMP_NTZ). nanosAsLong covers the former; normalizeTs below maps
+    // every variant to one engine-facing type. Set here (idempotent, dynamic
+    // conf) so every entry point (Verify, Bench, tests, driver-owned
+    // sessions) gets it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize `events.ts` to epoch-nanos BIGINT for any physical type.
+    *
+    * All event-time arithmetic in the engine (session gaps, RANGE frames,
+    * as-of tolerances, watermark jitter) is integer math on epoch nanos —
+    * exact, timezone-free, and identical to what the DuckDB oracles compute
+    * via `epoch_ns(ts)`. NTZ micros are mapped through a UTC-session cast
+    * (the session timezone is pinned to UTC in GraftSession), so wall-clock
+    * micros * 1000 == oracle epoch_ns — lossless for micros data.
+    *
+    * Scale note: this projection sits above the scan, so parquet min/max
+    * skipping on `ts` itself is forfeited — acceptable because every query
+    * that prunes the events scan filters on `event_type`/`user_id`, and the
+    * projection stays inside whole-stage codegen (one multiply per row).
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    def asNanos(c: Column): Column = unix_micros(c.cast(TimestampType)) * 1000L
+    df.schema("ts").dataType match {
+      case LongType                            => df // legacy NANOS read as raw long
+      case TimestampNTZType | TimestampType    => df.withColumn("ts", asNanos(col("ts")))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -15,12 +15,25 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // A query that throws must be LOUD, not silently absent from the
+    // correctness artifact: write a one-row marker parquet in its output
+    // slot (the driver's compare then reports a schema/hash mismatch for
+    // that name instead of dropping the row) and collect every failure
+    // into _ERRORS.json for the human reading the round.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name FAILED: $msg")
+          errors.put(name, msg)
+          try {
+            import spark.implicits._
+            Seq(msg.take(500)).toDF("_verify_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     }
@@ -43,6 +56,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_ERRORS.json"), errJson)
+    if (!errors.isEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED — see _ERRORS.json")
     spark.stop()
   }
 }

@@ -367,16 +367,21 @@ object Similarity {
   private val pqCodesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    // Serve the corpus codes from the persisted index; compute only the
-    // KB-sized query LUT (5 query vectors × 16 anchors) at query time.
-    val codesPath = pqCodesCache.computeIfAbsent(dir, d => {
+  /** Force the build-once PQ code table for `dir` and return its path
+    * (explicit index-build entry point; see [[Indexes.prebuild]]). */
+  private[graft] def pqCodesPath(spark: SparkSession, dir: String): String =
+    pqCodesCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-pq-codes").toFile.getAbsolutePath
       pqCodesFrom(pqDistances(spark, d)).write.mode("overwrite").parquet(out)
       out
     })
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // Serve the corpus codes from the persisted index; compute only the
+    // KB-sized query LUT (5 query vectors × 16 anchors) at query time.
+    val codesPath = pqCodesPath(spark, dir)
     val lut = pqDistancesOf(e.filter(col("vec_id") < 5), pqAnchors(e))
       .select(col("vec_id").as("query_id"), col("m"), col("anchor_id"),
         floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
@@ -554,13 +559,18 @@ object Similarity {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def retrievalServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val out = ivfIndexCache.computeIfAbsent(dir, d => {
+  /** Force the build-once IVF index for `dir` and return its path
+    * (explicit index-build entry point; see [[Indexes.prebuild]]). */
+  private[graft] def ivfIndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, d => {
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivf-ix").toFile.getAbsolutePath
       buildIvfIndex(spark, d, path)
       path
     })
+
+  def retrievalServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val out = ivfIndexPath(spark, dir)
     retrievalFrom(
       annIvfFrom(spark.read.parquet(s"$out/assignments"),
         spark.read.parquet(s"$out/centroids")),

@@ -291,15 +291,19 @@ object TextAnalysis {
     * (attribution sweeps, memorization probes). See
     * [[phraseSearchIndexed]] for the single-scan plan shape. */
   def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = DefaultPhrase): DataFrame = {
-    val ix = tokenIndexCache.computeIfAbsent(dir, d => {
+      phrase: Seq[String] = DefaultPhrase): DataFrame =
+    phraseSearchIndexed(spark.read.parquet(tokenIndexPath(spark, dir)), phrase)
+
+  /** Force the build-once token index for `dir` and return its path —
+    * the explicit index-build entry point ([[Indexes.prebuild]] calls it
+    * so benchmarked serve paths never pay the build). */
+  private[graft] def tokenIndexPath(spark: SparkSession, dir: String): String =
+    tokenIndexCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-token-ix").toFile.getAbsolutePath
       persistedTokenIndex(spark, d, out)
       out
     })
-    phraseSearchIndexed(spark.read.parquet(ix), phrase)
-  }
 
   /** Phrase match as ONE scan of the positional index: filter postings
     * to the phrase's terms (pushed to the parquet scan), explode each

@@ -151,22 +151,19 @@ object ZOrder {
     * chunks are where the curves differ — a Z-order file straddles
     * quadrant teleports, a Hilbert file never does.
     *
-    * Plan: codes are one codegen'd projection, checkpointed (consumed
-    * by both rankings + the stats agg); each layout's file assignment
-    * is the distributed exact rank (range shuffle + broadcast prefix
-    * offsets — the house cumsum discipline, zero global windows);
-    * everything after the per-file aggregate runs on |files| rows.
-    * Ties in `code` need no tiebreak: the code is a bijection of
-    * (partkey, suppkey), so equal-code rows are interchangeable and
-    * any rank order yields identical per-file boxes on both engines. */
+    * Plan: BOTH layouts rank off ONE range shuffle — each row emits a
+    * (layout, code) pair (column pruning computes each curve kernel
+    * exactly once, in its own branch) and the union goes through a
+    * single distributed exact cumsum ordered by (layout, code); the
+    * second layout's rank is recovered by subtracting the first
+    * layout's row count (a broadcast scalar), so no second shuffle and
+    * no whole-table checkpoint. Everything after the per-file
+    * aggregate runs on |files| rows. Ties in `code` need no tiebreak:
+    * the code is a bijection of (partkey, suppkey), so equal-code rows
+    * are interchangeable and any rank order yields identical per-file
+    * boxes on both engines. */
   def skippingReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey"),
-        zValue(col("l_partkey"), col("l_suppkey")).as("zcode"),
-        graft.functions.HilbertIndex(
-          col("l_partkey"), col("l_suppkey")).as("hcode"),
-        lit(1L).as("one"))
-      .localCheckpoint()
     // Probe box + rows-per-file from one 1-row agg (broadcast): bounds
     // at quarter-to-half of each dimension stay mid-selectivity at
     // every SF; a real reader's literal predicate takes the same path.
@@ -174,25 +171,34 @@ object ZOrder {
         max("l_suppkey").as("sk_max"), count(lit(1)).as("n"))
       .select(expr("pk_max div 4").as("pk_lo"), expr("pk_max div 2").as("pk_hi"),
         expr("sk_max div 5").as("sk_lo"), expr("sk_max div 2").as("sk_hi"),
-        expr(s"(n + ${SimFiles - 1}L) div ${SimFiles}L").as("rpf"))
-    val boxed = (code: String, layout: String) => Packing
-      .withGlobalCumsum(li, "one", Seq(code))
+        expr(s"(n + ${SimFiles - 1}L) div ${SimFiles}L").as("rpf"),
+        col("n"))
+    val both = li.select(lit("zorder").as("layout"),
+        zValue(col("l_partkey"), col("l_suppkey")).as("code"),
+        col("l_partkey"), col("l_suppkey"), lit(1L).as("one"))
+      .unionAll(li.select(lit("hilbert").as("layout"),
+        graft.functions.HilbertIndex(
+          col("l_partkey"), col("l_suppkey")).as("code"),
+        col("l_partkey"), col("l_suppkey"), lit(1L).as("one")))
+    val perFile = Packing
+      .withGlobalCumsum(both, "one", Seq("layout", "code"))
       .crossJoin(broadcast(stats))
-      .select(expr("cum_before div rpf").as("file"),
+      // 'hilbert' sorts before 'zorder', so zorder ranks start at n.
+      .select(col("layout"),
+        expr("(cum_before - if(layout = 'zorder', n, 0L)) div rpf").as("file"),
         col("l_partkey"), col("l_suppkey"),
         col("pk_lo"), col("pk_hi"), col("sk_lo"), col("sk_hi"))
-      .groupBy("file")
+      .groupBy("layout", "file")
       .agg(count(lit(1)).as("n_rows"),
         (max("l_partkey") >= first("pk_lo") && min("l_partkey") < first("pk_hi") &&
           max("l_suppkey") >= first("sk_lo") && min("l_suppkey") < first("sk_hi"))
           .as("scanned"))
-      .select(lit(layout).as("layout"), col("n_rows"), col("scanned"))
+      .select(col("layout"), col("n_rows"), col("scanned"))
     val matched = li.crossJoin(broadcast(stats))
       .filter(col("l_partkey") >= col("pk_lo") && col("l_partkey") < col("pk_hi") &&
         col("l_suppkey") >= col("sk_lo") && col("l_suppkey") < col("sk_hi"))
       .agg(count(lit(1)).as("rows_matched"))
-    boxed("zcode", "zorder")
-      .unionAll(boxed("hcode", "hilbert"))
+    perFile
       .groupBy("layout")
       .agg(count(lit(1)).as("n_files"),
         sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
