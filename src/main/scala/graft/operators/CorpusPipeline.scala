@@ -78,16 +78,26 @@ object CorpusPipeline {
     * hash-reproducible as its parts. */
   def preprocessV2(spark: SparkSession, dir: String,
       seqLen: Long = Packing.SeqLen, k: Int = 100): DataFrame = {
+    // The raw text is scanned exactly TWICE — once here (token count +
+    // normalized content hash in one projection) and once inside the
+    // quality gate's feature pass — and every downstream stage runs on
+    // slim checkpointed (id, ints, hash) projections. Without the
+    // materialization each of the five stage aggregates re-derives its
+    // lineage, so the gate's regex pass and the content md5 would run
+    // once PER STAGE over the full corpus — the difference between a
+    // nightly 100 TB pipeline reading 200 TB of text and reading 1 PB.
     val raw = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("content_hash"))
+      .localCheckpoint()
     val gated = TextAnalysis.qualityGate(spark, dir)
       .filter(col("keep"))
       .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"))
-      .join(raw.select(col("doc_id"), col("text")), "doc_id")
+      .join(raw.select("doc_id", "content_hash"), "doc_id")
+      .localCheckpoint()
     val keepIds = gated
-      .withColumn("content_hash",
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
     val survivors = gated.join(keepIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("n_tokens"),
