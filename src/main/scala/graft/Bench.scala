@@ -132,7 +132,8 @@ object Bench {
     "q_incremental_minhash",
     "q_mad_prices",
     "q_gap_fill",
-    "q_mix_alloc")
+    "q_mix_alloc",
+    "q_mmr_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

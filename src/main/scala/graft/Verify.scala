@@ -4,6 +4,33 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run one registered query and dump its result parquet. A query that
+    * throws must be LOUD, not silently absent from the correctness
+    * artifact: its output slot gets a one-row `_verify_error` marker
+    * parquet (the driver's compare then reports a schema/hash mismatch
+    * for that name instead of dropping the row) and the failure is
+    * collected for `_ERRORS.json`. Round 8 shipped 20 broken queries
+    * precisely because this path used to swallow the exception —
+    * `VerifySpec` pins the marker behavior. */
+  private[graft] def runOne(spark: SparkSession, sfDir: String, outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      errors: java.util.concurrent.ConcurrentHashMap[String, String]): Unit = {
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      System.err.println(s"[verify] $name FAILED: $msg")
+      errors.put(name, msg)
+      try {
+        import spark.implicits._
+        Seq(msg.take(500)).toDF("_verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case _: Throwable => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.create("graft-verify")
@@ -15,27 +42,9 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    // A query that throws must be LOUD, not silently absent from the
-    // correctness artifact: write a one-row marker parquet in its output
-    // slot (the driver's compare then reports a schema/hash mismatch for
-    // that name instead of dropping the row) and collect every failure
-    // into _ERRORS.json for the human reading the round.
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
-          System.err.println(s"[verify] $name FAILED: $msg")
-          errors.put(name, msg)
-          try {
-            import spark.implicits._
-            Seq(msg.take(500)).toDF("_verify_error")
-              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-          } catch { case _: Throwable => () }
-        }
-      }
+      scala.concurrent.Future(runOne(spark, sfDir, outDir, name, fn, errors))
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),

@@ -577,7 +577,86 @@ object Similarity {
       spark, dir, k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified top-k: greedily pick k items maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the standard
+    * diversity-aware re-ranking for retrieval results and for
+    * redundancy-free training-data selection (pick the most relevant
+    * examples that aren't near-copies of already-picked ones).
+    *
+    * Exact-integer discipline: relevance and pair similarities are
+    * micro-unit longs (`floor(cos·10⁶ + ½)`, the q_ann_pq rounding),
+    * the objective is pure long arithmetic with λ in ppm, ties break
+    * on vec_id — so the greedy argmax chain is bit-identical across
+    * engines and the oracle replays all k steps as unrolled CTEs.
+    *
+    * Scale shape: the candidate pool (top-`nCand` by relevance per
+    * query — at corpus scale the output of the IVF/LSH index, here the
+    * brute-force scorer) is bounded, so the O(k·nCand) greedy loop and
+    * the nCand² pair-sim matrix run on checkpointed KB-sized tables;
+    * each step is one anti-join + one max-aggregate + one 1-row-per-
+    * query window, never a corpus pass. */
+  def mmrSelect(spark: SparkSession, dir: String, nQueries: Int = 3,
+      nCand: Int = 25, k: Int = 8, lamPpm: Long = 700000L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("rel_micro").desc, col("vec_id"))
+    val cand = qs.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        floor(cosine(col("qv"), col("embedding")) * 1000000 + 0.5)
+          .cast("long").as("rel_micro"),
+        col("embedding"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nCand)
+      .drop("rn")
+      .localCheckpoint()
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        floor(cosine(col("a.embedding"), col("b.embedding")) * 1000000 + 0.5)
+          .cast("long").as("sim_micro"))
+      .localCheckpoint()
+    val slim = cand.select("query_id", "vec_id", "rel_micro")
+    val wsel = Window.partitionBy("query_id")
+      .orderBy(col("mmr_micro").desc, col("vec_id"))
+    var selected: DataFrame = null
+    for (step <- 1 to k) {
+      val scored =
+        if (selected == null)
+          slim.withColumn("max_sim_micro", lit(0L))
+        else
+          slim.join(selected.select("query_id", "vec_id"),
+              Seq("query_id", "vec_id"), "left_anti")
+            .join(sims
+                .join(selected.select(col("query_id"), col("vec_id").as("j")),
+                  Seq("query_id", "j"))
+                .groupBy(col("query_id"), col("i").as("vec_id"))
+                .agg(max("sim_micro").as("max_sim_micro")),
+              Seq("query_id", "vec_id"))
+      val pick = scored
+        .withColumn("mmr_micro",
+          lit(lamPpm) * col("rel_micro") -
+            lit(1000000L - lamPpm) * col("max_sim_micro"))
+        .withColumn("rn", row_number().over(wsel))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(step).as("step"), col("vec_id"),
+          col("rel_micro"), col("max_sim_micro"), col("mmr_micro"))
+      // Checkpoint per step: `selected` feeds the next step twice (the
+      // anti-join and the max-sim probe) — same linear-plan discipline
+      // as the BPE/k-means loops.
+      selected =
+        (if (selected == null) pick else selected.unionAll(pick))
+          .localCheckpoint()
+    }
+    selected
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_select" -> ((s, d) => mmrSelect(s, d)),
     "q_jl_project" -> jlProject,
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
@@ -692,7 +771,74 @@ object Similarity {
       s"\nSELECT cluster, pos, c_new, n_members FROM u$rounds"
   }
 
+  /** Oracle for [[mmrSelect]]: the greedy loop unrolled as one CTE
+    * chain per step (sel1..selK), each step an argmax over the exact
+    * integer objective with the identical vec_id tiebreak — the same
+    * adaptive-loop-as-CTEs technique as the BPE/k-means oracles.
+    * Candidate pool, pair sims, λ and k come from the SAME constants
+    * the operator uses, so operator and oracle cannot drift. */
+  private def mmrSql(nQueries: Int, nCand: Int, k: Int, lamPpm: Long): String = {
+    val mu = 1000000L - lamPpm
+    val base =
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         CAST(floor((${cosSql("q.qv", "e.embedding")}) * 1000000 + 0.5)
+         |           AS BIGINT) AS rel_micro,
+         |         e.embedding
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel_micro, embedding
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel_micro DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= $nCand),
+         |sims AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+         |         CAST(floor((${cosSql("a.embedding", "b.embedding")}) * 1000000 + 0.5)
+         |           AS BIGINT) AS sim_micro
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         |pick1 AS (
+         |  SELECT query_id, CAST(1 AS INT) AS step, vec_id, rel_micro,
+         |         CAST(0 AS BIGINT) AS max_sim_micro,
+         |         CAST($lamPpm * rel_micro AS BIGINT) AS mmr_micro
+         |  FROM (SELECT query_id, vec_id, rel_micro,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rel_micro DESC, vec_id) AS rn
+         |        FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM pick1)""".stripMargin
+    val steps = (2 to k).map { n =>
+      s"""pick$n AS (
+         |  SELECT query_id, CAST($n AS INT) AS step, vec_id, rel_micro,
+         |         max_sim_micro,
+         |         CAST($lamPpm * rel_micro - $mu * max_sim_micro AS BIGINT)
+         |           AS mmr_micro
+         |  FROM (
+         |    SELECT x.*, row_number() OVER (PARTITION BY x.query_id
+         |      ORDER BY $lamPpm * x.rel_micro - $mu * x.max_sim_micro DESC,
+         |        x.vec_id) AS rn
+         |    FROM (
+         |      SELECT c.query_id, c.vec_id, c.rel_micro,
+         |             max(s.sim_micro) AS max_sim_micro
+         |      FROM cand c
+         |      JOIN sims s ON s.query_id = c.query_id AND s.i = c.vec_id
+         |      JOIN sel${n - 1} t ON t.query_id = s.query_id AND t.vec_id = s.j
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} u
+         |        WHERE u.query_id = c.query_id AND u.vec_id = c.vec_id)
+         |      GROUP BY c.query_id, c.vec_id, c.rel_micro) x)
+         |  WHERE rn = 1),
+         |sel$n AS MATERIALIZED (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM pick$n)"""
+        .stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT query_id, step, vec_id, rel_micro, max_sim_micro, mmr_micro FROM sel$k"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr_select" -> mmrSql(3, 25, 8, 700000L),
     "q_ann_pq" ->
       s"""WITH a AS (
          |  SELECT vec_id AS anchor_id, embedding AS anchor
