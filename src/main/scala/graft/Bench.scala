@@ -133,7 +133,10 @@ object Bench {
     "q_mad_prices",
     "q_gap_fill",
     "q_mix_alloc",
-    "q_mmr_select")
+    "q_mmr_select",
+    "q_binary_ingest",
+    "q_vocab_growth",
+    "q_mix_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -125,12 +125,51 @@ object Multimodal {
         sum(when(col("size_ok"), 1L).otherwise(0L)).as("n_size_ok"),
         sum(when(!col("size_ok"), 1L).otherwise(0L)).as("n_mismatched"))
 
+  /** `binaryFile` SOURCE ingest (§2.4): land per-document files on disk
+    * (the object-store staging layout a media pipeline reads — one blob
+    * per asset), ingest them with Spark's built-in `binaryFile` source,
+    * and prove byte-faithful transport via per-file digests against the
+    * parquet oracle. The read side is the real multimodal entry point:
+    * (path, length, content) rows, pathGlobFilter-pruned, no codec
+    * involved — at 100 TB this scan is the first stage ahead of
+    * [[extractFeatures]], and `binaryFile`'s file-granularity splits
+    * keep each blob intact (no mid-file record splitting to corrupt a
+    * media payload). Files are written by the text sink partitioned by
+    * doc_id (exactly one file per doc), so content is the utf-8 text
+    * plus the sink's trailing newline — the oracle hashes the same
+    * bytes. */
+  def binaryIngest(spark: SparkSession, dir: String, nDocs: Int = 20): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-binfiles"),
+      digest).getPath
+    Tables.documents(spark, dir).filter(col("doc_id") < nDocs)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").partitionBy("doc_id").text(out)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(out)
+      .select(
+        regexp_extract(col("path"), "doc_id=([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
     "q_media_integrity" -> mediaIntegrity,
+    "q_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q_frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
+    "q_binary_ingest" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text || chr(10)) AS INT) AS n_bytes,
+        |       md5(text || chr(10)) AS content_md5
+        |FROM documents WHERE doc_id < 20""".stripMargin,
     "q_media_integrity" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'

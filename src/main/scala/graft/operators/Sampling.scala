@@ -142,7 +142,30 @@ object Sampling {
       .withColumn("alloc", col("quota") + col("extra"))
   }
 
+  /** Data-constrained epoch schedule (the Muennighoff et al. 2023
+    * "Scaling Data-Constrained Language Models" planning table): given
+    * the Hamilton token allocation per source and what each source
+    * actually has, how many FULL passes over the source the training
+    * stream takes, the size of the final partial pass, and the unique
+    * fraction of the served tokens in ppm (1 000 000 ⇔ no repetition —
+    * the number that says how hard a source is being repeated). Pure
+    * integer arithmetic on the |sources|-row allocation table, so the
+    * schedule is as auditable as the mix manifest it extends. */
+  def mixEpochs(spark: SparkSession, dir: String,
+      budget: Long = 100000L): DataFrame =
+    mixAllocation(spark, dir, budget)
+      .select(col("source"), col("n_tokens").as("available_tokens"),
+        col("alloc"))
+      .selectExpr("source", "available_tokens", "alloc",
+        "alloc div greatest(available_tokens, 1L) AS full_epochs",
+        "alloc % greatest(available_tokens, 1L) AS partial_tokens",
+        "(alloc + available_tokens - 1) div greatest(available_tokens, 1L)" +
+          " AS n_epochs",
+        "CAST(CAST(least(available_tokens, alloc) AS DECIMAL(38,0))" +
+          " * 1000000 div greatest(alloc, 1L) AS BIGINT) AS unique_ppm")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "q_mix_alloc" -> ((s, d) => mixAllocation(s, d)),
     "q_pps_sample" -> ((s, d) => ppsSample(s, d)),
     "q_temperature_mix" -> temperatureMixture,
@@ -156,29 +179,47 @@ object Sampling {
       |FROM documents
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
 
+  /** The Hamilton-allocation pipeline as a shared CTE chain ending in
+    * `alloc_t` — consumed by both the q_mix_alloc and q_mix_epochs
+    * oracles so allocation and schedule cannot drift. */
+  private val mixAllocCte: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         sum(length(regexp_split_to_array(lower(text), '\s+')))
+      |           AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_tokens) AS w FROM t),
+      |q AS (SELECT source, n_tokens,
+      |             100000 * n_tokens // tot.w AS quota,
+      |             100000 * n_tokens % tot.w AS rem
+      |      FROM t CROSS JOIN tot),
+      |l AS (SELECT 100000 - sum(quota) AS lo FROM q),
+      |r AS (SELECT source, n_tokens, quota, rem,
+      |             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |      FROM q),
+      |alloc_t AS (
+      |  SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |         CAST(quota AS BIGINT) AS quota,
+      |         CAST(CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT)
+      |           AS extra,
+      |         CAST(quota + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END
+      |           AS BIGINT) AS alloc
+      |  FROM r CROSS JOIN l)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_mix_alloc" ->
-      """WITH t AS (
-        |  SELECT source,
-        |         sum(length(regexp_split_to_array(lower(text), '\s+')))
-        |           AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |tot AS (SELECT sum(n_tokens) AS w FROM t),
-        |q AS (SELECT source, n_tokens,
-        |             100000 * n_tokens // tot.w AS quota,
-        |             100000 * n_tokens % tot.w AS rem
-        |      FROM t CROSS JOIN tot),
-        |l AS (SELECT 100000 - sum(quota) AS lo FROM q),
-        |r AS (SELECT source, n_tokens, quota, rem,
-        |             row_number() OVER (ORDER BY rem DESC, source) AS rk
-        |      FROM q)
-        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |       CAST(quota AS BIGINT) AS quota,
-        |       CAST(CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT)
-        |         AS extra,
-        |       CAST(quota + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END
-        |         AS BIGINT) AS alloc
-        |FROM r CROSS JOIN l""".stripMargin,
+      s"""$mixAllocCte
+         |SELECT source, n_tokens, quota, extra, alloc FROM alloc_t"""
+        .stripMargin,
+    "q_mix_epochs" ->
+      s"""$mixAllocCte
+         |SELECT source, n_tokens AS available_tokens, alloc,
+         |       alloc // greatest(n_tokens, 1) AS full_epochs,
+         |       alloc % greatest(n_tokens, 1) AS partial_tokens,
+         |       (alloc + n_tokens - 1) // greatest(n_tokens, 1) AS n_epochs,
+         |       CAST(CAST(least(n_tokens, alloc) AS HUGEINT) * 1000000
+         |         // greatest(alloc, 1) AS BIGINT) AS unique_ppm
+         |FROM alloc_t""".stripMargin,
     "q_pps_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -716,7 +716,35 @@ object TextAnalysis {
         min("rarity_micro").as("lo_micro"),
         max("rarity_micro").as("hi_micro"))
 
+  /** Vocabulary-growth (Heaps'-law) curve: distinct-token count after
+    * ingesting the first 20/40/60/80/100 % of the corpus in doc_id
+    * order — the profiling curve that says whether a corpus is still
+    * contributing new vocabulary or has gone redundant (the flattening
+    * point is where further same-source data stops paying for itself).
+    *
+    * Exact and one-pass: each token's FIRST document (min doc_id) is
+    * one map-side-combined aggregate over the exploded corpus; the five
+    * checkpoints come from a broadcast 1-row total, and the curve is a
+    * count over |vocab| × 5 rows. No prefix re-scans — the first-seen
+    * table answers every checkpoint at once, which is what makes the
+    * curve affordable at 100 TB (the naive form re-counts distinct
+    * tokens per prefix). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val firstSeen = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val th = docs.agg(count(lit(1)).as("n_total"))
+      .select(explode(array((1 to 5).map(p => lit(p * 20)): _*)).as("pct"),
+        col("n_total"))
+      .select(col("pct"), expr("n_total * pct div 100").as("n_docs"))
+    firstSeen.crossJoin(broadcast(th))
+      .filter(col("first_doc") < col("n_docs"))
+      .groupBy("pct", "n_docs")
+      .agg(count(lit(1)).as("vocab_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_growth" -> vocabGrowth,
     "q_doc_rarity" -> docRarity,
     "q_ccnet_buckets" -> ccnetBuckets,
     "q_bm25_rank" -> ((s, d) => bm25TopDocs(s, d)),
@@ -845,6 +873,21 @@ object TextAnalysis {
       |        FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_growth" ->
+      """WITH fo AS (
+        |  SELECT tok, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |th AS (
+        |  SELECT CAST(u.p AS INT) AS pct,
+        |         CAST((tot.n * u.p) // 100 AS BIGINT) AS n_docs
+        |  FROM tot, (SELECT unnest([20, 40, 60, 80, 100]) AS p) u)
+        |SELECT th.pct, th.n_docs, count(*) AS vocab_size
+        |FROM th JOIN fo ON fo.first_doc < th.n_docs
+        |GROUP BY 1, 2""".stripMargin,
     "q_doc_rarity" ->
       s"""WITH $raritySql
          |SELECT doc_id, lang, n_tokens, rarity_micro FROM rar""".stripMargin,
