@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Consistency guards over the driver contract itself: every oracle
+  * must belong to a registered query, and the rows-only set must be
+  * EXACTLY the documented one (`q_ann_lsh`, recall-bounded by spec —
+  * SURVEY §2.3 row 37). An oracle key typo would otherwise silently
+  * downgrade a query from hash-checked to rows-only, and a query
+  * registered without an oracle would ship with the weaker check
+  * unannounced.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle key is a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracles without a matching query (key typo?): $orphans")
+  }
+
+  test("rows-only set is exactly the documented one") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_ann_lsh"),
+      s"undocumented rows-only queries: ${rowsOnly - "q_ann_lsh"}")
+  }
+
+  test("no duplicate query names across operator modules") {
+    // Map ++ silently keeps the last binding; a name collision between
+    // modules would shadow an operator and its oracle without any
+    // compile-time signal. Count registrations by re-walking the
+    // modules through reflection-free re-concatenation.
+    val perModule = Seq(
+      operators.OrderAnalytics.queries, operators.Reliability.queries,
+      operators.OlapQueries.queries, operators.StreamQueries.queries,
+      operators.TextAnalysis.queries, operators.Dedup.queries,
+      operators.Similarity.queries, operators.Multimodal.queries,
+      operators.Sessionize.queries, operators.AsofJoin.queries,
+      operators.Sampling.queries, operators.Packing.queries,
+      operators.Analytics.queries, operators.Profiling.queries,
+      operators.CorpusPipeline.queries, operators.CorpusClean.queries,
+      operators.ZOrder.queries, operators.Stats.queries,
+      operators.GraphOps.queries, sources.OrdersSource.queries)
+    val all = perModule.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"query name registered by two modules: $dups")
+    assert(all.size == SparkEntry.queries.size)
+  }
+}
