@@ -564,43 +564,32 @@ object Profiling {
     * holds iff they're equal, and the difference counts exactly how
     * many A-values map to multiple B-values.
     *
-    * ONE data pass per TABLE, not per candidate: each row fans out to a
-    * (gid, lhs, rhs) tuple per candidate on that table (a hand-rolled
-    * GROUPING SETS expand — explode of a struct array, codegen'd), the
-    * first aggregate collapses to the distinct (gid, lhs, rhs) combos
-    * with map-side partial dedup, and everything downstream is a
-    * CASCADE of partial-agg counts over the (already small) pair
-    * relation — (gid, lhs) then (gid) — never a second Expand over the
-    * data. All counts exact integers, so the profile itself is
-    * oracle-checkable (sampled profilers can't promise that). Values
-    * compare as strings — bijective for every candidate type here, and
-    * the testdata carries no NULLs (a NULL would count as a group where
-    * COUNT(DISTINCT) skips it). */
+    * Per candidate: a CASCADE of partial-agg counts on NATIVE typed
+    * keys — groupBy (A, B) collapses to distinct pairs with map-side
+    * dedup BEFORE any shuffle (the tiny-domain candidates like
+    * returnflag→linestatus reduce to ~a dozen rows per task and their
+    * shuffle is free; the high-cardinality orderkey candidate shuffles
+    * typed long keys, not packed strings), then groupBy(A) counts
+    * rhs-per-lhs, then one row out. No Expand over the data, no string
+    * packing, and each candidate's scan reads exactly its two columns
+    * (pushed to parquet). All counts exact integers, so the profile
+    * itself is oracle-checkable (sampled profilers can't promise
+    * that). */
   def fdReport(spark: SparkSession, dir: String): DataFrame = {
-    def fds(df: DataFrame, cands: Seq[(String, String)]): DataFrame = {
-      val labels = array(cands.map { case (l, r) => lit(s"$l->$r") }: _*)
-      df.select(explode(array(cands.zipWithIndex.map { case ((l, r), i) =>
-          struct(lit(i).as("gid"), col(l).cast("string").as("lhs"),
-            col(r).cast("string").as("rhs"))
-        }: _*)).as("g"))
-        .groupBy(col("g.gid").as("gid"), col("g.lhs").as("lhs"),
-          col("g.rhs").as("rhs"))
-        .agg(count(lit(1)).as("_n"))
-        .groupBy("gid", "lhs")
-        .agg(count(lit(1)).as("n_rhs"))
-        .groupBy("gid")
+    def fd(df: DataFrame, l: String, r: String): DataFrame =
+      df.groupBy(l, r).agg(count(lit(1)).as("_n"))
+        .groupBy(l).agg(count(lit(1)).as("n_rhs"))
         .agg(count(lit(1)).as("n_lhs"), sum("n_rhs").as("n_pairs"))
-        .select(element_at(labels, col("gid") + 1).as("fd"),
-          col("n_lhs"), col("n_pairs"),
+        .select(lit(s"$l->$r").as("fd"), col("n_lhs"), col("n_pairs"),
           (col("n_pairs") - col("n_lhs")).as("violating_keys"),
           when(col("n_pairs") === col("n_lhs"), 1).otherwise(0).as("holds"))
-    }
-    fds(Tables.part(spark, dir),
-        Seq("p_brand" -> "p_type", "p_name" -> "p_brand"))
-      .unionAll(fds(Tables.lineitem(spark, dir),
-        Seq("l_returnflag" -> "l_linestatus", "l_orderkey" -> "l_returnflag")))
-      .unionAll(fds(Tables.customer(spark, dir),
-        Seq("c_nationkey" -> "c_mktsegment")))
+    val part = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    fd(part, "p_brand", "p_type")
+      .unionAll(fd(part, "p_name", "p_brand"))
+      .unionAll(fd(li, "l_returnflag", "l_linestatus"))
+      .unionAll(fd(li, "l_orderkey", "l_returnflag"))
+      .unionAll(fd(Tables.customer(spark, dir), "c_nationkey", "c_mktsegment"))
   }
 
   /** Categorical ASSOCIATION profile (crosstab + independence
