@@ -137,7 +137,8 @@ object Bench {
     "q_binary_ingest",
     "q_vocab_growth",
     "q_mix_epochs",
-    "q_dedup_sweep")
+    "q_dedup_sweep",
+    "q_ivf_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -272,6 +272,50 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
+  /** INCREMENTAL IVF index update — the daily-crawl shape for the ANN
+    * index, completing the incremental family (exact-hash
+    * `incrementalDedup`, LSH `incrementalMinhash`, now the vector
+    * index): centroids come from the HISTORY (vec_id % 5 ≠ 4) only,
+    * the arriving batch is assigned to its nearest historical centroid
+    * (broadcast centroid table, argmax cosine with the cell tiebreak),
+    * and the report is per-cell growth plus how many batch vectors
+    * landed outside their declared label cell — the drift signal that
+    * tells an index operator when cells need re-training rather than
+    * appending. Work ∝ batch × |cells|; history contributes one
+    * aggregate pass (at 100 TB: the persisted centroid table and cell
+    * counts, never a re-scan). */
+  def ivfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val isBatch = col("vec_id") % 5 === 4
+    val hist = e.filter(!isBatch)
+      .select(col("vec_id"), col("label").as("cell"), col("embedding"))
+    val cents = hist
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(percentile(col("x").cast("double"), lit(0.5)).as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, p -> p.c)").as("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    val assigned = e.filter(isBatch)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val histCounts = hist.groupBy("cell").agg(count(lit(1)).as("n_existing"))
+    val newCounts = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("cell") === col("label"), 1L).otherwise(0L))
+          .as("n_label_match"))
+    histCounts.join(newCounts, Seq("cell"), "left")
+      .selectExpr("cell", "n_existing",
+        "coalesce(n_new, 0L) AS n_new",
+        "coalesce(n_label_match, 0L) AS n_label_match",
+        "coalesce(n_new, 0L) * 1000000 div n_existing AS growth_ppm")
+  }
+
   /** Build the IVF index ONCE to parquet: (cell, centroid) plus the
     * per-vector cell assignments — the index-BUILD half of the
     * build/serve split a production RAG corpus runs (index nightly,
@@ -657,6 +701,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mmr_select" -> ((s, d) => mmrSelect(s, d)),
+    "q_ivf_update" -> ivfIncremental,
     "q_jl_project" -> jlProject,
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
@@ -839,6 +884,42 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_mmr_select" -> mmrSql(3, 25, 8, 700000L),
+    "q_ivf_update" ->
+      s"""WITH hist AS (
+         |  SELECT vec_id, label AS cell, embedding
+         |  FROM embeddings WHERE vec_id % 5 <> 4),
+         |cent AS (
+         |  SELECT cell, k,
+         |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
+         |  FROM hist, range(1, 65) t(k)
+         |  GROUP BY cell, k),
+         |centroids AS (
+         |  SELECT cell, list(c ORDER BY k) AS centroid FROM cent GROUP BY cell),
+         |batch AS (
+         |  SELECT vec_id, label, embedding
+         |  FROM embeddings WHERE vec_id % 5 = 4),
+         |sims AS (
+         |  SELECT b.vec_id, b.label, c.cell,
+         |         round(${cosSql("b.embedding", "c.centroid")}, 6) AS sim
+         |  FROM batch b CROSS JOIN centroids c),
+         |asg AS (
+         |  SELECT vec_id, label, cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY sim DESC, cell) AS rn FROM sims)
+         |  WHERE rn = 1),
+         |hc AS (SELECT cell, count(*) AS n_existing FROM hist GROUP BY 1),
+         |na AS (
+         |  SELECT cell, count(*) AS n_new,
+         |         sum(CASE WHEN cell = label THEN 1 ELSE 0 END)
+         |           AS n_label_match
+         |  FROM asg GROUP BY 1)
+         |SELECT hc.cell, hc.n_existing,
+         |       CAST(coalesce(na.n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(coalesce(na.n_label_match, 0) AS BIGINT)
+         |         AS n_label_match,
+         |       CAST(coalesce(na.n_new, 0) * 1000000 // hc.n_existing
+         |         AS BIGINT) AS growth_ppm
+         |FROM hc LEFT JOIN na USING (cell)""".stripMargin,
     "q_ann_pq" ->
       s"""WITH a AS (
          |  SELECT vec_id AS anchor_id, embedding AS anchor
