@@ -138,7 +138,8 @@ object Bench {
     "q_vocab_growth",
     "q_mix_epochs",
     "q_dedup_sweep",
-    "q_ivf_update")
+    "q_ivf_update",
+    "q_dynamic_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,49 @@ object Sessionize {
         max("event_id").as("last_event_id"))
   }
 
+  /** Per-event-type inactivity gaps for [[dynamicSessions]] and the
+    * native dynamic-gap `session_window` face (OrderStream): purchases
+    * close a session after 10 minutes, everything else after 30 —
+    * the single source both faces and the oracle derive from. */
+  val PurchaseGapMs: Long = 10L * 60 * 1000
+  val DefaultGapMs: Long = 30L * 60 * 1000
+
+  /** DYNAMIC-GAP sessionization — gaps-and-islands generalized to a
+    * per-event inactivity gap: each event extends its session to
+    * `ts + gap(event_type)`, and a new session starts exactly when an
+    * event's time reaches the running MAX of all previous session-end
+    * candidates (not just the previous event's — a long-gap event can
+    * outlast several short-gap successors). This is the batch face of
+    * Spark's dynamic-gap `session_window` overload (end-exclusive
+    * [start, end) semantics, millisecond resolution to match its
+    * `timestamp_millis` cast); `BucketedJoinSpec` pins native ==
+    * islands. Scale shape identical to [[sessions]]: one shuffle on
+    * user_id, user-bounded windows, exact integer arithmetic. */
+  def dynamicSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val marked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("event_type"), col("value"))
+      .withColumn("end_ms", col("ts_ms") +
+        when(col("event_type") === "purchase", PurchaseGapMs)
+          .otherwise(DefaultGapMs))
+      .withColumn("prev_max_end",
+        max("end_ms").over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_session",
+        when(col("prev_max_end").isNull ||
+          col("ts_ms") >= col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("session_start_ms"),
+        max("end_ms").as("session_end_ms"),
+        sum(round(col("value") * 100, 0).cast("long"))
+          .as("session_value_cents"))
+  }
+
   /** Session-length distribution — the downstream rollup. */
   def sessionStats(spark: SparkSession, dir: String): DataFrame =
     sessions(spark, dir)
@@ -126,6 +169,7 @@ object Sessionize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_patterns" -> eventPatterns,
+    "q_dynamic_sessions" -> dynamicSessions,
     "q_sessionize" -> sessions,
     "q_session_stats" -> sessionStats,
     "q_funnel" -> funnel,
@@ -198,6 +242,36 @@ object Sessionize {
         |FROM uw u JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" -> sessionsSql,
+    "q_dynamic_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |         epoch_ns(ts) // 1000000 AS ts_ms,
+         |         epoch_ns(ts) // 1000000 +
+         |           CASE WHEN event_type = 'purchase' THEN ${PurchaseGapMs}
+         |                ELSE ${DefaultGapMs} END AS end_ms
+         |  FROM events),
+         |m AS (
+         |  SELECT *, max(end_ms) OVER (PARTITION BY user_id
+         |            ORDER BY ts_ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |            AS prev_max_end
+         |  FROM e),
+         |s AS (
+         |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts_ms >= prev_max_end
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM m),
+         |q AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+         |            ORDER BY ts_ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS session_seq
+         |  FROM s)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |       min(ts_ms) AS session_start_ms,
+         |       max(end_ms) AS session_end_ms,
+         |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         |         AS session_value_cents
+         |FROM q GROUP BY 1, 2""".stripMargin,
     "q_session_stats" ->
       s"""SELECT n_events, count(*) AS n_sessions,
          |       CAST(sum(duration_s) AS BIGINT) AS total_duration_s

@@ -140,6 +140,35 @@ object OrderStream {
         unix_timestamp(col("session_window.start")).as("session_start_s"),
         col("n_events"), col("session_value_cents"))
 
+  /** DYNAMIC-GAP session windows — the `session_window` overload whose
+    * gap is a per-event expression (purchases close a session after 10
+    * minutes, everything else after 30, constants shared with
+    * [[graft.operators.Sessionize]]): the behavioural reality that a
+    * checkout ends a visit faster than idle browsing does, expressed
+    * natively so the streaming state store merges/expires the variable
+    * spans. Works identically over a batch table or a watermarked
+    * stream; `BucketedJoinSpec` pins batch parity against the
+    * gaps-and-islands running-max formulation
+    * (`Sessionize.dynamicSessions`). */
+  def sessionWindowDynamic(events: DataFrame): DataFrame = {
+    import graft.operators.Sessionize.{DefaultGapMs, PurchaseGapMs}
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(session_window(col("event_time"),
+          when(col("event_type") === "purchase",
+            lit(s"${PurchaseGapMs / 60000} minutes"))
+            .otherwise(lit(s"${DefaultGapMs / 60000} minutes"))),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long"))
+          .as("session_value_cents"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("session_value_cents"))
+  }
+
   /** Stream-stream interval join: views ⋈ purchases of the same user
     * with the view in the hour before the purchase. Watermarks on BOTH
     * sides let Spark expire join state — the bounded-memory form of

@@ -106,4 +106,29 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(native == islands && native.nonEmpty)
   }
+
+  test("DYNAMIC-gap session_window matches the running-max islands form") {
+    // Full-tuple parity (user, start, end, n_events, cents): the native
+    // per-event-gap session_window against Sessionize.dynamicSessions'
+    // running-max-of-ends formulation — including the end-exclusive
+    // boundary and the long-gap-event-outlasts-short-gap-successors
+    // merge that a lag-based islands form would get wrong.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val native = OrderStream
+      .sessionWindowDynamic(Tables.events(spark, sf))
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "session_value_cents")
+      .collect().map(key).sorted.toSeq
+    val islands = operators.Sessionize.dynamicSessions(spark, sf)
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "session_value_cents")
+      .collect().map(key).sorted.toSeq
+    assert(native == islands && native.nonEmpty)
+    // And the dynamic gap genuinely differs from the fixed-gap world:
+    // purchases must produce MORE (or equal) sessions, never fewer.
+    val nFixed = operators.Sessionize.sessions(spark, sf).count()
+    assert(native.size >= nFixed.toInt)
+  }
 }
