@@ -174,6 +174,16 @@ object Bench {
     val selected = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
 
+    // Steady-state controls (SURVEY §6): a full 118-query run drifts
+    // 1.7-1.8s/query late in the run from accumulated GC/codegen-cache
+    // pressure, so each timed measurement is preceded by a System.gc()
+    // and REPS>1 takes the per-query MEDIAN of independent timings —
+    // the band across full runs is what the round-over-round compare
+    // reads, so it must be narrower than the effects being judged.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .map(_.trim.toInt).getOrElse(2).max(1)
+    val doGc = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
+
     // A failed query records -1 (a sentinel the driver can see — never a
     // bogus sub-second "timing") and is excluded from the headline total.
     val results = selected.map { name =>
@@ -181,21 +191,42 @@ object Bench {
       if (doWarm)
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+      val times = (1 to reps).map { _ =>
+        if (doGc) System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
+      val t = if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply((times.size - 1) / 2) // lower median
+      name -> t
     }
     val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Driver contract (round-9 fix): the round artifact is a TAIL
+    // capture of stdout, which truncated the former single giant JSON
+    // line head-first and left `parsed: null`. So: (1) the FULL
+    // per-query map goes to a file; (2) each query also prints as its
+    // own short line (tail-safe, grep-able); (3) the FINAL stdout line
+    // is a compact always-parseable summary with no per-query map.
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_queries.json")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    results.foreach { case (k, v) => println(f"""{"query":"$k","sec":$v%.3f}""") }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }

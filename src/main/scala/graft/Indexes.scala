@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Explicit build step for every build-once-per-corpus persisted index.
   *
-  * The engine keeps five corpus-level artifacts that a 100 TB deployment
+  * The engine keeps six corpus-level artifacts that a 100 TB deployment
   * materializes next to the data, once, and serves many times:
   *
   *  - the positional token index (phrase search),
@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *    leakage-safe splits),
   *  - the trained BPE merge list (tokenizer train → apply),
   *  - the PQ code table (compressed ANN corpus),
-  *  - the IVF index (centroids + assignments).
+  *  - the IVF index (centroids + assignments),
+  *  - the per-distinct-score rank cumsum (AUC / calibration).
   *
   * Each is lazily built by its first consumer (ConcurrentHashMap path
   * caches in the operator objects), which is the right default for
@@ -29,5 +30,6 @@ object Indexes {
     operators.TextAnalysis.bpeMerges(spark, dir) // build happens in the cache fill
     operators.Similarity.pqCodesPath(spark, dir)
     operators.Similarity.ivfIndexPath(spark, dir)
+    operators.Profiling.scoreCumPath(spark, dir)
   }
 }

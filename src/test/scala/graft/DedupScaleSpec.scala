@@ -87,6 +87,58 @@ class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pp.sameElements(ref) && pp.nonEmpty)
   }
 
+  test("all-pairs baseline refuses to run past the df cap, transparent under it") {
+    // Under the default cap the guard must be invisible: the filter
+    // keeps every row (assert_true -> null -> isNull true), so the
+    // baseline's output is what it always was (the ppjoin test below
+    // compares against it row-for-row). Over the cap it must FAIL
+    // LOUDLY at runtime, not silently enumerate a quadratic candidate
+    // space: cap=1 makes every shared shingle hot, so any corpus with
+    // one duplicate shingle trips it.
+    spark.conf.set("spark.graft.allPairsDfCap", "1")
+    try {
+      val e = intercept[Exception] {
+        Dedup.jaccardPairs(spark, sfDir).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("ppjoinPairs")),
+        s"guard failure must name the subquadratic alternative, got: $e")
+    } finally spark.conf.unset("spark.graft.allPairsDfCap")
+    // And under the cap the guarded baseline still answers.
+    assert(Dedup.jaccardPairs(spark, sfDir).count() > 0)
+  }
+
+  test("threshold sweep rides ppjoin candidates at tau=0.5, exactly") {
+    // Losslessness at the sweep's floor: every exact pair at J >= 0.5
+    // must collide inside the t=1/2 prefixes.
+    val ex = Dedup.shingleIndex(spark, sfDir)
+    val cand05 = Dedup.ppjoinCandidatesFromRanked(
+      Dedup.ppjoinRanked(ex), tNum = 1, tDen = 2)
+    val exact05 = Dedup.jaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("doc_i", "doc_j")
+    assert(exact05.join(cand05, Seq("doc_i", "doc_j"), "left_anti")
+      .count() == 0, "prefix filtering must be lossless at J >= 0.5")
+    // The sweep's five operating points equal the all-pairs-derived
+    // truth (same grouping arithmetic, candidate stage swapped).
+    val expected = Dedup.jaccardPairs(spark, sfDir)
+      .select(col("doc_j"), col("jaccard"),
+        explode(array(Seq(50, 60, 70, 80, 90).map(lit(_)): _*)).as("tau_pct"))
+      .filter(col("jaccard") >= col("tau_pct").cast("double") / 100.0)
+      .groupBy("tau_pct")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("doc_j").as("n_docs_dropped"))
+      .collect().map(_.toString).sorted
+    val got = Dedup.dedupThresholdSweep(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expected) && got.nonEmpty)
+    // Plan shape: the sweep must consume the RANKED prefix index (rk
+    // column from ppjoinRanked), not the raw all-pairs shingle join.
+    val plan = Dedup.dedupThresholdSweep(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("rk"), "sweep must ride the ranked prefix index")
+  }
+
   test("persisted shingle index feeds minhash + decontaminate from one parquet") {
     val out = Files.createTempDirectory("graft-shingle-ix").toFile
     val ixPath = new java.io.File(out, "ix").getAbsolutePath
