@@ -49,17 +49,27 @@ object Sessionize {
   /** DYNAMIC-GAP sessionization — gaps-and-islands generalized to a
     * per-event inactivity gap: each event extends its session to
     * `ts + gap(event_type)`, and a new session starts exactly when an
-    * event's time reaches the running MAX of all previous session-end
+    * event's time EXCEEDS the running MAX of all previous session-end
     * candidates (not just the previous event's — a long-gap event can
-    * outlast several short-gap successors). This is the batch face of
-    * Spark's dynamic-gap `session_window` overload (end-exclusive
-    * [start, end) semantics, millisecond resolution to match its
-    * `timestamp_millis` cast); `BucketedJoinSpec` pins native ==
-    * islands. Scale shape identical to [[sessions]]: one shuffle on
-    * user_id, user-bounded windows, exact integer arithmetic. */
-  def dynamicSessions(spark: SparkSession, dir: String): DataFrame = {
+    * outlast several short-gap successors). Boundary semantics are
+    * native Spark's TOUCH-MERGE: the reported span is [start, end),
+    * but an event landing exactly AT a session's end still extends it
+    * (gap inactivity is measured inclusively — same as the fixed-gap
+    * [[sessions]]' `> GapNanos`, and empirically pinned against the
+    * native face on constructed ms-exact collisions in
+    * `BucketedJoinSpec`). Millisecond resolution matches the native
+    * overload's `timestamp_millis` cast. Scale shape identical to
+    * [[sessions]]: one shuffle on user_id, user-bounded windows, exact
+    * integer arithmetic. */
+  def dynamicSessions(spark: SparkSession, dir: String): DataFrame =
+    dynamicSessionsFrom(Tables.events(spark, dir))
+
+  /** Same, over an explicit events DataFrame (user_id, event_id, ts
+    * nanos, event_type, value) — the seam `BucketedJoinSpec` drives
+    * with synthetic exact-boundary events. */
+  private[graft] def dynamicSessionsFrom(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    val marked = Tables.events(spark, dir)
+    val marked = events
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000000").as("ts_ms"), col("event_type"), col("value"))
       .withColumn("end_ms", col("ts_ms") +
@@ -69,7 +79,7 @@ object Sessionize {
         max("end_ms").over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_session",
         when(col("prev_max_end").isNull ||
-          col("ts_ms") >= col("prev_max_end"), 1L).otherwise(0L))
+          col("ts_ms") > col("prev_max_end"), 1L).otherwise(0L))
       .withColumn("session_seq",
         sum("new_session").over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -257,7 +267,7 @@ object Sessionize {
          |            AS prev_max_end
          |  FROM e),
          |s AS (
-         |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts_ms >= prev_max_end
+         |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts_ms > prev_max_end
          |                 THEN 1 ELSE 0 END AS new_session
          |  FROM m),
          |q AS (

@@ -131,4 +131,53 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nFixed = operators.Sessionize.sessions(spark, sf).count()
     assert(native.size >= nFixed.toInt)
   }
+
+  test("dynamic-gap boundary semantics: touch-merge + running-max merge") {
+    import spark.implicits._
+    // Constructed cases the sf0.001 parity run can't guarantee to hit
+    // (ms-exact collisions). Writing this test CAUGHT a real semantics
+    // bug: the islands form used `ts >= prev_max_end => new session`
+    // (end-exclusive split), but native session_window TOUCH-MERGES —
+    // an event landing exactly AT a session's end still extends it
+    // (inactivity is measured inclusively; only strictly-later events
+    // split). The islands form now uses strict `>`, and this test pins
+    // all three behaviors on both faces:
+    //  - exact-boundary event MERGES (native touch-merge),
+    //  - one ms past the boundary SPLITS,
+    //  - a long-gap (30 min) browse window outlasting a short-gap
+    //    (10 min) purchase successor keeps later events merged via the
+    //    running MAX of ends (a lag-only islands form comparing to the
+    //    PREVIOUS event's end would split there).
+    val m = 60L * 1000 // one minute in ms; ts column is epoch NANOS
+    def ev(user: Long, id: Long, tMs: Long, typ: String, v: Double) =
+      (user, id, tMs * 1000000L, typ, v)
+    val events = Seq(
+      // user 1: view@0 (end 30m), purchase@5m (end 15m), view@20m —
+      // 20m >= 15m (prev EVENT's end) but < 30m (running max) => MERGE
+      // (session end becomes 50m); then view@50m+1ms is strictly past
+      // the end => NEW session.
+      ev(1L, 1L, 0L, "view", 1.0), ev(1L, 2L, 5L * m, "purchase", 2.0),
+      ev(1L, 3L, 20L * m, "view", 3.0),
+      ev(1L, 4L, 50L * m + 1L, "view", 4.0),
+      // user 2: purchase@0 (end 10m), view@10m exactly at the boundary
+      // => TOUCH-MERGE into one session ending 40m.
+      ev(2L, 5L, 0L, "purchase", 5.0), ev(2L, 6L, 10L * m, "view", 6.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val native = OrderStream.sessionWindowDynamic(events)
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "session_value_cents")
+      .collect().map(key).sorted.toSeq
+    val islands = operators.Sessionize.dynamicSessionsFrom(events)
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "session_value_cents")
+      .collect().map(key).sorted.toSeq
+    val expected = Seq(
+      (1L, 0L, 50L * m, 3L, 600L),                    // running-max merge
+      (1L, 50L * m + 1L, 80L * m + 1L, 1L, 400L),     // 1 ms past end splits
+      (2L, 0L, 40L * m, 2L, 1100L)).sorted            // touch-merge
+    assert(native == expected, s"native face: $native")
+    assert(islands == expected, s"islands face: $islands")
+  }
 }
