@@ -344,6 +344,77 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("full reference topology in one query: DSv2 stream → validate → DLQ split → DSv2 sink") {
+    // The reference's whole consumer topology (producer → consume →
+    // validate → aggregate-or-DLQ → commit) as ONE streaming query
+    // through the repo's own connectors: the custom MicroBatchStream
+    // source feeds OrderStream's validate/dlqSplit, valid records land
+    // in the custom DSv2 sink's two-phase commit protocol, failures in
+    // the DLQ side output with provenance. In production the source
+    // line is a Kafka readStream — everything downstream is identical.
+    import graft.streaming.OrderStream
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    graft.sources.GraftSinkRegistry.reset()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-topology-ckpt").toFile.getAbsolutePath
+
+    val raw = spark.readStream.format("graft.sources.OrdersSource")
+      .option("rows", "1000").option("parts", "4")
+      .option("rowsPerBatch", "250").load()
+    // Simulated wire corruption (the reference's corrupt Avro payloads
+    // and known-bad orders): ids ≡13 (mod 97) arrive with a
+    // non-positive price → PermanentError; ids ≡50 (mod 97) with the
+    // poison product → RetryableError.
+    val orders = raw.select(
+      col("order_id"),
+      concat(lit("ORD-"), lpad(col("order_id").cast("string"), 7, "0"))
+        .as("orderId"),
+      when(col("order_id") % 97 === 50, "error")
+        .otherwise(col("product")).as("product"),
+      when(col("order_id") % 97 === 13, lit(-1.0))
+        .otherwise(col("price_cents").cast("double") / 100.0).as("price"))
+
+    val mainRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val mainSink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, _) => {
+        val sinkShape = df.select(col("order_id"), col("product"),
+          round(col("price") * 100, 0).cast("long").as("price_cents"))
+        mainRows.addAndGet(sinkShape.count())
+        sinkShape.writeTo("graft.sink").append()
+      }
+    val dlq = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int, String)]()
+    val dlqSink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, _) => df.select("order_id", "error_class", "retry_count",
+          "original_topic").collect()
+        .foreach(r => dlq.add((r.getLong(0), r.getString(1), r.getInt(2),
+          r.getString(3))))
+
+    val q = orders.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(OrderStream.dlqSplit(mainSink, dlqSink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Exact accounting: every generated id lands exactly once, on
+    // exactly one side of the split.
+    val badPermanent = (0L until 1000L).filter(_ % 97 == 13).toSet
+    val badRetryable = (0L until 1000L).filter(_ % 97 == 50).toSet
+    val dlqSeq = dlq.asScala.toSeq
+    assert(mainRows.get() + dlqSeq.size == 1000L,
+      s"split must partition the stream: ${mainRows.get()} + ${dlqSeq.size}")
+    assert(dlqSeq.map(_._1).toSet == badPermanent ++ badRetryable)
+    assert(dlqSeq.collect { case (id, "PermanentError", rc, _) => (id, rc) }
+      .toMap == badPermanent.map(_ -> 0).toMap)
+    assert(dlqSeq.collect { case (id, "RetryableError", rc, _) => (id, rc) }
+      .toMap == badRetryable.map(_ -> 3).toMap)
+    assert(dlqSeq.forall(_._4 == "orders"), "DLQ provenance must ride along")
+    // And the main side went through the sink's real commit protocol:
+    // one batch-write commit per micro-batch, none aborted.
+    assert(graft.sources.GraftSinkRegistry.commits.get() == 4L,
+      "expected one DSv2 sink commit per micro-batch")
+    assert(graft.sources.GraftSinkRegistry.aborts.get() == 0L)
+  }
+
   test("DISTINCT aggregates decline pushdown and stay correct") {
     val df = read(10000, 4)
       .groupBy("product").agg(countDistinct("price_cents").as("n"))

@@ -66,6 +66,53 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits a dominant ER blocking key at runtime") {
+    // The ER operator's declared answer to block skew ("the blocking
+    // key is the shuffle key; block skew is AQE's job") exercised for
+    // real, on the operator's own join: one (brand, size) block owns
+    // most of the table, thresholds lowered to test scale. The planted
+    // block is kept small enough that its quadratic candidate space
+    // verifies in-test, while its (incompressible) shuffle bytes still
+    // clear threshold × factor against the spread blocks' median.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 1000 parts in the dominant (Brand#00, 1) block carrying
+      // incompressible names of 20 distinct lengths (k·32 chars, k =
+      // id%20+1, each 32-char term a distinct md5 so lz4 can't shrink
+      // the partition under the threshold): ~340 KB lands in ONE
+      // shuffle partition, while 2000 spread rows with 32-char names
+      // hash across the rest (~25 KB median). The length classes also
+      // bound the verify: the operator's ±4-length gate kills every
+      // cross-class pair inside the block, so the quadratic space that
+      // actually reaches levenshtein is 20 × (50²/2), not 1000²/2.
+      val terms = (0 until 20)
+        .map(i => s"md5(cast(id * 31 + $i AS string))").mkString(", ")
+      val parts = spark.range(0, 3000).selectExpr(
+        "id AS p_partkey",
+        "CASE WHEN id < 1000 THEN 'Brand#00' " +
+          "ELSE concat('Brand#', cast(id % 97 AS string)) END AS p_brand",
+        "CASE WHEN id < 1000 THEN 1 ELSE cast(id % 11 AS int) END AS p_size",
+        "CASE WHEN id < 1000 " +
+          s"THEN substr(concat($terms), 1, 32 * (cast(id AS int) % 20 + 1)) " +
+          "ELSE md5(cast(id AS string)) END AS name")
+      val q = graft.operators.Dedup.erPairsFrom(parts)
+        .agg(count(lit(1)).as("n_pairs"), max("part_j").as("max_j"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the dominant blocking key:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join under 90% single-key skew") {
     import spark.implicits._
     // 10k rows, 90% on key 1 — the "one hot user" shape.
