@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Explicit build step for every build-once-per-corpus persisted index.
   *
-  * The engine keeps six corpus-level artifacts that a 100 TB deployment
+  * The engine keeps seven corpus-level artifacts that a 100 TB deployment
   * materializes next to the data, once, and serves many times:
   *
   *  - the positional token index (phrase search),
@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   *  - the trained BPE merge list (tokenizer train → apply),
   *  - the PQ code table (compressed ANN corpus),
   *  - the IVF index (centroids + assignments),
-  *  - the per-distinct-score rank cumsum (AUC / calibration).
+  *  - the per-distinct-score rank cumsum (AUC / calibration),
+  *  - the df-ranked shingle index (PPJoin / threshold sweep).
   *
   * Each is lazily built by its first consumer (ConcurrentHashMap path
   * caches in the operator objects), which is the right default for
@@ -31,5 +32,7 @@ object Indexes {
     operators.Similarity.pqCodesPath(spark, dir)
     operators.Similarity.ivfIndexPath(spark, dir)
     operators.Profiling.scoreCumPath(spark, dir)
+    operators.Dedup.rankedIndexPath(spark, dir)
+    operators.Dedup.docSetsPath(spark, dir)
   }
 }

@@ -110,15 +110,21 @@ class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("threshold sweep rides ppjoin candidates at tau=0.5, exactly") {
-    // Losslessness at the sweep's floor: every exact pair at J >= 0.5
-    // must collide inside the t=1/2 prefixes.
+    // Losslessness at the sweep's floor, BOTH candidate passes: the
+    // asymmetric prefix join and the symmetric count-filtered pass the
+    // sweep actually rides must each retain every exact pair at
+    // J >= 0.5.
     val ex = Dedup.shingleIndex(spark, sfDir)
-    val cand05 = Dedup.ppjoinCandidatesFromRanked(
-      Dedup.ppjoinRanked(ex), tNum = 1, tDen = 2)
+    val ranked = Dedup.ppjoinRanked(ex)
     val exact05 = Dedup.jaccardPairs(spark, sfDir)
       .filter(col("jaccard") >= 0.5).select("doc_i", "doc_j")
-    assert(exact05.join(cand05, Seq("doc_i", "doc_j"), "left_anti")
-      .count() == 0, "prefix filtering must be lossless at J >= 0.5")
+    for ((cand, name) <- Seq(
+        (Dedup.ppjoinCandidatesFromRanked(ranked, tNum = 1, tDen = 2),
+          "asymmetric prefix"),
+        (Dedup.countFilteredCandidates(ranked, tNum = 1, tDen = 2),
+          "symmetric count-filtered")))
+      assert(exact05.join(cand, Seq("doc_i", "doc_j"), "left_anti")
+        .count() == 0, s"$name filtering must be lossless at J >= 0.5")
     // The sweep's five operating points equal the all-pairs-derived
     // truth (same grouping arithmetic, candidate stage swapped).
     val expected = Dedup.jaccardPairs(spark, sfDir)
