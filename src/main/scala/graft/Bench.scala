@@ -140,7 +140,11 @@ object Bench {
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",
-    "q_dynamic_sessions")
+    "q_dynamic_sessions",
+    "q_hybrid_rrf",
+    "q_bigram_surprisal",
+    "q_dsir_weights",
+    "q_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,6 +36,7 @@ object SparkEntry {
       (CorpusClean.queries, CorpusClean.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (Stats.queries, Stats.oracles),
+      (Ranking.queries, Ranking.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (graft.sources.OrdersSource.queries, graft.sources.OrdersSource.oracles))
 

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval-fusion and corpus-scoring operators — the layer between
+  * the index structures (BM25 / IVF, TextAnalysis + Similarity) and a
+  * training-data curation decision: hybrid lexical+vector ranking,
+  * LM-style fluency scoring, and DSIR-shaped importance weighting.
+  *
+  * House discipline as everywhere: exact integer arithmetic wherever a
+  * ranking depends on it (micro-/ppb-units with `div`), 6-dp-rounded
+  * cosine with id tiebreaks, DECIMAL(38)/HUGEINT for products that pass
+  * int64 at 100 TB-scale counts.
+  */
+object Ranking {
+
+  /** Cosine via the codegen'd kernel (same fold order as the oracle's
+    * list_sum — see [[graft.functions.CosineSim]]). */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
+
+  /** DuckDB replay of [[cosine]] for explicit operands (same sequential
+    * fold; duplicated from Similarity where it is private). */
+  private def cosSql(u: String, v: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |  k -> CAST($u[k] AS DOUBLE) * CAST($v[k] AS DOUBLE)))
+       |/ sqrt(list_sum(list_transform(range(1, 65), k -> CAST($u[k] AS DOUBLE) * CAST($u[k] AS DOUBLE))))
+       |/ sqrt(list_sum(list_transform(range(1, 65), k -> CAST($v[k] AS DOUBLE) * CAST($v[k] AS DOUBLE))))"""
+      .stripMargin
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): fuse a LEXICAL ranking (integer tf-idf over the BM25
+    * query terms) with a VECTOR ranking (cosine vs one query embedding)
+    * by RRF score Σ 1/(60+rank) — the standard production hybrid-search
+    * combiner (lexical recall + semantic recall, no score calibration
+    * needed because only RANKS enter the fusion).
+    *
+    * Exact-integer discipline: the fused score is parts-per-billion
+    * `1000000000 div (60 + rank)` summed over the two arms (missing arm
+    * contributes 0), so fusion order and float rounding can never
+    * reorder ties — ranking is bit-identical across engines.
+    *
+    * Scale shape: each arm is a top-`kCand` ranked list — at corpus
+    * scale the lexical arm is served by the persisted inverted index
+    * (TextAnalysis.tokenIndex / BM25) and the vector arm by the IVF
+    * index (Similarity.retrievalServed); fusion itself joins two k-row
+    * lists, driver-free and constant-cost regardless of corpus size.
+    * The rank windows run over an aggregate-bounded input (lexical: the
+    * per-doc score aggregate; vector: one query's candidates), and both
+    * arms carry an explicit `limit(kCand)` so the unpartitioned fusion
+    * window is provably bounded (PlanRegressionSpec's window guard).
+    */
+  def hybridRrf(spark: SparkSession, dir: String,
+                kCand: Int = 20, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = TextAnalysis.Bm25Terms
+
+    // Lexical arm: integer tf-idf = Σ_t tf_t · (n_docs div df_t).
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).as("dfw"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wLex = Window.orderBy(col("lex_score").desc, col("doc_id"))
+    val lexTop = tf.join(dfw, "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), expr("tf * (n_docs div dfw)").as("contrib"))
+      .groupBy("doc_id").agg(sum("contrib").as("lex_score"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= kCand).limit(kCand)
+      .select(col("doc_id"), col("lex_rank"))
+
+    // Vector arm: cosine vs the vec_id=0 query embedding (the docstore
+    // join convention vec_id = doc_id, as in Similarity.retrieval).
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val vecTop = qv.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= kCand).limit(kCand)
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+
+    val wF = Window.orderBy(col("rrf_ppb").desc, col("doc_id"))
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        expr("coalesce(1000000000 div (60 + lex_rank), 0)" +
+          " + coalesce(1000000000 div (60 + vec_rank), 0)").as("rrf_ppb"))
+      .withColumn("fused_rank", row_number().over(wF))
+      .filter(col("fused_rank") <= k)
+  }
+
+  /** Per-document mean inverse BIGRAM conditional probability in exact
+    * micro-units — the bigram analog of [[TextAnalysis.docRarity]]'s
+    * unigram score and the engine-exact stand-in for LM perplexity as a
+    * FLUENCY filter: text whose word transitions are unpredictable
+    * under the corpus bigram model (word-salad, mis-segmented, OCR
+    * noise) scores high; fluent boilerplate scores low. Each bigram
+    * occurrence xy contributes floor(10⁶·c₁(x)/c(xy)) — exactly
+    * 10⁶/p̂(y|x) with c₁(x) the count of x in bigram-FIRST position, so
+    * the conditional masses sum exactly to 1 per left-word.
+    *
+    * Scale: one shingle explode, two corpus aggregates (map-side
+    * partial), two token-keyed joins back — the docRarity shape; the
+    * Zipf-skewed join keys are ordinary AQE-handled equi-join skew.
+    * Docs with <2 tokens have no bigrams and drop out (inner join), in
+    * both engines.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShinglesAll.register(spark)
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("shingles_all(text, 2)")).as("xy"))
+    val bcnt = bi.groupBy("xy").agg(count(lit(1)).as("cxy"))
+    val fcnt = bi.select(split(col("xy"), " ").getItem(0).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cx1"))
+    bi.withColumn("x", split(col("xy"), " ").getItem(0))
+      .join(bcnt, "xy").join(fcnt, "x")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * cx1 div cxy").as("inv_p"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("inv_p").cast("decimal(38,0)")).as("s"))
+      .selectExpr("doc_id", "lang", "n_bigrams",
+        "s div n_bigrams AS surprisal_micro")
+  }
+
+  /** DSIR-shaped importance weights (Xie et al., NeurIPS'23 "Data
+    * Selection for Language Models via Importance Resampling"), log-free
+    * engine-exact form: score each document by how target-like its
+    * unigram profile is, weight r(w) = 10⁶·p̂_target(w)/p̂_raw(w)
+    * computed as ONE integer floor-div per vocab word
+    * `(10⁶·ct·Nr) div (cr·Nt)` (target = the lang='en' slice standing
+    * in for a curated target corpus; raw = the whole corpus), per-doc
+    * score = mean ratio over its token occurrences. Monotone in the
+    * true likelihood ratio for docs of equal length, so top-p selection
+    * by this score IS importance-ranked selection — with every rank
+    * reproducible bit-for-bit, unlike the float log-ratio original.
+    *
+    * Products run in DECIMAL(38,0)/HUGEINT: ct·Nr ≈ 10²⁴ at 100 TB
+    * corpus counts, far past int64. Shape: two vocab aggregates + one
+    * token-keyed join back — the docRarity scale pattern.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+    val raw = words.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tgt = words.filter(col("lang") === "en")
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val nr = raw.agg(sum("cr").as("nr"))
+    val nt = tgt.agg(sum("ct").as("nt"))
+    val ratio = raw.join(tgt, Seq("w"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("w"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * ct * nr" +
+          " div (CAST(cr AS DECIMAL(38,0)) * nt)").as("rw"))
+    words.join(ratio, "w")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rw").cast("decimal(38,0)")).as("s"))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "s div n_tokens AS dsir_micro")
+  }
+
+  /** LAST-TOUCH attribution: for every purchase, the most recent
+    * strictly-earlier non-purchase event by the same user (the
+    * marketing-attribution primitive; also the "what did the user see
+    * before converting" feature join of a recommender log). One
+    * user-partitioned window with a ROWS UNBOUNDED PRECEDING..1
+    * PRECEDING frame and an ignore-nulls conditional `last` — never a
+    * self-join, so cost is one shuffle by user regardless of history
+    * length. First-session purchases with no prior event keep NULL
+    * attribution (a real funnel signal, not an error).
+    *
+    * Determinism: event order is (ts, event_id) — unique — and `ts` is
+    * already epoch-nanos (Tables.normalizeTs), so `gap_ns` is exact
+    * integer event-time arithmetic in both engines.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("src",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("event_id"), col("event_type"), col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts_ns"),
+        col("src.event_id").as("src_event_id"),
+        col("src.event_type").as("src_event_type"),
+        (col("ts") - col("src.ts")).as("gap_ns"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q_bigram_surprisal" -> bigramSurprisal,
+    "q_dsir_weights" -> dsirWeights,
+    "q_attribution" -> lastTouchAttribution)
+
+  /** RRF oracle generated from the SAME term list as the operator. */
+  private lazy val hybridRrfSql: String = {
+    val termList = TextAnalysis.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |       FROM words WHERE w IN ($termList) GROUP BY 1, 2),
+       |dfw AS (SELECT w, CAST(count(*) AS BIGINT) AS dfw FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |lex AS (
+       |  SELECT doc_id, sum(tf * (n_docs // dfw)) AS lex_score
+       |  FROM tf JOIN dfw USING (w) CROSS JOIN nd GROUP BY 1),
+       |lextop AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY lex_score DESC, doc_id) AS INT) AS lex_rank FROM lex)
+       |  WHERE lex_rank <= 20),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |vec AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         round(${cosSql("q.qv", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |vectop AS (
+       |  SELECT doc_id, vec_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY cos_sim DESC, doc_id) AS INT) AS vec_rank FROM vec)
+       |  WHERE vec_rank <= 20),
+       |f AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         l.lex_rank, v.vec_rank,
+       |         CAST(coalesce(1000000000 // (60 + l.lex_rank), 0)
+       |       + coalesce(1000000000 // (60 + v.vec_rank), 0) AS BIGINT)
+       |           AS rrf_ppb
+       |  FROM lextop l FULL JOIN vectop v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, lex_rank, vec_rank, rrf_ppb, fused_rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    ORDER BY rrf_ppb DESC, doc_id) AS INT) AS fused_rank FROM f)
+       |WHERE fused_rank <= 10""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> hybridRrfSql,
+    "q_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(2, len(ws) + 1),
+        |         i -> ws[i-1] || ' ' || ws[i])) AS xy
+        |  FROM toks),
+        |bcnt AS (SELECT xy, CAST(count(*) AS BIGINT) AS cxy
+        |         FROM big GROUP BY 1),
+        |fcnt AS (SELECT str_split(xy, ' ')[1] AS x,
+        |                CAST(count(*) AS BIGINT) AS cx1
+        |         FROM big GROUP BY 1),
+        |perdoc AS (
+        |  SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+        |         sum(1000000 * f.cx1 // c.cxy) AS s
+        |  FROM big b JOIN bcnt c USING (xy)
+        |  JOIN fcnt f ON f.x = str_split(b.xy, ' ')[1]
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |       CAST(s // n_bigrams AS BIGINT) AS surprisal_micro
+        |FROM perdoc""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang,
+        |         unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, CAST(count(*) AS BIGINT) AS cr
+        |        FROM words GROUP BY 1),
+        |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct
+        |        FROM words WHERE lang = 'en' GROUP BY 1),
+        |tots AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+        |                (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+        |ratio AS (
+        |  SELECT r.w,
+        |         CAST(CAST(1000000 AS HUGEINT) * coalesce(t.ct, 0) * x.nr
+        |              // (CAST(r.cr AS HUGEINT) * x.nt) AS BIGINT) AS rw
+        |  FROM raw r LEFT JOIN tgt t USING (w) CROSS JOIN tots x),
+        |perdoc AS (
+        |  SELECT doc_id, lang, count(*) AS n_tokens, sum(rw) AS s
+        |  FROM words JOIN ratio USING (w) GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(s // n_tokens AS BIGINT) AS dsir_micro
+        |FROM perdoc""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |a AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER w AS src_event_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS src_event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN tsn END
+        |      IGNORE NULLS) OVER w AS src_tsn
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, tsn AS purchase_ts_ns,
+        |       src_event_id, src_event_type, tsn - src_tsn AS gap_ns
+        |FROM a WHERE event_type = 'purchase'""".stripMargin)
+}

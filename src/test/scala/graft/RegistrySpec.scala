@@ -39,7 +39,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.Analytics.queries, operators.Profiling.queries,
       operators.CorpusPipeline.queries, operators.CorpusClean.queries,
       operators.ZOrder.queries, operators.Stats.queries,
-      operators.GraphOps.queries, sources.OrdersSource.queries)
+      operators.Ranking.queries, operators.GraphOps.queries,
+      sources.OrdersSource.queries)
     val all = perModule.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"query name registered by two modules: $dups")
