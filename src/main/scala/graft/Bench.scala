@@ -141,6 +141,9 @@ object Bench {
     "q_dedup_sweep",
     "q_ivf_update",
     "q_dynamic_sessions",
+    "q_f2_sketch",
+    "q_kcore_peel",
+    "q_retrieval_eval",
     "q_hybrid_rrf",
     "q_bigram_surprisal",
     "q_dsir_weights",

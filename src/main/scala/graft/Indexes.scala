@@ -34,5 +34,6 @@ object Indexes {
     operators.Profiling.scoreCumPath(spark, dir)
     operators.Dedup.rankedIndexPath(spark, dir)
     operators.Dedup.docSetsPath(spark, dir)
+    operators.GraphOps.purchaseGraphPath(spark, dir)
   }
 }

@@ -602,6 +602,43 @@ object Profiling {
         col("est_pairs"), col("n_rows"), col("n_keys"))
   }
 
+  /** AMS/CMS self-join-size (F2) ESTIMATE — the sketch-only companion
+    * to [[joinCardinality]]'s exact Σ cnt²: each count-min row's inner
+    * product with itself Σ_j c[d][j]² upper-bounds F2 (bucket
+    * collisions only ever add cross terms), and the min over the 4
+    * independent rows is the classic AMS-style estimate a planner can
+    * maintain INCREMENTALLY from the mergeable sketch alone — no key
+    * histogram, no second scan, O(depth·width) state total. Because the
+    * sketch hashes are fixed md5 windows, the estimate — and its exact
+    * overcount vs the true F2 — is bit-reproducible, so the oracle
+    * hash-checks the estimator itself, not just an error bound.
+    *
+    * Scale: the sketch is one ObjectHashAggregate pass (mergeable
+    * across partitions/days); the exact side is the joinCardinality
+    * histogram aggregate. At 100 TB you'd keep only the sketch path —
+    * the exact column here is the verification baseline. Sums run in
+    * DECIMAL(38)/HUGEINT (Σ c² passes int64 once rows ≥ ~10⁷ per
+    * bucket); the final BIGINT cast is exact at any tested SF. */
+  def f2SketchEstimate(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val cms = udaf(graft.functions.CountMinSketch.aggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    val keys = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val est = keys.agg(cms(col("l_partkey").cast("string")).as("sketch"))
+      .select(posexplode(col("sketch")).as(Seq("i", "c")))
+      .groupBy(expr(s"i div $width").as("d"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("row_f2"))
+      .agg(min("row_f2").as("est_f2"))
+    keys.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("exact_f2"),
+        sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(est))
+      .selectExpr("CAST(est_f2 AS BIGINT) AS est_f2",
+        "CAST(exact_f2 AS BIGINT) AS exact_f2",
+        "CAST(est_f2 - exact_f2 AS BIGINT) AS overcount",
+        "n_rows", "n_keys")
+  }
+
   /** FUNCTIONAL-DEPENDENCY discovery report (the data-profiling pass
     * schema inference and normalization tools run): for each candidate
     * A→B, compare |distinct A| with |distinct (A,B)| — the dependency
@@ -678,6 +715,7 @@ object Profiling {
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
     "q_fd_report" -> fdReport,
     "q_join_cardinality" -> joinCardinality,
+    "q_f2_sketch" -> ((s, d) => f2SketchEstimate(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
     "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
     "q_mad_prices" -> madPrices,
@@ -835,6 +873,31 @@ object Profiling {
         |FROM b GROUP BY 1, 2""".stripMargin,
     // Replay the sketch arithmetic: per-(d, bucket) mass = sum of the
     // exact counts of every key hashing there; est = min over rows.
+    // Same md5-window buckets as the CMS replay below; each row's
+    // Σ bucket² in HUGEINT, min over the 4 rows = the estimator.
+    "q_f2_sketch" ->
+      """WITH cnt AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS s, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT d.d,
+        |         CAST(('0x' || substr(md5(s), 1 + 8 * d.d, 8)) AS BIGINT)
+        |           % 256 AS bucket,
+        |         cnt
+        |  FROM cnt, (SELECT unnest([0, 1, 2, 3]) AS d) d),
+        |bs AS (SELECT d, bucket, CAST(sum(cnt) AS HUGEINT) AS c
+        |       FROM b GROUP BY 1, 2),
+        |rf AS (SELECT d, sum(c * c) AS row_f2 FROM bs GROUP BY 1),
+        |est AS (SELECT min(row_f2) AS est_f2 FROM rf),
+        |ex AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt) AS exact_f2,
+        |              CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |              CAST(count(*) AS BIGINT) AS n_keys
+        |       FROM cnt)
+        |SELECT CAST(est_f2 AS BIGINT) AS est_f2,
+        |       CAST(exact_f2 AS BIGINT) AS exact_f2,
+        |       CAST(est_f2 - exact_f2 AS BIGINT) AS overcount,
+        |       n_rows, n_keys
+        |FROM ex CROSS JOIN est""".stripMargin,
     "q_cms_user_counts" ->
       """WITH cnt AS (
         |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),

@@ -699,7 +699,41 @@ object Similarity {
     selected
   }
 
+  /** Retrieval-quality EVALUATION: recall@10 and MRR of the IVF index
+    * against the brute-force ground truth, per query — the
+    * index-quality monitor a production vector deployment runs on every
+    * index rebuild (the moment recall drifts, cells need re-training;
+    * see [[ivfIncremental]]'s drift signal for the ingest-side
+    * counterpart). Metrics are exact micro-unit integers
+    * (`n_overlap·10⁶ div 10`, `10⁶ div rank`), so the evaluation
+    * itself is oracle-hash-checkable — an eval harness whose own
+    * numbers are reproducible bit-for-bit.
+    *
+    * Scale: both arms are the registered top-k operators (at corpus
+    * scale: the served index vs a SAMPLED exact pass — ground truth is
+    * only ever computed for an audit sample of queries); the metric
+    * join touches k rows per query. */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth = annTopK(spark, dir).select(col("query_id"), col("vec_id"),
+      col("nn_rank"))
+    val cand = annIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("nn_rank").as("ivf_rank"))
+    val per = truth.join(cand, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy("query_id").agg(count(col("ivf_rank")).as("n_overlap"))
+    val top1 = truth.filter(col("nn_rank") === 1)
+      .select(col("query_id"), col("vec_id").as("true_top1"))
+      .join(cand.withColumnRenamed("vec_id", "true_top1")
+          .withColumnRenamed("ivf_rank", "top1_ivf_rank"),
+        Seq("query_id", "true_top1"), "left_outer")
+    per.join(top1, "query_id")
+      .select(col("query_id"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div ${k}L").as("recall_micro"),
+        col("true_top1"), col("top1_ivf_rank"),
+        expr("coalesce(1000000 div top1_ivf_rank, 0L)").as("mrr_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
     "q_mmr_select" -> ((s, d) => mmrSelect(s, d)),
     "q_ivf_update" -> ivfIncremental,
     "q_jl_project" -> jlProject,
@@ -949,6 +983,37 @@ object Similarity {
          |        ORDER BY approx_l2_micro, vec_id) AS r FROM scored)
          |WHERE r <= 10""".stripMargin,
     "q_ann_ivf" -> ivfSql,
+    // Truth arm mirrors the q_ann_topk CTEs; candidate arm is the full
+    // IVF replay. The metrics are pure integer arithmetic on the two
+    // rank lists.
+    "q_retrieval_eval" ->
+      s"""WITH tscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |         round($cosineSql, 6) AS cos_sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, vec_id, nn_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS nn_rank FROM tscored)
+         |  WHERE nn_rank <= 10),
+         |r AS ($ivfSql),
+         |o AS (SELECT t.query_id, t.vec_id, c.nn_rank AS ivf_rank
+         |      FROM truth t LEFT JOIN r c
+         |        ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+         |per AS (SELECT query_id, CAST(count(ivf_rank) AS BIGINT) AS n_overlap
+         |        FROM o GROUP BY 1),
+         |t1 AS (SELECT query_id, vec_id AS true_top1 FROM truth
+         |       WHERE nn_rank = 1),
+         |t1r AS (SELECT t1.query_id, t1.true_top1, c.nn_rank AS top1_ivf_rank
+         |        FROM t1 LEFT JOIN r c
+         |          ON c.query_id = t1.query_id AND c.vec_id = t1.true_top1)
+         |SELECT p.query_id, p.n_overlap,
+         |       CAST(p.n_overlap * 1000000 // 10 AS BIGINT) AS recall_micro,
+         |       t.true_top1, CAST(t.top1_ivf_rank AS INT) AS top1_ivf_rank,
+         |       CAST(coalesce(1000000 // t.top1_ivf_rank, 0) AS BIGINT)
+         |         AS mrr_micro
+         |FROM per p JOIN t1r t ON t.query_id = p.query_id""".stripMargin,
     "q_retrieval" ->
       s"""WITH r AS ($ivfSql)
          |SELECT r.query_id, r.nn_rank, r.vec_id, r.cos_sim,
