@@ -145,6 +145,10 @@ object Bench {
     "q_kcore_peel",
     "q_retrieval_eval",
     "q_hybrid_rrf",
+    "q_bloom_probe",
+    "q_shard_plan",
+    "q_char_diversity",
+    "q_bfs_hops",
     "q_bigram_surprisal",
     "q_dsir_weights",
     "q_attribution")

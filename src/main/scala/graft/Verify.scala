@@ -32,7 +32,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — extra args restrict the dump
+    // to a subset (builder-local parity checks); the driver always
+    // passes exactly two, which dumps the whole registry.
+    val sfDir = args(0); val outDir = args(1)
+    val subset = args.drop(2).toSet
     val spark = GraftSession.create("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -43,7 +47,9 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .map { case (name, fn) =>
       scala.concurrent.Future(runOne(spark, sfDir, outDir, name, fn, errors))
     }
     scala.concurrent.Await.result(

@@ -143,21 +143,39 @@ object GraphOps {
     // The STATIC edge list is a build-once persisted corpus artifact
     // (the purchase graph, same discipline as the token/IVF indexes —
     // its one-time build is ingest work, measured 1.4 s/run when done
-    // inline). Every round keeps only the (side, node) → degree table
+    // inline); each round re-scans it from parquet — the scan is cheap,
+    // and the parquet relation's footer stats are what let Catalyst
+    // pick broadcast semi-joins here (a localCheckpoint of e0 measured
+    // 3× SLOWER: the LogicalRDD's unknown stats forced sort-merge
+    // joins). Every round keeps only the (side, node) → degree table
     // of the live subgraph (|nodes| rows, cheap to checkpoint), never
     // a survivor edge copy: a round = filter the edge scan by the two
     // live-node sets (semi-joins sized exactly off the checkpointed
     // degree table) + ONE shuffle for both sides' degrees (each edge
     // explodes to its two (side, node) endpoints, map-side combined).
-    // Once no live node sits below k the peel is at its fixpoint and
-    // the remaining audit rows are emitted from the SAME degree table
-    // — confluence makes the short-circuit exact, and it drops 1-2 of
-    // the 6 full passes at every tested SF.
+    // The per-round audit row AND the fixpoint test are ONE collected
+    // 4-long aggregate over that checkpoint (the driver-visible
+    // per-round change count, exactly like connectedComponents); once
+    // no live node sits below k the peel is at its fixpoint and the
+    // remaining audit rows repeat without further passes — confluence
+    // makes the short-circuit exact, and it drops 1-2 of the 6 full
+    // passes at every tested SF. The profile itself is a ≤7-row
+    // driver-assembled literal table — the collected-bounded-artifact
+    // discipline (BPE merge table precedent).
     val e0 = spark.read.parquet(purchaseGraphPath(spark, dir))
     def degTable(live: Option[(DataFrame, DataFrame)]): DataFrame = {
+      // The live sets are |nodes|-row filters of the checkpointed degree
+      // table; the checkpoint's LogicalRDD carries no size stats, so
+      // WITHOUT the hint Catalyst inverts the join — it broadcasts the
+      // |E|-row edge list (known parquet stats, under the threshold at
+      // test SF: a 590k-row hash relation built per round) and
+      // sort-merge-joins the 20k-row live set (measured 2.7 s/round;
+      // hinted, 0.4 s). At node counts past broadcast range the hint is
+      // where a deployment swaps in the shuffle semi-join.
       val edges = live match {
-        case Some((lc, lp)) => e0.join(lc, "c").join(lp, "p")
-        case None           => e0
+        case Some((lc, lp)) =>
+          e0.join(broadcast(lc), "c").join(broadcast(lp), "p")
+        case None => e0
       }
       edges.select(explode(array(
           struct(lit("c").as("side"), col("c").as("node")),
@@ -166,33 +184,87 @@ object GraphOps {
         .groupBy("side", "node").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
     }
-    def audit(r: Int, deg: DataFrame): DataFrame =
-      deg.agg(
-          sum(when(col("side") === "c", col("deg"))).as("n_edges"),
+    // (n_edges, n_custs, n_parts, n_below-k) in one 1-row job.
+    def auditRow(deg: DataFrame): (Long, Long, Long, Long) = {
+      val r = deg.agg(
+          coalesce(sum(when(col("side") === "c", col("deg"))), lit(0L))
+            .as("n_edges"),
           count(when(col("side") === "c", 1)).as("n_custs"),
-          count(when(col("side") === "p", 1)).as("n_parts"))
-        .select(lit(r).as("round"), col("n_edges"), col("n_custs"),
-          col("n_parts"))
+          count(when(col("side") === "p", 1)).as("n_parts"),
+          count(when(col("deg") < k, 1)).as("n_below"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
     var deg = degTable(None)
-    val profile = scala.collection.mutable.ArrayBuffer(audit(0, deg))
+    var cur = auditRow(deg)
+    val profile = scala.collection.mutable.ArrayBuffer((0, cur))
     var r = 1
     var fixed = false
     while (r <= rounds && !fixed) {
-      // Fixpoint test on the |nodes|-row checkpoint: nobody below k ⇒
-      // e_{r} = e_{r-1} = … — skip the remaining full passes.
-      fixed = deg.filter(col("deg") < k).isEmpty
+      fixed = cur._4 == 0L
       if (!fixed) {
         val liveC = deg.filter(col("side") === "c" && col("deg") >= k)
           .select(col("node").as("c"))
         val liveP = deg.filter(col("side") === "p" && col("deg") >= k)
           .select(col("node").as("p"))
         deg = degTable(Some((liveC, liveP)))
+        cur = auditRow(deg)
       }
-      profile += audit(r, deg)
+      profile += ((r, cur))
       r += 1
     }
-    while (r <= rounds) { profile += audit(r, deg); r += 1 }
-    profile.reduce(_ unionAll _)
+    while (r <= rounds) { profile += ((r, cur)); r += 1 }
+    import spark.implicits._
+    profile.toSeq.map { case (rd, (e, c, p, _)) => (rd, e, c, p) }
+      .toDF("round", "n_edges", "n_custs", "n_parts")
+  }
+
+  val BfsMaxHops = 4
+  val BfsTopLanes = 2
+
+  /** BFS HOP DISTANCE from a seed node over the SPARSIFIED trade graph
+    * — each node keeps only its [[BfsTopLanes]] heaviest outgoing lanes
+    * (w desc, dst tiebreak): the "primary trade routes" backbone. The
+    * raw graph is near-complete (every node 1 hop from every other), so
+    * sparsification is what makes reachability non-vacuous; per-node
+    * top-k is scale-FREE where a mean-relative weight threshold is not
+    * (measured: ≥2×-mean keeps 33 edges at sf0.01 and ZERO at sf0.1 —
+    * larger SF flattens the weight distribution).
+    *
+    * Classic frontier-expansion BFS bounded to [[BfsMaxHops]] levels:
+    * each level is one hash join frontier⋈edges + one distinct + one
+    * anti-join against the reached set — node-keyed relational ops,
+    * level count = traversal depth (bounded so the oracle is a bounded
+    * recursive CTE). This is the iterative-traversal primitive
+    * (reachability / shortest-path layer over joins); state is the
+    * reached set, checkpointed per level like connectedComponents'
+    * labels — at 10⁹ nodes each level is a shuffle join on node id,
+    * the top-k sparsify is one partitioned window, and the frontier
+    * (not the graph) drives the cost. DuckDB replays it as
+    * `WITH RECURSIVE` — the SQL face of the same fixpoint. */
+  def bfsHops(spark: SparkSession, dir: String,
+      seed: Long = 0L, maxHops: Int = BfsMaxHops): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = tradeEdges(spark, dir)
+    val wlane = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("dst"))
+    val sparse = edges
+      .withColumn("rn", row_number().over(wlane))
+      .filter(col("rn") <= BfsTopLanes)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint() // feeds every level
+    var reached = Seq((seed, 0)).toDF("node", "hops").localCheckpoint()
+    for (t <- 1 to maxHops) {
+      val frontier = reached.filter(col("hops") === t - 1)
+      val next = frontier.join(sparse, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(t))
+      reached = reached.unionAll(next).localCheckpoint()
+    }
+    reached
   }
 
   /** Corpus dir → persisted distinct customer–part purchase-graph
@@ -216,6 +288,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_trade" -> pageRank,
     "q_kcore_peel" -> ((s, d) => kCorePeel(s, d)),
+    "q_bfs_hops" -> ((s, d) => bfsHops(s, d)),
     "q_triangle_count" -> triangleCount)
 
   private val edgesSql =
@@ -263,6 +336,22 @@ object GraphOps {
            |FROM e$r""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_bfs_hops" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |sparse AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM (SELECT src, dst, row_number() OVER (
+         |          PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |        FROM edges)
+         |  WHERE rn <= $BfsTopLanes),
+         |bfs AS (
+         |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+         |  UNION ALL
+         |  SELECT s.dst, b.hops + 1
+         |  FROM bfs b JOIN sparse s ON s.src = b.node
+         |  WHERE b.hops < $BfsMaxHops)
+         |SELECT node, CAST(min(hops) AS INT) AS hops
+         |FROM bfs GROUP BY node""".stripMargin,
     "q_kcore_peel" -> kcoreSql,
     "q_pagerank_trade" ->
       (s"""WITH $edgesSql,

@@ -145,9 +145,41 @@ object Packing {
       .select("doc_id", "n_tokens", "bucket", "batch_id")
   }
 
+  /** Balanced SHARD assignment for a training-data export: documents
+    * ranked by token count (longest first, doc_id tiebreak) and dealt
+    * to `nShards` shards in BOUSTROPHEDON (snake) order — pass 0 deals
+    * shards 0..S−1, pass 1 deals S−1..0, … — the deterministic
+    * streaming analog of LPT greedy bin packing: each length-adjacent
+    * group of 2S docs contributes one long+short pair to every shard,
+    * so per-shard token totals balance to within one document without
+    * any sequential "least-loaded" state. Output is the shard audit a
+    * writer plans its output files from: docs + token total per shard.
+    *
+    * Scale shape: the global rank is [[withGlobalCumsum]]'s distributed
+    * exact rank (range shuffle + broadcast prefix offsets — never an
+    * unpartitioned window over the corpus), the snake map is a pure
+    * integer projection, and the audit is one map-side-combined
+    * aggregate to `nShards` rows. */
+  def shardPlan(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("neg_tokens", -col("n_tokens"))
+      .withColumn("one", lit(1L))
+    withGlobalCumsum(docs, "one", Seq("neg_tokens", "doc_id"))
+      .withColumn("shard",
+        expr(s"CASE WHEN (cum_before div $nShards) % 2 = 0" +
+          s" THEN cum_before % $nShards" +
+          s" ELSE $nShards - 1 - cum_before % $nShards END"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> ((s, d) => seqPack(s, d)),
     "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
+    "q_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -173,6 +205,24 @@ object Packing {
          |       (cum_before + n_tokens - 1) // ${SeqLen}
          |         - cum_before // ${SeqLen} + 1 AS n_seqs
          |FROM c""".stripMargin,
+    "q_shard_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT n_tokens,
+        |         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+        |  FROM d),
+        |s AS (
+        |  SELECT n_tokens,
+        |         CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+        |              ELSE 7 - rn % 8 END AS shard
+        |  FROM r)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+        |FROM s GROUP BY 1""".stripMargin,
     "q_batch_plan" ->
       """WITH d AS (
         |  SELECT doc_id,

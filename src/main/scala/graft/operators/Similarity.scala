@@ -17,6 +17,11 @@ import graft.functions.OptimizerBarrier
   * uses the 6-dp-rounded cosine with an id tiebreak so ordering is
   * deterministic across engines.
   */
+/** One grouped row of [[Similarity.mmrSelect]]'s per-query pool stream:
+  * `j == -1` marks a relevance row (v = rel_micro), otherwise a pair
+  * similarity row (v = sim_micro). */
+private[graft] case class MmrRow(query_id: Long, i: Long, j: Long, v: Long)
+
 object Similarity {
 
   /** Cosine via the custom codegen'd expression (same sequential fold
@@ -636,10 +641,17 @@ object Similarity {
     *
     * Scale shape: the candidate pool (top-`nCand` by relevance per
     * query — at corpus scale the output of the IVF/LSH index, here the
-    * brute-force scorer) is bounded, so the O(k·nCand) greedy loop and
-    * the nCand² pair-sim matrix run on checkpointed KB-sized tables;
-    * each step is one anti-join + one max-aggregate + one 1-row-per-
-    * query window, never a corpus pass. */
+    * brute-force scorer) is bounded, and pool assembly + the nCand²
+    * pair-sim matrix stay distributed (the codegen'd cosine kernel);
+    * the greedy argmax chain then runs PER QUERY inside one
+    * flatMapGroups — O(k·nCand) long arithmetic over ≤ nCand·(nCand+1)
+    * grouped rows, exactly the per-candidate-list rerank a production
+    * serving tier does. A million-query batch is embarrassingly
+    * parallel across groups with ONE shuffle total; the earlier
+    * whole-batch relational loop (k global barriers of anti-join +
+    * max-agg + window over KB tables) paid 3k tiny-job latencies for
+    * zero extra parallelism — sequentiality inherent to MMR belongs
+    * inside the bounded group, not in the job graph. */
   def mmrSelect(spark: SparkSession, dir: String, nQueries: Int = 3,
       nCand: Int = 25, k: Int = 8, lamPpm: Long = 700000L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -663,40 +675,57 @@ object Similarity {
         col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         floor(cosine(col("a.embedding"), col("b.embedding")) * 1000000 + 0.5)
           .cast("long").as("sim_micro"))
-      .localCheckpoint()
-    val slim = cand.select("query_id", "vec_id", "rel_micro")
-    val wsel = Window.partitionBy("query_id")
-      .orderBy(col("mmr_micro").desc, col("vec_id"))
-    var selected: DataFrame = null
-    for (step <- 1 to k) {
-      val scored =
-        if (selected == null)
-          slim.withColumn("max_sim_micro", lit(0L))
-        else
-          slim.join(selected.select("query_id", "vec_id"),
-              Seq("query_id", "vec_id"), "left_anti")
-            .join(sims
-                .join(selected.select(col("query_id"), col("vec_id").as("j")),
-                  Seq("query_id", "j"))
-                .groupBy(col("query_id"), col("i").as("vec_id"))
-                .agg(max("sim_micro").as("max_sim_micro")),
-              Seq("query_id", "vec_id"))
-      val pick = scored
-        .withColumn("mmr_micro",
-          lit(lamPpm) * col("rel_micro") -
-            lit(1000000L - lamPpm) * col("max_sim_micro"))
-        .withColumn("rn", row_number().over(wsel))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), lit(step).as("step"), col("vec_id"),
-          col("rel_micro"), col("max_sim_micro"), col("mmr_micro"))
-      // Checkpoint per step: `selected` feeds the next step twice (the
-      // anti-join and the max-sim probe) — same linear-plan discipline
-      // as the BPE/k-means loops.
-      selected =
-        (if (selected == null) pick else selected.unionAll(pick))
-          .localCheckpoint()
-    }
-    selected
+    // Pool + pair matrix as one grouped stream: rel rows tagged j = -1
+    // (vec_ids are non-negative), sim rows carry their pair. One
+    // shuffle on query_id; the group payload is ≤ nCand·(nCand+1) rows
+    // of 4 longs — KB-sized by construction.
+    import spark.implicits._
+    val grouped = cand
+      .select(col("query_id"), col("vec_id").as("i"), lit(-1L).as("j"),
+        col("rel_micro").as("v"))
+      .unionAll(sims.select(col("query_id"), col("i"), col("j"),
+        col("sim_micro").as("v")))
+      .as[MmrRow]
+    grouped.groupByKey(_.query_id)
+      .flatMapGroups { (qid, rows) =>
+        val rel = scala.collection.mutable.LongMap.empty[Long]
+        val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        rows.foreach { m =>
+          if (m.j == -1L) rel(m.i) = m.v else sim((m.i, m.j)) = m.v
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Long, Long, Long)]
+        var step = 1
+        while (step <= k && selected.size < rel.size) {
+          // argmax of λ·rel − (1−λ)·max-sim-to-selected, ties on vec_id
+          // ascending — the exact arithmetic and tie order the unrolled
+          // oracle CTEs replay. max-sim is 0 at step 1 (empty S) but the
+          // TRUE max thereafter — it can be negative (anti-correlated
+          // vectors), matching the relational max aggregate it replaces.
+          var bestId = -1L; var bestMmr = 0L; var bestRel = 0L
+          var bestMax = 0L
+          rel.foreach { case (i, r) =>
+            if (!selected.contains(i)) {
+              var mx = if (selected.isEmpty) 0L else Long.MinValue
+              selected.foreach { s =>
+                val v = sim((i, s)); if (v > mx) mx = v
+              }
+              val m = lamPpm * r - (1000000L - lamPpm) * mx
+              if (bestId == -1L || m > bestMmr ||
+                  (m == bestMmr && i < bestId)) {
+                bestId = i; bestMmr = m; bestRel = r; bestMax = mx
+              }
+            }
+          }
+          out += ((qid, step, bestId, bestRel, bestMax, bestMmr))
+          selected += bestId
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "step", "vec_id", "rel_micro", "max_sim_micro",
+        "mmr_micro")
   }
 
   /** Retrieval-quality EVALUATION: recall@10 and MRR of the IVF index

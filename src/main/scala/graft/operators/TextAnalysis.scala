@@ -106,6 +106,48 @@ object TextAnalysis {
     * `shingles` expression, totals from the token count — one narrow
     * projection, no shuffle, and the ratio is a single division of
     * exact integers. */
+  /** Alphabet used by [[charDiversity]]: the 26 lowercase letters plus
+    * space. Characters outside it contribute to length but not to the
+    * concentration sum — i.e. they count as maximally diverse. */
+  private val DiversityAlphabet: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+ " ")
+
+  /** CHARACTER-DISTRIBUTION diversity gate: per-doc Gini impurity of
+    * the character frequency distribution, in exact ppm —
+    * `10⁶ − Σ c_i²·10⁶ div n²` over the a-z+space alphabet. Low
+    * impurity = a few characters dominate: the classic cheap detector
+    * for char-spam, padding runs, and binary-in-text garbage that
+    * token-level quality rules miss (a doc of "aaaa…" has perfect
+    * word-level stats: one token, full vocab coverage of itself). The
+    * log-free Gini form keeps the score engine-exact where a char-level
+    * Shannon entropy could not be hash-checked.
+    *
+    * Plan: ONE codegen'd projection — each per-char count is
+    * `length(text) − length(replace(text, ch))`, 27 replace passes
+    * fused into the same whole-stage-codegen stage, no shuffle, no
+    * explode of the corpus into characters (the n-rows-per-char form
+    * would shuffle 10¹² rows at 100 TB; this shape streams). Products
+    * go through DECIMAL(38) so a 100 MB document cannot overflow the
+    * square. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")).cast("long")
+    val sumSq = DiversityAlphabet
+      .map { ch =>
+        val c = expr(
+          s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT)")
+        (c * c).cast("decimal(38,0)")
+      }
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), n.as("n_chars_total"), sumSq.as("sum_sq"))
+      .select(col("doc_id"), col("n_chars_total"),
+        (lit(1000000L) - expr(
+          "sum_sq * 1000000 div (CAST(n_chars_total AS DECIMAL(38,0)) * nullif(n_chars_total, 0))"))
+          .as("impurity_ppm"))
+      .withColumn("is_low_diversity",
+        coalesce(col("impurity_ppm") < 600000L, lit(true)))
+  }
+
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Shingles.register(spark)
     Tables.documents(spark, dir)
@@ -752,6 +794,7 @@ object TextAnalysis {
     "q_edit_distance" -> editDistanceBuckets,
     "q_token_counts" -> tokenCounts,
     "q_token_fertility" -> tokenFertility,
+    "q_char_diversity" -> charDiversity,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_chunks" -> docChunks,
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
@@ -934,6 +977,25 @@ object TextAnalysis {
         |SELECT total_tokens, covered_tokens,
         |       CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
         |FROM tot CROSS JOIN cov""".stripMargin,
+    "q_char_diversity" -> {
+      val terms = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+ " ")
+        .map(ch => "CAST(length(text) - length(replace(text, '" + ch +
+          "', '')) AS BIGINT) * CAST(length(text) - length(replace(text, '" +
+          ch + "', '')) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+         |         CAST($terms AS HUGEINT) AS sum_sq
+         |  FROM documents)
+         |SELECT doc_id, n_chars_total,
+         |       CAST(1000000 - (sum_sq * 1000000) //
+         |         (CAST(n_chars_total AS HUGEINT) * nullif(n_chars_total, 0))
+         |         AS BIGINT) AS impurity_ppm,
+         |       coalesce(1000000 - (sum_sq * 1000000) //
+         |         (CAST(n_chars_total AS HUGEINT) * nullif(n_chars_total, 0))
+         |         < 600000, TRUE) AS is_low_diversity
+         |FROM t""".stripMargin
+    },
     "q_repetition_ratio" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
