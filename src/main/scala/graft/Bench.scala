@@ -149,6 +149,7 @@ object Bench {
     "q_shard_plan",
     "q_char_diversity",
     "q_bfs_hops",
+    "q_peak_concurrency",
     "q_bigram_surprisal",
     "q_dsir_weights",
     "q_attribution")

@@ -177,7 +177,57 @@ object Sessionize {
       hits("ee").as("error_doublets"))
   }
 
+  /** PEAK CONCURRENCY per day — the interval-overlap / capacity-planning
+    * primitive (max rooms occupied, max open connections): each session
+    * interval from [[sessions]]' gaps-and-islands becomes a +1 point at
+    * its start and a −1 at its end, and the maximum of the running sum
+    * is the peak number of simultaneously-open sessions. End points
+    * sort BEFORE start points at the same instant (order pts, delta:
+    * −1 < +1), so back-to-back sessions at an identical timestamp never
+    * double-count — the end-exclusive overlap convention, deterministic
+    * down to exact nano ties.
+    *
+    * Per-day attribution: concurrency only changes at points, and every
+    * peak occurs immediately after some +1, so the day's peak is the
+    * max over its session-START instants (a day with zero starts —
+    * carryover only — reports no row, by declared semantics).
+    *
+    * Scale shape: the running sum is [[Packing.withGlobalCumsum]]'s
+    * DISTRIBUTED exact cumsum (range shuffle + broadcast prefix
+    * offsets), never one unpartitioned window over all 2·|sessions|
+    * points; the day rollup is a map-side-combined aggregate. The
+    * oracle replays it as the single ordered window — DuckDB is the
+    * referee, not the scale exemplar. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ivals = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > GapNanos, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("s"), max("ts").as("e"))
+    val points = ivals
+      .select(col("user_id"), col("session_seq"),
+        col("s").as("pts"), lit(1L).as("delta"))
+      .unionAll(ivals.select(col("user_id"), col("session_seq"),
+        col("e").as("pts"), lit(-1L).as("delta")))
+    Packing.withGlobalCumsum(points, "delta",
+        Seq("pts", "delta", "user_id", "session_seq"))
+      .filter(col("delta") === 1L)
+      .select(expr("pts div 86400000000000").as("day"),
+        (col("cum_before") + lit(1L)).as("conc"))
+      .groupBy("day")
+      .agg(max("conc").as("peak_concurrency"),
+        count(lit(1)).as("n_sessions_started"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_peak_concurrency" -> peakConcurrency,
     "q_event_patterns" -> eventPatterns,
     "q_dynamic_sessions" -> dynamicSessions,
     "q_sessionize" -> sessions,
@@ -206,6 +256,37 @@ object Sessionize {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_peak_concurrency" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > ${GapNanos}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         |  SELECT *, CAST(sum(new_session) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_seq
+         |  FROM marked),
+         |ivals AS (
+         |  SELECT user_id, session_seq,
+         |         min(epoch_ns(ts)) AS s, max(epoch_ns(ts)) AS e
+         |  FROM numbered GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT user_id, session_seq, s AS pts, 1 AS delta FROM ivals
+         |  UNION ALL
+         |  SELECT user_id, session_seq, e, -1 FROM ivals),
+         |cum AS (
+         |  SELECT pts, delta,
+         |         sum(delta) OVER (ORDER BY pts, delta, user_id, session_seq
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM pts)
+         |SELECT pts // 86400000000000 AS day,
+         |       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+         |       count(*) AS n_sessions_started
+         |FROM cum WHERE delta = 1 GROUP BY 1""".stripMargin,
     "q_event_patterns" ->
       """WITH s AS (
         |  SELECT user_id,

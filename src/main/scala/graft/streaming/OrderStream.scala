@@ -227,6 +227,37 @@ object OrderStream {
         col("view_id"), col("value"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the join-type
+    * matrix (inner [[viewPurchaseJoin]], left outer
+    * [[purchaseViewOuterJoin]], full outer): unmatched PURCHASES
+    * null-pad on the view side (conversion without attribution) AND
+    * unmatched VIEWS null-pad on the purchase side (browse without
+    * conversion — the abandonment signal the left-outer form drops).
+    * Same state/watermark mechanics as left outer: both sides buffer
+    * within the interval bound; a row null-pads only once the global
+    * watermark proves no counterpart can still arrive. */
+  def purchaseViewFullOuterJoin(
+      events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", watermarkDelay)
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    purchases.join(views,
+      col("p_user_id") === col("v_user_id") &&
+        col("view_time") < col("purchase_time") &&
+        col("view_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce(col("p_user_id"), col("v_user_id")).as("user_id"),
+        col("purchase_id"), col("view_id"), col("value"))
+  }
+
   /** The PriceAggregator state machine as flatMapGroupsWithState: emits a
     * RunningStat per order, keyed by product, state = exact-cents totals.
     * Within a micro-batch, orders are processed in eventTimeMs order

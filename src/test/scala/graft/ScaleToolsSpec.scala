@@ -283,6 +283,54 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join null-pads BOTH sides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val h = 3600L * 1000000000L // 1h in nanos
+    val base = 1704067200000L * 1000000L
+    val events = Seq(
+      (1L, base, 1L, "view", 1.0, "{}"),
+      (2L, base + h / 2, 1L, "purchase", 50.0, "{}"),   // joins view 1
+      (3L, base + 2 * h, 1L, "purchase", 60.0, "{}"),   // view 1 too old → null view
+      (4L, base, 2L, "view", 1.0, "{}"),
+      (5L, base + h / 4, 2L, "view", 1.0, "{}"),
+      (6L, base + h / 2, 2L, "purchase", 70.0, "{}"),   // joins views 4+5
+      (7L, base, 3L, "purchase", 80.0, "{}"),           // no view → null view
+      (8L, base, 4L, "view", 1.0, "{}"))                // no purchase → null purchase
+    val schema = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val batch = OrderStream.purchaseViewFullOuterJoin(events.toDF(schema: _*))
+      .collect().map(_.toString).sorted.toSeq
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    input.addData(events: _*)
+    val q = OrderStream.purchaseViewFullOuterJoin(input.toDF().toDF(schema: _*))
+      .writeStream.format("memory").queryName("ss_full_outer_join_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Same two-step flush as the left-outer spec: advance both sides'
+      // watermarks past the join window, then one more batch so state
+      // eviction (computed from batch N, applied in N+1) emits the
+      // null-padded rows on BOTH sides.
+      input.addData(
+        (98L, base + 100 * h, 8L, "purchase", 1.0, "{}"),
+        (99L, base + 100 * h, 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      input.addData(
+        (100L, base + 101 * h, 8L, "purchase", 1.0, "{}"),
+        (101L, base + 101 * h, 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val streamed = spark.table("ss_full_outer_join_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      // 3 matched + purchases 3, 7 null-padded + view 8 null-padded.
+      assert(batch.size == 6)
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout sessions emit exactly when the watermark closes them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
