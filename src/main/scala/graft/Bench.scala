@@ -150,6 +150,8 @@ object Bench {
     "q_char_diversity",
     "q_bfs_hops",
     "q_peak_concurrency",
+    "q_rolling_distinct",
+    "q_editdist_join",
     "q_bigram_surprisal",
     "q_dsir_weights",
     "q_attribution")

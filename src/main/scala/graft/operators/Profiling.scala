@@ -350,6 +350,47 @@ object Profiling {
           col("exact_distinct") * 0.05 + lit(16)).as("estimate_in_bounds"))
   }
 
+  /** ROLLING 7-day distinct users from the DAILY sketch table — the
+    * overlapping-window payoff of mergeable sketches: raw events are
+    * touched ONCE (one partial-aggregated pass into |days|×|types| HLL
+    * blobs); every 7-day window is then a union of 7 KB-sized sketches,
+    * so N overlapping windows cost N·7 blob merges instead of N full
+    * distinct-counts over 7× re-scanned data. At 100 TB the daily
+    * sketch table IS the materialized artifact (appended daily, never
+    * recomputed) and this query never reads the fact table at all.
+    * Windows are reported for observed (type, day) keys only; the
+    * exact rolling distinct and the ±5%+16 bound flag make the
+    * approximate path oracle-checkable, same contract as
+    * [[distinctUsersMergeable]]. */
+  def rollingDistinctUsers(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val dayKeys = daily.select(col("event_type"), col("day").as("wday"))
+    val est = daily
+      .select(col("event_type"), col("sk"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("wday"))
+      .join(dayKeys, Seq("event_type", "wday"))
+      .groupBy("event_type", "wday")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.distinct()
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("wday"))
+      .join(dayKeys, Seq("event_type", "wday"))
+      .groupBy("event_type", "wday")
+      .agg(countDistinct("user_id").as("exact_rolling"))
+    est.join(exact, Seq("event_type", "wday"))
+      .select(col("event_type"), col("wday").as("day"),
+        col("exact_rolling"),
+        (abs(col("est") - col("exact_rolling")) <=
+          col("exact_rolling") * 0.05 + lit(16)).as("estimate_in_bounds"))
+  }
+
   /** Theta-sketch SET ALGEBRA over user audiences — the sketch family
     * that, unlike HLL, supports intersection and difference: "users who
     * clicked AND purchased" over 100 TB is a merge of two KB-sized
@@ -720,6 +761,7 @@ object Profiling {
     "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
     "q_mad_prices" -> madPrices,
     "q_distinct_mergeable" -> distinctUsersMergeable,
+    "q_rolling_distinct" -> ((s, d) => rollingDistinctUsers(s, d)),
     "q_theta_audience" -> thetaAudience,
     "q_bitmap_audience" -> bitmapAudience,
     "q_script_median" -> scriptMedianSearch,
@@ -920,6 +962,21 @@ object Profiling {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |       true AS estimate_in_bounds
         |FROM events GROUP BY 1""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |         epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT event_type, day FROM ev),
+        |contrib AS (
+        |  SELECT e.event_type, e.user_id, e.day + i AS wday
+        |  FROM ev e, (SELECT unnest(range(0, 7)) AS i))
+        |SELECT c.event_type, c.wday AS day,
+        |       count(DISTINCT c.user_id) AS exact_rolling,
+        |       true AS estimate_in_bounds
+        |FROM contrib c
+        |JOIN days d ON d.event_type = c.event_type AND d.day = c.wday
+        |GROUP BY 1, 2""".stripMargin,
     "q_calibration" ->
       """WITH e AS (
         |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
