@@ -152,6 +152,7 @@ object Bench {
     "q_peak_concurrency",
     "q_rolling_distinct",
     "q_editdist_join",
+    "q_dedup_eval",
     "q_bigram_surprisal",
     "q_dsir_weights",
     "q_attribution")
