@@ -71,5 +71,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"l2sq(a, b) takes 2 args, got ${other.size}")
         }))
+    // Text/vector kernels with per-session register() helpers, also
+    // wired here so a spark.sql.extensions user gets the FULL SQL
+    // surface without any Scala call: shingles(text[, n]) (distinct
+    // word n-grams), shingles_all(text, n) (positional n-grams), and
+    // cosine_sim(a, b) over float vectors.
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(
+        classOf[graft.functions.Shingles].getName, "shingles"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(text) => graft.functions.Shingles(text, 3)
+          case Seq(text, n) => graft.functions.Shingles(
+            text, n.eval().asInstanceOf[Number].intValue())
+          case other => throw new IllegalArgumentException(
+            s"shingles(text[, n]) takes 1-2 args, got ${other.size}")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles_all"),
+      new ExpressionInfo(
+        classOf[graft.functions.ShinglesAll].getName, "shingles_all"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(text, n) => graft.functions.ShinglesAll(
+            text, n.eval().asInstanceOf[Number].intValue())
+          case other => throw new IllegalArgumentException(
+            s"shingles_all(text, n) takes 2 args, got ${other.size}")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(a, b) => graft.functions.CosineSim(a, b)
+          case other => throw new IllegalArgumentException(
+            s"cosine_sim(a, b) takes 2 args, got ${other.size}")
+        }))
   }
 }

@@ -59,6 +59,18 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) == 13L) // 3² + 2² + 0²
   }
 
+  test("text/vector kernels shingles/shingles_all/cosine_sim resolve in SQL") {
+    val r = spark.sql(
+      """SELECT shingles('a b a b c', 2) AS sh,
+        |       shingles_all('a b a b c', 2) AS sha,
+        |       cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                  array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cs
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0).toSet == Set("a b", "b a", "b c"))
+    assert(r.getSeq[String](1) == Seq("a b", "b a", "a b", "b c"))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("round-trip elision removes the codec from the optimized plan") {
     val df = spark.sql(
       """SELECT from_avro_order(to_avro_order(named_struct(
