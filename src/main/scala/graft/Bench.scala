@@ -153,6 +153,8 @@ object Bench {
     "q_rolling_distinct",
     "q_editdist_join",
     "q_dedup_eval",
+    "q_ks_drift",
+    "q_coverage_curve",
     "q_bigram_surprisal",
     "q_dsir_weights",
     "q_attribution")

@@ -180,7 +180,47 @@ object Stats {
       .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
   }
 
+  /** Two-sample KOLMOGOROV-SMIRNOV distance between the 1995 and 1996
+    * order-price distributions — the standard distribution-DRIFT
+    * monitor (has this month's data shifted vs last month's?) in its
+    * log-free exact form: D = max over distinct values v of
+    * |F₁(v) − F₂(v)| reported as the integer pair
+    * (max |c₁(v)·n₂ − c₂(v)·n₁|, n₁·n₂) plus the floor-ppm ratio — no
+    * float CDFs, so the drift score is bit-reproducible and
+    * hash-checked (a PSI would need logs; KS is the drift statistic
+    * that stays in integers).
+    *
+    * Plan: one scan → (cents, side) conditional-count aggregate (one
+    * row per distinct value) → TWO chained [[Packing.withGlobalCumsum]]
+    * passes (c₁ then c₂ — each a range shuffle + broadcast offsets over
+    * the post-aggregate distinct-value table, zero unpartitioned
+    * windows) → one max aggregate against the broadcast (n₁, n₂) row. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(year(col("o_orderdate")) === 1995, 1).otherwise(2).as("side"))
+    val g = s.groupBy("cents")
+      .agg(count(when(col("side") === 1, 1)).as("c1"),
+        count(when(col("side") === 2, 1)).as("c2"))
+    val cum1 = Packing.withGlobalCumsum(g, "c1", Seq("cents"))
+      .withColumnRenamed("cum_before", "cb1")
+    val cum2 = Packing.withGlobalCumsum(cum1, "c2", Seq("cents"))
+      .withColumnRenamed("cum_before", "cb2")
+    val totals = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum2.crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs((col("cb1") + col("c1")) * col("n2") -
+          (col("cb2") + col("c2")) * col("n1")).as("d"))
+      .groupBy("n1", "n2")
+      .agg(max("d").as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        expr("(1000000 * ks_num) div (n1 * n2)").as("ks_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift" -> ksDrift,
     "q_trend_slope" -> (trendSlope(_, _)),
     "q_spearman_corr" -> (spearmanCorr(_, _)),
     "q_gini_hhi" -> (giniHhi(_, _)),
@@ -189,6 +229,30 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_ks_drift" ->
+      """WITH s AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 2 END AS side
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |g AS (
+        |  SELECT cents,
+        |         CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (WHERE side = 2) AS BIGINT) AS c2
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |         CAST(sum(c1) OVER (ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |         CAST(sum(c2) OVER (ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM g),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM g)
+        |SELECT n1, n2,
+        |       CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+        |       CAST((1000000 * max(abs(f1 * n2 - f2 * n1))) // (n1 * n2)
+        |            AS BIGINT) AS ks_ppm
+        |FROM c, t GROUP BY n1, n2""".stripMargin,
     // Sign/abs split keeps `//` (floor) and `div` (trunc) identical.
     "q_trend_slope" ->
       """WITH m AS (

@@ -106,6 +106,41 @@ object TextAnalysis {
     * `shingles` expression, totals from the token count — one narrow
     * projection, no shuffle, and the ratio is a single division of
     * exact integers. */
+  /** VOCABULARY COVERAGE CURVE at power-of-two ranks: after sorting the
+    * vocabulary by frequency (count desc, token tiebreak), what
+    * fraction of all token OCCURRENCES do the top 1, 2, 4, 8, …
+    * types cover — the Zipf curve a tokenizer/vocab-size decision reads
+    * (where vocab-growth counts NEW types per slice, this reports the
+    * cumulative occurrence mass per vocab budget). Power-of-two ranks
+    * make the report ⌊log₂V⌋ rows at ANY scale factor — the same
+    * self-scaling discipline as the doc-length histogram.
+    *
+    * Plan: one explode + vocab aggregate, then TWO chained
+    * [[Packing.withGlobalCumsum]] passes over the post-aggregate vocab
+    * table (rank via weight 1, cumulative occurrences via weight cnt —
+    * both range-sharded, zero unpartitioned windows over the vocab),
+    * a codegen'd `(r & (r−1)) = 0` filter, and the broadcast 1-row
+    * total. Exact integers end to end (coverage in floor ppm). */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(spark, dir)
+      .select(explode(tokens).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("neg_cnt", -col("cnt"))
+      .withColumn("one", lit(1L))
+    val ranked = Packing.withGlobalCumsum(v, "one", Seq("neg_cnt", "tok"))
+      .withColumnRenamed("cum_before", "rk0")
+    val cum = Packing.withGlobalCumsum(ranked, "cnt", Seq("neg_cnt", "tok"))
+      .withColumn("rank", col("rk0") + 1)
+      .withColumn("covered_tokens", col("cum_before") + col("cnt"))
+    val total = v.agg(sum("cnt").as("total_tokens"))
+    cum.filter(expr("(rank & (rank - 1)) = 0"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("cnt"), col("covered_tokens"),
+        col("total_tokens"),
+        expr("(1000000 * covered_tokens) div total_tokens")
+          .as("coverage_ppm"))
+  }
+
   /** Alphabet used by [[charDiversity]]: the 26 lowercase letters plus
     * space. Characters outside it contribute to length but not to the
     * concentration sum — i.e. they count as maximally diverse. */
@@ -795,6 +830,7 @@ object TextAnalysis {
     "q_token_counts" -> tokenCounts,
     "q_token_fertility" -> tokenFertility,
     "q_char_diversity" -> charDiversity,
+    "q_coverage_curve" -> coverageCurve,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_chunks" -> docChunks,
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
@@ -977,6 +1013,24 @@ object TextAnalysis {
         |SELECT total_tokens, covered_tokens,
         |       CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
         |FROM tot CROSS JOIN cov""".stripMargin,
+    "q_coverage_curve" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT tok, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+        |           AS rank,
+        |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS covered_tokens
+        |  FROM v),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM v)
+        |SELECT rank, cnt, covered_tokens, total_tokens,
+        |       CAST((1000000 * covered_tokens) // total_tokens AS BIGINT)
+        |         AS coverage_ppm
+        |FROM r, t WHERE (rank & (rank - 1)) = 0""".stripMargin,
     "q_char_diversity" -> {
       val terms = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+ " ")
         .map(ch => "CAST(length(text) - length(replace(text, '" + ch +
