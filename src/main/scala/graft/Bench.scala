@@ -155,6 +155,8 @@ object Bench {
     "q_dedup_eval",
     "q_ks_drift",
     "q_coverage_curve",
+    "q_prefix_search",
+    "q_windowed_funnel",
     "q_bigram_surprisal",
     "q_dsir_weights",
     "q_attribution")

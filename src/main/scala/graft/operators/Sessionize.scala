@@ -226,8 +226,44 @@ object Sessionize {
         count(lit(1)).as("n_sessions_started"))
   }
 
+  val WindowedFunnelUs: Long = 7L * 86400L * 1000000L // 7 days in micros
+
+  /** TIME-BOUNDED conversion funnel — [[funnel]] with a deadline: every
+    * later stage must land within 7 days of the user's FIRST signup,
+    * the form conversion-rate reporting actually uses (an unbounded
+    * funnel credits a purchase two years later to the campaign). Same
+    * earliest-strict-chain semantics and micro-resolution arithmetic;
+    * the deadline is one extra integer predicate per stage join, so the
+    * plan shape (three user-keyed conditional-min aggregates chained on
+    * one shuffle key) is unchanged. A user's funnel "expires" at
+    * t1 + 7 d: stages reached after that report as not-reached. */
+  def windowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("t1_us"))
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "view" && col("tsu") > col("t1_us") &&
+        col("tsu") <= col("t1_us") + WindowedFunnelUs)
+      .groupBy("user_id").agg(min("tsu").as("t2_us"), min("t1_us").as("t1"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("tsu") > col("t2_us") &&
+        col("tsu") <= col("t1") + WindowedFunnelUs)
+      .groupBy("user_id").agg(min("tsu").as("t3_us"))
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2.drop("t1"), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3_us").isNotNull, 3).when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1).otherwise(0).as("stage"),
+        col("t1_us"), col("t2_us"), col("t3_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_peak_concurrency" -> peakConcurrency,
+    "q_windowed_funnel" -> windowedFunnel,
     "q_event_patterns" -> eventPatterns,
     "q_dynamic_sessions" -> dynamicSessions,
     "q_sessionize" -> sessions,
@@ -256,6 +292,29 @@ object Sessionize {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_windowed_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+         |  FROM events),
+         |s1 AS (SELECT user_id, min(tsu) AS t1_us FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(tsu) AS t2_us, min(t1_us) AS t1
+         |       FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND tsu > t1_us
+         |         AND tsu <= t1_us + ${WindowedFunnelUs} GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(tsu) AS t3_us
+         |       FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND tsu > t2_us
+         |         AND tsu <= t1 + ${WindowedFunnelUs} GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM e)
+         |SELECT u.user_id,
+         |       CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+         |                 WHEN t2_us IS NOT NULL THEN 2
+         |                 WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |         AS stage,
+         |       t1_us, t2_us, t3_us
+         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |       LEFT JOIN s3 USING (user_id)""".stripMargin,
     "q_peak_concurrency" ->
       s"""WITH marked AS (
          |  SELECT user_id, event_id, ts,

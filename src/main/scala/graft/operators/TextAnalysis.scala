@@ -371,6 +371,32 @@ object TextAnalysis {
       phrase: Seq[String] = DefaultPhrase): DataFrame =
     phraseSearchIndexed(spark.read.parquet(tokenIndexPath(spark, dir)), phrase)
 
+  private[graft] val DefaultPrefixes = Seq("s", "c", "f")
+
+  /** PREFIX SEARCH / autocomplete served from the persisted token
+    * index: top-k completions per prefix ranked by corpus occurrence
+    * count. Each prefix is one index scan with the `StartsWith`
+    * predicate PUSHED to parquet (`PushedFilters:
+    * [StringStartsWith(tok,…)]` — with the index range-laid-out on tok,
+    * footer min/max stats open only the matching row groups, the
+    * B-tree-free columnar analog of a term-dictionary seek), one
+    * map-side-combined count aggregate, and a WindowGroupLimit-capped
+    * per-prefix top-k over the post-aggregate completion table — never
+    * a text rescan. */
+  def prefixSearch(spark: SparkSession, dir: String,
+      prefixes: Seq[String] = DefaultPrefixes, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ix = spark.read.parquet(tokenIndexPath(spark, dir))
+    prefixes.map { p =>
+      ix.filter(col("tok").startsWith(p))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(lit(p).as("prefix"), col("tok"), col("cnt"))
+    }.reduce(_ unionAll _)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("prefix").orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rn") <= k)
+  }
+
   /** Force the build-once token index for `dir` and return its path —
     * the explicit index-build entry point ([[Indexes.prebuild]] calls it
     * so benchmarked serve paths never pay the build). */
@@ -831,6 +857,7 @@ object TextAnalysis {
     "q_token_fertility" -> tokenFertility,
     "q_char_diversity" -> charDiversity,
     "q_coverage_curve" -> coverageCurve,
+    "q_prefix_search" -> ((s, d) => prefixSearch(s, d)),
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_chunks" -> docChunks,
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
@@ -1013,6 +1040,21 @@ object TextAnalysis {
         |SELECT total_tokens, covered_tokens,
         |       CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
         |FROM tot CROSS JOIN cov""".stripMargin,
+    "q_prefix_search" -> {
+      val ps = DefaultPrefixes
+        .map(p => s"SELECT '$p' AS prefix").mkString(" UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |p AS ($ps),
+         |r AS (
+         |  SELECT p.prefix, c.tok, c.cnt,
+         |         CAST(row_number() OVER (PARTITION BY p.prefix
+         |           ORDER BY c.cnt DESC, c.tok) AS INT) AS rn
+         |  FROM p JOIN c ON c.tok LIKE p.prefix || '%')
+         |SELECT prefix, tok, cnt, rn FROM r WHERE rn <= 5""".stripMargin
+    },
     "q_coverage_curve" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
