@@ -71,4 +71,55 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val afterIdle = sinkIds()
     assert(afterIdle.size == 70 && afterIdle.distinct.size == 70)
   }
+
+  test("state store reader introspects a streaming aggregation checkpoint") {
+    // Spark 4's State Data Source: a stopped query's state store read
+    // back as a DataFrame — the operational seam for state debugging,
+    // capacity audits ("how many keys is this query carrying?") and
+    // offline state repair, with no need to replay the stream. The
+    // reference's consumer keeps its per-product aggregation state
+    // opaque inside the process; here the same state is a queryable
+    // table.
+    val root = Files.createTempDirectory("graft_statestore")
+    val (src, chk) = (root.resolve("src"), root.resolve("chk"))
+    Files.createDirectories(src)
+    writeBatch(src, "b1.json", 0 until 60) // products P0, P1, P2
+    val q = spark.readStream
+      .schema("orderId STRING, product STRING, price DOUBLE, timestamp LONG")
+      .json(src.toString)
+      .groupBy("product")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("price") * 100, 0).cast("long")).as("cents"))
+      .writeStream
+      .format("memory").queryName("state_reader_agg")
+      .option("checkpointLocation", chk.toString)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val state = spark.read.format("statestore")
+      .load(chk.toString)
+    // One state row per aggregation key; the key struct carries the
+    // grouping columns.
+    val keys = state.select(col("key.product")).collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(keys == Seq("P0", "P1", "P2"),
+      s"state keys must be the grouping keys, got $keys")
+    // The value struct is the aggregation buffer — its count field must
+    // agree with a batch recompute over the same input.
+    val countField = state.select(col("value.*")).schema.fields
+      .find(_.name.toLowerCase.contains("n")).map(_.name)
+    val expected = spark.read
+      .schema("orderId STRING, product STRING, price DOUBLE, timestamp LONG")
+      .json(src.toString)
+      .groupBy("product").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    countField.foreach { f =>
+      val got = state
+        .select(col("key.product").as("p"), col(s"value.`$f`").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"state buffer $f must match recompute: $got vs $expected")
+    }
+  }
 }
