@@ -30,7 +30,21 @@ object Packing {
     * partitioned (same discipline as `Profiling.equidepthOf`'s exact
     * rank, generalized from counts to weights). */
   private[graft] def withGlobalCumsum(input: DataFrame, weightCol: String,
-      orderCols: Seq[String], parts: Int = 32): DataFrame = {
+      orderCols: Seq[String], parts: Int = 32): DataFrame =
+    withGlobalCumsums(input, Seq(weightCol -> "cum_before"), orderCols, parts)
+
+  /** Multi-weight generalization of [[withGlobalCumsum]]: append one
+    * exact strictly-before running sum PER (weightCol → outCol) pair,
+    * all over the SAME `orderCols` ordering, for the cost of ONE range
+    * shuffle + ONE checkpoint + ONE per-partition window pass. Callers
+    * that need several cumulative statistics of the same ordering (KS
+    * drift's two CDFs, the coverage curve's rank + occurrence mass)
+    * previously chained full passes — at 100 TB each chained pass is
+    * another range shuffle and materialization of the whole table, so
+    * fusing them halves the dominant cost. */
+  private[graft] def withGlobalCumsums(input: DataFrame,
+      weights: Seq[(String, String)], orderCols: Seq[String],
+      parts: Int = 32): DataFrame = {
     // MATERIALIZE the ranged rows before fanning out. The per-partition
     // sums, the offsets join and the local window all consume `ranged`;
     // if Catalyst prunes them differently the exchange subtrees stop
@@ -48,18 +62,31 @@ object Packing {
       .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val sums = ranged.groupBy("pid").agg(sum(weightCol).as("psum"))
+    val sums = ranged.groupBy("pid").agg(
+      sum(weights.head._1).as(s"psum_0"),
+      weights.tail.zipWithIndex.map { case ((w, _), i) =>
+        sum(w).as(s"psum_${i + 1}") }: _*)
     val offs = sums
-      .join(broadcast(sums.select(col("pid").as("bpid"), col("psum").as("bsum"))),
+      .join(broadcast(sums.select(col("pid").as("bpid") +:
+        weights.indices.map(i => col(s"psum_$i").as(s"bsum_$i")): _*)),
         col("bpid") < col("pid"), "left")
-      .groupBy("pid").agg(coalesce(sum("bsum"), lit(0L)).as("poff"))
+      .groupBy("pid").agg(
+        coalesce(sum("bsum_0"), lit(0L)).as("poff_0"),
+        weights.indices.tail.map(i =>
+          coalesce(sum(s"bsum_$i"), lit(0L)).as(s"poff_$i")): _*)
     val localW = Window.partitionBy("pid").orderBy(orderCols.map(col): _*)
-    ranged
-      .withColumn("lcum", coalesce(sum(col(weightCol)).over(
-        localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(offs), "pid")
-      .withColumn("cum_before", col("poff") + col("lcum"))
-      .drop("pid", "lcum", "poff")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = weights.zipWithIndex.foldLeft(ranged) {
+      case (df, ((w, _), i)) =>
+        df.withColumn(s"lcum_$i",
+          coalesce(sum(col(w)).over(localW), lit(0L)))
+    }
+    val joined = withLocal.join(broadcast(offs), "pid")
+    weights.zipWithIndex.foldLeft(joined) {
+      case (df, ((_, out), i)) =>
+        df.withColumn(out, col(s"poff_$i") + col(s"lcum_$i"))
+    }.drop("pid" +: weights.indices.flatMap(i =>
+      Seq(s"lcum_$i", s"poff_$i")): _*)
   }
 
   /** Concat-and-chunk packing manifest at `seqLen` tokens: documents in

@@ -191,10 +191,11 @@ object Stats {
     * that stays in integers).
     *
     * Plan: one scan → (cents, side) conditional-count aggregate (one
-    * row per distinct value) → TWO chained [[Packing.withGlobalCumsum]]
-    * passes (c₁ then c₂ — each a range shuffle + broadcast offsets over
-    * the post-aggregate distinct-value table, zero unpartitioned
-    * windows) → one max aggregate against the broadcast (n₁, n₂) row. */
+    * row per distinct value) → ONE fused [[Packing.withGlobalCumsums]]
+    * pass computing BOTH CDFs (c₁ and c₂ share the cents ordering, so
+    * one range shuffle + one window pass carries both running sums —
+    * zero unpartitioned windows) → one max aggregate against the
+    * broadcast (n₁, n₂) row. */
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.orders(spark, dir)
       .filter(year(col("o_orderdate")).isin(1995, 1996))
@@ -204,10 +205,8 @@ object Stats {
     val g = s.groupBy("cents")
       .agg(count(when(col("side") === 1, 1)).as("c1"),
         count(when(col("side") === 2, 1)).as("c2"))
-    val cum1 = Packing.withGlobalCumsum(g, "c1", Seq("cents"))
-      .withColumnRenamed("cum_before", "cb1")
-    val cum2 = Packing.withGlobalCumsum(cum1, "c2", Seq("cents"))
-      .withColumnRenamed("cum_before", "cb2")
+    val cum2 = Packing.withGlobalCumsums(g,
+      Seq("c1" -> "cb1", "c2" -> "cb2"), Seq("cents"))
     val totals = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cum2.crossJoin(broadcast(totals))
       .select(col("n1"), col("n2"),

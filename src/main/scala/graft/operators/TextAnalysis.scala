@@ -115,21 +115,21 @@ object TextAnalysis {
     * make the report ⌊log₂V⌋ rows at ANY scale factor — the same
     * self-scaling discipline as the doc-length histogram.
     *
-    * Plan: one explode + vocab aggregate, then TWO chained
-    * [[Packing.withGlobalCumsum]] passes over the post-aggregate vocab
-    * table (rank via weight 1, cumulative occurrences via weight cnt —
-    * both range-sharded, zero unpartitioned windows over the vocab),
-    * a codegen'd `(r & (r−1)) = 0` filter, and the broadcast 1-row
-    * total. Exact integers end to end (coverage in floor ppm). */
+    * Plan: one explode + vocab aggregate, then ONE fused
+    * [[Packing.withGlobalCumsums]] pass over the post-aggregate vocab
+    * table (rank via weight 1 AND cumulative occurrences via weight cnt
+    * share the (count desc, token) ordering, so one range shuffle + one
+    * window pass carries both — zero unpartitioned windows over the
+    * vocab), a codegen'd `(r & (r−1)) = 0` filter, and the broadcast
+    * 1-row total. Exact integers end to end (coverage in floor ppm). */
   def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.documents(spark, dir)
       .select(explode(tokens).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("neg_cnt", -col("cnt"))
       .withColumn("one", lit(1L))
-    val ranked = Packing.withGlobalCumsum(v, "one", Seq("neg_cnt", "tok"))
-      .withColumnRenamed("cum_before", "rk0")
-    val cum = Packing.withGlobalCumsum(ranked, "cnt", Seq("neg_cnt", "tok"))
+    val cum = Packing.withGlobalCumsums(v,
+      Seq("one" -> "rk0", "cnt" -> "cum_before"), Seq("neg_cnt", "tok"))
       .withColumn("rank", col("rk0") + 1)
       .withColumn("covered_tokens", col("cum_before") + col("cnt"))
     val total = v.agg(sum("cnt").as("total_tokens"))
