@@ -159,7 +159,10 @@ object Bench {
     "q_windowed_funnel",
     "q_bigram_surprisal",
     "q_dsir_weights",
-    "q_attribution")
+    "q_attribution",
+    "q_walk_counts",
+    "q_bootstrap_means",
+    "q_item_triples")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

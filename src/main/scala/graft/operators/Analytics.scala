@@ -414,6 +414,61 @@ object Analytics {
     * collapses multi-line items so a part counted twice in one order
     * can't inflate support. Top-k ranks over the aggregate-bounded
     * pair table. */
+  /** Minimum support for [[itemTriples]]' frequent-pair frontier. */
+  val TripleMinSup = 2
+
+  /** APRIORI frequent-TRIPLE mining over order baskets — the level-3
+    * step of market-basket analysis, with the classic candidate
+    * pruning: order-level triples are generated ONLY by extending
+    * frequent pairs, and a candidate (a,b,c) survives only if ALL
+    * THREE of its sub-pairs are frequent (the Apriori downward-closure
+    * property) — the raw basket³ expansion never materializes. Output:
+    * every surviving candidate with its exact support and the
+    * ≥ minSup verdict as 0/1.
+    *
+    * Plan/scale shape: the distinct basket table is materialized once
+    * (three consumers); the frequent-pair frontier F2 is support-
+    * thresholded (|F2| ≪ |pairs| — 3.5k of 1.2M at sf0.1) and
+    * BROADCAST into every semi join (its checkpoint strips stats, and
+    * the k-core lesson applies: hint the side you know is bounded).
+    * Order-level pair rows are semi-filtered by F2 BEFORE the
+    * third-item extension join, so the expansion fan-out is bounded by
+    * frequent-pair occurrences × basket size, not basket³. At 100 TB
+    * minSup scales with the corpus, keeping F2 the sketch-sized
+    * frontier — exactly why Apriori, not raw enumeration, is the shape
+    * that survives. */
+  def itemTriples(spark: SparkSession, dir: String,
+      minSup: Int = TripleMinSup): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    // Order-level pairs materialized ONCE: both the support aggregate
+    // (→ F2) and the frequent-filtered extension input consume it —
+    // without the cut the basket self-join runs twice.
+    val op0 = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("pa"), col("b.p").as("pb"))
+      .localCheckpoint()
+    val f2 = op0.groupBy("pa", "pb")
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSup)
+      .select("pa", "pb")
+      .localCheckpoint()
+    val orderPairs = op0.join(broadcast(f2), Seq("pa", "pb"), "left_semi")
+    orderPairs.as("op").join(items.as("c"),
+        col("op.o") === col("c.o") && col("c.p") > col("op.pb"))
+      .select(col("op.o"), col("op.pa"), col("op.pb"), col("c.p").as("pc"))
+      .join(broadcast(f2.select(col("pa"), col("pb").as("pc"))),
+        Seq("pa", "pc"), "left_semi")
+      .join(broadcast(f2.select(col("pa").as("pb"), col("pb").as("pc"))),
+        Seq("pb", "pc"), "left_semi")
+      .groupBy("pa", "pb", "pc")
+      .agg(count(lit(1)).as("sup"))
+      .withColumn("frequent",
+        when(col("sup") >= minSup, 1L).otherwise(0L))
+  }
+
   def itemPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -559,6 +614,7 @@ object Analytics {
     "q_corpus_diff" -> corpusDiff,
     "q_constraint_report" -> constraintReport,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
+    "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
@@ -578,6 +634,27 @@ object Analytics {
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_item_triples" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |f2 AS (
+         |  SELECT a.p AS pa, b.p AS pb
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $TripleMinSup),
+         |op AS (
+         |  SELECT a.o AS o, a.p AS pa, b.p AS pb
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |opf AS (SELECT op.* FROM op
+         |        SEMI JOIN f2 ON op.pa = f2.pa AND op.pb = f2.pb),
+         |tri AS (SELECT opf.o, opf.pa, opf.pb, c.p AS pc
+         |        FROM opf JOIN items c ON c.o = opf.o AND c.p > opf.pb),
+         |trif AS (SELECT tri.* FROM tri
+         |         SEMI JOIN f2 x ON tri.pa = x.pa AND tri.pc = x.pb
+         |         SEMI JOIN f2 y ON tri.pb = y.pa AND tri.pc = y.pb)
+         |SELECT pa, pb, pc, CAST(count(*) AS BIGINT) AS sup,
+         |       CAST(CASE WHEN count(*) >= $TripleMinSup THEN 1 ELSE 0 END
+         |            AS BIGINT) AS frequent
+         |FROM trif GROUP BY 1, 2, 3""".stripMargin,
     "q_gap_fill" ->
       """WITH base AS (
         |  SELECT l_suppkey,

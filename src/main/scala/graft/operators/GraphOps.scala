@@ -285,10 +285,52 @@ object GraphOps {
       path
     })
 
+  /** Depth bound for [[walkCounts]] — keeps the recursion Σ 25^k. */
+  val WalkMaxLen = 3
+
+  /** The recursive half of the walk query, over an `edges(src, dst, w)`
+    * relation named `edgesRel`: bounded-length weighted WALK counting
+    * from nation 0 — for each (node, length ≤ [[WalkMaxLen]]), the
+    * number of distinct walks ending there and their total weight
+    * (product of edge line-counts along the walk — the "how much trade
+    * flows along multi-hop routes" statistic adjacency-matrix powers
+    * compute). Exact integer products/sums, so hash-checkable. */
+  private def walkSqlBody(edgesRel: String): String =
+    s"""WITH RECURSIVE walks AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS len, CAST(1 AS BIGINT) AS wprod
+       |  UNION ALL
+       |  SELECT CAST(e.dst AS BIGINT), wk.len + 1, wk.wprod * e.w
+       |  FROM walks wk JOIN $edgesRel e ON e.src = wk.node
+       |  WHERE wk.len < $WalkMaxLen)
+       |SELECT node, len, CAST(count(*) AS BIGINT) AS n_walks,
+       |       CAST(sum(wprod) AS BIGINT) AS weighted_walks
+       |FROM walks WHERE len > 0 GROUP BY node, len""".stripMargin
+
+  /** NATIVE RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): the SQL-surface
+    * face of iterative graph traversal — where [[bfsHops]] drives the
+    * fixpoint from a driver loop, here the engine's own UnionLoop
+    * executes it, and the DuckDB oracle runs the IDENTICAL recursive
+    * SQL (both dialects share the syntax and linear-recursion
+    * semantics).
+    *
+    * Plan/scale shape: the aggregated edge table is materialized ONCE
+    * before the recursion (same lineage discipline as [[pageRank]] —
+    * otherwise every loop step re-derives the 4-way fact join), so
+    * each recursion level is one distributed join of the frontier
+    * against the |nations|² edge artifact; depth is bounded by
+    * [[WalkMaxLen]], and the recursion carries (node, len, wprod)
+    * rows only — never the fact table. */
+  def walkCounts(spark: SparkSession, dir: String): DataFrame = {
+    tradeEdges(spark, dir).localCheckpoint()
+      .createOrReplaceTempView("edges_walks")
+    spark.sql(walkSqlBody("edges_walks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_trade" -> pageRank,
     "q_kcore_peel" -> ((s, d) => kCorePeel(s, d)),
     "q_bfs_hops" -> ((s, d) => bfsHops(s, d)),
+    "q_walk_counts" -> walkCounts,
     "q_triangle_count" -> triangleCount)
 
   private val edgesSql =
@@ -336,6 +378,16 @@ object GraphOps {
            |FROM e$r""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_walk_counts" ->
+      (s"""WITH RECURSIVE edges_w AS (
+          |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  GROUP BY 1, 2),
+          |""".stripMargin +
+        walkSqlBody("edges_w").replaceFirst("WITH RECURSIVE ", "")),
     "q_bfs_hops" ->
       s"""WITH RECURSIVE $edgesSql,
          |sparse AS (

@@ -218,7 +218,43 @@ object Stats {
         expr("(1000000 * ks_num) div (n1 * n2)").as("ks_ppm"))
   }
 
+  /** Replicate count for [[bootstrapMeans]] — one per bit of the
+    * 32-bit md5 prefix. */
+  val BootstrapReps = 32
+
+  /** DETERMINISTIC HALF-SAMPLE BOOTSTRAP of the mean order price: 32
+    * replicates, replicate r containing order o iff bit r of
+    * md5(o_orderkey)'s 32-bit prefix is set — each replicate is an
+    * independent-ish random half of the orders, and the SPREAD of the
+    * replicate means is the standard-error estimate every reported
+    * corpus statistic should ship with (the "is this month's mean
+    * actually different" error bar). md5-driven membership makes every
+    * replicate a pure function of the key — no RNG state, so the whole
+    * replicate table is bit-reproducible and DuckDB replays it exactly
+    * (a Poisson bootstrap would need e^{-1} draws that no two engines
+    * float-match).
+    *
+    * Plan/scale shape: ONE scan; the 32-way fan-out explodes a
+    * replicate-index array per row but collapses in the SAME stage's
+    * partial HashAggregate (32 groups), so the shuffle carries 32 rows
+    * per task, never 32× the data. Means in exact cents (trunc div —
+    * sums positive, so floor = trunc across engines). */
+  def bootstrapMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .select(col("cents"), col("h"),
+        explode(sequence(lit(0), lit(BootstrapReps - 1))).as("r"))
+      .filter(expr("(shiftright(h, r) & 1) = 1"))
+      .groupBy("r")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("r").cast("long").as("r"), col("n"), col("sum_cents"),
+        expr("sum_cents div n").as("mean_cents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_means" -> bootstrapMeans,
     "q_ks_drift" -> ksDrift,
     "q_trend_slope" -> (trendSlope(_, _)),
     "q_spearman_corr" -> (spearmanCorr(_, _)),
@@ -228,6 +264,18 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_bootstrap_means" ->
+      s"""WITH s AS (
+         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         |         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+         |              AS BIGINT) AS h
+         |  FROM orders),
+         |reps AS (SELECT unnest(range(0, $BootstrapReps)) AS r),
+         |m AS (SELECT reps.r, s.cents FROM s, reps WHERE ((h >> r) & 1) = 1)
+         |SELECT r, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |       CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS mean_cents
+         |FROM m GROUP BY r""".stripMargin,
     "q_ks_drift" ->
       """WITH s AS (
         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
