@@ -258,6 +258,37 @@ object OrderStream {
         col("purchase_id"), col("view_id"), col("value"))
   }
 
+  /** LEFT SEMI stream-stream interval join — the last cell of the
+    * join-type matrix (inner, left outer, full outer, semi): purchases
+    * that had AT LEAST ONE qualifying prior view, emitted ONCE per
+    * purchase regardless of how many views matched — the deduplicated
+    * "converted with attribution" set the inner join fans out and the
+    * outer join null-pollutes. A matched purchase emits as soon as its
+    * first match is seen (no watermark wait); unmatched purchases
+    * never emit, and the watermark bounds how long they sit in state
+    * waiting for one. Works on a batch DataFrame identically. */
+  def purchaseViewSemiJoin(
+      events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", watermarkDelay)
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    purchases.join(views,
+      col("p_user_id") === col("v_user_id") &&
+        col("view_time") < col("purchase_time") &&
+        col("view_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("value"))
+  }
+
   /** The PriceAggregator state machine as flatMapGroupsWithState: emits a
     * RunningStat per order, keyed by product, state = exact-cents totals.
     * Within a micro-batch, orders are processed in eventTimeMs order

@@ -331,6 +331,42 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI interval join emits each matched purchase once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val h = 3600L * 1000000000L // 1h in nanos
+    val base = 1704067200000L * 1000000L
+    val events = Seq(
+      (1L, base, 1L, "view", 1.0, "{}"),
+      (2L, base + h / 2, 1L, "purchase", 50.0, "{}"),   // matched (view 1)
+      (3L, base + 2 * h, 1L, "purchase", 60.0, "{}"),   // view 1 too old → absent
+      (4L, base, 2L, "view", 1.0, "{}"),
+      (5L, base + h / 4, 2L, "view", 1.0, "{}"),
+      (6L, base + h / 2, 2L, "purchase", 70.0, "{}"),   // TWO views → ONE row
+      (7L, base, 3L, "purchase", 80.0, "{}"))           // no view → absent
+    val schema = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val batch = OrderStream.purchaseViewSemiJoin(events.toDF(schema: _*))
+      .collect().map(_.toString).sorted.toSeq
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    input.addData(events: _*)
+    val q = OrderStream.purchaseViewSemiJoin(input.toDF().toDF(schema: _*))
+      .writeStream.format("memory").queryName("ss_semi_join_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_semi_join_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      // Purchases 2 and 6 each exactly once — the multi-view purchase
+      // does NOT fan out, and the unmatched purchases never emit.
+      assert(batch.size == 2)
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout sessions emit exactly when the watermark closes them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
