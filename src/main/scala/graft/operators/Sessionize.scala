@@ -211,11 +211,17 @@ object Sessionize {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_seq")
       .agg(min("ts").as("s"), max("ts").as("e"))
+    // ±1 points via ONE explode, not a self-union: the union's two legs
+    // prune ivals differently (min(ts) vs max(ts)), the subtrees stop
+    // being canonical, and the whole events scan + session window runs
+    // TWICE. One consumer → one pass.
     val points = ivals
       .select(col("user_id"), col("session_seq"),
-        col("s").as("pts"), lit(1L).as("delta"))
-      .unionAll(ivals.select(col("user_id"), col("session_seq"),
-        col("e").as("pts"), lit(-1L).as("delta")))
+        explode(array(
+          struct(col("s").as("pts"), lit(1L).as("delta")),
+          struct(col("e").as("pts"), lit(-1L).as("delta")))).as("pt"))
+      .select(col("user_id"), col("session_seq"),
+        col("pt.pts").as("pts"), col("pt.delta").as("delta"))
     Packing.withGlobalCumsum(points, "delta",
         Seq("pts", "delta", "user_id", "session_seq"))
       .filter(col("delta") === 1L)
