@@ -162,7 +162,9 @@ object Bench {
     "q_attribution",
     "q_walk_counts",
     "q_bootstrap_means",
-    "q_item_triples")
+    "q_item_triples",
+    "q_k_anonymity",
+    "q_pseudonym_export")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,8 +49,10 @@ object Analytics {
       Tables.orders(spark, dir)
         .filter(year(col("o_orderdate")) === y)
         .select("o_custkey").distinct()
-    val a = activeIn(1995)
-    val b = activeIn(1996)
+    // Each set feeds two set operations; materialized once, the orders
+    // scan runs twice (once per year) instead of four times.
+    val a = activeIn(1995).localCheckpoint()
+    val b = activeIn(1996).localCheckpoint()
     a.intersect(b).withColumn("op", lit("both"))
       .unionAll(a.except(b).withColumn("op", lit("only_1995")))
       .unionAll(b.except(a).withColumn("op", lit("only_1996")))

@@ -751,7 +751,73 @@ object Profiling {
           " div (CAST(row_tot AS DECIMAL(38,0)) * col_tot)").as("lift_ppm"))
   }
 
+  /** k for [[kAnonymity]]'s violation flag. */
+  val KAnonK = 5L
+
+  /** Offset added to balance cents before bucketing so the bucket id
+    * stays positive — Spark `div` truncates toward zero while DuckDB
+    * `//` floors, and they only agree on non-negative operands. */
+  private val BalOffsetCents = 100000000L
+
+  /** K-ANONYMITY audit over quasi-identifiers — the privacy-release
+    * gate for training/analytics data: group the table by the QI tuple
+    * (nation, market segment, $500 account-balance bucket) and report
+    * the GROUP-SIZE DISTRIBUTION — how many groups (and records) sit at
+    * each size, flagged when size < k. Records in sub-k groups are
+    * re-identifiable by their QIs; the histogram is the number a
+    * release decision actually reads (suppress? generalize the bucket?
+    * raise k?).
+    *
+    * Plan/scale shape: one partial+final HashAggregate to QI groups,
+    * then a second aggregate over the |groups|-row table — the same
+    * self-scaling two-level histogram discipline as the doc-length
+    * histogram (output rows = distinct group sizes at any SF). Exact
+    * integer bucketing (offset keeps cents positive: Spark `div`
+    * truncates, DuckDB `//` floors — they agree only ≥ 0). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + " +
+          s"${BalOffsetCents}L) div 50000").as("bal_bucket"))
+      .agg(count(lit(1)).as("gs"))
+      .groupBy(col("gs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"), sum("gs").as("n_records"))
+      .withColumn("violates_k",
+        when(col("group_size") < KAnonK, 1L).otherwise(0L))
+
+  /** PSEUDONYMIZED EXPORT — the privacy-preserving data-sharing shape:
+    * direct identifiers are replaced by a salted-md5 pseudonym (stable
+    * per key, so cross-table joins still work; irreversible without
+    * the salt), and the shared artifact is the per-pseudonym aggregate
+    * — here the top-20 pseudonymous customers by revenue. Rank
+    * attached AFTER the limit ([[q_item_pairs]] discipline), so the
+    * window only ever sees 20 rows.
+    *
+    * Plan/scale shape: orders⋈customer equi-join (AQE-chosen build
+    * side), pseudonym computed in the same projection, one aggregate
+    * keyed on the pseudonym, TakeOrderedAndProject top-k. The
+    * pseudonym is a pure key function — both engines derive identical
+    * mappings with zero shared state. */
+  def pseudonymExport(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("revenue_cents").desc, col("pseud"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"),
+        expr("substr(md5(concat('graft-salt-', CAST(c_custkey AS " +
+          "STRING))), 1, 16)").as("pseud")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("pseud")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("pseud")).limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> kAnonymity,
+    "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
     "q_fd_report" -> fdReport,
@@ -775,6 +841,33 @@ object Profiling {
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+         |          + $BalOffsetCents) // 50000 AS bal_bucket,
+         |         count(*) AS gs
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT gs AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(gs) AS BIGINT) AS n_records,
+         |       CAST(CASE WHEN gs < $KAnonK THEN 1 ELSE 0 END AS BIGINT)
+         |         AS violates_k
+         |FROM g GROUP BY gs""".stripMargin,
+    "q_pseudonym_export" ->
+      """WITH j AS (
+        |  SELECT substr(md5('graft-salt-' || CAST(c_custkey AS VARCHAR)),
+        |                1, 16) AS pseud,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (
+        |  SELECT pseud, CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM j GROUP BY pseud
+        |  ORDER BY revenue_cents DESC, pseud LIMIT 20)
+        |SELECT pseud, n_orders, revenue_cents,
+        |       CAST(row_number() OVER (ORDER BY revenue_cents DESC, pseud)
+        |            AS INT) AS rk
+        |FROM a""".stripMargin,
     // Replays the sketch exactly: bottom-k of the same 48-bit
     // md5-derived hashes via rank windows (the sketch is a pure
     // function of the item set, so merge order can't diverge it).
