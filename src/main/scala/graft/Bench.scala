@@ -164,7 +164,8 @@ object Bench {
     "q_bootstrap_means",
     "q_item_triples",
     "q_k_anonymity",
-    "q_pseudonym_export")
+    "q_pseudonym_export",
+    "q_embed_norm_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -116,6 +116,40 @@ object Analytics {
           .as("code_max"))
   }
 
+  /** Per-DIMENSION embedding NORMALIZATION statistics — the z-score
+    * vector (mean, variance) a feature pipeline computes once and
+    * applies at serve time (whitening before ANN / linear probes).
+    * Components are quantized to exact integer micro-units first
+    * (`round(x·10⁶)`), so the per-dim sums, the mean, and the exact
+    * variance NUMERATOR n·Σq² − (Σq)² are bit-reproducible — float
+    * partial-sum merge order can never change the result (the same
+    * discipline as the 2-sigma anomaly gate, DECIMAL(38)/HUGEINT for
+    * the squares).
+    *
+    * Plan/scale shape: one posexplode + partial+final HashAggregate
+    * keyed on the dimension index — |dims| output rows at any corpus
+    * size, map-side-combined, no shuffle wider than dims × tasks. */
+  def embedNormStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").as("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sum_q2d"))
+      .select(col("pos").cast("long").as("pos"), col("n"), col("sum_q"),
+        col("sum_q2d").cast("long").as("sum_q2"),
+        // Sign/abs split: Spark div truncates, DuckDB // floors — they
+        // only agree on non-negative operands, and per-dim sums go
+        // negative.
+        expr("CASE WHEN sum_q < 0 THEN -((-sum_q) div n) " +
+          "ELSE sum_q div n END").as("mean_micro"),
+        // Exact sample-variance in micro² units: the numerator
+        // n·Σq² − (Σq)² needs DECIMAL(38) (n·Σq² overflows BIGINT);
+        // the quotient over n(n−1) is BIGINT-sized and non-negative.
+        expr("CAST((n * sum_q2d - CAST(sum_q AS DECIMAL(38,0)) * sum_q) " +
+          "div (n * (n - 1)) AS BIGINT)").as("var_micro2"))
+
   /** Corpus bigram statistics via the custom `shingles(text, 2)`
     * expression: document frequency of every distinct-in-doc bigram,
     * top 20. Spark 4's WindowGroupLimit turns the rank filter into a
@@ -622,6 +656,7 @@ object Analytics {
     "q_customer_set_ops" -> customerSetOps,
     "q_time_range_join" -> timeRangeJoin,
     "q_embed_quantize" -> embedQuantize,
+    "q_embed_norm_stats" -> embedNormStats,
     "q_top_bigrams" -> topBigrams,
     "q_grouping_sets" -> groupingSetsStats,
     "q_trailing_revenue" -> trailingRevenue,
@@ -636,6 +671,25 @@ object Analytics {
     "q_schema_merge" -> schemaMergeRead)
 
   val oracles: Map[String, String] = Map(
+    "q_embed_norm_stats" ->
+      """WITH p AS (SELECT unnest(range(1, 65)) AS k),
+        |q AS (
+        |  SELECT p.k - 1 AS pos,
+        |         CAST(round(CAST(e.embedding[p.k] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS q
+        |  FROM embeddings e, p),
+        |g AS (
+        |  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sum_q,
+        |         sum(CAST(q AS HUGEINT) * q) AS sum_q2d
+        |  FROM q GROUP BY pos)
+        |SELECT CAST(pos AS BIGINT) AS pos, n, sum_q,
+        |       CAST(sum_q2d AS BIGINT) AS sum_q2,
+        |       CAST(CASE WHEN sum_q < 0 THEN -((-sum_q) // n)
+        |            ELSE sum_q // n END AS BIGINT) AS mean_micro,
+        |       CAST((n * sum_q2d - CAST(sum_q AS HUGEINT) * sum_q)
+        |            // (n * (n - 1)) AS BIGINT) AS var_micro2
+        |FROM g""".stripMargin,
     "q_item_triples" ->
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
