@@ -494,6 +494,45 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("walk counts run as a NATIVE recursive CTE and match the edge table at len 1") {
+    import org.apache.spark.sql.functions._
+    val df = GraphOps.walkCounts(spark, sf)
+    // Plan guard: the recursion must execute as Spark's UnionLoop, not
+    // get silently rewritten into something else.
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "expected a UnionLoopExec in the physical plan")
+    val lvl1 = df.filter(col("len") === 1)
+      .agg(sum("n_walks"), sum("weighted_walks")).collect()(0)
+    val out0 = GraphOps.tradeEdges(spark, sf).filter(col("src") === 0)
+      .agg(count(lit(1)), sum("w")).collect()(0)
+    // Length-1 walks from node 0 are exactly its out-edges; their
+    // weight products are the edge weights themselves.
+    assert(lvl1.getLong(0) == out0.getLong(0))
+    assert(lvl1.getLong(1) == out0.getLong(1))
+  }
+
+  test("Apriori triples: every reported triple's sub-pairs are all frequent") {
+    import org.apache.spark.sql.functions._
+    val tri = Analytics.itemTriples(spark, sf).collect()
+    val pairSup = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .as("a").join(
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct().as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p"), col("b.p")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tri.nonEmpty)
+    tri.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairSup.getOrElse(p, 0L) >= Analytics.TripleMinSup,
+          s"triple ($a,$b,$c) has an infrequent sub-pair $p")
+      }
+    }
+  }
+
   test("phrase search handles repeated words in the phrase") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
