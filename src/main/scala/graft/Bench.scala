@@ -165,7 +165,8 @@ object Bench {
     "q_item_triples",
     "q_k_anonymity",
     "q_pseudonym_export",
-    "q_embed_norm_stats")
+    "q_embed_norm_stats",
+    "q_negative_sampling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,7 +164,53 @@ object Sampling {
         "CAST(CAST(least(available_tokens, alloc) AS DECIMAL(38,0))" +
           " * 1000000 div greatest(alloc, 1L) AS BIGINT) AS unique_ppm")
 
+  /** Candidate-pool modulus and negatives-per-user for
+    * [[negativeSampling]]. */
+  val NegPoolMod = 40L
+  val NegK = 3
+
+  /** Deterministic NEGATIVE SAMPLING — the training-pair generator for
+    * recommenders / contrastive objectives: for every customer, k parts
+    * they have NEVER purchased, drawn by md5(user#part) rank from a
+    * bounded candidate pool. Hash-ranked selection makes every
+    * negative a pure key function (reproducible across runs, engines
+    * and partitionings — retraining sees the same pairs), where a
+    * seeded sample() changes with the partitioning.
+    *
+    * Plan/scale shape: users × pool is a DELIBERATE bounded cross join
+    * — the pool (p_partkey ≡ 0 mod [[NegPoolMod]]) is the documented
+    * candidate table, broadcast; at 100 TB the pool is a sampled /
+    * popularity-sketch table, never the full catalog. The purchased
+    * set anti-joins on (cust, part); per-user top-k is a window over
+    * ≤ |pool| rows (bounded partitions by construction). */
+  def negativeSampling(spark: SparkSession, dir: String,
+      k: Int = NegK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = Tables.part(spark, dir)
+      .filter(col("p_partkey") % NegPoolMod === 0)
+      .select(col("p_partkey"))
+    val users = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust")).distinct()
+    val purchased = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        col("l_partkey").as("p_partkey"))
+      .distinct()
+    val w = Window.partitionBy("cust").orderBy(col("h"), col("p_partkey"))
+    users.crossJoin(broadcast(pool))
+      .join(purchased, Seq("cust", "p_partkey"), "left_anti")
+      .withColumn("h", expr("CAST(conv(substr(md5(concat(CAST(cust AS " +
+        "STRING), '#', CAST(p_partkey AS STRING))), 1, 12), 16, 10) " +
+        "AS BIGINT)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("cust"), col("p_partkey").as("neg_part"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_negative_sampling" -> ((s, d) => negativeSampling(s, d)),
     "q_mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "q_mix_alloc" -> ((s, d) => mixAllocation(s, d)),
     "q_pps_sample" -> ((s, d) => ppsSample(s, d)),
@@ -207,6 +253,29 @@ object Sampling {
       |  FROM r CROSS JOIN l)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_negative_sampling" ->
+      s"""WITH pool AS (
+         |  SELECT p_partkey FROM part WHERE p_partkey % $NegPoolMod = 0),
+         |users AS (SELECT DISTINCT o_custkey AS cust FROM orders),
+         |purch AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS p_partkey
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |cand AS (
+         |  SELECT u.cust, p.p_partkey,
+         |         CAST(('0x' || substr(md5(CAST(u.cust AS VARCHAR) || '#'
+         |              || CAST(p.p_partkey AS VARCHAR)), 1, 12))
+         |              AS BIGINT) AS h
+         |  FROM users u, pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM purch q
+         |                    WHERE q.cust = u.cust
+         |                      AND q.p_partkey = p.p_partkey)),
+         |r AS (
+         |  SELECT cust, p_partkey,
+         |         CAST(row_number() OVER (PARTITION BY cust
+         |           ORDER BY h, p_partkey) AS INT) AS rk
+         |  FROM cand)
+         |SELECT cust, p_partkey AS neg_part, rk FROM r
+         |WHERE rk <= $NegK""".stripMargin,
     "q_mix_alloc" ->
       s"""$mixAllocCte
          |SELECT source, n_tokens, quota, extra, alloc FROM alloc_t"""
