@@ -166,7 +166,9 @@ object Bench {
     "q_k_anonymity",
     "q_pseudonym_export",
     "q_embed_norm_stats",
-    "q_negative_sampling")
+    "q_negative_sampling",
+    "q_lateral_topk",
+    "q_pivot_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

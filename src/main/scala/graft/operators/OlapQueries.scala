@@ -675,6 +675,43 @@ object OlapQueries {
       Map("minTotal" -> 150000, "cutoff" -> "1996-01-01 00:00:00"))
   }
 
+  /** Correlated LATERAL subquery (Spark 4 `, LATERAL (...)`): per-nation
+    * top-3 customers by account balance, written as the correlated
+    * per-group-top-k a SQL user reaches for first. Catalyst
+    * DECORRELATES it (DecorrelateInnerQuery) into a ranked join — the
+    * declarative form costs the same as the window+filter rewrite, and
+    * the row proves the engine accepts the dialect. DuckDB runs the
+    * same LATERAL shape. */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_lat")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.bal_cents
+        |FROM nation_lat n,
+        |LATERAL (
+        |  SELECT c_custkey,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM customer_lat c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey LIMIT 3) t""".stripMargin)
+  }
+
+  /** Native SQL PIVOT clause: yearly revenue per return flag widened to
+    * one column per flag — the reporting rotation written in the
+    * engine's own PIVOT dialect instead of hand-rolled conditional
+    * aggregation (row 30 keeps that form; this row pins the parser
+    * surface). Lowers to the same Expand+aggregate plan. */
+  def pivotNative(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_pivot")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT year(l_shipdate) AS yr, l_returnflag AS rf,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem_pivot)
+        |PIVOT (sum(cents) AS s, count(*) AS n
+        |       FOR rf IN ('A' AS a, 'N' AS nf, 'R' AS r))""".stripMargin)
+  }
+
   /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
     * a fact⋈dim join, ratio of exact integer sums (one float division).
     */
@@ -785,6 +822,8 @@ object OlapQueries {
     "q1_pricing_summary" -> q1PricingSummary,
     "q_pipe_sql" -> pipeSqlStats,
     "q_param_sql" -> paramSql,
+    "q_lateral_topk" -> lateralTopk,
+    "q_pivot_native" -> pivotNative,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
     "q_top_part_per_nation" -> topPartPerNation,
@@ -1105,6 +1144,33 @@ object OlapQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    // The same LATERAL shape, DuckDB dialect-identical.
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.bal_cents
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey LIMIT 3) t""".stripMargin,
+    // The PIVOT clause replayed as conditional aggregation (DuckDB's
+    // PIVOT dialect differs; the result table is what must match).
+    "q_pivot_native" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |       CAST(sum(CASE WHEN l_returnflag = 'A'
+        |           THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END)
+        |         AS BIGINT) AS a_s,
+        |       CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS a_n,
+        |       CAST(sum(CASE WHEN l_returnflag = 'N'
+        |           THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END)
+        |         AS BIGINT) AS nf_s,
+        |       CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS nf_n,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R'
+        |           THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END)
+        |         AS BIGINT) AS r_s,
+        |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r_n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // Bound parameters replayed as folded literals.
     "q_param_sql" ->
       """SELECT o_orderpriority,
