@@ -164,9 +164,9 @@ object Sampling {
         "CAST(CAST(least(available_tokens, alloc) AS DECIMAL(38,0))" +
           " * 1000000 div greatest(alloc, 1L) AS BIGINT) AS unique_ppm")
 
-  /** Candidate-pool modulus and negatives-per-user for
+  /** Candidate-pool size and negatives-per-user for
     * [[negativeSampling]]. */
-  val NegPoolMod = 40L
+  val NegPoolSize = 128
   val NegK = 3
 
   /** Deterministic NEGATIVE SAMPLING — the training-pair generator for
@@ -178,32 +178,69 @@ object Sampling {
     * seeded sample() changes with the partitioning.
     *
     * Plan/scale shape: users × pool is a DELIBERATE bounded cross join
-    * — the pool (p_partkey ≡ 0 mod [[NegPoolMod]]) is the documented
-    * candidate table, broadcast; at 100 TB the pool is a sampled /
-    * popularity-sketch table, never the full catalog. The purchased
-    * set anti-joins on (cust, part); per-user top-k is a window over
-    * ≤ |pool| rows (bounded partitions by construction). */
+    * — the pool is FIXED-SIZE (the [[NegPoolSize]] parts with smallest
+    * md5(partkey): a deterministic uniform catalog sample whose size
+    * does NOT grow with the corpus — at 100 TB it is a sampled /
+    * popularity-sketch table, never the full catalog), broadcast. The
+    * exclusion set is purchased ∩ POOL only (bounded by the pool's
+    * share of purchases — the reason it broadcasts where the full
+    * purchase set never could), applied as a broadcast anti join so
+    * the |users|×|pool| candidate rows never shuffle for the
+    * exclusion. Per-user top-k is row_number + filter — Spark's
+    * PARTIAL WindowGroupLimit caps each task's output at k rows per
+    * user BEFORE the window exchange, so the shuffle carries
+    * ≤ k·tasks rows per user, never the pool fan-out. (A typed
+    * bottom-k Aggregator was tried and REVERTED: ObjectHashAggregate
+    * falls back to sort-based past 128 groups, and |users| groups made
+    * it strictly slower than the group-limited window.)
+    *
+    * The rank key is a TWO-LEVEL hash: one md5 per USER and one per
+    * POOL PART, combined on the candidate row with pure integer mixing
+    * (xor / multiply / shift) — O(|users| + |pool|) md5 evaluations
+    * instead of O(|users|·|pool|) (a per-pair md5 measured 2.4 s of
+    * the 4.5 s query at sf0.1; per-key hashing is the difference
+    * between hashing the CATALOG and hashing the cross product at
+    * 100 TB). Both mixing ops replay exactly in DuckDB (`xor()`). */
   def negativeSampling(spark: SparkSession, dir: String,
       k: Int = NegK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pool = Tables.part(spark, dir)
-      .filter(col("p_partkey") % NegPoolMod === 0)
-      .select(col("p_partkey"))
+      .select(col("p_partkey"),
+        md5(col("p_partkey").cast("string")).as("ptag"))
+      .orderBy(col("ptag"), col("p_partkey")).limit(NegPoolSize)
+      .select(col("p_partkey"),
+        expr("CAST(conv(substr(ptag, 1, 12), 16, 10) AS BIGINT)").as("hp"))
+      // 128 rows, three broadcast consumers (cross join, exclusion
+      // semi, exclusion anti) — materialized once so each broadcast
+      // does not replay the TakeOrdered job.
+      .localCheckpoint()
     val users = Tables.orders(spark, dir)
       .select(col("o_custkey").as("cust")).distinct()
-    val purchased = Tables.lineitem(spark, dir)
+      .select(col("cust"),
+        expr("CAST(conv(substr(md5(CAST(cust AS STRING)), 1, 12), 16, 10)" +
+          " AS BIGINT)").as("hc"))
+      // CollapseProject would otherwise float this md5 ABOVE the cross
+      // join — evaluated once per CANDIDATE row (measured 1.9M md5s,
+      // 1.5 s) instead of once per user; the checkpoint pins it at
+      // |users| evaluations, leaving pure integer ops on the fan-out.
+      .localCheckpoint()
+    val purchasedInPool = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey")
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"),
         col("l_partkey").as("p_partkey"))
+      .join(broadcast(pool.select("p_partkey")), Seq("p_partkey"), "left_semi")
       .distinct()
+      // Pool-bounded (|purchases ∩ pool| rows); consumed by the anti
+      // join's broadcast build — materialized so the build is a copy,
+      // not a re-run of the fact-table semi join.
+      .localCheckpoint()
     val w = Window.partitionBy("cust").orderBy(col("h"), col("p_partkey"))
     users.crossJoin(broadcast(pool))
-      .join(purchased, Seq("cust", "p_partkey"), "left_anti")
-      .withColumn("h", expr("CAST(conv(substr(md5(concat(CAST(cust AS " +
-        "STRING), '#', CAST(p_partkey AS STRING))), 1, 12), 16, 10) " +
-        "AS BIGINT)"))
+      .join(broadcast(purchasedInPool), Seq("cust", "p_partkey"), "left_anti")
+      .withColumn("h0", expr("hc ^ (hp * 8191L)"))
+      .withColumn("h", expr("h0 ^ shiftright(h0, 17)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("cust"), col("p_partkey").as("neg_part"), col("rk"))
@@ -255,16 +292,24 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "q_negative_sampling" ->
       s"""WITH pool AS (
-         |  SELECT p_partkey FROM part WHERE p_partkey % $NegPoolMod = 0),
-         |users AS (SELECT DISTINCT o_custkey AS cust FROM orders),
+         |  SELECT p_partkey,
+         |         CAST(('0x' || substr(ptag, 1, 12)) AS BIGINT) AS hp
+         |  FROM (
+         |    SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS ptag
+         |    FROM part ORDER BY ptag, p_partkey LIMIT $NegPoolSize)),
+         |users AS (
+         |  SELECT cust,
+         |         CAST(('0x' || substr(md5(CAST(cust AS VARCHAR)), 1, 12))
+         |              AS BIGINT) AS hc
+         |  FROM (SELECT DISTINCT o_custkey AS cust FROM orders)),
          |purch AS (
          |  SELECT DISTINCT o_custkey AS cust, l_partkey AS p_partkey
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_partkey IN (SELECT p_partkey FROM pool)),
          |cand AS (
          |  SELECT u.cust, p.p_partkey,
-         |         CAST(('0x' || substr(md5(CAST(u.cust AS VARCHAR) || '#'
-         |              || CAST(p.p_partkey AS VARCHAR)), 1, 12))
-         |              AS BIGINT) AS h
+         |         xor(xor(u.hc, p.hp * 8191),
+         |             xor(u.hc, p.hp * 8191) >> 17) AS h
          |  FROM users u, pool p
          |  WHERE NOT EXISTS (SELECT 1 FROM purch q
          |                    WHERE q.cust = u.cust
