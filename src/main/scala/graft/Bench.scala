@@ -168,7 +168,9 @@ object Bench {
     "q_embed_norm_stats",
     "q_negative_sampling",
     "q_lateral_topk",
-    "q_pivot_native")
+    "q_pivot_native",
+    "q_sql_udf",
+    "q_collated_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -712,6 +712,51 @@ object OlapQueries {
         |       FOR rf IN ('A' AS a, 'N' AS nf, 'R' AS r))""".stripMargin)
   }
 
+  /** SQL-defined UDFs (Spark 4 `CREATE FUNCTION … RETURN <expr>`): a
+    * scalar cents-conversion and a CASE-tier classifier declared in
+    * SQL, then used inside an aggregation. Unlike JVM/Python UDFs,
+    * SQL UDFs are INLINED into the plan at analysis time — the
+    * aggregate below compiles to the identical codegen'd expressions
+    * as writing them out by hand, so pushdown and whole-stage codegen
+    * survive. The reusable-business-logic surface with zero black-box
+    * cost; the oracle replays the inlined logic. */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_udf")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
+      "RETURNS BIGINT RETURN CAST(round(x * 100, 0) AS BIGINT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(c BIGINT) " +
+      "RETURNS STRING RETURN CASE WHEN c >= 20000000 THEN 'large' " +
+      "WHEN c >= 10000000 THEN 'mid' ELSE 'small' END")
+    spark.sql(
+      """SELECT graft_tier(graft_cents(o_totalprice)) AS tier,
+        |       count(*) AS n_orders,
+        |       CAST(sum(graft_cents(o_totalprice)) AS BIGINT) AS total_cents
+        |FROM orders_udf GROUP BY 1""".stripMargin)
+  }
+
+  /** String COLLATIONS (Spark 4 `COLLATE UTF8_LCASE`): per-manufacturer
+    * distinct first-words of part names counted under binary vs
+    * case-insensitive collation — the dialect-level answer to "how
+    * many distinct, ignoring case" that otherwise needs lower()
+    * everywhere (and that a migrating warehouse user expects the
+    * engine to own). Case variation is planted deterministically
+    * (upper() on odd part keys) so the two counts provably diverge;
+    * the oracle replays the collation as lower(). */
+  def collatedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_coll")
+    spark.sql(
+      """SELECT p_brand,
+        |       CAST(count(DISTINCT w) AS BIGINT) AS n_binary,
+        |       CAST(count(DISTINCT w COLLATE UTF8_LCASE) AS BIGINT)
+        |         AS n_lcase
+        |FROM (SELECT p_brand,
+        |             CASE WHEN p_partkey % 2 = 1
+        |                  THEN upper(split(p_name, ' ')[0])
+        |                  ELSE split(p_name, ' ')[0] END AS w
+        |      FROM part_coll)
+        |GROUP BY p_brand""".stripMargin)
+  }
+
   /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
     * a fact⋈dim join, ratio of exact integer sums (one float division).
     */
@@ -824,6 +869,8 @@ object OlapQueries {
     "q_param_sql" -> paramSql,
     "q_lateral_topk" -> lateralTopk,
     "q_pivot_native" -> pivotNative,
+    "q_sql_udf" -> sqlUdf,
+    "q_collated_distinct" -> collatedDistinct,
     "q3_top_orders" -> q3TopOrders,
     "q5_revenue_by_nation" -> q5RevenueByNation,
     "q_top_part_per_nation" -> topPartPerNation,
@@ -1144,6 +1191,27 @@ object OlapQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    // SQL UDFs replayed inlined (the definition IS the logic).
+    "q_sql_udf" ->
+      """SELECT CASE WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 20000000
+        |            THEN 'large'
+        |            WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 10000000
+        |            THEN 'mid' ELSE 'small' END AS tier,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    // The UTF8_LCASE collation replayed as lower().
+    "q_collated_distinct" ->
+      """SELECT p_brand,
+        |       CAST(count(DISTINCT w) AS BIGINT) AS n_binary,
+        |       CAST(count(DISTINCT lower(w)) AS BIGINT) AS n_lcase
+        |FROM (SELECT p_brand,
+        |             CASE WHEN p_partkey % 2 = 1
+        |                  THEN upper(split_part(p_name, ' ', 1))
+        |                  ELSE split_part(p_name, ' ', 1) END AS w
+        |      FROM part)
+        |GROUP BY p_brand""".stripMargin,
     // The same LATERAL shape, DuckDB dialect-identical.
     "q_lateral_topk" ->
       """SELECT n.n_name, t.c_custkey, t.bal_cents
