@@ -23,7 +23,11 @@ class GraftSinkTable extends org.apache.spark.sql.connector.catalog.Table
     with SupportsWrite {
 
   override def name(): String = "graft.sink"
-  override def schema(): StructType = OrdersSource.Schema
+  // The WRITE schema is the 3 data columns only: `bucket` is a READ-side
+  // derived partition-key column (SupportsReportPartitioning), not data
+  // a writer should have to supply.
+  override def schema(): StructType = StructType(OrdersSource.Schema.fields
+    .filterNot(_.name == "bucket"))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)

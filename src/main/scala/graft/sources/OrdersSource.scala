@@ -56,7 +56,11 @@ object OrdersSource {
   val Schema: StructType = StructType(Seq(
     StructField("order_id", LongType, nullable = false),
     StructField("product", StringType, nullable = false),
-    StructField("price_cents", LongType, nullable = false)))
+    StructField("price_cents", LongType, nullable = false),
+    // Partition-constant by construction: bucket = order_id div
+    // ceil(rows/parts), i.e. the slice index — the column
+    // SupportsReportPartitioning clusters on.
+    StructField("bucket", LongType, nullable = false)))
 
   val Products: Array[String] =
     Array("Laptop", "Mouse", "Keyboard", "Monitor",
@@ -214,7 +218,8 @@ private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
       case m: Max => fieldOf(m.column).flatMap(longGen).map(AggMax)
       case _: AggregateFunc => None
     }
-    if (groups.forall(_.isDefined) && funcs.forall(_.isDefined) && funcs.nonEmpty) {
+    val known = Set("order_id", "product", "price_cents")
+    if (groups.forall(_.exists(known)) && funcs.forall(_.isDefined) && funcs.nonEmpty) {
       pushedAgg = Some((groups.flatten, funcs.flatten)); true
     } else false
   }
@@ -290,7 +295,7 @@ private[graft] class OrdersAggScan(rows: Long, parts: Int, lo: Long, hi: Long,
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0 until parts).iterator
       .map(p => OrdersRange(math.max(p * per, lo),
-        math.min(math.min((p + 1) * per, rows), hi)))
+        math.min(math.min((p + 1) * per, rows), hi), p.toLong))
       .filter(r => r.start < r.end)
       .toArray[InputPartition]
   }
@@ -334,7 +339,14 @@ private class OrdersAggReaderFactory(groupCols: Seq[String], aggs: Seq[PushedAgg
   }
 }
 
-private case class OrdersRange(start: Long, end: Long) extends InputPartition
+/** `bucket` is the slice index — constant across the range by
+  * construction (each slice is one `per`-sized id block), which is what
+  * lets it serve as the partition key for reported partitioning. */
+private case class OrdersRange(start: Long, end: Long, bucket: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
 
 private case class OrdersOffset(id: Long) extends Offset {
   override def json(): String = id.toString
@@ -342,7 +354,24 @@ private case class OrdersOffset(id: Long) extends Offset {
 
 private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, rowsPerBatch: Long)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  private val per = math.max(1L, (rows + parts - 1) / parts)
+
+  /** REPORTED PARTITIONING (`SupportsReportPartitioning`): each slice
+    * holds exactly one `bucket` value, so the scan reports
+    * KeyGroupedPartitioning(bucket) and Spark (with
+    * spark.sql.sources.v2.bucketing.enabled) plans bucket-clustered
+    * aggregations and storage-partitioned joins with NO Exchange above
+    * this scan — the DSv2 face of bucketing, the same shuffle
+    * elimination a bucketed table write buys, owned by the connector. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("bucket")),
+      planInputPartitions().length)
 
   /** Structural view of the consumed id bounds, for tests — asserting
     * on these beats substring-matching [[description]]'s formatting. */
@@ -392,14 +421,12 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
   override def description(): String =
     s"graft_orders rows=$rows PushedBounds=[$lo, $hi)"
 
-  private def slices(from: Long, until: Long): Array[InputPartition] = {
-    val per = math.max(1L, (rows + parts - 1) / parts)
+  private def slices(from: Long, until: Long): Array[InputPartition] =
     (0 until parts).iterator
       .map(p => OrdersRange(math.max(p * per, from),
-        math.min(math.min((p + 1) * per, rows), until)))
+        math.min(math.min((p + 1) * per, rows), until), p.toLong))
       .filter(r => r.start < r.end)
       .toArray[InputPartition]
-  }
 
   /** Split [0, rows) evenly, clamp each slice to the pushed (and, when
     * present, runtime) bounds and drop slices the bounds empty out —
@@ -407,7 +434,7 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
   override def planInputPartitions(): Array[InputPartition] = slices(rlo, rhi)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OrdersReaderFactory(required, ids)
+    new OrdersReaderFactory(required, ids, per)
 
   /** Streaming face: the same id space consumed incrementally. Offsets
     * are positions in the id space (`rowsPerBatch` ids admitted per
@@ -434,7 +461,7 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
         slices(start.asInstanceOf[OrdersOffset].id,
           end.asInstanceOf[OrdersOffset].id)
       override def createReaderFactory(): PartitionReaderFactory =
-        new OrdersReaderFactory(required, null)
+        new OrdersReaderFactory(required, null, per)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
@@ -444,7 +471,7 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
   * runtime (DPP) filter: readers walk only their slice of it instead of
   * generating the whole id range and discarding misses. */
 private class OrdersReaderFactory(required: StructType,
-    runtimeIds: Array[Long]) extends PartitionReaderFactory {
+    runtimeIds: Array[Long], per: Long) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[OrdersRange]
     new PartitionReader[InternalRow] {
@@ -454,6 +481,7 @@ private class OrdersReaderFactory(required: StructType,
         case "product" => (i: Long) =>
           UTF8String.fromString(OrdersSource.product(i))
         case "price_cents" => (i: Long) => OrdersSource.priceCents(i)
+        case "bucket" => (i: Long) => i / per
       }
       // Either walk the runtime id list (from the first id ≥ start) or
       // the contiguous slice.

@@ -33,6 +33,32 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       case other => fail(s"no OrdersScan in plan, found: $other")
     }
 
+  test("reported partitioning: bucket-clustered aggregation plans NO shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = read(2000, 4)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("cents"))
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan) {
+        assert(!plan.contains("Exchange hashpartitioning"),
+          "bucket groupBy must use the scan's KeyGroupedPartitioning")
+      }
+      val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // Replay: 4 buckets of 500 ids each.
+      val want = (0L until 2000L).groupBy(_ / 500).map { case (b, ids) =>
+        b -> (ids.size.toLong, ids.map(graft.sources.OrdersSource.priceCents).sum)
+      }
+      assert(got == want)
+      // Control: without the conf the same query DOES shuffle.
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val plan2 = read(2000, 4).groupBy("bucket").agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(plan2.contains("Exchange hashpartitioning"),
+        s"control: conf off must plan a shuffle\n$plan2")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("generates the full deterministic id space across partitions") {
     val df = read(10000, 8)
     assert(df.rdd.getNumPartitions == 8)
