@@ -449,6 +449,48 @@ object OrderStream {
         OutputMode.Append())
   }
 
+  /** Per-batch output of [[ttlCountsTws]]: the running order count a
+    * key has accumulated in still-live state. */
+  case class TtlCountOut(product: String, n_orders: Long)
+
+  /** State TTL on the transformWithState surface: a per-product order
+    * counter whose ValueState carries a `TTLConfig` — entries the store
+    * has not touched within the TTL are EXPIRED by the engine, so the
+    * count RESTARTS instead of growing forever. This is the bounded-
+    * state contract for keys that go quiet (abandoned carts, dead
+    * sessions, one-off users): at 100 TB of key space, state that is
+    * never evicted is a leak, and TTL is the declarative eviction the
+    * store applies itself — no timer bookkeeping in the processor. */
+  class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, OrderEvent, TtlCountOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(
+        product: String, rows: Iterator[OrderEvent],
+        timers: TimerValues): Iterator[TtlCountOut] = {
+      val prev = if (st.exists()) st.get() else 0L
+      val n = prev + rows.size
+      st.update(n)
+      Iterator(TtlCountOut(product, n))
+    }
+  }
+
+  /** TTL demands ProcessingTime mode — expiry is measured against the
+    * batch's processing timestamp. */
+  def ttlCountsTws(orders: Dataset[OrderEvent],
+      ttlMs: Long): Dataset[TtlCountOut] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.product)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** The gap-sessionizer on the transformWithState TIMER surface:
     * per-key event-time timers (`registerTimer` on the handle,
     * `handleExpiredTimer` when the watermark passes one) replace

@@ -85,6 +85,51 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState state TTL: quiet keys expire, live keys persist") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def orders(tag: String, n: Int): Seq[OrderEvent] =
+        (1 to n).map(i => OrderEvent(s"ORD-$tag-$i", "Laptop", 10.0,
+          1704067200000L + i))
+      // Per-batch counts for two runs of the same pipeline differing
+      // only in TTL; a 3s pause sits between the two batches.
+      // ProcessingTime TimeMode keeps scheduling batches for TTL
+      // sweeps, so processAllAvailable never settles — poll the sink
+      // for the expected row count instead.
+      def waitRows(name: String, n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (spark.table(name).count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(spark.table(name).count() >= n, s"$name never reached $n rows")
+      }
+      def run(name: String, ttlMs: Long): Seq[(String, Long)] = {
+        val input = MemoryStream[OrderEvent]
+        val q = OrderStream.ttlCountsTws(input.toDS(), ttlMs)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(orders("a", 2): _*)
+          waitRows(name, 1)
+          Thread.sleep(3000)
+          input.addData(orders("b", 1): _*)
+          waitRows(name, 2)
+          spark.table(name).as[OrderStream.TtlCountOut]
+            .collect().map(o => (o.product, o.n_orders)).toSeq
+        } finally q.stop()
+      }
+      // TTL far beyond the pause: batch-2 count continues from state.
+      assert(run("ttl_long", 600000L).sorted == Seq(("Laptop", 2L), ("Laptop", 3L)))
+      // TTL shorter than the pause: the engine expired the entry, the
+      // count restarts — the bounded-state contract for quiet keys.
+      assert(run("ttl_short", 500L).sorted == Seq(("Laptop", 1L), ("Laptop", 2L)))
+    } finally spark.conf.unset(key)
+  }
+
   test("transformWithState running stats match the flatMapGroupsWithState form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
