@@ -595,6 +595,47 @@ object Analytics {
           .as("n_orders"))
   }
 
+  /** RETRACTION-aware incremental view maintenance — [[
+    * incrementalMonthlyRevenue]] handles append-only deltas; real CDC
+    * feeds carry DELETEs and UPDATEs too, and the maintained aggregate
+    * must absorb them as SIGNED deltas (delete → −cents/−1 row, update
+    * → retract old + insert new) without ever rescanning the base.
+    * Change batch (deterministic): orderkey ≡ 11 (mod 100) deleted,
+    * ≡ 7 (mod 100) price +10%. Output = the maintained per-month
+    * aggregate; the oracle recomputes it FROM THE PATCHED TABLE, so a
+    * hash match proves delta maintenance ≡ full recompute.
+    *
+    * Plan/scale shape: one aggregate over the base (the standing
+    * materialized view — at scale it already exists and costs
+    * nothing), one aggregate over the CHANGE BATCH (batch-sized), one
+    * |months|-keyed outer join. The signed-delta trick is what makes a
+    * materialized view maintainable under CDC at 100 TB: work ∝
+    * changes, never ∝ base. */
+  def ivmRetract(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val o = Tables.orders(spark, dir)
+    val base = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(cents).as("b_rev"), count(lit(1)).as("b_n"))
+    // Signed deltas: deletes retract; updates retract old AND insert
+    // new (net = the delta of the changed measure).
+    val deltas = o
+      .filter(col("o_orderkey") % 100 === 11 || col("o_orderkey") % 100 === 7)
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        when(col("o_orderkey") % 100 === 11, -cents)
+          .otherwise(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+            "div 10")).as("d_cents"),
+        when(col("o_orderkey") % 100 === 11, -1L).otherwise(0L).as("d_n"))
+      .groupBy("month")
+      .agg(sum("d_cents").as("d_rev"), sum("d_n").as("d_n"))
+    base.join(deltas, Seq("month"), "full_outer")
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        (coalesce(col("b_rev"), lit(0L)) + coalesce(col("d_rev"), lit(0L)))
+          .as("revenue_cents"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"))
+  }
+
   /** Time-series densification + gap audit: the per-supplier monthly
     * shipment series with MISSING months made explicit, then the
     * gaps-and-islands statistic over the dense grid (longest run of
@@ -652,6 +693,7 @@ object Analytics {
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
+    "q_ivm_retract" -> ivmRetract,
     "q_order_cadence" -> orderCadence,
     "q_customer_set_ops" -> customerSetOps,
     "q_time_range_join" -> timeRangeJoin,
@@ -796,6 +838,21 @@ object Analytics {
         |  ('orderdate_in_range', a.date_range),
         |  ('lineitem_fk_orders', fk.fk_orphans)) AS c("constraint", violations)""".stripMargin,
     // Full recompute — merged incremental state must equal it exactly.
+    // Recomputed FROM THE PATCHED TABLE: hash match proves signed-delta
+    // maintenance == full recompute.
+    "q_ivm_retract" ->
+      """WITH patched AS (
+        |  SELECT o_orderdate,
+        |         CASE WHEN o_orderkey % 100 = 7
+        |              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                   + CAST(round(o_totalprice * 100, 0) AS BIGINT) // 10
+        |              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END
+        |           AS cents
+        |  FROM orders WHERE o_orderkey % 100 <> 11)
+        |SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_orders
+        |FROM patched GROUP BY 1""".stripMargin,
     "q_ivm_monthly_revenue" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
         |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
