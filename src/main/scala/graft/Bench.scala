@@ -171,7 +171,8 @@ object Bench {
     "q_pivot_native",
     "q_sql_udf",
     "q_collated_distinct",
-    "q_ivm_retract")
+    "q_ivm_retract",
+    "q_neyman_alloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -253,7 +253,63 @@ object Stats {
       .select(col("r").cast("long").as("r"), col("n"), col("sum_cents"),
         expr("sum_cents div n").as("mean_cents"))
 
+  /** Sample budget for [[neymanAllocation]]. */
+  val NeymanBudget = 10000L
+
+  /** NEYMAN OPTIMAL ALLOCATION of a sampling budget across strata —
+    * the survey-sampling rule (n_h ∝ N_h·σ_h) that minimizes the
+    * variance of the estimated mean for a fixed total sample size:
+    * big AND internally-diverse strata get proportionally more budget
+    * than proportional allocation gives them. The eval-set/labeling-
+    * budget planner for a stratified corpus (annotate more where the
+    * data varies more).
+    *
+    * Exactness: per-stratum variance numerator n·Σx² − (Σx)² in
+    * DECIMAL(38)/HUGEINT; σ_h enters via one correctly-rounded IEEE
+    * sqrt of an identical integer on both engines (the temperature-
+    * mixture precedent), floored to integer micro-weights; the final
+    * integer split is the Hamilton largest-remainder method (exact,
+    * Σ = budget, name tiebreak — the q_mix_alloc discipline).
+    *
+    * Plan/scale shape: one corpus aggregate to |strata| rows;
+    * everything after (weights, quotas, remainder rank) is
+    * post-aggregate arithmetic over |strata| rows with a broadcast
+    * 1-row total. */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      budget: Long = NeymanBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
+      .select(col("source"), col("n"),
+        // var numerator over n (population variance · n²): keeps the
+        // sqrt argument integral — σ_h·N_h = sqrt(n·Σx² − (Σx)²).
+        expr("CAST(n * sx2 - CAST(sx AS DECIMAL(38,0)) * sx AS " +
+          "DECIMAL(38,0))").as("vnum"))
+      .select(col("source"), col("n"),
+        // floor(sqrt + 0.5): both engines' sqrt is correctly-rounded
+        // IEEE on the same integer input, so the micro-weight matches.
+        expr("CAST(floor(sqrt(CAST(vnum AS DOUBLE)) + 0.5) AS BIGINT)")
+          .as("w"))
+    val total = per.agg(sum("w").as("wt"))
+    val quotas = per.crossJoin(broadcast(total))
+      .select(col("source"), col("n"), col("w"),
+        expr(s"CAST($budget AS DECIMAL(38,0)) * w div wt").as("quota"),
+        expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * w % wt AS BIGINT)")
+          .as("rem"))
+    val leftover = quotas.agg((lit(budget) - sum("quota")).as("l"))
+    val rk = Window.orderBy(col("rem").desc, col("source"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(rk))
+      .select(col("source"), col("n"), col("w"), col("quota"),
+        when(col("rk") <= col("l"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("quota") + col("extra"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> ((s, d) => neymanAllocation(s, d)),
     "q_bootstrap_means" -> bootstrapMeans,
     "q_ks_drift" -> ksDrift,
     "q_trend_slope" -> (trendSlope(_, _)),
@@ -264,6 +320,34 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_neyman_alloc" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(n_chars) AS HUGEINT) AS sx,
+         |         sum(CAST(n_chars AS HUGEINT) * n_chars) AS sx2
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n,
+         |         CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) + 0.5)
+         |              AS BIGINT) AS w
+         |  FROM per),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+         |q AS (
+         |  SELECT source, n, w,
+         |         CAST(CAST($NeymanBudget AS HUGEINT) * w // wt AS BIGINT)
+         |           AS quota,
+         |         CAST(CAST($NeymanBudget AS HUGEINT) * w % wt AS BIGINT)
+         |           AS rem
+         |  FROM w, t),
+         |l AS (SELECT $NeymanBudget - CAST(sum(quota) AS BIGINT) AS lo FROM q),
+         |r AS (
+         |  SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |  FROM q)
+         |SELECT source, n, w, quota,
+         |       CAST(CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |       CAST(quota + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT)
+         |         AS alloc
+         |FROM r CROSS JOIN l""".stripMargin,
     "q_bootstrap_means" ->
       s"""WITH s AS (
          |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
