@@ -115,6 +115,7 @@ object Bench {
     "q_pit_features",
     "q_auc_purchase",
     "q_calibration",
+    "q_pr_points",
     "q_item_pairs",
     "q_batch_plan",
     "q_bitext_mining",
@@ -122,6 +123,8 @@ object Bench {
     "q_er_parts",
     "q_canonical_docs",
     "q_lang_confusion",
+    "q_lang_kappa",
+    "q_source_divergence",
     "q_source_deciles",
     "q_source_overlap",
     "q_corpus_diff",

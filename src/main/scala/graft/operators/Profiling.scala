@@ -516,6 +516,50 @@ object Profiling {
         "n_pos * 1000000 div n AS pos_rate_micro")
   }
 
+  /** PRECISION-RECALL OPERATING POINTS — AUC's deployment-side sibling:
+    * for the decision rule "flag when score ≥ T", the exact confusion
+    * counts (tp/fp/fn) and precision / recall / F1 in integer
+    * micro-units at each score-DECILE threshold. AUC says whether the
+    * score ranks well; this table says what happens at the thresholds
+    * you could actually ship. Tied scores stay together (a threshold
+    * can only sit at a distinct score value), and each decile's
+    * operating point is the FIRST distinct-score group of that decile
+    * — the same deterministic closed form as [[calibrationTable]], so
+    * the two reports describe the same cut points.
+    *
+    * Plan: served from the build-once [[scoreCumPath]] artifact (the
+    * same parquet AUC and calibration read); one extra fused
+    * distributed cumsum of positives over the distinct-score table
+    * (post-aggregate size, never the event stream), a broadcast 1-row
+    * total, and a |buckets|-row min-struct aggregate. All rationals
+    * are DECIMAL(38) cross-multiplications — bit-reproducible. */
+  def prPoints(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val cum = scoreCum(spark, dir)
+    val tot = cum.agg(sum("n").as("total"), sum("n_pos").as("p_total"))
+    Packing.withGlobalCumsums(cum, Seq("n_pos" -> "cumpos_before"),
+        Seq("score_cents"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("score_cents", "cum_before",
+        s"CAST(($buckets * cum_before) div total AS INT) AS bucket",
+        "total - cum_before AS n_ge",
+        "p_total - cumpos_before AS tp",
+        "(total - cum_before) - (p_total - cumpos_before) AS fp",
+        "cumpos_before AS fn",
+        "p_total")
+      .groupBy("bucket")
+      .agg(min(struct(col("cum_before"), col("score_cents"), col("n_ge"),
+        col("tp"), col("fp"), col("fn"), col("p_total"))).as("s"))
+      .selectExpr("bucket", "s.score_cents AS threshold_cents",
+        "s.n_ge AS n_ge", "s.tp AS tp", "s.fp AS fp", "s.fn AS fn",
+        "CAST(CAST(s.tp AS DECIMAL(38,0)) * 1000000 div s.n_ge AS BIGINT)" +
+          " AS precision_micro",
+        "CAST(CAST(s.tp AS DECIMAL(38,0)) * 1000000 div s.p_total AS BIGINT)" +
+          " AS recall_micro",
+        "CAST(CAST(2 AS DECIMAL(38,0)) * s.tp * 1000000" +
+          " div (2 * s.tp + s.fp + s.fn) AS BIGINT) AS f1_micro")
+  }
+
   /** SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE/IF procedural surface):
     * exact median order price by BINARY SEARCH over the value domain —
     * each probe is one distributed COUNT, the driver-side script only
@@ -833,6 +877,7 @@ object Profiling {
     "q_script_median" -> scriptMedianSearch,
     "q_auc_purchase" -> aucPurchase,
     "q_calibration" -> ((s, d) => calibrationTable(s, d)),
+    "q_pr_points" -> ((s, d) => prPoints(s, d)),
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
     "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
@@ -1089,6 +1134,42 @@ object Profiling {
         |       min(sc) AS lo_cents, max(sc) AS hi_cents,
         |       CAST(sum(n_pos) * 1000000 // sum(n) AS BIGINT) AS pos_rate_micro
         |FROM c GROUP BY 1""".stripMargin,
+    // Same distinct-score cumsum as calibration, plus the cumulative
+    // positives; each decile's operating point is its first group.
+    "q_pr_points" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(label) AS BIGINT) AS n_pos
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT sc, n, n_pos,
+        |             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS cb,
+        |             CAST(COALESCE(SUM(n_pos) OVER (ORDER BY sc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS cpb,
+        |             CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |             CAST(SUM(n_pos) OVER () AS BIGINT) AS pt
+        |      FROM g),
+        |b AS (SELECT *, CAST((10 * cb) // total AS INT) AS bucket,
+        |             row_number() OVER (
+        |               PARTITION BY CAST((10 * cb) // total AS INT)
+        |               ORDER BY cb) AS rn
+        |      FROM c)
+        |SELECT bucket, sc AS threshold_cents,
+        |       total - cb AS n_ge, pt - cpb AS tp,
+        |       (total - cb) - (pt - cpb) AS fp, cpb AS fn,
+        |       CAST(CAST(pt - cpb AS HUGEINT) * 1000000 // (total - cb)
+        |         AS BIGINT) AS precision_micro,
+        |       CAST(CAST(pt - cpb AS HUGEINT) * 1000000 // pt
+        |         AS BIGINT) AS recall_micro,
+        |       CAST(CAST(2 AS HUGEINT) * (pt - cpb) * 1000000
+        |         // (2 * (pt - cpb) + ((total - cb) - (pt - cpb)) + cpb)
+        |         AS BIGINT) AS f1_micro
+        |FROM b WHERE rn = 1""".stripMargin,
     // Tie-corrected Mann-Whitney replay in exact integers.
     "q_auc_purchase" ->
       """WITH e AS (

@@ -257,6 +257,85 @@ object TextAnalysis {
       .withColumn("share_micro",
         expr("n_docs * 1000000 div (sum(n_docs) OVER (PARTITION BY lang))"))
 
+  /** COHEN'S KAPPA for the language audit — the chance-corrected
+    * agreement between the declared `lang` tag and the n-gram lang-ID
+    * prediction, the single number that summarizes the confusion
+    * matrix (raw agreement Po flatters a classifier when one language
+    * dominates; kappa subtracts the agreement the marginals alone
+    * would produce). κ = (Po − Pe) / (1 − Pe), computed in exact
+    * integer micro-units as (A·N − Σ_k r_k·c_k)·10⁶ div
+    * (N² − Σ_k r_k·c_k) with A the agreement count and r/c the
+    * row/column marginals — no floats, bit-reproducible.
+    *
+    * Plan: everything after the lang-ID projection's single hash
+    * aggregate runs on the ≤|langs|² confusion cells — marginal
+    * products and the final rationals are constant-size work at any
+    * corpus scale. */
+  def langKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langId(spark, dir)
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+    val rowM = conf.groupBy("lang").agg(sum("n").as("rn"))
+      .withColumnRenamed("lang", "k")
+    val colM = conf.groupBy("predicted_lang").agg(sum("n").as("cn"))
+      .withColumnRenamed("predicted_lang", "k")
+    // Categories absent from either margin contribute 0 to Pe — the
+    // inner join is exactly the Σ r_k·c_k sum.
+    val pe = rowM.join(colM, "k")
+      .agg(sum(expr("CAST(rn AS DECIMAL(38,0)) * cn")).as("src"))
+    conf.agg(sum("n").as("n_docs"),
+        sum(when(col("lang") === col("predicted_lang"), col("n"))
+          .otherwise(0L)).as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .selectExpr("n_docs", "n_agree",
+        "n_agree * 1000000 div n_docs AS po_micro",
+        "CAST(src * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)" +
+          " AS BIGINT) AS pe_micro",
+        "CAST((CAST(n_agree AS DECIMAL(38,0)) * n_docs - src) * 1000000" +
+          " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - src)" +
+          " AS BIGINT) AS kappa_micro")
+  }
+
+  /** Per-source DISTRIBUTION DIVERGENCE: exact total-variation distance
+    * between each source's unigram distribution and the whole-corpus
+    * distribution — the domain-shift diagnostic a training-mix designer
+    * reads next to the DSIR importance weights (which rank WORDS by
+    * target-likeness; this ranks SOURCES by how far they sit from the
+    * mix). TV is the log-free member of the divergence family, so it
+    * stays exact integer arithmetic: TV_s = ½ Σ_w |c_s(w)/N_s − c(w)/N|
+    * = (Σ_{w∈V_s} |c_s(w)·N − c(w)·N_s| + (N − C_s)·N_s)
+    * div (2·N_s·N) with C_s = Σ_{w∈V_s} c(w) folding the entire
+    * absent-vocabulary tail into one closed form — no outer join
+    * against the corpus vocabulary.
+    *
+    * Plan: ONE token explode → (source, w) hash aggregate (map-side
+    * combined); the corpus histogram c(w) aggregates from that
+    * post-agg table, not a second corpus pass; the |·| sum is an
+    * equi-join on w between two post-aggregate tables (Zipf-skewed key
+    * = ordinary AQE equi-join skew), and the report is |sources| rows.
+    * DECIMAL(38) keeps c·N products exact past int64 at 100 TB. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val wTot = sw.groupBy("w").agg(sum("cs").as("cw"))
+    val nS = sw.groupBy("source")
+      .agg(sum("cs").as("ns"), count(lit(1)).as("vocab_size"))
+    val nTot = wTot.agg(sum("cw").as("nn"))
+    sw.join(wTot, "w")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nTot))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"), max("vocab_size").as("vocab_size"),
+        max("nn").as("nn"),
+        sum(abs(expr("CAST(cs AS DECIMAL(38,0)) * nn" +
+          " - CAST(cw AS DECIMAL(38,0)) * ns"))).as("num_in"),
+        sum("cw").as("c_in"))
+      .selectExpr("source", "n_tokens", "vocab_size",
+        "CAST((num_in + CAST(nn - c_in AS DECIMAL(38,0)) * n_tokens)" +
+          " * 1000000 div (CAST(2 AS DECIMAL(38,0)) * n_tokens * nn)" +
+          " AS BIGINT) AS tv_ppm")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text,
     * truncated to 64 bits — the cheap exact-dedup / shard-routing key.
     */
@@ -870,6 +949,8 @@ object TextAnalysis {
     "q_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "q_lang_id" -> langId,
     "q_lang_confusion" -> langConfusion,
+    "q_lang_kappa" -> langKappa,
+    "q_source_divergence" -> sourceDivergence,
     "q_doc_fingerprint" -> docFingerprint)
 
   /** BM25 oracle generated from [[Bm25Terms]] (same HUGEINT outer
@@ -1251,6 +1332,45 @@ object TextAnalysis {
         |          / length(toks) < 0.5) AS is_quality
         |FROM t""".stripMargin,
     "q_lang_id" -> langIdSql,
+    "q_lang_kappa" ->
+      s"""WITH li AS ($langIdSql),
+         |c AS (SELECT lang, predicted_lang, count(*) AS n FROM li GROUP BY 1, 2),
+         |r AS (SELECT lang AS k, sum(n) AS rn FROM c GROUP BY 1),
+         |cl AS (SELECT predicted_lang AS k, sum(n) AS cn FROM c GROUP BY 1),
+         |pe AS (SELECT sum(CAST(rn AS HUGEINT) * cn) AS src
+         |       FROM r JOIN cl USING (k)),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN lang = predicted_lang THEN n
+         |                      ELSE 0 END) AS BIGINT) AS n_agree
+         |      FROM c)
+         |SELECT n_docs, n_agree,
+         |       CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_micro,
+         |       CAST(src * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs)
+         |         AS BIGINT) AS pe_micro,
+         |       CAST((CAST(n_agree AS HUGEINT) * n_docs - src) * 1000000
+         |         // (CAST(n_docs AS HUGEINT) * n_docs - src)
+         |         AS BIGINT) AS kappa_micro
+         |FROM t CROSS JOIN pe""".stripMargin,
+    "q_source_divergence" ->
+      """WITH sw AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |  FROM (SELECT source,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS vocab_size
+        |       FROM sw GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM wt)
+        |SELECT sw.source, ns.n_tokens, ns.vocab_size,
+        |       CAST((sum(abs(CAST(sw.cs AS HUGEINT) * nn.nn
+        |                     - CAST(wt.cw AS HUGEINT) * ns.n_tokens))
+        |             + CAST(nn.nn - sum(wt.cw) AS HUGEINT) * ns.n_tokens)
+        |         * 1000000 // (CAST(2 AS HUGEINT) * ns.n_tokens * nn.nn)
+        |         AS BIGINT) AS tv_ppm
+        |FROM sw JOIN wt USING (w) JOIN ns USING (source) CROSS JOIN nn
+        |GROUP BY 1, 2, 3, nn.nn""".stripMargin,
     "q_lang_confusion" ->
       s"""WITH li AS ($langIdSql),
          |c AS (SELECT lang, predicted_lang, count(*) AS n_docs
