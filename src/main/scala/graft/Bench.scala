@@ -140,6 +140,8 @@ object Bench {
     "q_mmr_select",
     "q_binary_ingest",
     "q_vocab_growth",
+    "q_vocab_richness",
+    "q_decayed_revenue",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

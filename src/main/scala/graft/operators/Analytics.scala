@@ -264,6 +264,42 @@ object Analytics {
       .select("o_custkey", "o_orderkey", "day_num", "trailing_90d_cents")
   }
 
+  /** RECENCY-DECAYED revenue leaderboard: per event type, event value
+    * weighted by a half-life decay — weight halves every 7 days of age
+    * relative to the newest event — the freshness-weighted ranking a
+    * trending/leaderboard surface reads instead of the all-time sum.
+    * The half-life is a POWER OF TWO in integer cents: decayed =
+    * cents >> (age div 7d), an exact bit shift both engines replay
+    * digit-for-digit, where a float exp(−λ·age) would never
+    * hash-check. Ages ≥ 63 half-lives clamp to zero explicitly —
+    * Java's `>>` masks the shift count to 6 bits, so an unguarded
+    * shiftright would silently wrap to a NO-op on data older than 63
+    * half-lives (a real hazard on multi-year corpora).
+    *
+    * Plan: one scan + broadcast 1-row max-ts + one partial+final
+    * HashAggregate; the share column is a second broadcast of the
+    * |event types|-row totals. Linear, shuffle = |types| rows. */
+  def decayedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val halfLifeNs = 7L * 86400L * 1000000000L
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"), col("ts"))
+    val mx = e.agg(max("ts").as("mx"))
+    val g = e.crossJoin(broadcast(mx))
+      .selectExpr("event_type", "cents",
+        s"CAST((mx - ts) div ${halfLifeNs}L AS INT) AS k")
+      .selectExpr("event_type", "cents",
+        "CASE WHEN k >= 63 THEN 0L ELSE shiftright(cents, k) END" +
+          " AS dec_cents")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("raw_cents"),
+        sum("dec_cents").as("decayed_cents"))
+    val tot = g.agg(sum("decayed_cents").as("td"))
+    g.crossJoin(broadcast(tot))
+      .selectExpr("event_type", "n_events", "raw_cents", "decayed_cents",
+        "decayed_cents * 1000000 div td AS decayed_share_ppm")
+  }
+
   // Keyed by an md5 of the full data-dir path (collision-resistant,
   // unlike String.hashCode) under java.io.tmpdir (portable, unlike a
   // hardcoded repo path). Deterministic per dir so the concurrent
@@ -702,6 +738,7 @@ object Analytics {
     "q_top_bigrams" -> topBigrams,
     "q_grouping_sets" -> groupingSetsStats,
     "q_trailing_revenue" -> trailingRevenue,
+    "q_decayed_revenue" -> decayedRevenue,
     "q_latest_events" -> latestEvents,
     "q_scd2_ranges" -> scd2Ranges,
     "q_event_transitions" -> eventTransitions,
@@ -917,6 +954,27 @@ object Analytics {
         |         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS trailing_90d_cents
         |FROM orders""".stripMargin,
+    // Same power-of-two half-life shift, bigint bit ops both sides.
+    "q_decayed_revenue" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         epoch_ns(ts) AS t
+        |  FROM events),
+        |m AS (SELECT max(t) AS mx FROM e),
+        |d AS (SELECT event_type, cents,
+        |             CAST((mx - t) // 604800000000000 AS BIGINT) AS k
+        |      FROM e CROSS JOIN m),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |             CAST(sum(CASE WHEN k >= 63 THEN 0
+        |                  ELSE cents // (CAST(1 AS BIGINT) << k) END)
+        |               AS BIGINT) AS decayed_cents
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT sum(decayed_cents) AS td FROM g)
+        |SELECT event_type, n_events, raw_cents, decayed_cents,
+        |       CAST(decayed_cents * 1000000 // td AS BIGINT)
+        |         AS decayed_share_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
     "q_order_cadence" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w_date AS INT) AS order_seq,

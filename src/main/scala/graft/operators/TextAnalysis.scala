@@ -257,6 +257,33 @@ object TextAnalysis {
       .withColumn("share_micro",
         expr("n_docs * 1000000 div (sum(n_docs) OVER (PARTITION BY lang))"))
 
+  /** VOCABULARY RICHNESS estimation — how much vocabulary the corpus
+    * has NOT yet shown us, from the frequency-of-frequencies: Chao1's
+    * lower bound on total vocabulary V + f1²/(2·f2) (bias-corrected
+    * V + f1(f1−1)/2 when no doubletons) and the Good-Turing coverage
+    * estimate 1 − f1/N — the pair that answers "is more crawling worth
+    * it" for a tokenizer/vocab budget (vocab-growth's curve shows the
+    * trajectory; this estimates its asymptote). Exact integer
+    * micro-units: f1, f2, N are exact counts, so both engines replay
+    * the estimators digit-for-digit.
+    *
+    * Plan: one token explode → vocab hash aggregate (map-side
+    * combined) → ONE 1-row conditional aggregate over the vocab table.
+    * DECIMAL(38) keeps f1² exact past int64 (f1 ~ 10⁹ at 100 TB). */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("vocab_size"), sum("cnt").as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .selectExpr("vocab_size", "n_tokens", "f1", "f2",
+        "vocab_size * 1000000 + CAST(CASE WHEN f2 > 0" +
+          " THEN CAST(f1 AS DECIMAL(38,0)) * f1 * 1000000 div (2 * f2)" +
+          " ELSE CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div 2 END" +
+          " AS BIGINT) AS chao1_micro",
+        "(n_tokens - f1) * 1000000 div n_tokens AS coverage_ppm")
+
   /** COHEN'S KAPPA for the language audit — the chance-corrected
     * agreement between the declared `lang` tag and the n-gram lang-ID
     * prediction, the single number that summarizes the confusion
@@ -951,6 +978,7 @@ object TextAnalysis {
     "q_lang_confusion" -> langConfusion,
     "q_lang_kappa" -> langKappa,
     "q_source_divergence" -> sourceDivergence,
+    "q_vocab_richness" -> vocabRichness,
     "q_doc_fingerprint" -> docFingerprint)
 
   /** BM25 oracle generated from [[Bm25Terms]] (same HUGEINT outer
@@ -1332,6 +1360,26 @@ object TextAnalysis {
         |          / length(toks) < 0.5) AS is_quality
         |FROM t""".stripMargin,
     "q_lang_id" -> langIdSql,
+    "q_vocab_richness" ->
+      """WITH v AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS f1,
+        |             CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS f2
+        |      FROM v)
+        |SELECT vocab_size, n_tokens, f1, f2,
+        |       vocab_size * 1000000 + CAST(CASE WHEN f2 > 0
+        |         THEN CAST(f1 AS HUGEINT) * f1 * 1000000 // (2 * f2)
+        |         ELSE CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000 // 2 END
+        |         AS BIGINT) AS chao1_micro,
+        |       (n_tokens - f1) * 1000000 // n_tokens AS coverage_ppm
+        |FROM s""".stripMargin,
     "q_lang_kappa" ->
       s"""WITH li AS ($langIdSql),
          |c AS (SELECT lang, predicted_lang, count(*) AS n FROM li GROUP BY 1, 2),
