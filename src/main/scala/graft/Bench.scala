@@ -57,6 +57,7 @@ object Bench {
     "q_hard_negatives",
     "q_asof_tolerance",
     "q_leakage_safe_split",
+    "q_kfold_split",
     "q_token_counts",
     "q_token_fertility",
     "q_corpus_pipeline",
