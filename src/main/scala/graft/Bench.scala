@@ -142,7 +142,9 @@ object Bench {
     "q_binary_ingest",
     "q_vocab_growth",
     "q_vocab_richness",
+    "q_freq_of_freqs",
     "q_decayed_revenue",
+    "q_interarrival_fano",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -308,7 +309,43 @@ object Stats {
       .withColumn("alloc", col("quota") + col("extra"))
   }
 
+  /** Interarrival FANO FACTOR per event type — the burstiness /
+    * overdispersion statistic of each event stream: variance-to-mean
+    * ratio of the per-user gaps between consecutive events of that
+    * type. Fano ≈ 1 is Poisson (memoryless traffic); ≫ 1 is bursty
+    * (sessions, retry storms — the signal a capacity planner or
+    * anomaly baseline reads); ≪ 1 is pacemaker-regular. Entirely in
+    * exact integers — fano = (n·ΣΔ² − (ΣΔ)²)·10⁶ div (n·ΣΔ) over
+    * whole-second gaps — so no sqrt/float CV is needed and the report
+    * hash-checks.
+    *
+    * Plan: one scan → (user, type)-PARTITIONED lag window (bounded per
+    * user — never a global sort) → one map-side-combined hash
+    * aggregate to |types| rows; Δ² sums run in DECIMAL(38). */
+  def interarrivalFano(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      // integer div AFTER the subtraction: (a - b) div 1e9 is not
+      // a div 1e9 - b div 1e9, and the oracle replays this exact form
+      .selectExpr("event_type", "(ts - prev_ts) div 1000000000L AS gap_s")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_s").as("s"),
+        sum(expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s")).as("q"))
+      .selectExpr("event_type", "n_gaps",
+        "s * 1000000 div n_gaps AS mean_gap_s_micro",
+        "CAST((CAST(n_gaps AS DECIMAL(38,0)) * q" +
+          " - CAST(s AS DECIMAL(38,0)) * s) * 1000000" +
+          " div (CAST(n_gaps AS DECIMAL(38,0)) * s) AS BIGINT)" +
+          " AS fano_micro")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interarrival_fano" -> interarrivalFano,
     "q_neyman_alloc" -> ((s, d) => neymanAllocation(s, d)),
     "q_bootstrap_means" -> bootstrapMeans,
     "q_ks_drift" -> ksDrift,
@@ -320,6 +357,23 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_interarrival_fano" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |            PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id)) // 1000000000 AS gap_s
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |             CAST(sum(gap_s) AS BIGINT) AS s,
+        |             sum(CAST(gap_s AS HUGEINT) * gap_s) AS q
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |       s * 1000000 // n_gaps AS mean_gap_s_micro,
+        |       CAST((CAST(n_gaps AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |         * 1000000 // (CAST(n_gaps AS HUGEINT) * s) AS BIGINT)
+        |         AS fano_micro
+        |FROM a""".stripMargin,
     "q_neyman_alloc" ->
       s"""WITH per AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n,

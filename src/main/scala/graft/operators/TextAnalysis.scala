@@ -284,6 +284,40 @@ object TextAnalysis {
           " AS BIGINT) AS chao1_micro",
         "(n_tokens - f1) * 1000000 div n_tokens AS coverage_ppm")
 
+  /** GOOD-TURING smoothing table — the frequency-of-frequencies
+    * N_r and the adjusted counts r* = (r+1)·N_{r+1}/N_r for small r,
+    * the table a count-based LM (or any probability estimate over the
+    * vocab) needs to discount raw counts toward unseen mass;
+    * [[vocabRichness]] reports the scalar estimators off the same
+    * N_1/N_2, this is the full low-r table. r* is exact integer
+    * micro-units; a 0 records "no r+1 class observed" (GT undefined
+    * there) — a sentinel both engines agree on, where NULL would be at
+    * the mercy of each engine's null-vs-NaN rendering.
+    *
+    * The report is the `k` RAREST frequency classes (r ascending) —
+    * on natural corpora that is r = 1, 2, 3, …; on a corpus with no
+    * singletons it is still the low-count tail GT discounts, where a
+    * fixed r ≤ 8 cap would return nothing.
+    *
+    * Plan: vocab hash aggregate → count-of-counts aggregate (output
+    * rows = distinct count values, the doc-length-histogram
+    * self-scaling discipline) → bottom-k of that post-aggregate table
+    * (TakeOrdered on |distinct counts| rows) → self-join on r+1
+    * against the full class table. */
+  def freqOfFreqs(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val fof = Tables.documents(spark, dir)
+      .select(explode(tokens).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+    val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    fof.orderBy(col("r")).limit(k)
+      .join(nxt, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        expr("CASE WHEN n_next IS NULL THEN 0L ELSE" +
+          " CAST(CAST(r + 1 AS DECIMAL(38,0)) * n_next * 1000000 div n_r" +
+          " AS BIGINT) END").as("gt_star_micro"))
+  }
+
   /** COHEN'S KAPPA for the language audit — the chance-corrected
     * agreement between the declared `lang` tag and the n-gram lang-ID
     * prediction, the single number that summarizes the confusion
@@ -979,6 +1013,7 @@ object TextAnalysis {
     "q_lang_kappa" -> langKappa,
     "q_source_divergence" -> sourceDivergence,
     "q_vocab_richness" -> vocabRichness,
+    "q_freq_of_freqs" -> ((s, d) => freqOfFreqs(s, d)),
     "q_doc_fingerprint" -> docFingerprint)
 
   /** BM25 oracle generated from [[Bm25Terms]] (same HUGEINT outer
@@ -1360,6 +1395,20 @@ object TextAnalysis {
         |          / length(toks) < 0.5) AS is_quality
         |FROM t""".stripMargin,
     "q_lang_id" -> langIdSql,
+    "q_freq_of_freqs" ->
+      """WITH v AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |fof AS (SELECT cnt AS r, CAST(count(*) AS BIGINT) AS n_r
+        |        FROM v GROUP BY 1),
+        |lo AS (SELECT * FROM fof ORDER BY r LIMIT 8)
+        |SELECT f.r, f.n_r,
+        |       CASE WHEN nx.n_r IS NULL THEN 0
+        |            ELSE CAST(CAST(f.r + 1 AS HUGEINT) * nx.n_r * 1000000
+        |                      // f.n_r AS BIGINT) END AS gt_star_micro
+        |FROM lo f LEFT JOIN fof nx ON nx.r = f.r + 1""".stripMargin,
     "q_vocab_richness" ->
       """WITH v AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
