@@ -145,6 +145,8 @@ object Bench {
     "q_freq_of_freqs",
     "q_decayed_revenue",
     "q_interarrival_fano",
+    "q_changepoint",
+    "q_ht_estimate",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

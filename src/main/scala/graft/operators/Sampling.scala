@@ -107,6 +107,42 @@ object Sampling {
       .filter(col("n_picks") >= 1)
   }
 
+  /** HORVITZ-THOMPSON / Hansen-Hurwitz estimator audit — the loop
+    * closer for [[ppsSample]]: re-estimate a corpus total (total
+    * characters) from ONLY the token-weighted sample, weighting each
+    * sampled doc by the inverse of its selection intensity
+    * (Ŷ = Σ picks·y_i·W div (k·w_i)), and report the estimate next to
+    * the true total with the error in ppm. This is the audit a
+    * sampling pipeline ships alongside its sample: proof the design
+    * weights reconstruct known totals before anyone trusts them on
+    * unknown ones. Per-doc floor-div keeps every term integer-exact,
+    * and DECIMAL sums are order-independent, so estimate AND error
+    * replay digit-for-digit.
+    *
+    * Plan: the sample (≤k rows) joins the doc store on its key and
+    * broadcasts the 1-row corpus totals — sample-sized work after the
+    * one corpus aggregate [[ppsSample]] already pays. */
+  def htEstimate(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("chars"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("w"))
+    val tot = docs.agg(sum("w").as("wtot"),
+      sum("chars").as("actual_chars"))
+    ppsSample(spark, dir, k)
+      .join(docs.select("doc_id", "chars"), "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(
+        expr(s"CAST(n_picks AS DECIMAL(38,0)) * chars * wtot" +
+          s" div (${k}L * n_tokens)").as("term"),
+        col("wtot"), col("actual_chars"))
+      .groupBy("wtot", "actual_chars")
+      .agg(sum("term").as("est0"), count(lit(1)).as("n_sampled"))
+      .selectExpr("n_sampled", "wtot AS total_tokens", "actual_chars",
+        "CAST(est0 AS BIGINT) AS est_chars",
+        "CAST(abs(est0 - actual_chars) * 1000000 div actual_chars" +
+          " AS BIGINT) AS err_ppm")
+  }
+
   /** Largest-remainder apportionment of a fixed token budget across
     * sources — the mix-planning step that turns proportions into an
     * EXACT integer allocation (Σ alloc = budget, guaranteed): per-source
@@ -251,6 +287,7 @@ object Sampling {
     "q_mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "q_mix_alloc" -> ((s, d) => mixAllocation(s, d)),
     "q_pps_sample" -> ((s, d) => ppsSample(s, d)),
+    "q_ht_estimate" -> ((s, d) => htEstimate(s, d)),
     "q_temperature_mix" -> temperatureMixture,
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
@@ -334,6 +371,40 @@ object Sampling {
          |       CAST(CAST(least(n_tokens, alloc) AS HUGEINT) * 1000000
          |         // greatest(alloc, 1) AS BIGINT) AS unique_ppm
          |FROM alloc_t""".stripMargin,
+    "q_ht_estimate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |           AS w,
+        |         CAST(n_chars AS BIGINT) AS chars,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rnd
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, chars,
+        |         CAST(COALESCE(SUM(w) OVER (ORDER BY rnd, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before,
+        |         CAST(SUM(w) OVER () AS BIGINT) // 100 AS s
+        |  FROM d),
+        |sm AS (
+        |  SELECT doc_id, w, chars,
+        |         least(greatest((cum_before + w - (s // 2) + s - 1) // s, 0),
+        |               100)
+        |         - least(greatest((cum_before - (s // 2) + s - 1) // s, 0),
+        |               100) AS n_picks
+        |  FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot,
+        |             CAST(sum(chars) AS BIGINT) AS actual_chars
+        |      FROM d),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+        |             sum(CAST(n_picks AS HUGEINT) * chars * t.wtot
+        |                 // (100 * w)) AS est0
+        |      FROM sm CROSS JOIN t WHERE n_picks >= 1)
+        |SELECT e.n_sampled, t.wtot AS total_tokens, t.actual_chars,
+        |       CAST(e.est0 AS BIGINT) AS est_chars,
+        |       CAST(abs(e.est0 - t.actual_chars) * 1000000 // t.actual_chars
+        |         AS BIGINT) AS err_ppm
+        |FROM e CROSS JOIN t""".stripMargin,
     "q_pps_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

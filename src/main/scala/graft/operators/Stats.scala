@@ -344,7 +344,59 @@ object Stats {
           " AS fano_micro")
   }
 
+  /** Exact CHANGEPOINT DETECTION on the monthly revenue series — the
+    * single best two-segment split of the series, chosen by maximizing
+    * the split's R² (equivalently minimizing two-segment SSE: the
+    * cross-term F = S1²/n1 + S2²/n2 is the only split-dependent part,
+    * and R² = (F − S²/n)/(Q − S²/n) is monotone in it). Everything is
+    * integer cross-multiplication in DECIMAL(38) — the floor'd ppm is
+    * the deterministic tiebreak-stable ranking key both engines
+    * replay — so the detected break month is bit-reproducible, where a
+    * float SSE scan could flip the argmax between engines. (At
+    * year-scale series with ≫10¹⁶-cent totals, rescale the unit —
+    * cents→dollars — to keep S²·n² inside DECIMAL(38); the month
+    * count itself is bounded, so the search space never grows.)
+    *
+    * Plan: one scan → |months| monthly aggregate; prefix sums are ONE
+    * window over that bounded post-aggregate series (the
+    * q_lang_confusion bounded-window discipline — never over raw
+    * rows); every candidate split is a pure projection of the prefix
+    * row + the broadcast 1-row totals; argmax is TakeOrdered(1). */
+  def changepoint(spark: SparkSession, dir: String,
+      minSeg: Int = 3): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("mo").agg(sum("cents").as("rev"))
+    val w = Window.orderBy("mo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = monthly.agg(count(lit(1)).as("n"), sum("rev").as("s"),
+      sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("q"))
+    monthly
+      .withColumn("n1", count(lit(1)).over(w))
+      .withColumn("s1", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      // minimum segment length: an unconstrained argmax degenerates to
+      // isolating a single outlier month (observed: the partial final
+      // month) — the standard changepoint guard
+      .filter(col("n1") >= minSeg && col("n1") <= col("n") - minSeg)
+      .selectExpr("mo AS break_mo", "n1", "n - n1 AS n2",
+        "s1", "s - s1 AS s2", "n", "s", "q")
+      .selectExpr("break_mo", "n1", "n2",
+        "s1 div n1 AS mean1_cents", "s2 div n2 AS mean2_cents",
+        "CAST((n * (CAST(s1 AS DECIMAL(38,0)) * s1 * n2" +
+          " + CAST(s2 AS DECIMAL(38,0)) * s2 * n1)" +
+          " - CAST(s AS DECIMAL(38,0)) * s * n1 * n2) * 1000000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2" +
+          " * (n * q - CAST(s AS DECIMAL(38,0)) * s)) AS BIGINT)" +
+          " AS r2_ppm")
+      .orderBy(col("r2_ppm").desc, col("break_mo")).limit(1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> ((s, d) => changepoint(s, d)),
     "q_interarrival_fano" -> interarrivalFano,
     "q_neyman_alloc" -> ((s, d) => neymanAllocation(s, d)),
     "q_bootstrap_means" -> bootstrapMeans,
@@ -357,6 +409,36 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_changepoint" ->
+      """WITH m AS (
+        |  SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |           AS mo,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT mo, CAST(sum(cents) AS BIGINT) AS rev FROM m GROUP BY 1),
+        |p AS (SELECT mo,
+        |             CAST(count(*) OVER wo AS BIGINT) AS n1,
+        |             CAST(sum(rev) OVER wo AS BIGINT) AS s1
+        |      FROM g
+        |      WINDOW wo AS (ORDER BY mo
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+        |             sum(CAST(rev AS HUGEINT) * rev) AS q
+        |      FROM g),
+        |c AS (SELECT mo AS break_mo, n1, n - n1 AS n2, s1, s - s1 AS s2,
+        |             n, s, q
+        |      FROM p CROSS JOIN t WHERE n1 >= 3 AND n1 <= n - 3)
+        |SELECT break_mo, n1, n2,
+        |       s1 // n1 AS mean1_cents, s2 // n2 AS mean2_cents,
+        |       CAST((n * (CAST(s1 AS HUGEINT) * s1 * n2
+        |                  + CAST(s2 AS HUGEINT) * s2 * n1)
+        |             - CAST(s AS HUGEINT) * s * n1 * n2) * 1000000
+        |         // (CAST(n1 AS HUGEINT) * n2
+        |             * (n * q - CAST(s AS HUGEINT) * s)) AS BIGINT)
+        |         AS r2_ppm
+        |FROM c
+        |ORDER BY r2_ppm DESC, break_mo
+        |LIMIT 1""".stripMargin,
     "q_interarrival_fano" ->
       """WITH g AS (
         |  SELECT event_type,
