@@ -174,13 +174,57 @@ private[graft] final case class AggMax(col: Long => Long) extends PushedAgg {
 
 private class OrdersScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows
   private val pushed = mutable.ArrayBuffer.empty[Filter]
   private var required: StructType = OrdersSource.Schema
   private var pushedAgg: Option[(Seq[String], Seq[PushedAgg])] = None
+
+  /** LIMIT pushdown (`SupportsPushDownLimit`): ids are generated in
+    * order, so a LIMIT n over the (already filter-narrowed) slice can
+    * stop generation at lo + n — the other `parts − 1` readers plan
+    * empty or truncated slices instead of generating rows a
+    * LocalLimit would immediately discard. Declared PARTIAL
+    * (`isPartiallyPushed` = true): Spark keeps its own limit above the
+    * scan, so correctness never depends on the source's counting —
+    * the pushdown only prunes generation, which is the scalable part.
+    * Declined under a pushed aggregation (the limit applies to
+    * post-aggregation rows, not scan rows). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) false
+    else {
+      hi = math.min(hi, math.addExact(lo, limit.toLong))
+      true
+    }
+  }
+
+  /** TOP-N pushdown (`SupportsPushDownTopN`): ORDER BY order_id
+    * [ASC|DESC] LIMIT n keeps only the first/last n ids of the slice —
+    * the generated-source face of "the data is stored sorted on the
+    * key, serve the heads". Only a single-column ordering on
+    * `order_id` qualifies (any other sort key would need a real sort);
+    * PARTIAL like [[pushLimit]], so Spark's Sort+Limit stay above the
+    * scan as the correctness net. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (pushedAgg.isDefined || orders.length != 1) return false
+    val so = orders(0)
+    if (!fieldOf(so.expression()).contains("order_id")) return false
+    so.direction() match {
+      case SortDirection.ASCENDING =>
+        hi = math.min(hi, math.addExact(lo, limit.toLong)); true
+      case SortDirection.DESCENDING =>
+        lo = math.max(lo, hi - limit.toLong); true
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {

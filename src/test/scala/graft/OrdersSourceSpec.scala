@@ -455,4 +455,38 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expected)
   }
+
+  test("limit pushdown prunes generation to the head of the slice") {
+    // Bare LIMIT: the scan's consumed bounds shrink to [0, 7) — the
+    // other readers plan empty slices instead of generating rows a
+    // LocalLimit would discard. Partial pushdown: Spark's own limit
+    // stays above as the correctness net.
+    val df = read(10000, 8).limit(7)
+    assert(pushedBounds(df) == (0L, 7L))
+    assert(df.select("order_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 7L))
+
+    // Composed with a pushed filter: bounds narrow to filter-lo + n.
+    val filtered = read(10000, 8).filter(col("order_id") >= 6000).limit(5)
+    assert(pushedBounds(filtered) == (6000L, 6005L))
+    assert(filtered.select("order_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (6000L until 6005L))
+  }
+
+  test("top-n pushdown serves the ordered head or tail of the id space") {
+    val asc = read(10000, 8).orderBy(col("order_id")).limit(5)
+    assert(pushedBounds(asc) == (0L, 5L))
+    assert(asc.select("order_id").collect().map(_.getLong(0)).toSeq
+      == (0L until 5L))
+
+    val desc = read(10000, 8).orderBy(col("order_id").desc).limit(5)
+    assert(pushedBounds(desc) == (9995L, 10000L))
+    assert(desc.select("order_id").collect().map(_.getLong(0)).toSeq
+      == (9999L to 9995L by -1))
+
+    // A non-key ordering must decline: full bounds, Spark sorts.
+    val other = read(10000, 8).orderBy(col("price_cents")).limit(5)
+    assert(pushedBounds(other) == (0L, 10000L))
+    assert(other.count() == 5)
+  }
 }
