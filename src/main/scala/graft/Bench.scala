@@ -147,6 +147,7 @@ object Bench {
     "q_interarrival_fano",
     "q_changepoint",
     "q_ht_estimate",
+    "q_seasonal_anomaly",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

@@ -395,7 +395,43 @@ object Stats {
       .orderBy(col("r2_ppm").desc, col("break_mo")).limit(1)
   }
 
+  /** SEASONALITY-ADJUSTED anomaly detection: daily revenue judged
+    * against its own DAY-OF-WEEK baseline — a heavy Saturday is normal
+    * if Saturdays are heavy; the global 2σ gate (q_anomalous_events)
+    * would flag every weekend or miss a quiet Tuesday. Day-of-week is
+    * the epoch-day mod 7 (calendar-free, engine-agnostic); the gate is
+    * the exact integer variance discipline at 1.5σ:
+    * 4·(n·x − S)² > 9·(nQ − S²) within the day's weekday group ⟺
+    * (x − μ)² > (3σ/2)² — no float mean, no sqrt, the flagged-day SET
+    * is bit-reproducible. (1.5σ rather than 2σ: a short-tailed
+    * daily-total distribution — uniform's max deviation is
+    * √3·σ ≈ 1.73σ — can NEVER clear 2σ, making the 2σ form a vacuous
+    * detector on bounded-variation series.)
+    *
+    * Plan: one scan → |days| daily aggregate (map-side combined);
+    * weekday baselines aggregate that post-agg table (≤7 rows,
+    * broadcast back); the gate is a pure DECIMAL(38) projection. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000L").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+      .withColumn("dow", expr("day % 7"))
+    val base = daily.groupBy("dow").agg(count(lit(1)).as("n"),
+      sum("x").as("s"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+    daily.join(broadcast(base), "dow")
+      .selectExpr("day", "dow", "x AS total_cents", "n AS n_days_in_dow",
+        "CAST(n AS DECIMAL(38,0)) * x - s AS dev",
+        "CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s" +
+          " AS nvar")
+      .filter(expr("4 * dev * dev > 9 * nvar"))
+      .select(col("day"), col("dow"), col("total_cents"),
+        col("n_days_in_dow"), (col("dev") > 0).as("is_high"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_anomaly" -> seasonalAnomaly,
     "q_changepoint" -> ((s, d) => changepoint(s, d)),
     "q_interarrival_fano" -> interarrivalFano,
     "q_neyman_alloc" -> ((s, d) => neymanAllocation(s, d)),
@@ -409,6 +445,22 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day, day % 7 AS dow, x FROM daily),
+        |base AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(x) AS BIGINT) AS s,
+        |                sum(CAST(x AS HUGEINT) * x) AS q
+        |         FROM d2 GROUP BY 1)
+        |SELECT day, dow, x AS total_cents, n AS n_days_in_dow,
+        |       (CAST(n AS HUGEINT) * x - s) > 0 AS is_high
+        |FROM d2 JOIN base USING (dow)
+        |WHERE 4 * (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+        |      > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)""".stripMargin,
     "q_changepoint" ->
       """WITH m AS (
         |  SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
