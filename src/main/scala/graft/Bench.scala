@@ -119,6 +119,7 @@ object Bench {
     "q_pr_points",
     "q_item_pairs",
     "q_batch_plan",
+    "q_pack_waste",
     "q_bitext_mining",
     "q_source_dedup_rates",
     "q_er_parts",

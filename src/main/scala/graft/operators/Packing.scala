@@ -203,13 +203,64 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
   }
 
+  /** PADDING-WASTE SWEEP for the pad-to-length training regime — the
+    * seqLen decision table: for each candidate sequence length S, a
+    * document of t tokens costs ⌈t/S⌉ sequences of which the last is
+    * padded, so waste = Σ(⌈t/S⌉·S − t). Concat-and-chunk packing
+    * ([[seqPack]]) wastes nothing by construction; real pipelines that
+    * cannot cross document boundaries (instruction tuning, contrastive
+    * pairs) pay this padding, and the sweep says which S pays least on
+    * THIS corpus's length distribution. All integer closed forms.
+    *
+    * Plan: one scan computes token counts; the 4-way per-S explode
+    * collapses inside the same stage's partial aggregate (the
+    * bootstrap-replicate discipline — shuffle carries 4 rows per task,
+    * never 4× the corpus). */
+  def packWaste(spark: SparkSession, dir: String,
+      lens: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)): DataFrame = {
+    val lensSql = lens.mkString("array(", "L, ", "L)")
+    Tables.documents(spark, dir)
+      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("t"))
+      .select(explode(expr(lensSql)).as("seq_len"), col("t"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t").as("total_tokens"),
+        sum(expr("(t + seq_len - 1) div seq_len")).as("n_seqs"),
+        sum(expr("((t + seq_len - 1) div seq_len) * seq_len - t"))
+          .as("padding_tokens"))
+      .selectExpr("seq_len", "n_docs", "total_tokens", "n_seqs",
+        "padding_tokens",
+        "CAST(CAST(padding_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div (n_seqs * seq_len) AS BIGINT) AS waste_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_waste" -> ((s, d) => packWaste(s, d)),
     "q_seq_pack" -> ((s, d) => seqPack(s, d)),
     "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
     "q_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_pack_waste" ->
+      """WITH d AS (
+        |  SELECT CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |           AS BIGINT) AS t
+        |  FROM documents),
+        |x AS (SELECT s.seq_len, d.t
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest([512, 1024, 2048, 4096]) AS seq_len) s)
+        |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(t) AS BIGINT) AS total_tokens,
+        |       CAST(sum((t + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs,
+        |       CAST(sum(((t + seq_len - 1) // seq_len) * seq_len - t)
+        |         AS BIGINT) AS padding_tokens,
+        |       CAST(CAST(sum(((t + seq_len - 1) // seq_len) * seq_len - t)
+        |              AS HUGEINT) * 1000000
+        |         // (sum((t + seq_len - 1) // seq_len) * seq_len)
+        |         AS BIGINT) AS waste_ppm
+        |FROM x GROUP BY seq_len""".stripMargin,
     // The oracle MAY use the single global running-sum window — DuckDB
     // is the referee, not the scale exemplar.
     "q_seq_pack" ->

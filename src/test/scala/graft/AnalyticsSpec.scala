@@ -111,4 +111,24 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(viaJson == directJ)
   }
+
+  test("decay shift clamps where Java's 6-bit shift mask would wrap") {
+    // The hazard q_decayed_revenue's CASE guards: shiftright masks the
+    // shift count to 6 bits for longs, so k = 64 is a NO-OP (weight 1
+    // where the math says ~0) and k = 70 shifts by 6. Pin the raw
+    // behavior AND that the guarded expression clamps to 0 from 63 on.
+    val rows = spark.range(1)
+      .selectExpr(
+        "shiftright(1000000L, 64) AS wrapped",
+        "shiftright(1000000L, 20) AS sane",
+        "CASE WHEN 64 >= 63 THEN 0L ELSE shiftright(1000000L, 64) END" +
+          " AS guarded_64",
+        "CASE WHEN 62 >= 63 THEN 0L ELSE shiftright(1000000L, 62) END" +
+          " AS guarded_62")
+      .collect()(0)
+    assert(rows.getAs[Long]("wrapped") == 1000000L) // the silent wrap
+    assert(rows.getAs[Long]("sane") == 0L)
+    assert(rows.getAs[Long]("guarded_64") == 0L)
+    assert(rows.getAs[Long]("guarded_62") == 0L) // 2^62 > any cents value
+  }
 }
