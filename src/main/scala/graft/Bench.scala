@@ -149,6 +149,8 @@ object Bench {
     "q_changepoint",
     "q_ht_estimate",
     "q_seasonal_anomaly",
+    "q_exec_immediate",
+    "q_hh_drift",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

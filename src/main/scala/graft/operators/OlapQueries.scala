@@ -675,6 +675,28 @@ object OlapQueries {
       Map("minTotal" -> 150000, "cutoff" -> "1996-01-01 00:00:00"))
   }
 
+  /** EXECUTE IMMEDIATE (Spark 4 dynamic SQL in SQL): the statement
+    * text lives in a session VARIABLE and runs with named USING
+    * parameters — the migration surface for warehouse codebases that
+    * assemble SQL at runtime (stored-procedure bodies, metadata-driven
+    * reporting), with the same injection-safe typed binding as
+    * [[paramSql]]: the text is parsed once as SQL, parameters never
+    * string-splice. Plan cost is identical to the inline form —
+    * Catalyst folds the bound constants before pushdown. */
+  def execImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_exec")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    spark.sql(
+      """SET VAR graft_stmt =
+        |  'SELECT o_orderpriority, count(*) AS n_orders,
+        |          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS total_cents
+        |   FROM orders_exec
+        |   WHERE o_totalprice >= :minTotal
+        |   GROUP BY 1'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_stmt USING 200000 AS minTotal")
+  }
+
   /** Correlated LATERAL subquery (Spark 4 `, LATERAL (...)`): per-nation
     * top-3 customers by account balance, written as the correlated
     * per-group-top-k a SQL user reaches for first. Catalyst
@@ -867,6 +889,7 @@ object OlapQueries {
     "q1_pricing_summary" -> q1PricingSummary,
     "q_pipe_sql" -> pipeSqlStats,
     "q_param_sql" -> paramSql,
+    "q_exec_immediate" -> execImmediate,
     "q_lateral_topk" -> lateralTopk,
     "q_pivot_native" -> pivotNative,
     "q_sql_udf" -> sqlUdf,
@@ -1239,6 +1262,15 @@ object OlapQueries {
         |         AS BIGINT) AS r_s,
         |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r_n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // The dynamically-executed statement replayed as plain SQL.
+    "q_exec_immediate" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders
+        |WHERE o_totalprice >= 200000
+        |GROUP BY 1""".stripMargin,
     // Bound parameters replayed as folded literals.
     "q_param_sql" ->
       """SELECT o_orderpriority,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -516,6 +517,46 @@ object Profiling {
         "n_pos * 1000000 div n AS pos_rate_micro")
   }
 
+  /** HEAVY-HITTER DRIFT: today's top-k vs yesterday's — the CHANGE
+    * report a monitoring surface actually pages on (a new entrant in
+    * the top talkers, a leaver, a rank jump), here as the top-10
+    * heaviest USERS of the first half of the event span vs the second
+    * (split at the midpoint epoch-day, broadcast from a 1-row min/max
+    * aggregate — deterministic, calendar-free). Exact counts; ties
+    * broken (count desc, user asc) so both engines pick identical
+    * top-k sets. At 100 TB the per-period counts come from the daily
+    * pre-aggregate (or the mergeable MG sketches of 25c/25n) — the
+    * drift join itself always runs on 2k post-aggregate rows.
+    *
+    * Plan: one scan → (user, period) map-side-combined aggregate →
+    * per-period rank over the post-agg table → k-row sets full-outer
+    * joined on user; status is a pure projection. */
+  def heavyHitterDrift(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val day = 86400000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div ${day}L").as("d"))
+    val span = ev.agg(min("d").as("lo"), max("d").as("hi"))
+    val counted = ev.crossJoin(broadcast(span))
+      .selectExpr("user_id",
+        "CASE WHEN d < (lo + hi + 1) div 2 THEN 0 ELSE 1 END AS period")
+      .groupBy("user_id", "period").agg(count(lit(1)).as("cnt"))
+    def topOf(p: Int) = counted.filter(col("period") === p)
+      .orderBy(col("cnt").desc, col("user_id")).limit(k)
+      .withColumn(s"rank_p$p",
+        row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))))
+      .select(col("user_id"), col("cnt").as(s"cnt_p$p"), col(s"rank_p$p"))
+    topOf(0).join(topOf(1), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("rank_p0").isNull, "entered")
+          .when(col("rank_p1").isNull, "left")
+          .otherwise("stayed").as("status"),
+        coalesce(col("cnt_p0"), lit(0L)).as("cnt_p0"),
+        coalesce(col("cnt_p1"), lit(0L)).as("cnt_p1"),
+        coalesce(col("rank_p0"), lit(0)).as("rank_p0"),
+        coalesce(col("rank_p1"), lit(0)).as("rank_p1"))
+  }
+
   /** PRECISION-RECALL OPERATING POINTS — AUC's deployment-side sibling:
     * for the decision rule "flag when score ≥ T", the exact confusion
     * counts (tp/fp/fn) and precision / recall / F1 in integer
@@ -868,6 +909,7 @@ object Profiling {
     "q_join_cardinality" -> joinCardinality,
     "q_f2_sketch" -> ((s, d) => f2SketchEstimate(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyEventTypes(s, d)),
+    "q_hh_drift" -> ((s, d) => heavyHitterDrift(s, d)),
     "q_lang_heavy_tokens" -> ((s, d) => langHeavyTokens(s, d)),
     "q_mad_prices" -> madPrices,
     "q_distinct_mergeable" -> distinctUsersMergeable,
@@ -1134,6 +1176,33 @@ object Profiling {
         |       min(sc) AS lo_cents, max(sc) AS hi_cents,
         |       CAST(sum(n_pos) * 1000000 // sum(n) AS BIGINT) AS pos_rate_micro
         |FROM c GROUP BY 1""".stripMargin,
+    "q_hh_drift" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |sp AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        |c AS (SELECT user_id,
+        |             CASE WHEN d < (lo + hi + 1) // 2 THEN 0 ELSE 1 END
+        |               AS period,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e CROSS JOIN sp GROUP BY 1, 2),
+        |t0 AS (SELECT user_id, cnt AS cnt_p0,
+        |              CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |                AS INT) AS rank_p0
+        |       FROM c WHERE period = 0
+        |       ORDER BY cnt DESC, user_id LIMIT 10),
+        |t1 AS (SELECT user_id, cnt AS cnt_p1,
+        |              CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |                AS INT) AS rank_p1
+        |       FROM c WHERE period = 1
+        |       ORDER BY cnt DESC, user_id LIMIT 10)
+        |SELECT COALESCE(t0.user_id, t1.user_id) AS user_id,
+        |       CASE WHEN t0.user_id IS NULL THEN 'entered'
+        |            WHEN t1.user_id IS NULL THEN 'left'
+        |            ELSE 'stayed' END AS status,
+        |       COALESCE(cnt_p0, 0) AS cnt_p0, COALESCE(cnt_p1, 0) AS cnt_p1,
+        |       COALESCE(rank_p0, 0) AS rank_p0,
+        |       COALESCE(rank_p1, 0) AS rank_p1
+        |FROM t0 FULL OUTER JOIN t1 ON t0.user_id = t1.user_id""".stripMargin,
     // Same distinct-score cumsum as calibration, plus the cumulative
     // positives; each decile's operating point is its first group.
     "q_pr_points" ->
