@@ -151,6 +151,7 @@ object Bench {
     "q_seasonal_anomaly",
     "q_exec_immediate",
     "q_hh_drift",
+    "q_fk_orphans",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

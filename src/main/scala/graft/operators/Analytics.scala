@@ -561,6 +561,53 @@ object Analytics {
       .withColumn("rk", row_number().over(w))
   }
 
+  /** REFERENTIAL-INTEGRITY audit across every FK edge of the star
+    * schema — the orphan report (child rows whose parent key does not
+    * exist) a warehouse runs after every load, here as one table:
+    * edge, child rows, distinct keys, orphan rows, orphan keys. The
+    * [[constraintReport]] checks ONE edge as part of its gate; this is
+    * the full-schema sweep.
+    *
+    * Plan per edge: the child pre-aggregates to (key, count) with
+    * map-side combine FIRST, so the anti join against the parent runs
+    * on |distinct keys| post-aggregate rows — never the raw fact
+    * (orphan ROW counts come from the carried per-key counts). Dim
+    * parents broadcast; the orders parent is an ordinary shuffle anti
+    * join at scale. Five edges = five bounded reports unioned. */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val keyed = child.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("c"))
+      val orphans = keyed
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+      keyed.agg(sum("c").as("child_rows"),
+          count(lit(1)).as("distinct_keys"))
+        .crossJoin(broadcast(orphans.agg(
+          coalesce(sum("c"), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("orphan_keys"))))
+        .select(lit(name).as("fk_edge"), col("child_rows"),
+          col("distinct_keys"), col("orphan_rows"), col("orphan_keys"))
+    }
+    Seq(
+      edge("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      edge("lineitem.l_partkey->part.p_partkey",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier.s_suppkey",
+        Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      edge("orders.o_custkey->customer.c_custkey",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("events.user_id->customer.c_custkey",
+        Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey"))
+      .reduce(_ unionByName _)
+  }
+
   /** Declarative data-quality CONSTRAINT REPORT (the Deequ/
     * Great-Expectations shape): completeness, uniqueness, domain,
     * range and referential-integrity checks computed as ONE aggregate
@@ -726,6 +773,7 @@ object Analytics {
     "q_merge_upsert" -> mergeUpsert,
     "q_corpus_diff" -> corpusDiff,
     "q_constraint_report" -> constraintReport,
+    "q_fk_orphans" -> fkOrphans,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
@@ -849,8 +897,46 @@ object Analytics {
         |FROM (SELECT *, row_number() OVER (ORDER BY n_orders DESC,
         |        part_i, part_j) AS rk FROM p)
         |WHERE rk <= 20""".stripMargin,
+    "q_fk_orphans" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+        |         l_orderkey AS k FROM lineitem),
+        |e2 AS (SELECT 'lineitem.l_partkey->part.p_partkey', l_partkey
+        |       FROM lineitem),
+        |e3 AS (SELECT 'lineitem.l_suppkey->supplier.s_suppkey', l_suppkey
+        |       FROM lineitem),
+        |e4 AS (SELECT 'orders.o_custkey->customer.c_custkey', o_custkey
+        |       FROM orders),
+        |e5 AS (SELECT 'events.user_id->customer.c_custkey', user_id
+        |       FROM events),
+        |child AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |          UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |          UNION ALL SELECT * FROM e5),
+        |parents AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+        |         o_orderkey AS k FROM orders
+        |  UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey', p_partkey
+        |    FROM part
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey', s_suppkey
+        |    FROM supplier
+        |  UNION ALL SELECT 'orders.o_custkey->customer.c_custkey', c_custkey
+        |    FROM customer
+        |  UNION ALL SELECT 'events.user_id->customer.c_custkey', c_custkey
+        |    FROM customer),
+        |keyed AS (SELECT fk_edge, k, CAST(count(*) AS BIGINT) AS c
+        |          FROM child GROUP BY 1, 2),
+        |flag AS (SELECT keyed.*, p.k IS NOT NULL AS has_parent
+        |         FROM keyed LEFT JOIN (SELECT DISTINCT fk_edge, k
+        |                               FROM parents) p USING (fk_edge, k))
+        |SELECT fk_edge, CAST(sum(c) AS BIGINT) AS child_rows,
+        |       CAST(count(*) AS BIGINT) AS distinct_keys,
+        |       CAST(coalesce(sum(CASE WHEN NOT has_parent THEN c END), 0)
+        |         AS BIGINT) AS orphan_rows,
+        |       CAST(sum(CASE WHEN NOT has_parent THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS orphan_keys
+        |FROM flag GROUP BY 1""".stripMargin,
     "q_constraint_report" ->
-      """WITH a AS (
+"""WITH a AS (
         |  SELECT count(*) - count(DISTINCT o_orderkey) AS dup_keys,
         |         CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
         |           AS null_cust,
