@@ -274,7 +274,10 @@ object Analytics {
     * hash-check. Ages ≥ 63 half-lives clamp to zero explicitly —
     * Java's `>>` masks the shift count to 6 bits, so an unguarded
     * shiftright would silently wrap to a NO-op on data older than 63
-    * half-lives (a real hazard on multi-year corpora).
+    * half-lives (a real hazard on multi-year corpora). Assumes
+    * non-negative cents (event values are prices): on negatives the
+    * arithmetic shift FLOORS while DuckDB's `//` truncates toward
+    * zero — the usual sign/abs-split discipline would apply.
     *
     * Plan: one scan + broadcast 1-row max-ts + one partial+final
     * HashAggregate; the share column is a second broadcast of the
