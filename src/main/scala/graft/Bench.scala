@@ -152,6 +152,8 @@ object Bench {
     "q_exec_immediate",
     "q_hh_drift",
     "q_fk_orphans",
+    "q_ohlc_daily",
+    "q_revenue_lorenz",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

@@ -564,6 +564,32 @@ object Analytics {
       .withColumn("rk", row_number().over(w))
   }
 
+  /** Daily OHLC (open / high / low / close) candlesticks per event
+    * type — the time-series rollup every monitoring / market surface
+    * draws. Open and close are the first and last VALUES of the day,
+    * selected with `min_by`/`max_by` over the UNIQUE ordering key
+    * (ts, event_id) — a bare min_by(value, ts) picks an arbitrary row
+    * among ts ties and would differ between engines; the composite key
+    * makes the pick deterministic, which is what lets the candlestick
+    * table hash-check at all.
+    *
+    * Plan: one scan → one map-side-combined (type, day) hash
+    * aggregate; min_by/max_by carry one (key, value) pair of state per
+    * group — the same O(1)-per-group cost as min/max. */
+  def ohlcDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000L").as("day"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(
+        expr("min_by(cents, struct(ts, event_id))").as("open_cents"),
+        max("cents").as("high_cents"),
+        min("cents").as("low_cents"),
+        expr("max_by(cents, struct(ts, event_id))").as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum("cents").as("volume_cents"))
+
   /** REFERENTIAL-INTEGRITY audit across every FK edge of the star
     * schema — the orphan report (child rows whose parent key does not
     * exist) a warehouse runs after every load, here as one table:
@@ -777,6 +803,7 @@ object Analytics {
     "q_corpus_diff" -> corpusDiff,
     "q_constraint_report" -> constraintReport,
     "q_fk_orphans" -> fkOrphans,
+    "q_ohlc_daily" -> ohlcDaily,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
@@ -900,6 +927,30 @@ object Analytics {
         |FROM (SELECT *, row_number() OVER (ORDER BY n_orders DESC,
         |        part_i, part_j) AS rk FROM p)
         |WHERE rk <= 20""".stripMargin,
+    // min_by/max_by over the unique (ts, event_id) key replayed as
+    // first/last-row windows with the same composite ordering.
+    "q_ohlc_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         epoch_ns(ts) AS t, event_id,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY event_type, day
+        |               ORDER BY t, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY event_type, day
+        |               ORDER BY t DESC, event_id DESC) AS rn_d
+        |      FROM e)
+        |SELECT event_type, day,
+        |       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |         AS open_cents,
+        |       CAST(max(cents) AS BIGINT) AS high_cents,
+        |       CAST(min(cents) AS BIGINT) AS low_cents,
+        |       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |         AS close_cents,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_fk_orphans" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,

@@ -430,7 +430,51 @@ object Stats {
         col("n_days_in_dow"), (col("dev") > 0).as("is_high"))
   }
 
+  /** REVENUE CONCENTRATION / Lorenz deciles: customers ranked by total
+    * spend (descending), bucketed into deciles by exact global rank,
+    * each decile's revenue and the cumulative share — the
+    * "top 10% of customers drive X% of revenue" Pareto table, the
+    * customer-level sibling of [[giniHhi]]'s source-concentration
+    * scalars. Shares are exact ppm; the decile assignment is the
+    * calibration closed form ((k·rank) div n), deterministic under the
+    * (spend desc, custkey) unique ordering.
+    *
+    * Plan: user-level spend is one map-side-combined aggregate; the
+    * global rank is the DISTRIBUTED exact cumsum (range shuffle +
+    * broadcast prefix offsets — the customer universe never transits
+    * one task); everything after runs on ≤k decile rows, where the
+    * cumulative share is a bounded post-aggregate window. */
+  def revenueLorenz(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val users = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+      .select(col("o_custkey"), col("cents"),
+        (-col("cents")).as("neg"), lit(1L).as("one"))
+    val ranked = Packing.withGlobalCumsums(users,
+      Seq("one" -> "rank_before"), Seq("neg", "o_custkey"))
+    val tot = users.agg(count(lit(1)).as("n_users_total"),
+      sum("cents").as("rev_total"))
+    val byDecile = ranked.crossJoin(broadcast(tot))
+      .selectExpr("cents", "rev_total",
+        s"CAST(($buckets * rank_before) div n_users_total AS INT) AS decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("revenue_cents"),
+        max("rev_total").as("rev_total"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_cents", sum("revenue_cents").over(wCum))
+      .selectExpr("decile", "n_users", "revenue_cents",
+        "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000" +
+          " div rev_total AS BIGINT) AS share_ppm",
+        "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000" +
+          " div rev_total AS BIGINT) AS cum_share_ppm")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_lorenz" -> ((s, d) => revenueLorenz(s, d)),
     "q_seasonal_anomaly" -> seasonalAnomaly,
     "q_changepoint" -> ((s, d) => changepoint(s, d)),
     "q_interarrival_fano" -> interarrivalFano,
@@ -445,6 +489,32 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_revenue_lorenz" ->
+      """WITH u AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |             row_number() OVER (ORDER BY cents DESC, o_custkey) - 1
+        |               AS rank_before,
+        |             CAST(count(*) OVER () AS BIGINT) AS n_users_total,
+        |             CAST(sum(cents) OVER () AS BIGINT) AS rev_total
+        |      FROM u),
+        |d AS (SELECT CAST((10 * rank_before) // n_users_total AS INT)
+        |               AS decile,
+        |             CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |             max(rev_total) AS rev_total
+        |      FROM r GROUP BY 1)
+        |SELECT decile, n_users, revenue_cents,
+        |       CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // rev_total
+        |         AS BIGINT) AS share_ppm,
+        |       CAST(CAST(sum(revenue_cents) OVER (ORDER BY decile
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS HUGEINT) * 1000000 // rev_total
+        |         AS BIGINT) AS cum_share_ppm
+        |FROM d""".stripMargin,
     "q_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
