@@ -154,6 +154,9 @@ object Bench {
     "q_fk_orphans",
     "q_ohlc_daily",
     "q_revenue_lorenz",
+    "q_interval_coverage",
+    "q_ab_test",
+    "q_benford",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

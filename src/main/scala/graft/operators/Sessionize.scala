@@ -39,6 +39,43 @@ object Sessionize {
         max("event_id").as("last_event_id"))
   }
 
+  /** INTERVAL-UNION coverage per user — each event opens a fixed
+    * 5-minute activity window [ts, ts+5m), and the report is the exact
+    * union length of those (overlapping) windows: merged interval
+    * count and covered seconds per user — the billable-time / uptime /
+    * exposure measure, the companion of [[peakConcurrency]]'s
+    * sweep-line (that counts simultaneous intervals; this measures the
+    * covered axis). Merging uses the running MAX of window ends (the
+    * dynamic-gap discipline — a long window can outlast several
+    * successors; `lag` alone would split covered spans), touch-merge
+    * at exact boundaries.
+    *
+    * Plan: user-partitioned windows only (bounded per user, never
+    * global); one (user, island) aggregate then one user aggregate —
+    * both map-side combined. */
+  def intervalCoverage(spark: SparkSession, dir: String,
+      windowNs: Long = 300L * 1000000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("ts") + lit(windowNs)).as("end_ns"))
+      .withColumn("prev_max_end", max("end_ns").over(prior))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("ts") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("s"),
+        max("end_ns").as("e"))
+    islands.groupBy("user_id")
+      .agg(sum("n_events").as("n_events"),
+        count(lit(1)).as("merged_intervals"),
+        sum(expr("(e - s) div 1000000000L")).as("covered_seconds"))
+  }
+
   /** Per-event-type inactivity gaps for [[dynamicSessions]] and the
     * native dynamic-gap `session_window` face (OrderStream): purchases
     * close a session after 10 minutes, everything else after 30 —
@@ -273,6 +310,7 @@ object Sessionize {
     "q_event_patterns" -> eventPatterns,
     "q_dynamic_sessions" -> dynamicSessions,
     "q_sessionize" -> sessions,
+    "q_interval_coverage" -> ((s, d) => intervalCoverage(s, d)),
     "q_session_stats" -> sessionStats,
     "q_funnel" -> funnel,
     "q_retention" -> retention)
@@ -298,6 +336,34 @@ object Sessionize {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+        |         epoch_ns(ts) + 300000000000 AS end_ns
+        |  FROM events),
+        |m AS (SELECT *,
+        |             max(end_ns) OVER (PARTITION BY user_id
+        |               ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS prev_max_end
+        |      FROM e),
+        |f AS (SELECT *,
+        |             CASE WHEN prev_max_end IS NULL OR t > prev_max_end
+        |                  THEN 1 ELSE 0 END AS new_island
+        |      FROM m),
+        |g AS (SELECT *,
+        |             sum(new_island) OVER (PARTITION BY user_id
+        |               ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS island
+        |      FROM f),
+        |i AS (SELECT user_id, island, count(*) AS n_events,
+        |             min(t) AS s, max(end_ns) AS e
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS merged_intervals,
+        |       CAST(sum((e - s) // 1000000000) AS BIGINT) AS covered_seconds
+        |FROM i GROUP BY 1""".stripMargin,
     "q_windowed_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu

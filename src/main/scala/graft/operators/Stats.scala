@@ -473,7 +473,75 @@ object Stats {
           " div rev_total AS BIGINT) AS cum_share_ppm")
   }
 
+  /** Exact 2×2 CHI-SQUARE A/B test: purchase rate of the even-user
+    * cohort vs the odd-user cohort, with the test statistic in the
+    * closed 2×2 form χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) —
+    * pure integer cross-multiplication (milli-units), so the
+    * significance CALL is bit-reproducible where a float z-test would
+    * wobble at the threshold. Cohort assignment is a pure key function
+    * (user_id parity) — the deterministic traffic split an
+    * experimentation platform uses. At true 10¹²-row scale the ad−bc
+    * product leaves DECIMAL(38): run the test on per-day subtotals or
+    * rescale counts to thousands (the call is scale-invariant).
+    *
+    * Plan: ONE conditional aggregate over the scan — four cells, one
+    * row out; the statistic is a pure projection. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    Tables.events(spark, dir)
+      .select((col("user_id") % 2 === 0).as("is_a"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), col("hit")).otherwise(0L)).as("x_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("is_a"), col("hit")).otherwise(0L)).as("x_b"))
+      .selectExpr("n_a", "x_a", "n_b", "x_b",
+        "x_a * 1000000 div n_a AS rate_a_ppm",
+        "x_b * 1000000 div n_b AS rate_b_ppm",
+        // a=x_a, b=n_a-x_a, c=x_b, d=n_b-x_b; margins: n_a, n_b,
+        // (x_a+x_b), (n_a+n_b-x_a-x_b)
+        s"CAST(${dec.format("(n_a + n_b)")} * 1000" +
+          s" * (${dec.format("x_a")} * (n_b - x_b)" +
+          s"    - ${dec.format("x_b")} * (n_a - x_a))" +
+          s" * (${dec.format("x_a")} * (n_b - x_b)" +
+          s"    - ${dec.format("x_b")} * (n_a - x_a))" +
+          s" div (${dec.format("n_a")} * n_b * (x_a + x_b)" +
+          s"      * (n_a + n_b - x_a - x_b)) AS BIGINT) AS chi2_milli")
+      .withColumn("significant", col("chi2_milli") > 3841L)
+  }
+
+  /** BENFORD'S-LAW leading-digit audit of order totals — the classic
+    * fabricated-data / fraud screen: observed share of each leading
+    * digit 1–9 (of the integer cents) next to Benford's expected
+    * share, deviation in ppm. The expected shares are FIXED integer
+    * constants (⌊10⁶·log₁₀(1+1/d)⌋ precomputed once here, not
+    * evaluated with libm at runtime), so the audit itself is exact and
+    * hash-checkable; synthetic uniform prices deviate wildly — which
+    * is precisely what the audit is for.
+    *
+    * Plan: one narrow projection (leading char of the cents string) →
+    * 9-group map-side-combined aggregate → broadcast literal table. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L).toDF("digit", "benford_ppm")
+    val counts = Tables.orders(spark, dir)
+      .selectExpr("CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)" +
+        " AS BIGINT) AS STRING), 1, 1) AS INT) AS digit")
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .join(broadcast(expected), Seq("digit"))
+      .selectExpr("digit", "n",
+        "n * 1000000 div total AS observed_ppm", "benford_ppm",
+        "abs(n * 1000000 div total - benford_ppm) AS dev_ppm")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> abTest,
+    "q_benford" -> benford,
     "q_revenue_lorenz" -> ((s, d) => revenueLorenz(s, d)),
     "q_seasonal_anomaly" -> seasonalAnomaly,
     "q_changepoint" -> ((s, d) => changepoint(s, d)),
@@ -489,6 +557,52 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 = 0 AS is_a,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events),
+        |s AS (SELECT
+        |        CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN is_a THEN hit ELSE 0 END) AS BIGINT) AS x_a,
+        |        CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_b,
+        |        CAST(sum(CASE WHEN NOT is_a THEN hit ELSE 0 END) AS BIGINT)
+        |          AS x_b
+        |      FROM e)
+        |SELECT n_a, x_a, n_b, x_b,
+        |       x_a * 1000000 // n_a AS rate_a_ppm,
+        |       x_b * 1000000 // n_b AS rate_b_ppm,
+        |       CAST(CAST(n_a + n_b AS HUGEINT) * 1000
+        |         * (CAST(x_a AS HUGEINT) * (n_b - x_b)
+        |            - CAST(x_b AS HUGEINT) * (n_a - x_a))
+        |         * (CAST(x_a AS HUGEINT) * (n_b - x_b)
+        |            - CAST(x_b AS HUGEINT) * (n_a - x_a))
+        |         // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |             * (n_a + n_b - x_a - x_b)) AS BIGINT) AS chi2_milli,
+        |       CAST(CAST(n_a + n_b AS HUGEINT) * 1000
+        |         * (CAST(x_a AS HUGEINT) * (n_b - x_b)
+        |            - CAST(x_b AS HUGEINT) * (n_a - x_a))
+        |         * (CAST(x_a AS HUGEINT) * (n_b - x_b)
+        |            - CAST(x_b AS HUGEINT) * (n_a - x_a))
+        |         // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |             * (n_a + n_b - x_a - x_b)) AS BIGINT) > 3841
+        |         AS significant
+        |FROM s""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |        (9, 45757)) AS v(digit, benford_ppm))
+        |SELECT c.digit, c.n, n * 1000000 // total AS observed_ppm,
+        |       CAST(benford_ppm AS BIGINT) AS benford_ppm,
+        |       abs(n * 1000000 // total - benford_ppm) AS dev_ppm
+        |FROM c CROSS JOIN t JOIN b ON b.digit = c.digit""".stripMargin,
     "q_revenue_lorenz" ->
       """WITH u AS (
         |  SELECT o_custkey,
