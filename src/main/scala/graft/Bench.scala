@@ -157,6 +157,8 @@ object Bench {
     "q_interval_coverage",
     "q_ab_test",
     "q_benford",
+    "q_rfm_segments",
+    "q_survival_curve",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

@@ -473,6 +473,75 @@ object Stats {
           " div rev_total AS BIGINT) AS cum_share_ppm")
   }
 
+  /** RFM SEGMENTATION — the marketing-standard customer grid: each
+    * customer scored 1–5 on Recency (days since last order, newer =
+    * higher), Frequency (order count) and Monetary (total spend), each
+    * score an exact global QUINTILE of that metric ((5·rank) div n on
+    * the distributed exact rank — ntile over the customer universe
+    * would serialize it through one task), reported as segment cells
+    * with counts and per-cell averages. Unique orderings (metric,
+    * custkey) make every score deterministic.
+    *
+    * Plan: one orders scan → customer-level aggregate; THREE
+    * `withGlobalCumsums` rank passes over that post-aggregate table
+    * (one per metric — different orderings cannot share a range
+    * shuffle); the report aggregates ≤125 cells. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(max(datediff(col("o_orderdate"), to_date(lit("1992-01-01"))))
+          .cast("long").as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("monetary"))
+    val asOf = perCust.agg(max("last_day").as("as_of"))
+    val cust = perCust.crossJoin(broadcast(asOf))
+      .select(col("o_custkey"), (col("as_of") - col("last_day")).as("rec"),
+        col("freq"), col("monetary"), lit(1L).as("one"))
+    val n = cust.agg(count(lit(1)).as("n_cust"))
+    // Higher score = better: recency ranks ascending (small gap first),
+    // frequency/monetary rank descending via negation.
+    def scored(in: DataFrame, metric: String, asc: Boolean, out: String) = {
+      val keyed = if (asc) in.withColumn("k", col(metric))
+      else in.withColumn("k", -col(metric))
+      Packing.withGlobalCumsums(keyed, Seq("one" -> "rb"),
+          Seq("k", "o_custkey"))
+        .crossJoin(broadcast(n))
+        .withColumn(out, expr("5 - CAST((5 * rb) div n_cust AS INT)"))
+        .drop("k", "rb", "n_cust")
+    }
+    val s = scored(scored(scored(cust, "rec", asc = true, "r_score"),
+      "freq", asc = false, "f_score"), "monetary", asc = false, "m_score")
+    s.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(monetary) div count(1)").as("avg_monetary_cents"),
+        expr("sum(freq) * 1000000 div count(1)").as("avg_freq_micro"))
+  }
+
+  /** SURVIVAL CURVE (retention's cross-cohort aggregate): the share of
+    * users whose observed activity lifetime (last event − first event)
+    * reaches at least k weeks, for every k up to the span — the
+    * Kaplan-Meier shape without censoring (the synthetic window
+    * observes everyone). One user aggregate; the curve inverts the
+    * lifetime histogram with a suffix sum over ≤|weeks| post-aggregate
+    * rows (bounded window), never a per-user-per-k fan-out.
+    */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400000000000L
+    val lifetimes = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(expr(s"(max(ts) - min(ts)) div ${week}L").as("life_weeks"))
+      .groupBy("life_weeks").agg(count(lit(1)).as("n_at"))
+    val tot = lifetimes.agg(sum("n_at").as("n_users"))
+    val wSuffix = Window.orderBy(col("life_weeks").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifetimes
+      .withColumn("n_surviving", sum("n_at").over(wSuffix))
+      .crossJoin(broadcast(tot))
+      .selectExpr("life_weeks AS k_weeks", "n_surviving",
+        "n_surviving * 1000000 div n_users AS share_ppm")
+  }
+
   /** Exact 2×2 CHI-SQUARE A/B test: purchase rate of the even-user
     * cohort vs the odd-user cohort, with the test statistic in the
     * closed 2×2 form χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) —
@@ -540,6 +609,8 @@ object Stats {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> rfmSegments,
+    "q_survival_curve" -> survivalCurve,
     "q_ab_test" -> abTest,
     "q_benford" -> benford,
     "q_revenue_lorenz" -> ((s, d) => revenueLorenz(s, d)),
@@ -557,6 +628,51 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         max(date_diff('day', DATE '1992-01-01',
+        |             CAST(o_orderdate AS DATE))) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS monetary
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS as_of FROM pc),
+        |c AS (SELECT o_custkey, as_of - last_day AS rec, freq, monetary
+        |      FROM pc CROSS JOIN a),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM c),
+        |s AS (SELECT freq, monetary,
+        |        5 - CAST((5 * (row_number() OVER (ORDER BY rec, o_custkey)
+        |              - 1)) // n_cust AS INT) AS r_score,
+        |        5 - CAST((5 * (row_number() OVER (ORDER BY freq DESC,
+        |              o_custkey) - 1)) // n_cust AS INT) AS f_score,
+        |        5 - CAST((5 * (row_number() OVER (ORDER BY monetary DESC,
+        |              o_custkey) - 1)) // n_cust AS INT) AS m_score
+        |      FROM c CROSS JOIN n)
+        |SELECT r_score, f_score, m_score,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(monetary) // count(*) AS BIGINT)
+        |         AS avg_monetary_cents,
+        |       CAST(sum(freq) * 1000000 // count(*) AS BIGINT)
+        |         AS avg_freq_micro
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    "q_survival_curve" ->
+      """WITH l AS (
+        |  SELECT user_id,
+        |         (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 604800000000000
+        |           AS life_weeks
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT life_weeks, CAST(count(*) AS BIGINT) AS n_at
+        |      FROM l GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_users FROM h)
+        |SELECT life_weeks AS k_weeks,
+        |       CAST(sum(n_at) OVER (ORDER BY life_weeks DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_surviving,
+        |       CAST(CAST(sum(n_at) OVER (ORDER BY life_weeks DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS HUGEINT) * 1000000 // n_users AS BIGINT) AS share_ppm
+        |FROM h CROSS JOIN t""".stripMargin,
     "q_ab_test" ->
       """WITH e AS (
         |  SELECT user_id % 2 = 0 AS is_a,
