@@ -159,6 +159,8 @@ object Bench {
     "q_benford",
     "q_rfm_segments",
     "q_survival_curve",
+    "q_cohort_ltv",
+    "q_srm_check",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

@@ -184,6 +184,31 @@ object Sessionize {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Weekly COHORT LTV triangle — [[retention]]'s revenue sibling: per
+    * (cohort week, age week), the cohort's revenue that week and its
+    * CUMULATIVE revenue through that age (the LTV curve a payback /
+    * CAC model reads; retention counts who comes back, this weighs
+    * what they spend). Cohort = the user's first active epoch-week —
+    * derived once per user, joined back on the user key.
+    *
+    * Plan: one per-user min aggregate + one user-keyed equi join + one
+    * (cohort, age) aggregate (all map-side combined); the cumulative
+    * column is a cohort-PARTITIONED window over ≤|weeks| post-agg rows
+    * per cohort. Exact cents throughout. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val cells = ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("revenue_cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_revenue_cents", sum("revenue_cents").over(wCum))
+  }
+
   /** MATCH_RECOGNIZE-style SEQUENCE-PATTERN detection: each user's
     * event history collapses to an initial-letter string in strict
     * (ts, event_id) order, and behavioural patterns are counted as
@@ -313,7 +338,8 @@ object Sessionize {
     "q_interval_coverage" -> ((s, d) => intervalCoverage(s, d)),
     "q_session_stats" -> sessionStats,
     "q_funnel" -> funnel,
-    "q_retention" -> retention)
+    "q_retention" -> retention,
+    "q_cohort_ltv" -> cohortLtv)
 
   private val sessionsSql =
     s"""WITH marked AS (
@@ -463,6 +489,24 @@ object Sessionize {
         |       count(*) AS n_users
         |FROM uw u JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS wk,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM ev e JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_events, revenue_cents,
+        |       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |         ORDER BY week_offset
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_revenue_cents
+        |FROM cells""".stripMargin,
     "q_sessionize" -> sessionsSql,
     "q_dynamic_sessions" ->
       s"""WITH e AS (

@@ -580,6 +580,26 @@ object Stats {
       .withColumn("significant", col("chi2_milli") > 3841L)
   }
 
+  /** SAMPLE-RATIO-MISMATCH (SRM) check — the experimentation-platform
+    * pre-test every A/B readout must pass before [[abTest]]'s result
+    * means anything: does the realized unit allocation match the
+    * designed 50/50 split? The 1-df goodness-of-fit χ² collapses to
+    * (n_a − n_b)²/(n_a + n_b) exactly — integer milli-units, so the
+    * SRM alarm is bit-reproducible. Units are DISTINCT users (the
+    * randomization unit), not events — an event-level count would
+    * confuse engagement imbalance with allocation imbalance.
+    *
+    * Plan: distinct-user aggregate (map-side partial) → one 2-cell
+    * conditional aggregate → pure projection. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .selectExpr("n_a", "n_b",
+        "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b) AS chi2_milli")
+      .withColumn("srm_detected", col("chi2_milli") > 3841L)
+
   /** BENFORD'S-LAW leading-digit audit of order totals — the classic
     * fabricated-data / fraud screen: observed share of each leading
     * digit 1–9 (of the integer cents) next to Benford's expected
@@ -612,6 +632,7 @@ object Stats {
     "q_rfm_segments" -> rfmSegments,
     "q_survival_curve" -> survivalCurve,
     "q_ab_test" -> abTest,
+    "q_srm_check" -> srmCheck,
     "q_benford" -> benford,
     "q_revenue_lorenz" -> ((s, d) => revenueLorenz(s, d)),
     "q_seasonal_anomaly" -> seasonalAnomaly,
@@ -704,6 +725,19 @@ object Stats {
         |         // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
         |             * (n_a + n_b - x_a - x_b)) AS BIGINT) > 3841
         |         AS significant
+        |FROM s""".stripMargin,
+    "q_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s AS (SELECT
+        |        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_b
+        |      FROM u)
+        |SELECT n_a, n_b,
+        |       (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS chi2_milli,
+        |       (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841
+        |         AS srm_detected
         |FROM s""".stripMargin,
     "q_benford" ->
       """WITH c AS (

@@ -80,4 +80,32 @@ class CboStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("dataset caching swaps the scan for InMemoryTableScan and back") {
+    // The interactive-reuse seam: persist() registers the plan with
+    // the CacheManager, so ANY dataset with the same analyzed plan —
+    // not just the persisted instance — plans an InMemoryTableScan
+    // instead of re-reading parquet; unpersist() restores the file
+    // scan. Plans are read off FRESH Dataset instances each time
+    // (queryExecution is memoized per instance).
+    import org.apache.spark.sql.functions.{count, lit}
+    def q = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val expected = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    val handle = q.persist()
+    try {
+      handle.count() // materialize
+      val cachedPlan = q.queryExecution.executedPlan.toString
+      assert(cachedPlan.contains("InMemoryTableScan"),
+        s"expected cached scan, got:\n$cachedPlan")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        == expected)
+    } finally handle.unpersist(blocking = true)
+
+    val uncachedPlan = q.queryExecution.executedPlan.toString
+    assert(!uncachedPlan.contains("InMemoryTableScan"))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == expected)
+  }
 }
