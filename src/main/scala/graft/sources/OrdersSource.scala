@@ -505,7 +505,7 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
         slices(start.asInstanceOf[OrdersOffset].id,
           end.asInstanceOf[OrdersOffset].id)
       override def createReaderFactory(): PartitionReaderFactory =
-        new OrdersReaderFactory(required, null, per)
+        new OrdersReaderFactory(required, null, per, columnar = false)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
@@ -515,7 +515,72 @@ private[graft] class OrdersScan(rows: Long, parts: Int, lo: Long, hi: Long,
   * runtime (DPP) filter: readers walk only their slice of it instead of
   * generating the whole id range and discarding misses. */
 private class OrdersReaderFactory(required: StructType,
-    runtimeIds: Array[Long], per: Long) extends PartitionReaderFactory {
+    runtimeIds: Array[Long], per: Long, columnar: Boolean = true)
+    extends PartitionReaderFactory {
+
+  /** COLUMNAR (vectorized) read path: contiguous generation fills
+    * `ColumnarBatch`es of `OnHeapColumnVector`s directly — Spark's
+    * whole-stage codegen then consumes columns without a per-row
+    * conversion boundary, the same batch shape the parquet vectorized
+    * reader hands up. The runtime-filtered (DPP) walk stays on the
+    * row reader (its sparse id list defeats the dense fill that makes
+    * a vector batch worth building), as does the streaming face
+    * (`columnar = false` there — micro-batches are latency-bound, not
+    * scan-bound). */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && runtimeIds == null
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val r = p.asInstanceOf[OrdersRange]
+    new PartitionReader[ColumnarBatch] {
+      private val batchRows = 4096
+      private var cur = r.start
+      private var batch: ColumnarBatch = null
+      // One filler per pruned column, resolved once.
+      private val fill: Array[(OnHeapColumnVector, Int, Long) => Unit] =
+        required.fields.map(_.name).map {
+          case "order_id" =>
+            (v: OnHeapColumnVector, i: Int, id: Long) => v.putLong(i, id)
+          case "price_cents" =>
+            (v: OnHeapColumnVector, i: Int, id: Long) =>
+              v.putLong(i, OrdersSource.priceCents(id))
+          case "product" =>
+            (v: OnHeapColumnVector, i: Int, id: Long) => {
+              val b = OrdersSource.product(id)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              v.putByteArray(i, b); ()
+            }
+          case "bucket" =>
+            (v: OnHeapColumnVector, i: Int, id: Long) =>
+              v.putLong(i, id / per)
+        }
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= r.end) false
+        else {
+          val n = math.min(batchRows.toLong, r.end - cur).toInt
+          val vecs = required.fields
+            .map(f => new OnHeapColumnVector(n, f.dataType))
+          var i = 0
+          while (i < n) {
+            var c = 0
+            while (c < fill.length) { fill(c)(vecs(c), i, cur + i); c += 1 }
+            i += 1
+          }
+          batch = new ColumnarBatch(
+            vecs.toArray[org.apache.spark.sql.vectorized.ColumnVector], n)
+          cur += n
+          true
+        }
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = { if (batch != null) batch.close() }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[OrdersRange]
     new PartitionReader[InternalRow] {

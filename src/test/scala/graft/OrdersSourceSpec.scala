@@ -456,6 +456,32 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expected)
   }
 
+  test("batch scans read COLUMNAR; runtime-filtered and row paths agree") {
+    // The vectorized seam: the batch plan consumes ColumnarBatches
+    // (plan shows the scan as columnar — no per-row conversion under
+    // the aggregate), and every value matches the row reader's
+    // deterministic generators.
+    val df = read(10000, 4)
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec"))
+    assert(scan.supportsColumnar, "batch scan should report columnar support")
+
+    val agg = df.agg(
+      count(lit(1)), sum("order_id"), sum("price_cents"),
+      countDistinct("product")).collect()(0)
+    assert(agg.getLong(0) == 10000L)
+    assert(agg.getLong(1) == (0L until 10000L).sum)
+    assert(agg.getLong(2) ==
+      (0L until 10000L).map(graft.sources.OrdersSource.priceCents).sum)
+    // Sampled row-content parity with the scalar generators.
+    val row = df.filter(col("order_id") === 1234L)
+      .select("product", "price_cents").collect()(0)
+    assert(row.getString(0) == graft.sources.OrdersSource.product(1234L))
+    assert(row.getLong(1) == graft.sources.OrdersSource.priceCents(1234L))
+  }
+
   test("limit pushdown prunes generation to the head of the slice") {
     // Bare LIMIT: the scan's consumed bounds shrink to [0, 7) — the
     // other readers plan empty slices instead of generating rows a
