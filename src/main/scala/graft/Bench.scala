@@ -161,6 +161,7 @@ object Bench {
     "q_survival_curve",
     "q_cohort_ltv",
     "q_srm_check",
+    "q_l_diversity",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

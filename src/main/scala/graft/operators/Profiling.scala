@@ -870,6 +870,29 @@ object Profiling {
       .withColumn("violates_k",
         when(col("group_size") < KAnonK, 1L).otherwise(0L))
 
+  /** L-DIVERSITY audit — k-anonymity's necessary companion: a QI group
+    * can be large (k-anonymous) yet reveal everyone's sensitive value
+    * if the group is homogeneous. Per quasi-identifier group (same QI
+    * columns as [[kAnonymity]], nation × balance bucket), the number
+    * of DISTINCT sensitive values (market segment) is its l; the
+    * report is the l histogram plus how many records sit in
+    * l < 3 groups (the attribute-disclosure exposure a release gate
+    * reads next to the k histogram).
+    *
+    * Plan: one (QI, sensitive) distinct-ish aggregate → one QI-group
+    * aggregate → one |distinct l| histogram aggregate — each input a
+    * post-aggregate of the previous, map-side combined throughout. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        expr(s"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + " +
+          s"${BalOffsetCents}L) div 50000").as("bal_bucket"))
+      .agg(count(lit(1)).as("gs"), countDistinct("c_mktsegment").as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum("gs").as("n_records"))
+      .withColumn("below_l3",
+        when(col("l") < 3, col("n_records")).otherwise(0L))
+
   /** PSEUDONYMIZED EXPORT — the privacy-preserving data-sharing shape:
     * direct identifiers are replaced by a salted-md5 pseudonym (stable
     * per key, so cross-table joins still work; irreversible without
@@ -902,6 +925,7 @@ object Profiling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> kAnonymity,
+    "q_l_diversity" -> lDiversity,
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
@@ -940,6 +964,19 @@ object Profiling {
          |       CAST(CASE WHEN gs < $KAnonK THEN 1 ELSE 0 END AS BIGINT)
          |         AS violates_k
          |FROM g GROUP BY gs""".stripMargin,
+    "q_l_diversity" ->
+      s"""WITH g AS (
+         |  SELECT c_nationkey,
+         |         (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+         |          + $BalOffsetCents) // 50000 AS bal_bucket,
+         |         CAST(count(*) AS BIGINT) AS gs,
+         |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(gs) AS BIGINT) AS n_records,
+         |       CAST(CASE WHEN l < 3 THEN sum(gs) ELSE 0 END AS BIGINT)
+         |         AS below_l3
+         |FROM g GROUP BY l""".stripMargin,
     "q_pseudonym_export" ->
       """WITH j AS (
         |  SELECT substr(md5('graft-salt-' || CAST(c_custkey AS VARCHAR)),
