@@ -162,6 +162,8 @@ object Bench {
     "q_cohort_ltv",
     "q_srm_check",
     "q_l_diversity",
+    "q_revenue_waterfall",
+    "q_share_of_parent",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

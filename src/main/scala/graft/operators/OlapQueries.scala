@@ -675,6 +675,66 @@ object OlapQueries {
       Map("minTotal" -> 150000, "cutoff" -> "1996-01-01 00:00:00"))
   }
 
+  /** REVENUE WATERFALL — the finance bridge decomposition of the TPC-H
+    * charge formula as exact stage totals: gross extended price →
+    * −discount → net revenue → +tax → final charge, every stage and
+    * delta in the same 1e-6-dollar unit so the bridge ADDS UP exactly
+    * (gross − discount + tax ≡ charge, provable by the hash). One
+    * wide aggregate over the scan; DECIMAL(38) sums keep the e6
+    * products exact past int64 at 100 TB. */
+  def revenueWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(extCents) * 10000L).as("g"),
+        sum(dec(revenueE4) * 100L).as("n"),
+        sum(dec(chargeE6)).as("c"))
+      .selectExpr("n_items",
+        "CAST(g AS DECIMAL(38,0)) AS gross_e6",
+        "CAST(g - n AS DECIMAL(38,0)) AS discount_e6",
+        "CAST(n AS DECIMAL(38,0)) AS net_e6",
+        "CAST(c - n AS DECIMAL(38,0)) AS tax_e6",
+        "CAST(c AS DECIMAL(38,0)) AS charge_e6")
+      .selectExpr("n_items", "CAST(gross_e6 AS BIGINT) AS gross_e6",
+        "CAST(discount_e6 AS BIGINT) AS discount_e6",
+        "CAST(net_e6 AS BIGINT) AS net_e6",
+        "CAST(tax_e6 AS BIGINT) AS tax_e6",
+        "CAST(charge_e6 AS BIGINT) AS charge_e6")
+  }
+
+  /** SHARE-OF-PARENT hierarchical rollup: revenue by nation with its
+    * exact ppm share of the REGION and of the TOTAL — the drillable
+    * two-level BI report (the windowed sibling of the ROLLUP rows,
+    * which emit parent rows instead of parent shares). Both share
+    * windows run over the ≤|nations| post-aggregate table (bounded —
+    * the known-bounded unpartitioned-window pattern), dims broadcast.
+    */
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(sum("cents").as("revenue_cents"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("revenue_cents"))
+    val wRegion = Window.partitionBy("region")
+    val tot = byNation.agg(sum("revenue_cents").as("grand_total"))
+    byNation
+      .withColumn("region_total", sum("revenue_cents").over(wRegion))
+      .crossJoin(broadcast(tot))
+      .selectExpr("region", "nation", "revenue_cents",
+        "revenue_cents * 1000000 div region_total AS share_of_region_ppm",
+        "revenue_cents * 1000000 div grand_total AS share_of_total_ppm")
+  }
+
   /** EXECUTE IMMEDIATE (Spark 4 dynamic SQL in SQL): the statement
     * text lives in a session VARIABLE and runs with named USING
     * parameters — the migration surface for warehouse codebases that
@@ -890,6 +950,8 @@ object OlapQueries {
     "q_pipe_sql" -> pipeSqlStats,
     "q_param_sql" -> paramSql,
     "q_exec_immediate" -> execImmediate,
+    "q_revenue_waterfall" -> revenueWaterfall,
+    "q_share_of_parent" -> shareOfParent,
     "q_lateral_topk" -> lateralTopk,
     "q_pivot_native" -> pivotNative,
     "q_sql_udf" -> sqlUdf,
@@ -1262,6 +1324,39 @@ object OlapQueries {
         |         AS BIGINT) AS r_s,
         |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r_n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_revenue_waterfall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+         |         * 10000) AS BIGINT) AS gross_e6,
+         |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+         |         * 10000) - sum(CAST($revenueE4Sql AS HUGEINT) * 100)
+         |         AS BIGINT) AS discount_e6,
+         |       CAST(sum(CAST($revenueE4Sql AS HUGEINT) * 100) AS BIGINT)
+         |         AS net_e6,
+         |       CAST(sum(CAST($chargeE6Sql AS HUGEINT))
+         |         - sum(CAST($revenueE4Sql AS HUGEINT) * 100) AS BIGINT)
+         |         AS tax_e6,
+         |       CAST(sum(CAST($chargeE6Sql AS HUGEINT)) AS BIGINT)
+         |         AS charge_e6
+         |FROM lineitem""".stripMargin,
+    "q_share_of_parent" ->
+      """WITH bn AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS revenue_cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS grand_total
+        |      FROM bn)
+        |SELECT region, nation, revenue_cents,
+        |       CAST(revenue_cents * 1000000 // (sum(revenue_cents)
+        |         OVER (PARTITION BY region)) AS BIGINT)
+        |         AS share_of_region_ppm,
+        |       revenue_cents * 1000000 // grand_total AS share_of_total_ppm
+        |FROM bn CROSS JOIN t""".stripMargin,
     // The dynamically-executed statement replayed as plain SQL.
     "q_exec_immediate" ->
       """SELECT o_orderpriority,
