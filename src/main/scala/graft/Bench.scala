@@ -164,6 +164,7 @@ object Bench {
     "q_l_diversity",
     "q_revenue_waterfall",
     "q_share_of_parent",
+    "q_filter_bias",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

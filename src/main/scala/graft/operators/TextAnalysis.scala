@@ -475,6 +475,32 @@ object TextAnalysis {
           col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
   }
 
+  /** FILTER-BIAS audit — who does the quality gate actually drop? Per
+    * LANGUAGE, the Gopher-gate pass rate plus the two dominant failure
+    * reasons, in exact ppm. Quality filters tuned on one language
+    * silently skew the mix (the required-stopword rule here is
+    * English — every non-English slice fails it, which is precisely
+    * the bias this audit makes visible before a filtered corpus ships;
+    * the per-language rates are what a mix designer re-weights
+    * against). Built ON [[qualityGate]]'s own columns via a key join,
+    * so the audit can never disagree with the gate it audits.
+    *
+    * Plan: the gate projection (narrow, codegen) + one key equi-join
+    * for the lang tag + one |langs|-row map-side-combined aggregate. */
+  def filterBias(spark: SparkSession, dir: String): DataFrame =
+    qualityGate(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("r_stopwords"), 1L).otherwise(0L))
+          .as("fail_stopwords"),
+        sum(when(!col("r_word_count"), 1L).otherwise(0L))
+          .as("fail_word_count"))
+      .selectExpr("lang", "n_docs", "n_pass",
+        "n_pass * 1000000 div n_docs AS pass_ppm",
+        "fail_stopwords", "fail_word_count")
+
   /** Default probe phrase — the SINGLE source of truth for both the
     * registered `q_phrase_search` operator and its generated oracle SQL
     * ([[phraseSearchSql]]), so operator and oracle cannot drift. */
@@ -1003,6 +1029,7 @@ object TextAnalysis {
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "q_quality_score" -> qualityScore,
     "q_quality_gate" -> qualityGate,
+    "q_filter_bias" -> filterBias,
     "q_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "q_bpe_pairs" -> ((s, d) => bpePairCounts(s, d)),
     "q_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
@@ -1299,6 +1326,47 @@ object TextAnalysis {
         |       CAST(bpe_ish_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_ppm,
         |       CAST(chars * 1000000 // bpe_ish_tokens AS BIGINT) AS chars_per_tok_micro
         |FROM a""".stripMargin,
+    "q_filter_bias" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(toks) AS INT) AS n_words,
+        |         CAST(list_sum(list_transform(toks,
+        |              t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT)
+        |           AS word_chars,
+        |         CAST(len(list_filter(toks,
+        |              t2 -> regexp_matches(t2, '[a-z]'))) AS INT) AS n_alpha,
+        |         CAST(len(list_intersect(list_distinct(toks),
+        |              ['the','be','to','of','and','that','have','with']))
+        |           AS INT) AS n_req_stop,
+        |         CAST(length(regexp_extract_all(text, '#'))
+        |            + length(regexp_extract_all(text, '\.\.\.')) AS INT)
+        |           AS n_symbols
+        |  FROM t),
+        |f AS (
+        |  SELECT lang,
+        |         (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        |         (n_req_stop >= 2) AS r_stopwords,
+        |         ((n_words BETWEEN 50 AND 100000)
+        |           AND 3 * n_words <= word_chars
+        |           AND word_chars <= 10 * n_words
+        |           AND 10 * n_symbols <= n_words
+        |           AND 10 * n_alpha >= 8 * n_words
+        |           AND n_req_stop >= 2) AS keep
+        |  FROM m)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pass,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+        |         // count(*) AS BIGINT) AS pass_ppm,
+        |       CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fail_stopwords,
+        |       CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fail_word_count
+        |FROM f GROUP BY 1""".stripMargin,
     "q_quality_gate" ->
       """WITH t AS (
         |  SELECT doc_id, text,
