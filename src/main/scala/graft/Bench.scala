@@ -165,6 +165,7 @@ object Bench {
     "q_revenue_waterfall",
     "q_share_of_parent",
     "q_filter_bias",
+    "q_media_dedup",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

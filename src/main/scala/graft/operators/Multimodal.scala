@@ -40,6 +40,30 @@ object Multimodal {
       col("source"),
       col("n_chars").as("declared_bytes"))
 
+  /** CONTENT-ADDRESSED media dedup — exact dedup applied to the BINARY
+    * payload column: blobs grouped by md5 of their bytes, reported per
+    * media type as blob count, distinct payloads, duplicate groups and
+    * the bytes a content-addressed store would save. On a real corpus
+    * this is the dedup stage that runs BEFORE any decode (identical
+    * jpeg bytes re-crawled from mirrors are the cheapest duplicates to
+    * kill); the md5 key is also the store's address, so the report
+    * doubles as the CAS ingest plan.
+    *
+    * Plan: one scan → md5 projection → (type, digest) map-side
+    * combined aggregate → per-type rollup of the post-agg table. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    asMediaTable(spark, dir)
+      .select(col("media_type"), md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy("media_type", "digest")
+      .agg(count(lit(1)).as("copies"), max("nbytes").as("nbytes"))
+      .groupBy("media_type")
+      .agg(sum("copies").as("n_blobs"),
+        count(lit(1)).as("distinct_payloads"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        max("copies").as("max_copies"),
+        sum((col("copies") - 1) * col("nbytes")).as("dedup_saved_bytes"))
+
   /** STUB decoder — deterministic fake standing in for an image/audio
     * codec (none available in this container). Real implementation would
     * decode `payload` here; the surrounding plumbing stays identical.
@@ -169,6 +193,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
     "q_media_integrity" -> mediaIntegrity,
+    "q_media_dedup" -> mediaDedup,
     "q_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q_frame_sample" -> frameSample)
 
@@ -178,8 +203,27 @@ object Multimodal {
         |       CAST(strlen(text || chr(10)) AS INT) AS n_bytes,
         |       md5(text || chr(10)) AS content_md5
         |FROM documents WHERE doc_id < 20""".stripMargin,
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS media_type,
+        |         md5(text) AS digest,
+        |         CAST(length(text) AS BIGINT) AS nbytes
+        |  FROM documents),
+        |g AS (SELECT media_type, digest, CAST(count(*) AS BIGINT) AS copies,
+        |             max(nbytes) AS nbytes
+        |      FROM m GROUP BY 1, 2)
+        |SELECT media_type, CAST(sum(copies) AS BIGINT) AS n_blobs,
+        |       CAST(count(*) AS BIGINT) AS distinct_payloads,
+        |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dup_groups,
+        |       CAST(max(copies) AS BIGINT) AS max_copies,
+        |       CAST(sum((copies - 1) * nbytes) AS BIGINT)
+        |         AS dedup_saved_bytes
+        |FROM g GROUP BY 1""".stripMargin,
     "q_media_integrity" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+"""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_type,
         |       count(*) AS n_media,

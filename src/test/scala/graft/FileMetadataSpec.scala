@@ -56,4 +56,39 @@ class FileMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Nothing lost or duplicated through the provenance projection.
     assert(withMeta.count() == events.count())
   }
+
+  test("dynamic partition pruning reaches the partitioned parquet lake") {
+    // The lake face of the DSv2 runtime-filtering row: a selective dim
+    // filter, known only at run time, prunes fact PARTITIONS — the
+    // plan carries a dynamicpruning expression in PartitionFilters and
+    // the scan reads one directory instead of five. At 100 TB this is
+    // the difference between scanning the day/type you need and
+    // scanning the lake.
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-dpp").toFile.getAbsolutePath
+    Tables.events(spark, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val dimOut = Files.createTempDirectory("graft-dpp-dim")
+      .toFile.getAbsolutePath
+    // The dim filter must be a COMPARISON: DPP's isLikelySelective
+    // heuristic does not count a bare boolean attribute (a
+    // `=== true` filter constant-folds to one) as selective, and
+    // silently declines — a real migration gotcha worth pinning.
+    Tables.events(spark, dir).select("event_type").distinct()
+      .withColumn("category",
+        when(col("event_type") === "purchase", "conversion")
+          .otherwise("browse"))
+      .write.mode("overwrite").parquet(dimOut)
+
+    val fact = spark.read.parquet(out)
+    val dim = spark.read.parquet(dimOut)
+      .filter(col("category") === "conversion")
+    val q = fact.join(dim, "event_type")
+    val planned = q.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter, got:\n$planned")
+    val expected = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(q.count() == expected)
+  }
 }
