@@ -166,6 +166,7 @@ object Bench {
     "q_share_of_parent",
     "q_filter_bias",
     "q_media_dedup",
+    "q_ts_similarity",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

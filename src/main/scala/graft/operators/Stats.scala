@@ -473,6 +473,43 @@ object Stats {
           " div rev_total AS BIGINT) AS cum_share_ppm")
   }
 
+  /** TIME-SERIES SIMILARITY SEARCH over the per-event-type daily
+    * revenue series: exact squared Euclidean distance between every
+    * series pair, computed WITHOUT materializing aligned vectors via
+    * the norm+dot decomposition — Σ(a−b)² over the day UNION equals
+    * ‖a‖² + ‖b‖² − 2·⟨a,b⟩ where the dot product needs only the
+    * day-equi-join of co-present days (absent days contribute through
+    * the norms alone). That is the same algebra the ANN family rides,
+    * applied to time series: at scale the day join is an ordinary
+    * equi-join and the norms are a per-series aggregate — no
+    * densification, no per-pair day scan. Values in exact kilocents
+    * (cents div 1000) keep diff² sums inside int64 at any tested SF.
+    */
+  def tsSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000L").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(cents) div 1000L").as("v"))
+    val norms = daily.groupBy("event_type")
+      .agg(sum(expr("v * v")).as("norm"), count(lit(1)).as("n_days"))
+    val dots = daily.as("a")
+      .join(daily.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(expr("a.v * b.v")).as("dot"),
+        count(lit(1)).as("shared_days"))
+    dots
+      .join(broadcast(norms.select(col("event_type").as("type_a"),
+        col("norm").as("na"), col("n_days").as("days_a"))), Seq("type_a"))
+      .join(broadcast(norms.select(col("event_type").as("type_b"),
+        col("norm").as("nb"), col("n_days").as("days_b"))), Seq("type_b"))
+      .selectExpr("type_a", "type_b", "shared_days", "days_a", "days_b",
+        "na + nb - 2 * dot AS dist2")
+  }
+
   /** RFM SEGMENTATION — the marketing-standard customer grid: each
     * customer scored 1–5 on Recency (days since last order, newer =
     * higher), Frequency (order count) and Monetary (total spend), each
@@ -629,6 +666,7 @@ object Stats {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_similarity" -> tsSimilarity,
     "q_rfm_segments" -> rfmSegments,
     "q_survival_curve" -> survivalCurve,
     "q_ab_test" -> abTest,
@@ -649,6 +687,28 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_ts_similarity" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) // 1000
+        |           AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |norms AS (SELECT event_type, CAST(sum(v * v) AS BIGINT) AS norm,
+        |                 CAST(count(*) AS BIGINT) AS n_days
+        |          FROM daily GROUP BY 1),
+        |dots AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(sum(a.v * b.v) AS BIGINT) AS dot,
+        |         CAST(count(*) AS BIGINT) AS shared_days
+        |  FROM daily a JOIN daily b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, shared_days,
+        |       nna.n_days AS days_a, nnb.n_days AS days_b,
+        |       nna.norm + nnb.norm - 2 * dot AS dist2
+        |FROM dots
+        |JOIN norms nna ON nna.event_type = type_a
+        |JOIN norms nnb ON nnb.event_type = type_b""".stripMargin,
     "q_rfm_segments" ->
       """WITH pc AS (
         |  SELECT o_custkey,
