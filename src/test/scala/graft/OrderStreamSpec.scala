@@ -57,6 +57,46 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally streamed.stop()
   }
 
+  test("streaming windowed OHLC: min_by/max_by state matches the batch face") {
+    // The stream face of q_ohlc_daily's aggregate shape: open/close
+    // picked by min_by/max_by over the unique (timestamp, orderId)
+    // key INSIDE a streaming windowed aggregation — the (key, value)
+    // pair is ordinary mergeable agg state, so candlesticks stream
+    // with O(1) state per (window, product) like any min/max.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ohlc(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .groupBy(window(col("event_time"), "1 hour"), col("product"))
+      .agg(expr("min_by(price, struct(timestamp, orderId))").as("open"),
+        max("price").as("high"), min("price").as("low"),
+        expr("max_by(price, struct(timestamp, orderId))").as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("product"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
+    val input = MemoryStream[OrderEvent]
+    input.addData(sampleOrders: _*)
+    val q = ohlc(input.toDF())
+      .writeStream.format("memory").queryName("ohlc_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val fromStream = spark.table("ohlc_stream_test")
+        .orderBy("ws", "product").collect().toSeq
+      val fromBatch = ohlc(sampleOrders.toDF())
+        .orderBy("ws", "product").collect().toSeq
+      assert(fromStream == fromBatch)
+      assert(fromStream.nonEmpty)
+      // Multi-event window: Laptop+Mouse share hour 0 — open is the
+      // earliest event's price, close the latest's, per product.
+      val laptopH0 = fromStream
+        .find(r => r.getString(1) == "Laptop" && r.getLong(6) == 1L)
+      assert(laptopH0.isDefined)
+    } finally q.stop()
+  }
+
   test("runningStats emits the PriceAggregator sequence per product") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
