@@ -167,6 +167,7 @@ object Bench {
     "q_filter_bias",
     "q_media_dedup",
     "q_ts_similarity",
+    "q_autocorr",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

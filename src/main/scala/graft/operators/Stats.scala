@@ -473,6 +473,48 @@ object Stats {
           " div rev_total AS BIGINT) AS cum_share_ppm")
   }
 
+  /** Exact LAG-k AUTOCORRELATION of the daily revenue series, at
+    * lag 1 (momentum: do heavy days follow heavy days) and lag 7
+    * (weekly seasonality: a spike here is the signature
+    * q_seasonal_anomaly's day-of-week baseline exploits). The
+    * single-denominator estimator ρ_k = Σ(x_t−μ)(x_{t+k}−μ) /
+    * Σ(x_t−μ)² clears its rationals by n: numerator terms
+    * (n·x_t − S)(n·x_{t+k} − S) and denominator (n·x_t − S)² are pure
+    * integers, so ρ·10⁶ is an exact sign-split division — the
+    * time-series diagnostic family (changepoint, Fano, KS) stays
+    * libm-free.
+    *
+    * Plan: |days| daily aggregate → per-lag lag window over the
+    * bounded post-agg series → broadcast 1-row totals → 2-row report.
+    */
+  def autocorr(spark: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000L").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val w = Window.orderBy("day")
+    val lagged = lags.foldLeft(daily) { (df, k) =>
+      df.withColumn(s"x_$k", lag("x", k).over(w))
+    }.crossJoin(broadcast(tot))
+    val den = lagged.agg(
+      sum(expr("(CAST(n AS DECIMAL(38,0)) * x - s)" +
+        " * (CAST(n AS DECIMAL(38,0)) * x - s)")).as("den"))
+    val rows = lags.map { k =>
+      lagged.filter(col(s"x_$k").isNotNull)
+        .agg(sum(expr(s"(CAST(n AS DECIMAL(38,0)) * x - s)" +
+          s" * (CAST(n AS DECIMAL(38,0)) * x_$k - s)")).as("num"),
+          count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(den))
+        .selectExpr(s"$k AS lag", "n_pairs",
+          "CAST(CASE WHEN num >= 0 THEN num * 1000000 div den" +
+            " ELSE -((-num * 1000000) div den) END AS BIGINT)" +
+            " AS autocorr_micro")
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** TIME-SERIES SIMILARITY SEARCH over the per-event-type daily
     * revenue series: exact squared Euclidean distance between every
     * series pair, computed WITHOUT materializing aligned vectors via
@@ -667,6 +709,7 @@ object Stats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_similarity" -> tsSimilarity,
+    "q_autocorr" -> ((s, d) => autocorr(s, d)),
     "q_rfm_segments" -> rfmSegments,
     "q_survival_curve" -> survivalCurve,
     "q_ab_test" -> abTest,
@@ -687,6 +730,35 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+        |        AS s FROM daily),
+        |l AS (SELECT day, x,
+        |             lag(x, 1) OVER (ORDER BY day) AS x_1,
+        |             lag(x, 7) OVER (ORDER BY day) AS x_7
+        |      FROM daily),
+        |d AS (SELECT sum((CAST(n AS HUGEINT) * x - s)
+        |               * (CAST(n AS HUGEINT) * x - s)) AS den
+        |      FROM l CROSS JOIN t),
+        |r1 AS (SELECT 1 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |              sum((CAST(n AS HUGEINT) * x - s)
+        |                * (CAST(n AS HUGEINT) * x_1 - s)) AS num
+        |       FROM l CROSS JOIN t WHERE x_1 IS NOT NULL),
+        |r7 AS (SELECT 7 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |              sum((CAST(n AS HUGEINT) * x - s)
+        |                * (CAST(n AS HUGEINT) * x_7 - s)) AS num
+        |       FROM l CROSS JOIN t WHERE x_7 IS NOT NULL),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r7)
+        |SELECT lag, n_pairs,
+        |       CAST(CASE WHEN num >= 0 THEN num * 1000000 // den
+        |            ELSE -((-num * 1000000) // den) END AS BIGINT)
+        |         AS autocorr_micro
+        |FROM u CROSS JOIN d""".stripMargin,
     "q_ts_similarity" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
