@@ -168,6 +168,8 @@ object Bench {
     "q_media_dedup",
     "q_ts_similarity",
     "q_autocorr",
+    "q_cusum",
+    "q_rolling_slope",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

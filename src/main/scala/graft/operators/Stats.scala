@@ -473,6 +473,73 @@ object Stats {
           " div rev_total AS BIGINT) AS cum_share_ppm")
   }
 
+  /** CUSUM drift detection on daily revenue — the SEQUENTIAL
+    * changepoint detector (alarm as soon as the level shifts, vs
+    * [[changepoint]]'s offline best-split): S_t = max(0, S_{t−1} +
+    * (x_t − μ − slack)). The recurrence looks scan-only, but it has a
+    * closed PREFIX form — S_t = P_t − min_{j≤t} P_j with P the prefix
+    * sums of the drift terms — so it computes as one running sum plus
+    * one running min over the bounded day series: no sequential state,
+    * no recursion, and exact integers after clearing μ = S/n by n
+    * (slack = σ-free n·x − S − n·slack_cents form). Output: the full
+    * per-day CUSUM trajectory with the alarm flag (S_t > h) — the
+    * chart an operator watches, not just the alarms (a well-behaved
+    * series legitimately alarms zero times).
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000L").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Drift term scaled by n: n·x_t − S − n·slack, slack = 2% of the
+    // mean (2·S div 100 div n, folded exactly as n·slack = S div 50).
+    val p = daily.crossJoin(broadcast(tot))
+      .selectExpr("day", "x", "n", "s",
+        "CAST(n AS DECIMAL(38,0)) * x - s - s div 50 AS drift")
+      .withColumn("pref", sum("drift").over(wCum))
+      .withColumn("minpref",
+        least(min("pref").over(wCum), lit(0L).cast("decimal(38,0)")))
+      .selectExpr("day", "x", "n",
+        "CAST(pref - minpref AS DECIMAL(38,0)) AS s_t")
+    // Alarm when S_t (in n-scaled cents) exceeds h = n · 25% of mean
+    // daily revenue ≡ s div 4.
+    p.crossJoin(broadcast(tot.select(col("s").as("s2"))))
+      .selectExpr("day", "x AS total_cents",
+        "CAST(s_t div n AS BIGINT) AS cusum_cents",
+        "s_t > CAST(s2 AS DECIMAL(38,0)) div 4 AS alarm")
+  }
+
+  /** ROLLING trailing-30-day OLS slope of daily revenue — the trend a
+    * dashboard draws per day, not once: the [[trendSlope]] formula
+    * evaluated inside a 30-row trailing window frame via the five
+    * windowed sums (n, Σx, Σy, Σxy, Σx²) over the bounded post-agg
+    * day series. Micro-cents-per-day, sign-split exact division. */
+  def rollingSlope(spark: SparkSession, dir: String,
+      windowDays: Int = 30): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000L").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("sx", sum(expr("CAST(day AS DECIMAL(38,0))")).over(w))
+      .withColumn("sy", sum(expr("CAST(y AS DECIMAL(38,0))")).over(w))
+      .withColumn("sxy",
+        sum(expr("CAST(day AS DECIMAL(38,0)) * y")).over(w))
+      .withColumn("sxx",
+        sum(expr("CAST(day AS DECIMAL(38,0)) * day")).over(w))
+      .filter(col("wn") >= 2)
+      .selectExpr("day", "y AS total_cents", "CAST(wn AS INT) AS n_days",
+        "CAST(CASE WHEN wn * sxy - sx * sy >= 0" +
+          " THEN (wn * sxy - sx * sy) * 1000000 div (wn * sxx - sx * sx)" +
+          " ELSE -(((sx * sy - wn * sxy) * 1000000)" +
+          " div (wn * sxx - sx * sx)) END AS BIGINT) AS slope_micro")
+  }
+
   /** Exact LAG-k AUTOCORRELATION of the daily revenue series, at
     * lag 1 (momentum: do heavy days follow heavy days) and lag 7
     * (weekly seasonality: a spike here is the signature
@@ -710,6 +777,8 @@ object Stats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_similarity" -> tsSimilarity,
     "q_autocorr" -> ((s, d) => autocorr(s, d)),
+    "q_cusum" -> cusum,
+    "q_rolling_slope" -> ((s, d) => rollingSlope(s, d)),
     "q_rfm_segments" -> rfmSegments,
     "q_survival_curve" -> survivalCurve,
     "q_ab_test" -> abTest,
@@ -730,6 +799,51 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+        |        AS s FROM daily),
+        |p AS (SELECT day, x, n, s,
+        |             sum(CAST(n AS HUGEINT) * x - s - s // 50) OVER (
+        |               ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS pref
+        |      FROM daily CROSS JOIN t),
+        |m AS (SELECT day, x, n, s,
+        |             pref - least(min(pref) OVER (ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |               0) AS s_t
+        |      FROM p)
+        |SELECT day, x AS total_cents, CAST(s_t // n AS BIGINT) AS cusum_cents,
+        |       s_t > CAST(s AS HUGEINT) // 4 AS alarm
+        |FROM m""".stripMargin,
+    "q_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, y,
+        |             CAST(count(*) OVER fr AS BIGINT) AS wn,
+        |             sum(CAST(day AS HUGEINT)) OVER fr AS sx,
+        |             sum(CAST(y AS HUGEINT)) OVER fr AS sy,
+        |             sum(CAST(day AS HUGEINT) * y) OVER fr AS sxy,
+        |             sum(CAST(day AS HUGEINT) * day) OVER fr AS sxx
+        |      FROM daily
+        |      WINDOW fr AS (ORDER BY day
+        |        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT day, y AS total_cents, CAST(wn AS INT) AS n_days,
+        |       CAST(CASE WHEN wn * sxy - sx * sy >= 0
+        |            THEN (wn * sxy - sx * sy) * 1000000
+        |                 // (wn * sxx - sx * sx)
+        |            ELSE -(((sx * sy - wn * sxy) * 1000000)
+        |                 // (wn * sxx - sx * sx)) END AS BIGINT)
+        |         AS slope_micro
+        |FROM w WHERE wn >= 2""".stripMargin,
     "q_autocorr" ->
       """WITH daily AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
