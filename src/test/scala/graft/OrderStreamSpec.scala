@@ -67,11 +67,11 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
 
     def ohlc(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withColumn("event_time", timestamp_millis(col("eventTimeMs")))
       .groupBy(window(col("event_time"), "1 hour"), col("product"))
-      .agg(expr("min_by(price, struct(timestamp, orderId))").as("open"),
+      .agg(expr("min_by(price, struct(eventTimeMs, orderId))").as("open"),
         max("price").as("high"), min("price").as("low"),
-        expr("max_by(price, struct(timestamp, orderId))").as("close"),
+        expr("max_by(price, struct(eventTimeMs, orderId))").as("close"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("product"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
