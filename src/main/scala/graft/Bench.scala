@@ -170,6 +170,7 @@ object Bench {
     "q_autocorr",
     "q_cusum",
     "q_rolling_slope",
+    "q_ship_lag",
     "q_mix_epochs",
     "q_dedup_sweep",
     "q_ivf_update",

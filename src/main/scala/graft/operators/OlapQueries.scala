@@ -675,6 +675,33 @@ object OlapQueries {
       Map("minTotal" -> 150000, "cutoff" -> "1996-01-01 00:00:00"))
   }
 
+  /** ORDER-TO-SHIP SLA report: per order priority, the lag between
+    * order date and each line item's ship date — exact mean lag in
+    * micro-days, worst case, and the ppm of items breaching a 90-day
+    * SLA. The operations dashboard face of the Q4 shape (which counts
+    * late-vs-commit; this profiles the fulfilment latency itself).
+    * One fact⋈order equi-join (AQE build side) and one
+    * map-side-combined aggregate; day arithmetic is exact datediff
+    * integers, so the SLA rates hash-check. */
+  def shipLag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("ordered")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("ordered")).cast("long").as("lag_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum("lag_days").as("s"),
+        max("lag_days").as("max_lag_days"),
+        sum(when(col("lag_days") > 90, 1L).otherwise(0L)).as("n_breach"))
+      .selectExpr("o_orderpriority", "n_items",
+        "s * 1000000 div n_items AS mean_lag_micro_days",
+        "max_lag_days",
+        "n_breach * 1000000 div n_items AS breach_ppm")
+
   /** REVENUE WATERFALL — the finance bridge decomposition of the TPC-H
     * charge formula as exact stage totals: gross extended price →
     * −discount → net revenue → +tax → final charge, every stage and
@@ -952,6 +979,7 @@ object OlapQueries {
     "q_exec_immediate" -> execImmediate,
     "q_revenue_waterfall" -> revenueWaterfall,
     "q_share_of_parent" -> shareOfParent,
+    "q_ship_lag" -> shipLag,
     "q_lateral_topk" -> lateralTopk,
     "q_pivot_native" -> pivotNative,
     "q_sql_udf" -> sqlUdf,
@@ -1324,6 +1352,19 @@ object OlapQueries {
         |         AS BIGINT) AS r_s,
         |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r_n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_ship_lag" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |         date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                   CAST(l.l_shipdate AS DATE)) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(lag_days) * 1000000 // count(*) AS BIGINT)
+        |         AS mean_lag_micro_days,
+        |       CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+        |       CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)
+        |         * 1000000 // count(*) AS BIGINT) AS breach_ppm
+        |FROM j GROUP BY 1""".stripMargin,
     "q_revenue_waterfall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
          |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
