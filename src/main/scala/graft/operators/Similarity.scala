@@ -37,6 +37,36 @@ object Similarity {
       |/ sqrt(list_sum(list_transform(range(1, 65), k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))))"""
       .stripMargin
 
+  /** Vector-count cap for the DECLARED-BASELINE brute-force joins
+    * ([[embeddingNearDup]], [[bitextMining]] — n² pairs — and the
+    * query side of [[annTopK]]/[[hardNegatives]] — |queries|·n scans):
+    * the same loud-refusal discipline as the dedup family's
+    * `allPairsDfGuard` (Dedup.scala). The production paths
+    * ([[annLshNearDup]], [[annIvf]], [[annPq]], [[semDedup]]) never
+    * take these joins; the baselines exist to verify them at test SFs
+    * (≤ 2,000 vectors). Lifted onto a real corpus, an unguarded n²
+    * cosine join silently melts a cluster; with the guard it raises at
+    * runtime via an in-plan `assert_true` over a 1-row broadcast count
+    * (lazy, codegen'd, zero rows changed under the cap), naming the
+    * subquadratic alternative and the override conf
+    * `spark.graft.allPairsVecCap` for a deliberate run.
+    * `SimilarityScaleSpec` pins both faces. */
+  private[graft] val AllPairsVecCapDefault = 100000L
+
+  private def allPairsVecGuard(spark: SparkSession, e: DataFrame,
+      what: String, alts: String): DataFrame = {
+    val cap = spark.conf.getOption("spark.graft.allPairsVecCap")
+      .map(_.toLong).getOrElse(AllPairsVecCapDefault)
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    e.crossJoin(broadcast(n))
+      .filter(assert_true(col("n_vecs") <= lit(cap),
+        concat(lit(s"graft brute-force baseline ($what): "), col("n_vecs"),
+          lit(s" vectors > cap $cap — pair blowup; use $alts" +
+            " (subquadratic) or raise spark.graft.allPairsVecCap"))
+      ).isNull)
+      .drop("n_vecs")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ 0.45 (rounded to 6dp). Brute
     * force here as the oracle-checkable baseline; the LSH variant below
     * is the subquadratic path.
@@ -51,7 +81,12 @@ object Similarity {
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // Guard one side only: the refusal condition (corpus count > cap)
+    // is a property of the table, not the join side, and guarding both
+    // branches of the self-join would pay the count twice.
+    val ga = allPairsVecGuard(spark, e,
+      "embeddingNearDup", "annLshNearDup/semDedup")
+    ga.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
         (col("a.label") === col("b.label")).as("same_label"),
@@ -75,7 +110,11 @@ object Similarity {
   def bitextMining(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val langs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
-    val ei = Tables.embeddings(spark, dir)
+    // Guard rides the BASE embeddings scan (count(1) over a pruned
+    // parquet scan — near-free), not the doc-joined table, whose count
+    // would recompute the join. Conservative: |joined| ≤ |base|.
+    val ei = allPairsVecGuard(spark, Tables.embeddings(spark, dir),
+        "bitextMining", "annLshNearDup bucketing per lang pair")
       .join(langs, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding"), col("lang"))
     val w = Window.orderBy(col("cos_sim").desc, col("vec_i"), col("vec_j"))
@@ -98,7 +137,11 @@ object Similarity {
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < 5)
+    // The guard rides the QUERY side: brute force is |queries|·n corpus
+    // scans, linear per query by design — the blowup hazard is someone
+    // widening the query set to the whole corpus (back to n²).
+    val queries = allPairsVecGuard(spark, e.filter(col("vec_id") < 5),
+        "annTopK query set", "annLshNearDup/annIvf")
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -116,7 +159,8 @@ object Similarity {
     * rides whatever ANN index the corpus already has. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < 5)
+    val queries = allPairsVecGuard(spark, e.filter(col("vec_id") < 5),
+        "hardNegatives query set", "annLshNearDup/annIvf")
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("q_label"))
     val w = Window.partitionBy("query_id")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Scale posture of the brute-force similarity baselines: the
+  * all-pairs vector-count guard must be transparent under the cap
+  * (identical output) and refuse LOUDLY over it — mirroring
+  * DedupScaleSpec's df-cap test, per the round-10 verdict. The
+  * production paths (annLshNearDup/annIvf/annPq/semDedup) never take
+  * the guarded joins.
+  */
+class SimilarityScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("similarity-scale-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("embedding all-pairs baseline refuses past the vec cap, transparent under it") {
+    // Under the default cap the guard is invisible: assert_true -> null
+    // -> isNull true keeps every row, so the baseline's pair set is
+    // unchanged (the correctness sweep hash-checks it). Over the cap it
+    // must FAIL at runtime, not enumerate n² pairs: cap=1 makes any
+    // 2-vector corpus hot.
+    val under = Similarity.embeddingNearDup(spark, sfDir).count()
+    assert(under > 0)
+    spark.conf.set("spark.graft.allPairsVecCap", "1")
+    try {
+      val e = intercept[Exception] {
+        Similarity.embeddingNearDup(spark, sfDir).count()
+      }
+      assert(msgs(e).exists(_.contains("annLshNearDup")),
+        s"guard failure must name the subquadratic alternative, got: $e")
+      val e2 = intercept[Exception] {
+        Similarity.bitextMining(spark, sfDir).count()
+      }
+      assert(msgs(e2).exists(_.contains("spark.graft.allPairsVecCap")),
+        s"bitext guard must name the override conf, got: $e2")
+    } finally spark.conf.unset("spark.graft.allPairsVecCap")
+    // And back under the cap the guarded baseline still answers the same.
+    assert(Similarity.embeddingNearDup(spark, sfDir).count() == under)
+  }
+
+  test("annTopK guards its query side: wide query sets refuse, k-NN unchanged under cap") {
+    val under = Similarity.annTopK(spark, sfDir).count()
+    assert(under > 0)
+    spark.conf.set("spark.graft.allPairsVecCap", "1")
+    try {
+      val e = intercept[Exception] {
+        Similarity.annTopK(spark, sfDir).count()
+      }
+      assert(msgs(e).exists(_.contains("annTopK query set")),
+        s"guard failure must name the guarded operator, got: $e")
+      val e2 = intercept[Exception] {
+        Similarity.hardNegatives(spark, sfDir).count()
+      }
+      assert(msgs(e2).exists(_.contains("hardNegatives")),
+        s"hardNegatives guard must fire too, got: $e2")
+    } finally spark.conf.unset("spark.graft.allPairsVecCap")
+    assert(Similarity.annTopK(spark, sfDir).count() == under)
+  }
+}
