@@ -240,6 +240,15 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+    // Round-10 verdict: exclusions from the headline set must be
+    // machine-readable, not a hand-maintained invisible list — so EVERY
+    // registered query is timed. Headline queries feed the
+    // round-over-round `value` total (comparable across rounds);
+    // everything else is timed identically and reported under
+    // `non_headline` so a perf regression anywhere in the registry
+    // shows up in the round artifact.
+    val nonHeadline = (SparkEntry.queries.keySet -- headline)
+      .toSeq.sorted.filter(n => only.forall(_.contains(n)))
 
     // Steady-state controls (SURVEY §6): a full 118-query run drifts
     // 1.7-1.8s/query late in the run from accumulated GC/codegen-cache
@@ -253,7 +262,7 @@ object Bench {
 
     // A failed query records -1 (a sentinel the driver can see — never a
     // bogus sub-second "timing") and is excluded from the headline total.
-    val results = selected.map { name =>
+    def timeOne(name: String): (String, Double) = {
       val fn = SparkEntry.queries(name)
       if (doWarm)
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -273,27 +282,34 @@ object Bench {
         else times.sorted.apply((times.size - 1) / 2) // lower median
       name -> t
     }
-    val failed = results.count(_._2 < 0)
+    val results = selected.map(timeOne)
+    val extraResults = nonHeadline.map(timeOne)
+    val failed = (results ++ extraResults).count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalAll = total +
+      extraResults.collect { case (_, v) if v >= 0 => v }.sum
     // Driver contract (round-9 fix): the round artifact is a TAIL
     // capture of stdout, which truncated the former single giant JSON
     // line head-first and left `parsed: null`. So: (1) the FULL
     // per-query map goes to a file; (2) each query also prints as its
     // own short line (tail-safe, grep-able); (3) the FINAL stdout line
     // is a compact always-parseable summary with no per-query map.
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = (results ++ extraResults)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val nh = nonHeadline.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_queries.json")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    results.foreach { case (k, v) => println(f"""{"query":"$k","sec":$v%.3f}""") }
+    (results ++ extraResults).foreach { case (k, v) =>
+      println(f"""{"query":"$k","sec":$v%.3f}""") }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir","queries_file":"$outPath"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }

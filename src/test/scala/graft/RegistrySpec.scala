@@ -24,6 +24,19 @@ class RegistrySpec extends AnyFunSuite {
       s"undocumented rows-only queries: ${rowsOnly - "q_ann_lsh"}")
   }
 
+  /** SURVEY §13 quotes this exact number; round 10 shipped a 262-vs-263
+    * drift because nothing tied the prose tally to the registry. Any
+    * query add/remove must update BOTH this constant and SURVEY §13 in
+    * the same commit, or this test goes red.
+    */
+  val SurveyLedgerCount = 263
+
+  test("registry count matches the SURVEY §13 ledger") {
+    assert(SparkEntry.queries.size == SurveyLedgerCount,
+      s"registry has ${SparkEntry.queries.size} queries but SURVEY §13 " +
+        s"says $SurveyLedgerCount — update both together")
+  }
+
   test("no duplicate query names across operator modules") {
     // Map ++ silently keeps the last binding; a name collision between
     // modules would shadow an operator and its oracle without any
