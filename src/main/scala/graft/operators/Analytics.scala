@@ -300,7 +300,11 @@ object Analytics {
     val tot = g.agg(sum("decayed_cents").as("td"))
     g.crossJoin(broadcast(tot))
       .selectExpr("event_type", "n_events", "raw_cents", "decayed_cents",
-        "decayed_cents * 1000000 div td AS decayed_share_ppm")
+        // DECIMAL(38) wrap before the e6 multiply (round-10 advice):
+        // decayed_cents is an unbounded sum of cents — raw BIGINT*1e6
+        // overflows int64 well below 100 TB corpus revenue.
+        "CAST(CAST(decayed_cents AS DECIMAL(38,0)) * 1000000 div td" +
+          " AS BIGINT) AS decayed_share_ppm")
   }
 
   // Keyed by an md5 of the full data-dir path (collision-resistant,
@@ -1123,7 +1127,7 @@ object Analytics {
         |      FROM d GROUP BY 1),
         |t AS (SELECT sum(decayed_cents) AS td FROM g)
         |SELECT event_type, n_events, raw_cents, decayed_cents,
-        |       CAST(decayed_cents * 1000000 // td AS BIGINT)
+        |       CAST(CAST(decayed_cents AS HUGEINT) * 1000000 // td AS BIGINT)
         |         AS decayed_share_ppm
         |FROM g CROSS JOIN t""".stripMargin,
     "q_order_cadence" ->

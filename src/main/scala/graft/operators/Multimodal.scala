@@ -51,8 +51,19 @@ object Multimodal {
     *
     * Plan: one scan → md5 projection → (type, digest) map-side
     * combined aggregate → per-type rollup of the post-agg table. */
-  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
-    asMediaTable(spark, dir)
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = asMediaTable(spark, dir)
+      .select(col("media_id"), col("media_type"), col("payload"))
+    // Mirror re-crawl simulation (round-10 advice): the synthetic corpus
+    // has no byte-identical payloads at the hash-swept SFs, which left
+    // dup_groups/max_copies/dedup_saved_bytes vacuously zero — the exact
+    // arithmetic this report exists for was never hash-checked. Every
+    // 7th asset is re-ingested as a mirror copy (same bytes, new
+    // media_id — what a second crawl of a mirrored host produces), on
+    // BOTH the Spark and oracle sides, so the dedup columns are
+    // non-trivial and hash-verified at every SF.
+    val mirrored = base.filter(col("media_id") % 7 === 0)
+    base.unionByName(mirrored)
       .select(col("media_type"), md5(col("payload")).as("digest"),
         length(col("payload")).cast("long").as("nbytes"))
       .groupBy("media_type", "digest")
@@ -63,6 +74,7 @@ object Multimodal {
         sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"),
         max("copies").as("max_copies"),
         sum((col("copies") - 1) * col("nbytes")).as("dedup_saved_bytes"))
+  }
 
   /** STUB decoder — deterministic fake standing in for an image/audio
     * codec (none available in this container). Real implementation would
@@ -204,13 +216,22 @@ object Multimodal {
         |       md5(text || chr(10)) AS content_md5
         |FROM documents WHERE doc_id < 20""".stripMargin,
     "q_media_dedup" ->
-      """WITH m AS (
-        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      // strlen = UTF-8 BYTE count, matching Spark's length(payload) on
+      // the binary column (length(text) counts CHARACTERS — diverges on
+      // any non-ASCII corpus). The mirror branch re-ingests every 7th
+      // asset, same as the Spark side — see mediaDedup's comment.
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
         |              WHEN doc_id % 3 = 1 THEN 'audio'
         |              ELSE 'video' END AS media_type,
         |         md5(text) AS digest,
-        |         CAST(length(text) AS BIGINT) AS nbytes
+        |         CAST(strlen(text) AS BIGINT) AS nbytes
         |  FROM documents),
+        |m AS (
+        |  SELECT media_type, digest, nbytes FROM b
+        |  UNION ALL
+        |  SELECT media_type, digest, nbytes FROM b WHERE doc_id % 7 = 0),
         |g AS (SELECT media_type, digest, CAST(count(*) AS BIGINT) AS copies,
         |             max(nbytes) AS nbytes
         |      FROM m GROUP BY 1, 2)
@@ -250,13 +271,15 @@ object Multimodal {
         |         AS sample_digest
         |FROM f""".stripMargin,
     "q_media_features" ->
+      // strlen (bytes) everywhere the Spark side reads payload.length —
+      // the stub decoder's geometry is a function of the BYTE count.
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_type,
         |       count(*) AS n_media,
-        |       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
-        |       CAST(sum(CAST(1 + length(text) % 64 AS BIGINT)) AS BIGINT) AS sum_width,
-        |       CAST(sum(CAST(1 + (length(text) // 64) % 64 AS BIGINT)) AS BIGINT) AS sum_height,
+        |       CAST(sum(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes,
+        |       CAST(sum(CAST(1 + strlen(text) % 64 AS BIGINT)) AS BIGINT) AS sum_width,
+        |       CAST(sum(CAST(1 + (strlen(text) // 64) % 64 AS BIGINT)) AS BIGINT) AS sum_height,
         |       count(DISTINCT md5(text)) AS distinct_payloads
         |FROM documents GROUP BY 1""".stripMargin)
 }

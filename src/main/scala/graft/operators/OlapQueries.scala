@@ -698,9 +698,13 @@ object OlapQueries {
         max("lag_days").as("max_lag_days"),
         sum(when(col("lag_days") > 90, 1L).otherwise(0L)).as("n_breach"))
       .selectExpr("o_orderpriority", "n_items",
-        "s * 1000000 div n_items AS mean_lag_micro_days",
+        // DECIMAL(38) wrap: s (sum of lag days) and n_breach (row count)
+        // both clear int64/1e6 at 100 TB fact cardinality.
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n_items AS BIGINT)" +
+          " AS mean_lag_micro_days",
         "max_lag_days",
-        "n_breach * 1000000 div n_items AS breach_ppm")
+        "CAST(CAST(n_breach AS DECIMAL(38,0)) * 1000000 div n_items" +
+          " AS BIGINT) AS breach_ppm")
 
   /** REVENUE WATERFALL — the finance bridge decomposition of the TPC-H
     * charge formula as exact stage totals: gross extended price →
@@ -758,8 +762,11 @@ object OlapQueries {
       .withColumn("region_total", sum("revenue_cents").over(wRegion))
       .crossJoin(broadcast(tot))
       .selectExpr("region", "nation", "revenue_cents",
-        "revenue_cents * 1000000 div region_total AS share_of_region_ppm",
-        "revenue_cents * 1000000 div grand_total AS share_of_total_ppm")
+        // DECIMAL(38) wrap: revenue_cents is an unbounded cents sum.
+        "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000" +
+          " div region_total AS BIGINT) AS share_of_region_ppm",
+        "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000" +
+          " div grand_total AS BIGINT) AS share_of_total_ppm")
   }
 
   /** EXECUTE IMMEDIATE (Spark 4 dynamic SQL in SQL): the statement
@@ -1393,10 +1400,11 @@ object OlapQueries {
         |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS grand_total
         |      FROM bn)
         |SELECT region, nation, revenue_cents,
-        |       CAST(revenue_cents * 1000000 // (sum(revenue_cents)
-        |         OVER (PARTITION BY region)) AS BIGINT)
-        |         AS share_of_region_ppm,
-        |       revenue_cents * 1000000 // grand_total AS share_of_total_ppm
+        |       CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+        |         // (sum(revenue_cents) OVER (PARTITION BY region))
+        |         AS BIGINT) AS share_of_region_ppm,
+        |       CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+        |         // grand_total AS BIGINT) AS share_of_total_ppm
         |FROM bn CROSS JOIN t""".stripMargin,
     // The dynamically-executed statement replayed as plain SQL.
     "q_exec_immediate" ->

@@ -514,7 +514,8 @@ object Profiling {
       .agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
         min("score_cents").as("lo_cents"), max("score_cents").as("hi_cents"))
       .selectExpr("bucket", "n", "n_pos", "lo_cents", "hi_cents",
-        "n_pos * 1000000 div n AS pos_rate_micro")
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)" +
+          " AS pos_rate_micro")
   }
 
   /** HEAVY-HITTER DRIFT: today's top-k vs yesterday's — the CHANGE
@@ -716,16 +717,22 @@ object Profiling {
   def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.lineitem(spark, dir)
       .groupBy("l_partkey").agg(count(lit(1)).as("key_rows"))
+    // DECIMAL(38) accumulation: Σ key_rows² (and a hot key's rows²×1e6)
+    // overflow int64 exactly when this skew detector matters most.
     val totals = cnt.agg(
-      sum(col("key_rows") * col("key_rows")).as("est_pairs"),
+      sum(expr("CAST(key_rows AS DECIMAL(38,0)) * key_rows"))
+        .as("est_pairs_dec"),
       sum(col("key_rows")).as("n_rows"),
       count(lit(1)).as("n_keys"))
     cnt.orderBy(col("key_rows").desc, col("l_partkey")).limit(10)
       .crossJoin(broadcast(totals))
       .select(col("l_partkey"), col("key_rows"),
-        (col("key_rows") * col("key_rows")).as("key_pairs"),
-        expr("key_rows * key_rows * 1000000 div est_pairs").as("share_ppm"),
-        col("est_pairs"), col("n_rows"), col("n_keys"))
+        expr("CAST(CAST(key_rows AS DECIMAL(38,0)) * key_rows AS BIGINT)")
+          .as("key_pairs"),
+        expr("CAST(CAST(key_rows AS DECIMAL(38,0)) * key_rows * 1000000" +
+          " div est_pairs_dec AS BIGINT)").as("share_ppm"),
+        expr("CAST(est_pairs_dec AS BIGINT)").as("est_pairs"),
+        col("n_rows"), col("n_keys"))
   }
 
   /** AMS/CMS self-join-size (F2) ESTIMATE — the sketch-only companion
@@ -1073,14 +1080,16 @@ object Profiling {
       """WITH cnt AS (
         |  SELECT l_partkey, count(*) AS key_rows FROM lineitem GROUP BY 1),
         |tot AS (
-        |  SELECT CAST(sum(key_rows * key_rows) AS BIGINT) AS est_pairs,
+        |  SELECT CAST(sum(CAST(key_rows AS HUGEINT) * key_rows) AS BIGINT)
+        |         AS est_pairs,
         |         CAST(sum(key_rows) AS BIGINT) AS n_rows,
         |         count(*) AS n_keys
         |  FROM cnt)
         |SELECT l_partkey, key_rows,
-        |       key_rows * key_rows AS key_pairs,
-        |       CAST((key_rows * key_rows * 1000000) // est_pairs AS BIGINT)
-        |         AS share_ppm,
+        |       CAST(CAST(key_rows AS HUGEINT) * key_rows AS BIGINT)
+        |         AS key_pairs,
+        |       CAST((CAST(key_rows AS HUGEINT) * key_rows * 1000000)
+        |         // est_pairs AS BIGINT) AS share_ppm,
         |       est_pairs, n_rows, n_keys
         |FROM cnt, tot
         |ORDER BY key_rows DESC, l_partkey LIMIT 10""".stripMargin,

@@ -337,7 +337,9 @@ object Stats {
         sum("gap_s").as("s"),
         sum(expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s")).as("q"))
       .selectExpr("event_type", "n_gaps",
-        "s * 1000000 div n_gaps AS mean_gap_s_micro",
+        // DECIMAL(38) wrap: s is an unbounded sum of gap seconds.
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n_gaps AS BIGINT)" +
+          " AS mean_gap_s_micro",
         "CAST((CAST(n_gaps AS DECIMAL(38,0)) * q" +
           " - CAST(s AS DECIMAL(38,0)) * s) * 1000000" +
           " div (CAST(n_gaps AS DECIMAL(38,0)) * s) AS BIGINT)" +
@@ -712,8 +714,10 @@ object Stats {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
         sum(when(!col("is_a"), col("hit")).otherwise(0L)).as("x_b"))
       .selectExpr("n_a", "x_a", "n_b", "x_b",
-        "x_a * 1000000 div n_a AS rate_a_ppm",
-        "x_b * 1000000 div n_b AS rate_b_ppm",
+        "CAST(CAST(x_a AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)" +
+          " AS rate_a_ppm",
+        "CAST(CAST(x_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)" +
+          " AS rate_b_ppm",
         // a=x_a, b=n_a-x_a, c=x_b, d=n_b-x_b; margins: n_a, n_b,
         // (x_a+x_b), (n_a+n_b-x_a-x_b)
         s"CAST(${dec.format("(n_a + n_b)")} * 1000" +
@@ -743,7 +747,10 @@ object Stats {
       .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
       .selectExpr("n_a", "n_b",
-        "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b) AS chi2_milli")
+        // DECIMAL(38) wrap: the squared count diff alone can clear
+        // int64 at ~3e9 users; *1000 brings that to ~1e8.
+        "CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 1000" +
+          " div (n_a + n_b) AS BIGINT) AS chi2_milli")
       .withColumn("srm_detected", col("chi2_milli") > 3841L)
 
   /** BENFORD'S-LAW leading-digit audit of order totals — the classic
@@ -954,8 +961,10 @@ object Stats {
         |          AS x_b
         |      FROM e)
         |SELECT n_a, x_a, n_b, x_b,
-        |       x_a * 1000000 // n_a AS rate_a_ppm,
-        |       x_b * 1000000 // n_b AS rate_b_ppm,
+        |       CAST(CAST(x_a AS HUGEINT) * 1000000 // n_a AS BIGINT)
+        |         AS rate_a_ppm,
+        |       CAST(CAST(x_b AS HUGEINT) * 1000000 // n_b AS BIGINT)
+        |         AS rate_b_ppm,
         |       CAST(CAST(n_a + n_b AS HUGEINT) * 1000
         |         * (CAST(x_a AS HUGEINT) * (n_b - x_b)
         |            - CAST(x_b AS HUGEINT) * (n_a - x_a))
@@ -981,9 +990,10 @@ object Stats {
         |          AS BIGINT) AS n_b
         |      FROM u)
         |SELECT n_a, n_b,
-        |       (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS chi2_milli,
-        |       (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841
-        |         AS srm_detected
+        |       CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+        |         // (n_a + n_b) AS BIGINT) AS chi2_milli,
+        |       CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+        |         // (n_a + n_b) AS BIGINT) > 3841 AS srm_detected
         |FROM s""".stripMargin,
     "q_benford" ->
       """WITH c AS (
@@ -1083,7 +1093,8 @@ object Stats {
         |             sum(CAST(gap_s AS HUGEINT) * gap_s) AS q
         |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_gaps,
-        |       s * 1000000 // n_gaps AS mean_gap_s_micro,
+        |       CAST(CAST(s AS HUGEINT) * 1000000 // n_gaps AS BIGINT)
+        |         AS mean_gap_s_micro,
         |       CAST((CAST(n_gaps AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
         |         * 1000000 // (CAST(n_gaps AS HUGEINT) * s) AS BIGINT)
         |         AS fano_micro

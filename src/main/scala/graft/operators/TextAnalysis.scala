@@ -55,8 +55,11 @@ object TextAnalysis {
         sum("c").as("chars"))
       .select(col("lang"), col("n_docs"), col("ws_tokens"),
         col("bpe_ish_tokens"), col("chars"),
-        expr("bpe_ish_tokens * 1000000 div ws_tokens").as("fertility_ppm"),
-        expr("chars * 1000000 div bpe_ish_tokens").as("chars_per_tok_micro"))
+        // DECIMAL(38) wrap: corpus token sums clear int64/1e6 at 100 TB.
+        expr("CAST(CAST(bpe_ish_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div ws_tokens AS BIGINT)").as("fertility_ppm"),
+        expr("CAST(CAST(chars AS DECIMAL(38,0)) * 1000000" +
+          " div bpe_ish_tokens AS BIGINT)").as("chars_per_tok_micro"))
 
   /** Document chunking: fixed 200-char windows at stride 150 (50-char
     * overlap) — the pre-embedding pass that turns long documents into
@@ -137,8 +140,8 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("rank"), col("cnt"), col("covered_tokens"),
         col("total_tokens"),
-        expr("(1000000 * covered_tokens) div total_tokens")
-          .as("coverage_ppm"))
+        expr("CAST(1000000 * CAST(covered_tokens AS DECIMAL(38,0))" +
+          " div total_tokens AS BIGINT)").as("coverage_ppm"))
   }
 
   /** Alphabet used by [[charDiversity]]: the 26 lowercase letters plus
@@ -282,7 +285,8 @@ object TextAnalysis {
           " THEN CAST(f1 AS DECIMAL(38,0)) * f1 * 1000000 div (2 * f2)" +
           " ELSE CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div 2 END" +
           " AS BIGINT) AS chao1_micro",
-        "(n_tokens - f1) * 1000000 div n_tokens AS coverage_ppm")
+        "CAST(CAST(n_tokens - f1 AS DECIMAL(38,0)) * 1000000" +
+          " div n_tokens AS BIGINT) AS coverage_ppm")
 
   /** GOOD-TURING smoothing table — the frequency-of-frequencies
     * N_r and the adjusted counts r* = (r+1)·N_{r+1}/N_r for small r,
@@ -426,7 +430,9 @@ object TextAnalysis {
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        expr("tf * n_docs * 1000000 div df").as("score_e6"))
+        // DECIMAL(38) wrap: tf × |corpus docs| × 1e6 clears int64.
+        expr("CAST(CAST(tf AS DECIMAL(38,0)) * n_docs * 1000000" +
+          " div df AS BIGINT)").as("score_e6"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -1131,6 +1137,43 @@ object TextAnalysis {
       |       ELSE 'de' END AS predicted_lang
       |FROM s""".stripMargin
 
+  /** Shared Gopher quality-gate fragments (round-10 advice): the metric
+    * CTEs (`t`,`m`) and the per-rule predicates are defined ONCE here
+    * and referenced by BOTH the q_quality_gate oracle and the
+    * q_filter_bias audit oracle — like langIdSql/raritySql — so a
+    * future edit to the gate rules cannot silently drift from the
+    * audit that claims to replay them. */
+  private val gateMetricsSql =
+    """t AS (
+      |  SELECT doc_id, lang, text,
+      |         regexp_split_to_array(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(toks) AS INT) AS n_words,
+      |         CAST(list_sum(list_transform(toks,
+      |              t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT)
+      |           AS word_chars,
+      |         CAST(len(list_filter(toks,
+      |              t2 -> regexp_matches(t2, '[a-z]'))) AS INT) AS n_alpha,
+      |         CAST(len(list_intersect(list_distinct(toks),
+      |              ['the','be','to','of','and','that','have','with']))
+      |           AS INT) AS n_req_stop,
+      |         CAST(length(regexp_extract_all(text, '#'))
+      |            + length(regexp_extract_all(text, '\.\.\.')) AS INT)
+      |           AS n_symbols
+      |  FROM t)""".stripMargin
+
+  private val rWordCountSql = "(n_words BETWEEN 50 AND 100000)"
+  private val rMeanWordLenSql =
+    "(3 * n_words <= word_chars AND word_chars <= 10 * n_words)"
+  private val rSymbolRatioSql = "(10 * n_symbols <= n_words)"
+  private val rAlphaWordsSql = "(10 * n_alpha >= 8 * n_words)"
+  private val rStopwordsSql = "(n_req_stop >= 2)"
+  private val gateKeepSql =
+    s"($rWordCountSql AND $rMeanWordLenSql AND $rSymbolRatioSql" +
+      s" AND $rAlphaWordsSql AND $rStopwordsSql)"
+
   /** Shared rarity CTE: replays [[docRarity]]'s per-token floor-div and
     * the DECIMAL(38)/HUGEINT sum (DuckDB sum is HUGEINT, `//` stays
     * exact, final cast to BIGINT matches Spark's `div`). */
@@ -1241,7 +1284,7 @@ object TextAnalysis {
         |  FROM v),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM v)
         |SELECT rank, cnt, covered_tokens, total_tokens,
-        |       CAST((1000000 * covered_tokens) // total_tokens AS BIGINT)
+        |       CAST((1000000 * CAST(covered_tokens AS HUGEINT)) // total_tokens AS BIGINT)
         |         AS coverage_ppm
         |FROM r, t WHERE (rank & (rank - 1)) = 0""".stripMargin,
     "q_char_diversity" -> {
@@ -1292,7 +1335,7 @@ object TextAnalysis {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
-        |         CAST((tf.tf * n.n_docs * 1000000) // df.df AS BIGINT) AS score_e6
+        |         CAST((CAST(tf.tf AS HUGEINT) * n.n_docs * 1000000) // df.df AS BIGINT) AS score_e6
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token, tf, df, score_e6, CAST(rk AS INT) AS rk
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1323,82 +1366,39 @@ object TextAnalysis {
         |         CAST(sum(c) AS BIGINT) AS chars
         |  FROM t GROUP BY 1)
         |SELECT lang, n_docs, ws_tokens, bpe_ish_tokens, chars,
-        |       CAST(bpe_ish_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_ppm,
-        |       CAST(chars * 1000000 // bpe_ish_tokens AS BIGINT) AS chars_per_tok_micro
+        |       CAST(CAST(bpe_ish_tokens AS HUGEINT) * 1000000 // ws_tokens AS BIGINT) AS fertility_ppm,
+        |       CAST(CAST(chars AS HUGEINT) * 1000000 // bpe_ish_tokens AS BIGINT) AS chars_per_tok_micro
         |FROM a""".stripMargin,
+    // Composed from gateMetricsSql + the shared rule predicates — the
+    // audit replays the gate BY CONSTRUCTION, not by hand-duplication.
     "q_filter_bias" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, text,
-        |         regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(toks) AS INT) AS n_words,
-        |         CAST(list_sum(list_transform(toks,
-        |              t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT)
-        |           AS word_chars,
-        |         CAST(len(list_filter(toks,
-        |              t2 -> regexp_matches(t2, '[a-z]'))) AS INT) AS n_alpha,
-        |         CAST(len(list_intersect(list_distinct(toks),
-        |              ['the','be','to','of','and','that','have','with']))
-        |           AS INT) AS n_req_stop,
-        |         CAST(length(regexp_extract_all(text, '#'))
-        |            + length(regexp_extract_all(text, '\.\.\.')) AS INT)
-        |           AS n_symbols
-        |  FROM t),
-        |f AS (
-        |  SELECT lang,
-        |         (n_words BETWEEN 50 AND 100000) AS r_word_count,
-        |         (n_req_stop >= 2) AS r_stopwords,
-        |         ((n_words BETWEEN 50 AND 100000)
-        |           AND 3 * n_words <= word_chars
-        |           AND word_chars <= 10 * n_words
-        |           AND 10 * n_symbols <= n_words
-        |           AND 10 * n_alpha >= 8 * n_words
-        |           AND n_req_stop >= 2) AS keep
-        |  FROM m)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_pass,
-        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
-        |         // count(*) AS BIGINT) AS pass_ppm,
-        |       CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END)
-        |         AS BIGINT) AS fail_stopwords,
-        |       CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END)
-        |         AS BIGINT) AS fail_word_count
-        |FROM f GROUP BY 1""".stripMargin,
+      s"""WITH $gateMetricsSql,
+         |f AS (
+         |  SELECT lang,
+         |         $rWordCountSql AS r_word_count,
+         |         $rStopwordsSql AS r_stopwords,
+         |         $gateKeepSql AS keep
+         |  FROM m)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pass,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+         |         // count(*) AS BIGINT) AS pass_ppm,
+         |       CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fail_stopwords,
+         |       CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fail_word_count
+         |FROM f GROUP BY 1""".stripMargin,
     "q_quality_gate" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |         CAST(len(toks) AS INT) AS n_words,
-        |         CAST(list_sum(list_transform(toks,
-        |              t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT) AS word_chars,
-        |         CAST(len(list_filter(toks,
-        |              t2 -> regexp_matches(t2, '[a-z]'))) AS INT) AS n_alpha,
-        |         CAST(len(list_intersect(list_distinct(toks),
-        |              ['the','be','to','of','and','that','have','with'])) AS INT)
-        |           AS n_req_stop,
-        |         CAST(length(regexp_extract_all(text, '#'))
-        |            + length(regexp_extract_all(text, '\.\.\.')) AS INT)
-        |           AS n_symbols
-        |  FROM t)
-        |SELECT doc_id, n_words, word_chars, n_alpha, n_req_stop, n_symbols,
-        |       (n_words BETWEEN 50 AND 100000) AS r_word_count,
-        |       (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
-        |         AS r_mean_word_len,
-        |       (10 * n_symbols <= n_words) AS r_symbol_ratio,
-        |       (10 * n_alpha >= 8 * n_words) AS r_alpha_words,
-        |       (n_req_stop >= 2) AS r_stopwords,
-        |       ((n_words BETWEEN 50 AND 100000)
-        |         AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
-        |         AND 10 * n_symbols <= n_words
-        |         AND 10 * n_alpha >= 8 * n_words
-        |         AND n_req_stop >= 2) AS keep
-        |FROM m""".stripMargin,
+      s"""WITH $gateMetricsSql
+         |SELECT doc_id, n_words, word_chars, n_alpha, n_req_stop, n_symbols,
+         |       $rWordCountSql AS r_word_count,
+         |       $rMeanWordLenSql AS r_mean_word_len,
+         |       $rSymbolRatioSql AS r_symbol_ratio,
+         |       $rAlphaWordsSql AS r_alpha_words,
+         |       $rStopwordsSql AS r_stopwords,
+         |       $gateKeepSql AS keep
+         |FROM m""".stripMargin,
     // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
     "q_phrase_search" -> phraseSearchSql(DefaultPhrase),
     "q_bpe_merges" -> bpeMergesSql(BpeRounds),
@@ -1495,7 +1495,8 @@ object TextAnalysis {
         |         THEN CAST(f1 AS HUGEINT) * f1 * 1000000 // (2 * f2)
         |         ELSE CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000 // 2 END
         |         AS BIGINT) AS chao1_micro,
-        |       (n_tokens - f1) * 1000000 // n_tokens AS coverage_ppm
+        |       CAST(CAST(n_tokens - f1 AS HUGEINT) * 1000000 // n_tokens
+        |         AS BIGINT) AS coverage_ppm
         |FROM s""".stripMargin,
     "q_lang_kappa" ->
       s"""WITH li AS ($langIdSql),
