@@ -27,6 +27,8 @@ import org.apache.spark.sql.SparkSession
 object Indexes {
   def prebuild(spark: SparkSession, dir: String): Unit = {
     operators.TextAnalysis.tokenIndexPath(spark, dir)
+    operators.TextAnalysis.vocabIndexPath(spark, dir)
+    operators.Ranking.bigramIndexPaths(spark, dir)
     operators.Dedup.ccLabels(spark, dir)
     operators.TextAnalysis.bpeMerges(spark, dir) // build happens in the cache fill
     operators.Similarity.pqCodesPath(spark, dir)

@@ -107,20 +107,50 @@ object Ranking {
     * 10⁶/p̂(y|x) with c₁(x) the count of x in bigram-FIRST position, so
     * the conditional masses sum exactly to 1 per left-word.
     *
-    * Scale: one shingle explode, two corpus aggregates (map-side
-    * partial), two token-keyed joins back — the docRarity shape; the
-    * Zipf-skewed join keys are ordinary AQE-handled equi-join skew.
+    * Scale: one shingle explode and two token-keyed joins back against
+    * the build-once PERSISTED bigram/first-position count indexes
+    * ([[bigramIndexPaths]]) — the docRarity shape. The counts must be
+    * scans, not inline aggregates, for the Zipf-skewed join keys to be
+    * AQE-skew-splittable at all (an inline count is already
+    * hash-partitioned on its own join key, so OptimizeSkewedJoin never
+    * sees a splittable stage — see TextAnalysis.docRarityFrom, where
+    * ScaleToolsSpec pins the split on the operator's own plan).
     * Docs with <2 tokens have no bigrams and drop out (inner join), in
     * both engines.
     */
+  private val bigramIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Build-once bigram count indexes for `dir`: (xy → cxy) and
+    * (x → cx1, count of x in bigram-first position) as parquet — the
+    * corpus LM artifact [[bigramSurprisal]] serves from. Same
+    * fresh-tempdir lifecycle as TextAnalysis.vocabIndexPath. */
+  private[graft] def bigramIndexPaths(
+      spark: SparkSession, dir: String): (String, String) =
+    bigramIndexCache.computeIfAbsent(dir, d => {
+      graft.functions.ShinglesAll.register(spark)
+      val bi = Tables.documents(spark, d)
+        .select(explode(expr("shingles_all(text, 2)")).as("xy"))
+      val bOut = java.nio.file.Files
+        .createTempDirectory("graft-bigram-ix").toFile.getAbsolutePath
+      bi.groupBy("xy").agg(count(lit(1)).as("cxy"))
+        .write.mode("overwrite").parquet(bOut)
+      val fOut = java.nio.file.Files
+        .createTempDirectory("graft-bifirst-ix").toFile.getAbsolutePath
+      bi.select(split(col("xy"), " ").getItem(0).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cx1"))
+        .write.mode("overwrite").parquet(fOut)
+      (bOut, fOut)
+    })
+
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val (bPath, fPath) = bigramIndexPaths(spark, dir)
     graft.functions.ShinglesAll.register(spark)
     val bi = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(expr("shingles_all(text, 2)")).as("xy"))
-    val bcnt = bi.groupBy("xy").agg(count(lit(1)).as("cxy"))
-    val fcnt = bi.select(split(col("xy"), " ").getItem(0).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("cx1"))
+    val bcnt = spark.read.parquet(bPath)
+    val fcnt = spark.read.parquet(fPath)
     bi.withColumn("x", split(col("xy"), " ").getItem(0))
       .join(bcnt, "xy").join(fcnt, "x")
       .select(col("doc_id"), col("lang"),

@@ -113,6 +113,49 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits the dominant stopword token in docRarity's join-back") {
+    // The token-keyed join-back family (docRarity, bigramSurprisal)
+    // declares "Zipf skew on the token key is AQE's job" — exercised
+    // here on docRarity's OWN plan: a corpus where one stopword owns
+    // most token rows, thresholds lowered to test scale. Each doc
+    // contributes 'the' plus one unique token; lang is a distinct md5
+    // so the hot partition's shuffle bytes survive lz4 and clear
+    // threshold × factor against the hash-spread unique tokens.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = spark.range(0, 10000).selectExpr(
+        "id AS doc_id",
+        "md5(cast(id AS string)) AS lang",
+        "concat('the u', cast(id AS string)) AS text")
+      // The operator's contract: vocab arrives as a SCAN of the
+      // build-once index (an inline groupBy is already aligned on the
+      // join key, so OptimizeSkewedJoin never sees a splittable stage
+      // — the bug this spec originally caught).
+      val vocabDir = java.nio.file.Files
+        .createTempDirectory("graft-skew-vocab").toFile.getAbsolutePath
+      docs.selectExpr("explode(split(lower(text), '\\\\s+')) AS w")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(vocabDir)
+      val q = graft.operators.TextAnalysis
+        .docRarityFrom(docs, spark.read.parquet(vocabDir))
+        .agg(count(lit(1)).as("n_docs"), max("rarity_micro").as("mx"))
+      val n = q.collect()(0).getLong(0)
+      assert(n == 10000L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the dominant token key:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join under 90% single-key skew") {
     import spark.implicits._
     // 10k rows, 90% on key 1 — the "one hot user" shape.
