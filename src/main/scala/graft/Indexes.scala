@@ -29,6 +29,7 @@ object Indexes {
     operators.TextAnalysis.tokenIndexPath(spark, dir)
     operators.TextAnalysis.vocabIndexPath(spark, dir)
     operators.Ranking.bigramIndexPaths(spark, dir)
+    operators.Ranking.dsirRatioPath(spark, dir)
     operators.Dedup.ccLabels(spark, dir)
     operators.TextAnalysis.bpeMerges(spark, dir) // build happens in the cache fill
     operators.Similarity.pqCodesPath(spark, dir)

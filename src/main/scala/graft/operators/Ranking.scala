@@ -175,24 +175,43 @@ object Ranking {
     * reproducible bit-for-bit, unlike the float log-ratio original.
     *
     * Products run in DECIMAL(38,0)/HUGEINT: ct·Nr ≈ 10²⁴ at 100 TB
-    * corpus counts, far past int64. Shape: two vocab aggregates + one
-    * token-keyed join back — the docRarity scale pattern.
+    * corpus counts, far past int64. Shape: a build-once PERSISTED
+    * ratio table ([[dsirRatioPath]] — exactly what the paper
+    * precomputes and reuses across selection runs) + one token-keyed
+    * join back against the scan — the docRarity scale pattern, with
+    * the same reason the counts must be a scan and not an inline
+    * aggregate (AQE skew-splittability; see TextAnalysis.docRarityFrom).
     */
+  private val dsirRatioCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def dsirRatioPath(spark: SparkSession, dir: String): String =
+    dsirRatioCache.computeIfAbsent(dir, d => {
+      val words = Tables.documents(spark, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+      val raw = words.groupBy("w").agg(count(lit(1)).as("cr"))
+      val tgt = words.filter(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("ct"))
+      val nr = raw.agg(sum("cr").as("nr"))
+      val nt = tgt.agg(sum("ct").as("nt"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dsir-ratio").toFile.getAbsolutePath
+      raw.join(tgt, Seq("w"), "left_outer")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+        .select(col("w"),
+          expr("CAST(1000000 AS DECIMAL(38,0)) * ct * nr" +
+            " div (CAST(cr AS DECIMAL(38,0)) * nt)").as("rw"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val ratio = spark.read.parquet(dsirRatioPath(spark, dir))
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), "\\s+")).as("w"))
-    val raw = words.groupBy("w").agg(count(lit(1)).as("cr"))
-    val tgt = words.filter(col("lang") === "en")
-      .groupBy("w").agg(count(lit(1)).as("ct"))
-    val nr = raw.agg(sum("cr").as("nr"))
-    val nt = tgt.agg(sum("ct").as("nt"))
-    val ratio = raw.join(tgt, Seq("w"), "left_outer")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
-      .select(col("w"),
-        expr("CAST(1000000 AS DECIMAL(38,0)) * ct * nr" +
-          " div (CAST(cr AS DECIMAL(38,0)) * nt)").as("rw"))
     words.join(ratio, "w")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
