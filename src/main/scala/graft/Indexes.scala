@@ -35,6 +35,7 @@ object Indexes {
     operators.Similarity.pqCodesPath(spark, dir)
     operators.Similarity.ivfIndexPath(spark, dir)
     operators.Profiling.scoreCumPath(spark, dir)
+    operators.Profiling.priceHistPath(spark, dir)
     operators.Dedup.rankedIndexPath(spark, dir)
     operators.Dedup.docSetsPath(spark, dir)
     operators.GraphOps.purchaseGraphPath(spark, dir)
