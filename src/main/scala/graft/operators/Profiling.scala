@@ -930,6 +930,126 @@ object Profiling {
       .withColumn("below_l3",
         when(col("l") < 3, col("n_records")).otherwise(0L))
 
+  /** t in ppm for [[tCloseness]]'s violation flag (t = 0.2, the
+    * working value of Li et al.'s own examples). */
+  val TCloseTPpm = 200000L
+
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third member of the release-gate triple: k-anonymity says QI
+    * groups are big, l-diversity says they are not homogeneous,
+    * t-closeness says their sensitive-value DISTRIBUTION does not
+    * deviate from the table-wide one (a group can hold 3 distinct
+    * diagnoses and still leak if 95% of it is "cancer" vs 5%
+    * globally). Distance for the categorical sensitive attribute
+    * (market segment) is total variation ½·Σ|p_s − q_s|, cleared to
+    * exact integers: tvd_ppm = Σ_s |n_gs·N − n_s·n_g| · 10⁶
+    * div (2·n_g·N) — ONE floor-div per group, every product in
+    * DECIMAL(38)/HUGEINT (n_gs·N passes int64 at warehouse scale).
+    * Absent cells matter (n_gs = 0 contributes n_s·n_g), so the group
+    * table crosses the BOUNDED |segments| list, never an outer join
+    * against raw rows.
+    *
+    * Report follows the self-scaling histogram discipline: groups
+    * bucket by TVD decile, so output rows ≤ 11 at any SF, with the
+    * record mass in groups past t — the number a suppress/generalize
+    * decision reads.
+    *
+    * Plan: one (QI, sensitive) cell aggregate over the scan; group
+    * totals, segment marginals, and N all derive from the CELL table
+    * (no second corpus scan, crosstabAssoc discipline); cells join
+    * back onto the groups×segments cross (per-QI-keyed shuffle);
+    * per-group rational → decile histogram aggregate. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        expr(s"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + " +
+          s"${BalOffsetCents}L) div 50000").as("bal_bucket"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gs"))
+      .localCheckpoint()
+    val groups = cells.groupBy("c_nationkey", "bal_bucket")
+      .agg(sum("n_gs").as("n_g"))
+    val segs = cells.groupBy("c_mktsegment").agg(sum("n_gs").as("n_s"))
+    val total = segs.agg(sum("n_s").as("n"))
+    groups.crossJoin(broadcast(segs))
+      .join(cells, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("n_gs"))
+      .crossJoin(broadcast(total))
+      .groupBy("c_nationkey", "bal_bucket", "n_g", "n")
+      .agg(sum(expr("abs(CAST(n_gs AS DECIMAL(38,0)) * n" +
+        " - CAST(n_s AS DECIMAL(38,0)) * n_g)")).as("num"))
+      .select(col("n_g"),
+        expr("CAST(num * 1000000 div (2 * CAST(n_g AS DECIMAL(38,0)) * n)" +
+          " AS BIGINT)").as("tvd_ppm"))
+      .groupBy(expr("tvd_ppm div 100000").as("tvd_decile"))
+      .agg(count(lit(1)).as("n_groups"), sum("n_g").as("n_records"),
+        sum(when(col("tvd_ppm") > TCloseTPpm, col("n_g")).otherwise(0L))
+          .as("records_past_t"))
+  }
+
+  /** GENERALIZED RANDOMIZED RESPONSE (Warner'65; the k-ary "direct
+    * encoding" local-DP mechanism of Kairouz et al.'15) — the
+    * collection-side member of the privacy family: each record reports
+    * its true market segment with probability 3/4 and otherwise a
+    * uniformly-drawn segment (own included), and the aggregator
+    * DEBIASES the noisy histogram back to an unbiased estimate
+    * n̂_i = (4k·obs_i − n) / (3k). The report shows true count, noisy
+    * count, debiased estimate, and the estimator's actual error —
+    * the utility-vs-privacy table an ε-budget decision reads.
+    *
+    * Determinism is the point of the exercise here: the "coin" is
+    * md5(custkey) bits (flip decision = 32-bit prefix mod 4, substitute
+    * = next 32 bits mod k), so the mechanism — normally the one
+    * irreproducible stage of an LDP pipeline — replays bit-identically
+    * in both engines, and the estimator algebra is ONE exact floor-div
+    * in milli-units (no floats anywhere).
+    *
+    * Plan/scale shape: ONE (true, reported) cell aggregate over the
+    * scan (≤k² cells, crosstabAssoc discipline) — both marginals and N
+    * derive from the cell table; the segment-index list and the 1-row
+    * k/N totals are bounded broadcasts. Output is k rows at any SF. */
+  def randResponse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Bounded post-distinct table (|segments| rows) — the rank window
+    // runs on the post-aggregate, per the no-unpartitioned-windows rule.
+    val segIdx = Tables.customer(spark, dir)
+      .select(col("c_mktsegment")).distinct()
+      .withColumn("sub_idx",
+        row_number().over(Window.orderBy("c_mktsegment")).cast("long") - 1)
+    val kTab = segIdx.agg(count(lit(1)).as("k"))
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("true_seg"),
+        expr("CAST(conv(substr(md5(concat('graft-rr-', " +
+          "CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substr(md5(concat('graft-rr-', " +
+          "CAST(c_custkey AS STRING))), 9, 8), 16, 10) AS BIGINT)").as("h2"))
+      .crossJoin(broadcast(kTab))
+      .withColumn("sub_idx", expr("h2 % k"))
+      .join(broadcast(segIdx.withColumnRenamed("c_mktsegment", "sub_seg")),
+        Seq("sub_idx"))
+      .withColumn("obs_seg",
+        when(expr("h1 % 4 < 3"), col("true_seg")).otherwise(col("sub_seg")))
+      .groupBy("true_seg", "obs_seg").agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint()
+    val trueCnt = cells.groupBy(col("true_seg").as("c_mktsegment"))
+      .agg(sum("n_cell").as("n_true"))
+    val obsCnt = cells.groupBy(col("obs_seg").as("c_mktsegment"))
+      .agg(sum("n_cell").as("n_obs"))
+    val total = cells.agg(sum("n_cell").as("n"))
+    trueCnt.join(obsCnt, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_true", "n_obs"))
+      .crossJoin(broadcast(kTab)).crossJoin(broadcast(total))
+      .select(col("c_mktsegment"), col("n_true"), col("n_obs"),
+        // est can be negative (a segment nobody reports); sign-split
+        // so Spark trunc-div and DuckDB floor-div agree.
+        expr("CAST(CASE WHEN 4 * k * CAST(n_obs AS DECIMAL(38,0)) >= n" +
+          " THEN (4 * k * CAST(n_obs AS DECIMAL(38,0)) - n) * 1000" +
+          " div (3 * k)" +
+          " ELSE -((n - 4 * k * CAST(n_obs AS DECIMAL(38,0))) * 1000" +
+          " div (3 * k)) END AS BIGINT)").as("est_milli"))
+      .withColumn("err_milli", expr("est_milli - n_true * 1000"))
+  }
+
   /** PSEUDONYMIZED EXPORT — the privacy-preserving data-sharing shape:
     * direct identifiers are replaced by a salted-md5 pseudonym (stable
     * per key, so cross-table joins still work; irreversible without
@@ -963,6 +1083,8 @@ object Profiling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> kAnonymity,
     "q_l_diversity" -> lDiversity,
+    "q_t_closeness" -> tCloseness,
+    "q_rand_response" -> randResponse,
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
@@ -1014,6 +1136,86 @@ object Profiling {
          |       CAST(CASE WHEN l < 3 THEN sum(gs) ELSE 0 END AS BIGINT)
          |         AS below_l3
          |FROM g GROUP BY l""".stripMargin,
+    "q_t_closeness" ->
+      s"""WITH cells AS (
+         |  SELECT c_nationkey,
+         |         (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+         |          + $BalOffsetCents) // 50000 AS bal_bucket,
+         |         c_mktsegment, CAST(count(*) AS BIGINT) AS n_gs
+         |  FROM customer GROUP BY 1, 2, 3),
+         |grp AS (SELECT c_nationkey, bal_bucket,
+         |               CAST(sum(n_gs) AS BIGINT) AS n_g
+         |        FROM cells GROUP BY 1, 2),
+         |seg AS (SELECT c_mktsegment, CAST(sum(n_gs) AS BIGINT) AS n_s
+         |        FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM seg),
+         |pg AS (
+         |  SELECT g.n_g,
+         |         CAST(sum(abs(CAST(coalesce(c.n_gs, 0) AS HUGEINT) * t.n
+         |                      - CAST(s.n_s AS HUGEINT) * g.n_g)) * 1000000
+         |              // (2 * CAST(g.n_g AS HUGEINT) * t.n) AS BIGINT)
+         |           AS tvd_ppm
+         |  FROM grp g CROSS JOIN seg s
+         |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+         |    AND c.bal_bucket = g.bal_bucket
+         |    AND c.c_mktsegment = s.c_mktsegment
+         |  CROSS JOIN tot t
+         |  GROUP BY g.c_nationkey, g.bal_bucket, g.n_g, t.n)
+         |SELECT tvd_ppm // 100000 AS tvd_decile,
+         |       CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(n_g) AS BIGINT) AS n_records,
+         |       CAST(sum(CASE WHEN tvd_ppm > $TCloseTPpm THEN n_g
+         |                ELSE 0 END) AS BIGINT) AS records_past_t
+         |FROM pg GROUP BY 1""".stripMargin,
+    "q_rand_response" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |         CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT)
+        |           - 1 AS sub_idx
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+        |kt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM seg),
+        |base AS (
+        |  SELECT c_mktsegment AS true_seg,
+        |         CAST(('0x' || substr(md5('graft-rr-'
+        |               || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5('graft-rr-'
+        |               || CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+        |  FROM customer),
+        |rep AS (
+        |  SELECT b.true_seg,
+        |         CASE WHEN b.h1 % 4 < 3 THEN b.true_seg
+        |              ELSE s.c_mktsegment END AS obs_seg
+        |  FROM base b CROSS JOIN kt
+        |  JOIN seg s ON s.sub_idx = b.h2 % kt.k),
+        |cells AS (SELECT true_seg, obs_seg, CAST(count(*) AS BIGINT) AS n_cell
+        |          FROM rep GROUP BY 1, 2),
+        |tc AS (SELECT true_seg AS c_mktsegment,
+        |              CAST(sum(n_cell) AS BIGINT) AS n_true
+        |       FROM cells GROUP BY 1),
+        |oc AS (SELECT obs_seg AS c_mktsegment,
+        |              CAST(sum(n_cell) AS BIGINT) AS n_obs
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n FROM cells)
+        |SELECT c_mktsegment,
+        |       CAST(coalesce(tc.n_true, 0) AS BIGINT) AS n_true,
+        |       CAST(coalesce(oc.n_obs, 0) AS BIGINT) AS n_obs,
+        |       CAST(CASE WHEN 4 * kt.k * CAST(coalesce(oc.n_obs, 0)
+        |                        AS HUGEINT) >= tot.n
+        |            THEN (4 * kt.k * CAST(coalesce(oc.n_obs, 0) AS HUGEINT)
+        |                  - tot.n) * 1000 // (3 * kt.k)
+        |            ELSE -((tot.n - 4 * kt.k * CAST(coalesce(oc.n_obs, 0)
+        |                    AS HUGEINT)) * 1000 // (3 * kt.k))
+        |            END AS BIGINT) AS est_milli,
+        |       CAST(CASE WHEN 4 * kt.k * CAST(coalesce(oc.n_obs, 0)
+        |                        AS HUGEINT) >= tot.n
+        |            THEN (4 * kt.k * CAST(coalesce(oc.n_obs, 0) AS HUGEINT)
+        |                  - tot.n) * 1000 // (3 * kt.k)
+        |            ELSE -((tot.n - 4 * kt.k * CAST(coalesce(oc.n_obs, 0)
+        |                    AS HUGEINT)) * 1000 // (3 * kt.k))
+        |            END - coalesce(tc.n_true, 0) * 1000 AS BIGINT)
+        |         AS err_milli
+        |FROM tc FULL OUTER JOIN oc USING (c_mktsegment)
+        |CROSS JOIN kt CROSS JOIN tot""".stripMargin,
     "q_pseudonym_export" ->
       """WITH j AS (
         |  SELECT substr(md5('graft-salt-' || CAST(c_custkey AS VARCHAR)),

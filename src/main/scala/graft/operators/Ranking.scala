@@ -220,6 +220,59 @@ object Ranking {
         "s div n_tokens AS dsir_micro")
   }
 
+  /** INTERPOLATED KNESER-NEY bigram probabilities (Kneser & Ney,
+    * ICASSP'95; Chen & Goodman'98 formulation) for the top-k most
+    * frequent bigrams — the smoothing every count-based n-gram LM
+    * ships with, and the third member of the discounting family next
+    * to [[bigramSurprisal]] (raw MLE) and the Good-Turing table
+    * (q_freq_of_freqs): absolute-discount the bigram count by D and
+    * back off to the CONTINUATION unigram (how many distinct left
+    * contexts a word follows — "Francisco" is frequent but only ever
+    * follows "San", so its continuation mass is tiny).
+    *
+    * Engine-exact form: with D = 3/4,
+    *   p_KN(y|x) = max(c(xy)−D, 0)/c₁(x)
+    *             + D·N1+(x·)/c₁(x) · N1+(·y)/N1+(··)
+    * cleared to ONE rational (multiply through by 4·c₁(x)·N1+(··)):
+    *   p_micro = ((4·c(xy)−3)·N1+(··) + 3·N1+(x·)·N1+(·y)) · 10⁶
+    *             div (4·c₁(x)·N1+(··))
+    * — a single integer floor-div, so both engines replay it
+    * digit-for-digit (c(xy) ≥ 1 in the table, so the max() never
+    * binds). Products run in DECIMAL(38)/HUGEINT: c(xy)·N1+(··) is
+    * ~10²⁴ at 100 TB corpus counts.
+    *
+    * Plan/scale shape: everything derives from the build-once PERSISTED
+    * bigram index ([[bigramIndexPaths]] — the same artifact
+    * bigramSurprisal serves from, built at most once per JVM): the
+    * left-context totals c₁(x)/N1+(x·) and continuation counts N1+(·y)
+    * are each ONE map-side-combined aggregate over the post-aggregate
+    * bigram-type table (vocab-sized, never the token stream), the
+    * denominator N1+(··) a broadcast 1-row count. The report is the
+    * top-k bigrams (TakeOrderedAndProject on the index), so the three
+    * join-backs run with a k-row side — AQE broadcasts it — and the
+    * output is k rows at any SF.
+    */
+  def kneserNey(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val (bPath, _) = bigramIndexPaths(spark, dir)
+    val bcnt = spark.read.parquet(bPath)
+      .withColumn("x", split(col("xy"), " ").getItem(0))
+      .withColumn("y", split(col("xy"), " ").getItem(1))
+    val left = bcnt.groupBy("x")
+      .agg(sum("cxy").as("c1x"), count(lit(1)).as("n1p_x"))
+    val cont = bcnt.groupBy("y").agg(count(lit(1)).as("cont_y"))
+    val nTypes = bcnt.agg(count(lit(1)).as("n_types"))
+    bcnt.orderBy(col("cxy").desc, col("xy")).limit(k)
+      .join(left, "x").join(cont, "y")
+      .crossJoin(broadcast(nTypes))
+      .select(col("xy"), col("cxy"), col("c1x"), col("n1p_x"),
+        col("cont_y"), col("n_types"),
+        expr("CAST(((4 * CAST(cxy AS DECIMAL(38,0)) - 3) * n_types" +
+          " + 3 * CAST(n1p_x AS DECIMAL(38,0)) * cont_y) * 1000000" +
+          " div (4 * CAST(c1x AS DECIMAL(38,0)) * n_types) AS BIGINT)")
+          .as("pkn_micro"))
+      .orderBy(col("cxy").desc, col("xy"))
+  }
+
   /** LAST-TOUCH attribution: for every purchase, the most recent
     * strictly-earlier non-purchase event by the same user (the
     * marketing-attribution primitive; also the "what did the user see
@@ -255,6 +308,7 @@ object Ranking {
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_bigram_surprisal" -> bigramSurprisal,
     "q_dsir_weights" -> dsirWeights,
+    "q_kneser_ney" -> ((s, d) => kneserNey(s, d)),
     "q_attribution" -> lastTouchAttribution)
 
   /** RRF oracle generated from the SAME term list as the operator. */
@@ -300,6 +354,32 @@ object Ranking {
 
   val oracles: Map[String, String] = Map(
     "q_hybrid_rrf" -> hybridRrfSql,
+    "q_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(range(2, len(ws) + 1),
+        |         i -> ws[i-1] || ' ' || ws[i])) AS xy
+        |  FROM toks),
+        |b2 AS (
+        |  SELECT xy, CAST(count(*) AS BIGINT) AS cxy,
+        |         str_split(xy, ' ')[1] AS x, str_split(xy, ' ')[2] AS y
+        |  FROM big GROUP BY 1),
+        |lft AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS c1x,
+        |               CAST(count(*) AS BIGINT) AS n1p_x
+        |        FROM b2 GROUP BY 1),
+        |cont AS (SELECT y, CAST(count(*) AS BIGINT) AS cont_y
+        |         FROM b2 GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM b2),
+        |top AS (SELECT * FROM b2 ORDER BY cxy DESC, xy LIMIT 20)
+        |SELECT t.xy, t.cxy, l.c1x, l.n1p_x, c.cont_y, n.n_types,
+        |       CAST(((4 * CAST(t.cxy AS HUGEINT) - 3) * n.n_types
+        |             + 3 * CAST(l.n1p_x AS HUGEINT) * c.cont_y) * 1000000
+        |            // (4 * CAST(l.c1x AS HUGEINT) * n.n_types)
+        |         AS BIGINT) AS pkn_micro
+        |FROM top t JOIN lft l USING (x) JOIN cont c USING (y)
+        |CROSS JOIN nt n""".stripMargin,
     "q_bigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -24,12 +24,12 @@ class RegistrySpec extends AnyFunSuite {
       s"undocumented rows-only queries: ${rowsOnly - "q_ann_lsh"}")
   }
 
-  /** SURVEY §13 quotes this exact number; round 10 shipped a 262-vs-263
-    * drift because nothing tied the prose tally to the registry. Any
-    * query add/remove must update BOTH this constant and SURVEY §13 in
-    * the same commit, or this test goes red.
+  /** SURVEY §13/§14 quotes this exact number; round 10 shipped a
+    * 262-vs-263 drift because nothing tied the prose tally to the
+    * registry. Any query add/remove must update BOTH this constant and
+    * the SURVEY ledger in the same commit, or this test goes red.
     */
-  val SurveyLedgerCount = 263
+  val SurveyLedgerCount = 266
 
   test("registry count matches the SURVEY §13 ledger") {
     assert(SparkEntry.queries.size == SurveyLedgerCount,
