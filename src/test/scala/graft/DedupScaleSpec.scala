@@ -87,6 +87,49 @@ class DedupScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pp.sameElements(ref) && pp.nonEmpty)
   }
 
+  test("containment join: asymmetric prefix filter is lossless at c >= 0.8") {
+    val ex = Dedup.shingleIndex(spark, sfDir)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Ground truth: every pair sharing >= 1 shingle (containment >= 0.8
+    // implies a shared shingle, so this enumeration is complete), with
+    // the exact directional containment rational.
+    val truth = ex.as("a")
+      .join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("di"), col("b.doc_id").as("dj"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("di"), col("n").as("ni")), "di")
+      .join(sizes.select(col("doc_id").as("dj"), col("n").as("nj")), "dj")
+      .select(
+        when(col("ni") < col("nj") ||
+          (col("ni") === col("nj") && col("di") < col("dj")), col("di"))
+          .otherwise(col("dj")).as("doc_small"),
+        when(col("ni") < col("nj") ||
+          (col("ni") === col("nj") && col("di") < col("dj")), col("dj"))
+          .otherwise(col("di")).as("doc_big"),
+        least(col("ni"), col("nj")).as("n_small"),
+        greatest(col("ni"), col("nj")).as("n_big"),
+        col("shared"),
+        expr("CAST(shared AS DECIMAL(38,0)) * 1000000" +
+          " div least(ni, nj)").cast("long").as("containment_ppm"))
+      .filter(col("containment_ppm") >= 800000L)
+    val got = Dedup.containmentPairs(spark, sfDir)
+    val t = truth.collect().map(_.toString).sorted
+    val g = got.select("doc_small", "doc_big", "n_small", "n_big",
+      "shared", "containment_ppm").collect().map(_.toString).sorted
+    assert(t.nonEmpty, "test corpus must contain contained pairs")
+    assert(g.sameElements(t),
+      s"containment join diverges from brute force: got ${g.length}," +
+        s" want ${t.length}")
+    // And the prefix pass really prunes: candidates < shared-shingle pairs.
+    val fullPairs = ex.as("a")
+      .join(ex.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(got.count() < fullPairs)
+  }
+
   test("all-pairs baseline refuses to run past the df cap, transparent under it") {
     // Under the default cap the guard must be invisible: the filter
     // keeps every row (assert_true -> null -> isNull true), so the

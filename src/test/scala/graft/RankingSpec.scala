@@ -76,4 +76,50 @@ class RankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((l, m) <- byLang if l != "en")
       assert(byLang("en") > m, s"en (${byLang("en")}) ≤ $l ($m)")
   }
+
+  test("Kneser-Ney masses form an exact probability distribution per context") {
+    // The operator reports top-k rows; the DISTRIBUTION property lives
+    // in its formula. Recompute with BigInt from the same persisted
+    // bigram index and assert Σ_y p_KN(y|x) == 1 EXACTLY as a rational
+    // for every left context x: observed continuations contribute
+    // (4c−3)·N₊₊ + 3·N1₊(x)·cont(y), unobserved ones 3·N1₊(x)·cont(y),
+    // denominator 4·c₁(x)·N₊₊ — and Σ_y cont(y) = N₊₊ makes it close.
+    val (bPath, _) = Ranking.bigramIndexPaths(spark, sf)
+    val bi = spark.read.parquet(bPath)
+      .select(split(col("xy"), " ").getItem(0).as("x"),
+        split(col("xy"), " ").getItem(1).as("y"), col("cxy"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nTypes = BigInt(bi.length)
+    val contY = bi.groupBy(_._2).map { case (y, g) => y -> BigInt(g.length) }
+    val sumCont = contY.values.sum
+    assert(sumCont == nTypes, "Σ_y cont(y) must equal the bigram type count")
+    val byX = bi.groupBy(_._1)
+    for ((x, g) <- byX.take(50)) {
+      val c1x = BigInt(g.map(_._3).sum)
+      val n1x = BigInt(g.length)
+      val observedY = g.map(_._2).toSet
+      val den = 4 * c1x * nTypes
+      val obsNum = g.map { case (_, y, c) =>
+        (4 * BigInt(c) - 3) * nTypes + 3 * n1x * contY(y)
+      }.sum
+      val unobsNum = contY.collect {
+        case (y, cy) if !observedY(y) => 3 * n1x * cy
+      }.sum
+      assert(obsNum + unobsNum == den,
+        s"KN masses for context '$x' sum to ${obsNum + unobsNum}/$den, not 1")
+    }
+    // And the reported top-k rows replay the same rational exactly.
+    val rows = Ranking.kneserNey(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val Array(x, y) = r.getAs[String]("xy").split(" ")
+      val c1x = BigInt(byX(x).map(_._3).sum)
+      val n1x = BigInt(byX(x).length)
+      val want = ((4 * BigInt(r.getAs[Long]("cxy")) - 3) * nTypes
+        + 3 * n1x * contY(y)) * 1000000 / (4 * c1x * nTypes)
+      assert(BigInt(r.getAs[Long]("pkn_micro")) == want,
+        s"pkn mismatch for ${r.getAs[String]("xy")}")
+      assert(r.getAs[Long]("pkn_micro") <= 1000000L)
+    }
+  }
 }

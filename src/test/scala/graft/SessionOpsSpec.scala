@@ -83,4 +83,41 @@ class SessionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s >= 1 && s <= 5, s"$ccol out of range: $s")
     }
   }
+
+  test("t-closeness: TVD stays in [0,1], deciles partition every record") {
+    val rows = graft.operators.Profiling.tCloseness(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    // Conservation: the decile histogram covers every record exactly once.
+    assert(rows.map(_.getAs[Long]("n_records")).sum == nCust)
+    for (r <- rows) {
+      val d = r.getAs[Long]("tvd_decile")
+      assert(d >= 0 && d <= 10, s"TVD decile out of [0,10]: $d")
+      // Past-t mass can never exceed the bucket's own record mass, and
+      // buckets fully below t = 0.2 (ppm 200000 => decile <= 1) carry none.
+      assert(r.getAs[Long]("records_past_t") <= r.getAs[Long]("n_records"))
+      if (d < 2) assert(r.getAs[Long]("records_past_t") == 0,
+        s"decile $d is below t yet flags records")
+      if (d >= 3) assert(r.getAs[Long]("records_past_t") ==
+        r.getAs[Long]("n_records"),
+        s"decile $d is entirely past t yet flags fewer records")
+    }
+  }
+
+  test("randomized response: debiased estimates conserve the population") {
+    val rows = graft.operators.Profiling.randResponse(spark, sf).collect()
+    val n = Tables.customer(spark, sf).count()
+    val k = rows.length
+    assert(rows.map(_.getAs[Long]("n_true")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == n,
+      "the mechanism must emit exactly one report per record")
+    // Σ n̂_i = Σ (4k·obs_i − n)/(3k) = (4k·n − k·n)/(3k) = n exactly;
+    // the per-segment floor loses < 1 milli each.
+    val estSum = rows.map(_.getAs[Long]("est_milli")).sum
+    assert(math.abs(estSum - n * 1000L) <= k,
+      s"debias must conserve the population: Σest=$estSum vs ${n * 1000L}")
+    // err_milli is literally est − true in milli.
+    for (r <- rows)
+      assert(r.getAs[Long]("err_milli") ==
+        r.getAs[Long]("est_milli") - r.getAs[Long]("n_true") * 1000L)
+  }
 }
