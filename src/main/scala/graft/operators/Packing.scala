@@ -234,7 +234,51 @@ object Packing {
           " div (n_seqs * seq_len) AS BIGINT) AS waste_ppm")
   }
 
+  /** DETERMINISTIC MLM MASK PLAN — the masking stage of a
+    * BERT/T5-style training-data build, made replayable: each token
+    * position masks iid at 15% where the "coin" is
+    * md5(doc_id, position) (the same zero-RNG-state discipline as
+    * q_negative_sampling/q_bootstrap_means — any engine, any
+    * partitioning, any restart produces the SAME mask), and the
+    * report is the per-document mask-plan summary a span-corruption
+    * writer consumes: masked count, number of contiguous SPANS
+    * (gaps-and-islands over masked positions), longest span, exact
+    * mask ratio. Span statistics matter because corruption objectives
+    * are span-aware (T5 corrupts spans, not tokens); the island pass
+    * is the sessionize machinery applied inside documents.
+    *
+    * Plan/scale shape: token positions come from ONE
+    * explode(sequence(0, n−1)) off the doc-length projection (the
+    * word text never enters the plan — the mask is position-keyed);
+    * the only shuffle is doc-keyed, and every window is PARTITIONED
+    * by doc (bounded by doc length). Per-doc output rows, one exact
+    * ppm floor-div. */
+  def maskPlan(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val masked = lens
+      .select(col("doc_id"), explode(expr("sequence(0L, n_tokens - 1)"))
+        .as("pos"))
+      .filter(expr("CAST(conv(substr(md5(concat('graft-mask-', " +
+        "CAST(doc_id AS STRING), '-', CAST(pos AS STRING))), 1, 8), " +
+        "16, 10) AS BIGINT) % 100 < 15"))
+    val spans = masked
+      .withColumn("isl", col("pos") - row_number()
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("len"))
+    lens.join(
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum("len").as("n_masked"),
+          max("len").as("max_span")),
+      Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_masked", "max_span"))
+      .withColumn("mask_ratio_ppm",
+        expr("n_masked * 1000000 div n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mask_plan" -> maskPlan,
     "q_pack_waste" -> ((s, d) => packWaste(s, d)),
     "q_seq_pack" -> ((s, d) => seqPack(s, d)),
     "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
@@ -242,6 +286,36 @@ object Packing {
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_mask_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(0, n_tokens)) AS pos FROM d),
+        |m AS (
+        |  SELECT doc_id, pos FROM tok
+        |  WHERE CAST(('0x' || substr(md5('graft-mask-'
+        |          || CAST(doc_id AS VARCHAR) || '-'
+        |          || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15),
+        |isl AS (
+        |  SELECT doc_id,
+        |         pos - row_number() OVER (PARTITION BY doc_id
+        |                                  ORDER BY pos) AS isl
+        |  FROM m),
+        |sp AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS len
+        |       FROM isl GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |              CAST(sum(len) AS BIGINT) AS n_masked,
+        |              CAST(max(len) AS BIGINT) AS max_span
+        |       FROM sp GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        |       coalesce(pd.n_spans, 0) AS n_spans,
+        |       coalesce(pd.n_masked, 0) AS n_masked,
+        |       coalesce(pd.max_span, 0) AS max_span,
+        |       coalesce(pd.n_masked, 0) * 1000000 // d.n_tokens
+        |         AS mask_ratio_ppm
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q_pack_waste" ->
       """WITH d AS (
         |  SELECT CAST(len(regexp_split_to_array(lower(text), '\s+'))
