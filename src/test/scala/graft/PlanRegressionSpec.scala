@@ -105,6 +105,53 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t-closeness: one customer scan, bounded sides broadcast") {
+    val p = planOf("q_t_closeness")
+    withClue(p) {
+      // cells is localCheckpointed; groups/segments/N derive from it,
+      // so the raw table is scanned exactly once.
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        "marginals must derive from the cell table, not rescan customer")
+      // the |segments| cross and the 1-row total both broadcast
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("kneser-ney: top-k via TakeOrdered, k-row side broadcast into the joins") {
+    val p = planOf("q_kneser_ney")
+    withClue(p) {
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-k must be TakeOrdered, not a global sort")
+      assert(p.contains("BroadcastHashJoin"),
+        "the 20-row side must broadcast into the vocab-sized aggregates")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("containment join: candidate pass is a shingle equi-join, verify on sets") {
+    val p = planOf("q_containment_pairs")
+    withClue(p) {
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "size/tie predicates must ride the shingle equi-join, not a NLJ")
+    }
+  }
+
+  test("mask plan: position explode never carries the word text") {
+    val p = planOf("q_mask_plan")
+    withClue(p) {
+      // the mask is position-keyed: the scan reads (doc_id, text) once
+      // per join branch but the exploded side projects only lengths.
+      assert(!p.contains("posexplode"),
+        "mask positions should come from sequence(), not a token explode")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("forecast revenue (Q6): every predicate reaches the scan, 4-column read") {
     // formatted mode: the simple toString truncates scan metadata
     // (PushedFilters/ReadSchema) at 100 chars.
