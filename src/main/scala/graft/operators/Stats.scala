@@ -781,7 +781,79 @@ object Stats {
         "abs(n * 1000000 div total - benford_ppm) AS dev_ppm")
   }
 
+  /** SPLIT-CONFORMAL prediction intervals (Vovk et al.; the
+    * Lei et al. JASA'18 split form) for the monthly-revenue trend —
+    * the distribution-free error bar every forecast report should
+    * carry: fit OLS on the TRAIN months (even month index), take the
+    * k = ⌈(n_cal+1)·0.9⌉-th smallest absolute residual on the
+    * CALIBRATION months (odd index) as the 90% half-width, and flag
+    * each month by whether it falls inside [ŷ−q, ŷ+q]. The split is a
+    * pure function of the month index, so train/calibration membership
+    * — normally a seeded shuffle — replays identically everywhere.
+    *
+    * Exactness: with d = n·Σx²−(Σx)² > 0, ŷ(x) clears to ONE rational
+    * N(x)/d with N(x) = (Σy·Σx² − Σx·Σxy) + (n·Σxy − Σx·Σy)·x, so
+    * residuals compare as |y·d − N(x)| against q_scaled (the k-th
+    * order statistic of the SCALED residuals — same order, d is a
+    * positive constant) with NO division anywhere in the coverage
+    * decision; the reported ŷ/lo/hi are sign-split micro floor-divs.
+    * Products live in DECIMAL(38): y·d ≈ 10²³ at 100 TB monthly sums.
+    *
+    * Plan/scale shape: one orders scan → |months| aggregate; the OLS
+    * sums, the order statistic (TakeOrdered k over the ≤|months|/2
+    * calibration residuals — never a global sort), and q are 1-row
+    * broadcasts back onto the month table; output |months| rows. */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("mo"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("mo").agg(sum("cents").as("y"))
+      .localCheckpoint()
+    val fit = monthly.filter(col("mo") % 2 === 0)
+      .select(col("mo").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("yy"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("yy").as("sy"),
+        sum(expr("x * yy")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .selectExpr("sy * sxx - sx * sxy AS a_num",
+        "n * sxy - sx * sy AS b_num", "n * sxx - sx * sx AS d")
+    val withPred = monthly.crossJoin(broadcast(fit))
+      .withColumn("n_x", expr("a_num + b_num * CAST(mo AS DECIMAL(38,0))"))
+      .withColumn("res_scaled",
+        expr("abs(CAST(y AS DECIMAL(38,0)) * d - n_x)"))
+    val cal = withPred.filter(col("mo") % 2 === 1)
+    val kTab = cal.agg(
+      expr("CAST((count(1) + 1) * 9 + 9 AS BIGINT) div 10").as("k"))
+    // k-th smallest scaled residual: TakeOrdered over the bounded
+    // calibration table, never a global sort of raw data.
+    val qTab = cal.crossJoin(broadcast(kTab))
+      .select(col("res_scaled"), col("k"))
+      .orderBy("res_scaled").limit(1000) // >= any realistic |months|/2
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("res_scaled")))
+      .filter(col("rk") === col("k"))
+      .select(col("res_scaled").as("q_scaled"))
+    withPred.crossJoin(broadcast(qTab))
+      .select(col("mo"), col("y"),
+        (col("mo") % 2 === 1).as("is_cal"),
+        expr("CAST(CASE WHEN n_x >= 0 THEN n_x * 1000000 div d" +
+          " ELSE -((-n_x) * 1000000 div d) END AS BIGINT)")
+          .as("yhat_micro"),
+        expr("CAST(CASE WHEN n_x - q_scaled >= 0" +
+          " THEN (n_x - q_scaled) * 1000000 div d" +
+          " ELSE -((q_scaled - n_x) * 1000000 div d) END AS BIGINT)")
+          .as("lo_micro"),
+        expr("CAST(CASE WHEN n_x + q_scaled >= 0" +
+          " THEN (n_x + q_scaled) * 1000000 div d" +
+          " ELSE -((-(n_x + q_scaled)) * 1000000 div d) END AS BIGINT)")
+          .as("hi_micro"),
+        expr("CAST(CASE WHEN abs(CAST(y AS DECIMAL(38,0)) * d - n_x)" +
+          " <= q_scaled THEN 1 ELSE 0 END AS BIGINT)").as("covered"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal_interval" -> conformalInterval,
     "q_ts_similarity" -> tsSimilarity,
     "q_autocorr" -> ((s, d) => autocorr(s, d)),
     "q_cusum" -> cusum,
@@ -806,6 +878,52 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_conformal_interval" ->
+      """WITH monthly AS (
+        |  SELECT ((year(o_orderdate) - 1992) * 12
+        |          + month(o_orderdate) - 1) AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |f0 AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(mo) AS HUGEINT) AS sx,
+        |         CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(mo AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(mo AS HUGEINT) * mo) AS HUGEINT) AS sxx
+        |  FROM monthly WHERE mo % 2 = 0),
+        |fit AS (SELECT sy * sxx - sx * sxy AS a_num,
+        |               n * sxy - sx * sy AS b_num,
+        |               n * sxx - sx * sx AS d
+        |        FROM f0),
+        |wp AS (
+        |  SELECT m.mo, m.y, a_num + b_num * m.mo AS n_x, d,
+        |         abs(CAST(m.y AS HUGEINT) * d
+        |             - (a_num + b_num * m.mo)) AS res_scaled
+        |  FROM monthly m CROSS JOIN fit),
+        |kt AS (SELECT CAST((count(*) + 1) * 9 + 9 AS BIGINT) // 10 AS k
+        |       FROM wp WHERE mo % 2 = 1),
+        |qt AS (
+        |  SELECT w.res_scaled AS q_scaled
+        |  FROM (SELECT res_scaled,
+        |               row_number() OVER (ORDER BY res_scaled) AS rk
+        |        FROM wp WHERE mo % 2 = 1) w, kt
+        |  WHERE w.rk = kt.k)
+        |SELECT CAST(mo AS BIGINT) AS mo, y, (mo % 2 = 1) AS is_cal,
+        |       CAST(CASE WHEN n_x >= 0 THEN n_x * 1000000 // d
+        |            ELSE -((-n_x) * 1000000 // d) END AS BIGINT)
+        |         AS yhat_micro,
+        |       CAST(CASE WHEN n_x - q_scaled >= 0
+        |            THEN (n_x - q_scaled) * 1000000 // d
+        |            ELSE -((q_scaled - n_x) * 1000000 // d) END AS BIGINT)
+        |         AS lo_micro,
+        |       CAST(CASE WHEN n_x + q_scaled >= 0
+        |            THEN (n_x + q_scaled) * 1000000 // d
+        |            ELSE -((-(n_x + q_scaled)) * 1000000 // d) END AS BIGINT)
+        |         AS hi_micro,
+        |       CAST(CASE WHEN abs(CAST(y AS HUGEINT) * d - n_x) <= q_scaled
+        |            THEN 1 ELSE 0 END AS BIGINT) AS covered
+        |FROM wp CROSS JOIN qt""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,

@@ -103,6 +103,23 @@ class SessionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conformal intervals: calibration coverage hits the split-conformal law") {
+    val rows = Stats.conformalInterval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("lo_micro") <= r.getAs[Long]("yhat_micro"))
+      assert(r.getAs[Long]("yhat_micro") <= r.getAs[Long]("hi_micro"))
+    }
+    val cal = rows.filter(_.getAs[Boolean]("is_cal"))
+    val k = ((cal.length + 1) * 9 + 9) / 10
+    val covered = cal.count(_.getAs[Long]("covered") == 1L)
+    // q is the k-th smallest calibration residual, so it covers at
+    // least k calibration points (exactly k when residuals are
+    // distinct) — the finite-sample guarantee split conformal is for.
+    assert(covered >= k,
+      s"calibration coverage $covered < conformal k=$k of ${cal.length}")
+  }
+
   test("randomized response: debiased estimates conserve the population") {
     val rows = graft.operators.Profiling.randResponse(spark, sf).collect()
     val n = Tables.customer(spark, sf).count()
