@@ -852,7 +852,110 @@ object Stats {
           " <= q_scaled THEN 1 ELSE 0 END AS BIGINT)").as("covered"))
   }
 
+  /** MANN-WHITNEY U rank-sum test (Wilcoxon two-sample) between the
+    * 1995 and 1996 order-price distributions — the nonparametric
+    * sibling of [[ksDrift]] over the same split: where KS asks "is the
+    * largest CDF gap big", U asks "does one year stochastically
+    * dominate", and it is the drift test of choice when outliers make
+    * mean-based tests lie. Everything is exact: ties are handled by
+    * the half-unit trick (2·U1 = Σ_v c1(v)·(2·cb2(v) + c2(v)) over
+    * value groups — midranks without any /2), the common-language
+    * effect size P(X>Y)+½P(X=Y) is one ppm floor-div, and the
+    * tie-corrected z² clears to a single rational
+    * (2U1−n1n2)²·3n(n−1)·10³ div (n1n2·(n³−n−Σ(t³−t))) in
+    * DECIMAL(38) (same documented ceiling + rescale mitigation as
+    * q_ab_test's χ²: the squared numerator passes 38 digits around
+    * n₁n₂ ≈ 10¹⁹ — rescale counts before squaring there).
+    *
+    * Plan/scale shape: identical to ksDrift — one (value, side) cell
+    * aggregate, ONE `withGlobalCumsums` range pass over the post-agg
+    * value table, 1-row broadcasts; output is a single row. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(year(col("o_orderdate")) === 1995, 1).otherwise(2).as("side"))
+      .groupBy("cents")
+      .agg(count(when(col("side") === 1, 1)).as("c1"),
+        count(when(col("side") === 2, 1)).as("c2"))
+    val cum = Packing.withGlobalCumsums(g, Seq("c2" -> "cb2"), Seq("cents"))
+    val u = cum.agg(sum(expr(
+      "CAST(c1 AS DECIMAL(38,0)) * (2 * cb2 + c2)")).as("u1_x2"))
+    val tot = g.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      sum(expr("CAST(c1 + c2 AS DECIMAL(38,0)) * (c1 + c2) * (c1 + c2)" +
+        " - (c1 + c2)")).as("ties"))
+    u.crossJoin(broadcast(tot))
+      .selectExpr("CAST(u1_x2 AS BIGINT) AS u1_x2", "n1", "n2",
+        "CAST(u1_x2 * 1000000 div (2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
+          " AS BIGINT) AS cles_ppm",
+        "CAST(CASE WHEN (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2)" +
+          " * (n1 + n2) - (n1 + n2)) - ties = 0 THEN 0 ELSE" +
+          " (u1_x2 - CAST(n1 AS DECIMAL(38,0)) * n2)" +
+          " * (u1_x2 - CAST(n1 AS DECIMAL(38,0)) * n2)" +
+          " * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2 *" +
+          " ((CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2)" +
+          " - (n1 + n2)) - ties)) END AS BIGINT) AS z2_milli")
+  }
+
+  /** THEIL-SEN robust trend slope of monthly revenue — the
+    * median-of-pairwise-slopes estimator (breakdown point 29%) next to
+    * the OLS slope a single outlier month can drag arbitrarily. The
+    * sort key is the exact floored micro-slope (sign-split integer
+    * div), with (month_i, month_j) tiebreaks, so the median ELEMENT is
+    * engine-deterministic; the report compares it against the
+    * all-months OLS slope in the same micro units.
+    *
+    * Plan/scale shape: the quadratic lives entirely on the
+    * POST-AGGREGATE month table — |months| is calendar-bounded (~84),
+    * so the ⌈n(n−1)/2⌉ ≈ 3.5k pair join and its rank window are
+    * constant-size tail work at ANY corpus scale (the changepoint/
+    * freq-of-freqs bounded-quadratic discipline); the corpus pays one
+    * scan + one |months| aggregate. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("mo"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("mo").agg(sum("cents").as("y"))
+      .localCheckpoint()
+    val pairs = monthly.select(col("mo").as("mi"), col("y").as("yi"))
+      .join(monthly.select(col("mo").as("mj"), col("y").as("yj")),
+        col("mi") < col("mj"))
+      .select(col("mi"), col("mj"),
+        expr("CAST(CASE WHEN yj >= yi" +
+          " THEN CAST(yj - yi AS DECIMAL(38,0)) * 1000000 div (mj - mi)" +
+          " ELSE -(CAST(yi - yj AS DECIMAL(38,0)) * 1000000 div (mj - mi))" +
+          " END AS BIGINT)").as("slope_micro"))
+    val pTab = pairs.agg(count(lit(1)).as("n_pairs"))
+    val ols = monthly
+      .select(col("mo").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("yy"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), sum("x").as("sx"),
+        sum("yy").as("sy"), sum(expr("x * yy")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        "CAST(CASE WHEN n * sxy - sx * sy >= 0" +
+          " THEN (n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)" +
+          " ELSE -((sx * sy - n * sxy) * 1000000 div (n * sxx - sx * sx))" +
+          " END AS BIGINT) AS ols_micro")
+    // TakeOrdered bound before the rank: |pairs| ≤ 3.5k forever, but
+    // the checkpoint makes the month table a leaf, so the explicit
+    // limit is what keeps the unpartitioned rank provably bounded
+    // (same pattern as conformalInterval's order statistic).
+    pairs.orderBy(col("slope_micro"), col("mi"), col("mj")).limit(10000)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope_micro"), col("mi"), col("mj"))))
+      .crossJoin(broadcast(pTab))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .crossJoin(broadcast(ols))
+      .select(col("n_months"), col("n_pairs"),
+        col("slope_micro").as("theil_sen_micro"), col("ols_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mann_whitney" -> mannWhitney,
+    "q_theil_sen" -> theilSen,
     "q_conformal_interval" -> conformalInterval,
     "q_ts_similarity" -> tsSimilarity,
     "q_autocorr" -> ((s, d) => autocorr(s, d)),
@@ -878,6 +981,86 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 2 END AS side
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |g AS (
+        |  SELECT cents,
+        |         CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (WHERE side = 2) AS BIGINT) AS c2
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT cents, c1, c2,
+        |         CAST(coalesce(sum(c2) OVER (ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cb2
+        |  FROM g),
+        |u AS (SELECT CAST(sum(CAST(c1 AS HUGEINT) * (2 * cb2 + c2))
+        |        AS HUGEINT) AS u1_x2 FROM c),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2,
+        |             CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2)
+        |                  * (c1 + c2) - (c1 + c2)) AS HUGEINT) AS ties
+        |      FROM g)
+        |SELECT CAST(u1_x2 AS BIGINT) AS u1_x2, n1, n2,
+        |       CAST(u1_x2 * 1000000
+        |            // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+        |         AS cles_ppm,
+        |       CAST(CASE WHEN (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+        |              * (n1 + n2) - (n1 + n2)) - ties = 0 THEN 0 ELSE
+        |            (u1_x2 - CAST(n1 AS HUGEINT) * n2)
+        |            * (u1_x2 - CAST(n1 AS HUGEINT) * n2)
+        |            * 3 * (n1 + n2) * (n1 + n2 - 1) * 1000
+        |            // (CAST(n1 AS HUGEINT) * n2 *
+        |               ((CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+        |                 - (n1 + n2)) - ties)) END AS BIGINT) AS z2_milli
+        |FROM u CROSS JOIN t""".stripMargin,
+    "q_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT ((year(o_orderdate) - 1992) * 12
+        |          + month(o_orderdate) - 1) AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT i.mo AS mi, j.mo AS mj,
+        |         CAST(CASE WHEN j.y >= i.y
+        |              THEN CAST(j.y - i.y AS HUGEINT) * 1000000
+        |                   // (j.mo - i.mo)
+        |              ELSE -(CAST(i.y - j.y AS HUGEINT) * 1000000
+        |                     // (j.mo - i.mo)) END AS BIGINT)
+        |           AS slope_micro
+        |  FROM monthly i JOIN monthly j ON i.mo < j.mo),
+        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+        |ols AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |         CAST(CASE WHEN CAST(count(*) AS HUGEINT) *
+        |                sum(CAST(mo AS HUGEINT) * y)
+        |                - CAST(sum(mo) AS HUGEINT) * sum(y) >= 0
+        |           THEN (CAST(count(*) AS HUGEINT) *
+        |                 sum(CAST(mo AS HUGEINT) * y)
+        |                 - CAST(sum(mo) AS HUGEINT) * sum(y)) * 1000000
+        |                // (CAST(count(*) AS HUGEINT) *
+        |                    sum(CAST(mo AS HUGEINT) * mo)
+        |                    - CAST(sum(mo) AS HUGEINT) * sum(mo))
+        |           ELSE -((CAST(sum(mo) AS HUGEINT) * sum(y)
+        |                   - CAST(count(*) AS HUGEINT) *
+        |                     sum(CAST(mo AS HUGEINT) * y)) * 1000000
+        |                  // (CAST(count(*) AS HUGEINT) *
+        |                      sum(CAST(mo AS HUGEINT) * mo)
+        |                      - CAST(sum(mo) AS HUGEINT) * sum(mo)))
+        |           END AS BIGINT) AS ols_micro
+        |  FROM monthly),
+        |ranked AS (
+        |  SELECT slope_micro,
+        |         row_number() OVER (ORDER BY slope_micro, mi, mj) AS rk
+        |  FROM pairs)
+        |SELECT o.n_months, p.n_pairs,
+        |       r.slope_micro AS theil_sen_micro, o.ols_micro
+        |FROM ranked r CROSS JOIN pt p CROSS JOIN ols o
+        |WHERE r.rk = (p.n_pairs + 1) // 2""".stripMargin,
     "q_conformal_interval" ->
       """WITH monthly AS (
         |  SELECT ((year(o_orderdate) - 1992) * 12
