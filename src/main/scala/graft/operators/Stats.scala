@@ -953,7 +953,62 @@ object Stats {
         col("slope_micro").as("theil_sen_micro"), col("ols_micro"))
   }
 
+  /** KRUSKAL-WALLIS H test across the five order priorities — the
+    * k-group generalization of [[mannWhitney]] (one-way ANOVA on
+    * midranks): does ANY priority's price distribution sit
+    * systematically above the others. Midranks in half-units
+    * (2·midrank(v) = 2·cb(v) + t(v) + 1 — no /2 anywhere), per-group
+    * rank sums 2R_j exact; H assembles from per-group floor-divs in
+    * milli (each a pure function of (2R_j, n_j, n), so the floored
+    * integer terms sum exactly and order-independently) plus one
+    * tie-correction rational ((n³−n)/((n³−n)−T)) — per-term floors,
+    * like bigramSurprisal's per-occurrence floors, replay identically
+    * in both engines, which is the discipline (the alternative single
+    * exact rational needs Πn_j ≈ 10⁵⁵ at 100 TB).
+    *
+    * Report: one row per priority (n_j, 2R_j, mean midrank in milli)
+    * with the corrected H broadcast onto each — the rank table IS the
+    * diagnosis (which group drags), H the gate.
+    *
+    * Plan/scale shape: one (value, priority) cell aggregate; the value
+    * totals + ONE withGlobalCumsums range pass live on the post-agg
+    * value table; cells join back value-keyed (post-agg sizes); then a
+    * |priorities|-row aggregate and 1-row broadcasts. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderpriority").as("priority"))
+      .groupBy("cents", "priority").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vals = Packing.withGlobalCumsums(
+      cells.groupBy("cents").agg(sum("c").as("t")),
+      Seq("t" -> "cb"), Seq("cents"))
+    val grp = cells.join(vals, "cents")
+      .groupBy("priority")
+      .agg(sum("c").as("n_j"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * cb + t + 1)"))
+          .as("two_r"))
+    val tot = vals.agg(sum("t").as("n"),
+      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties"))
+    val h = grp.crossJoin(broadcast(tot))
+      .select(expr("CAST(two_r * two_r * 3000" +
+        " div (CAST(n AS DECIMAL(38,0)) * (n + 1) * n_j) AS DECIMAL(38,0))")
+        .as("term"), col("n"), col("ties"))
+      .groupBy("n", "ties").agg(sum("term").as("terms"))
+      .select(expr("CAST((terms - 3000 * (CAST(n AS DECIMAL(38,0)) + 1))" +
+        " * (CAST(n AS DECIMAL(38,0)) * n * n - n)" +
+        " div ((CAST(n AS DECIMAL(38,0)) * n * n - n) - ties)" +
+        " AS BIGINT)").as("h_milli"))
+    grp.crossJoin(broadcast(h))
+      .select(col("priority"), col("n_j"),
+        col("two_r").cast("long").as("two_r"),
+        expr("CAST(two_r * 1000 div (2 * CAST(n_j AS DECIMAL(38,0)))" +
+          " AS BIGINT)").as("mean_rank_milli"),
+        col("h_milli"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kruskal_wallis" -> kruskalWallis,
     "q_mann_whitney" -> mannWhitney,
     "q_theil_sen" -> theilSen,
     "q_conformal_interval" -> conformalInterval,
@@ -981,6 +1036,41 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_kruskal_wallis" ->
+      """WITH cells AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         o_orderpriority AS priority,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |vals AS (
+        |  SELECT cents, t,
+        |         CAST(coalesce(sum(t) OVER (ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cb
+        |  FROM (SELECT cents, CAST(sum(c) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1)),
+        |grp AS (
+        |  SELECT priority, CAST(sum(c) AS BIGINT) AS n_j,
+        |         CAST(sum(CAST(c AS HUGEINT) * (2 * cb + t + 1))
+        |           AS HUGEINT) AS two_r
+        |  FROM cells JOIN vals USING (cents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+        |                 AS ties
+        |        FROM vals),
+        |h AS (
+        |  SELECT CAST((sum(two_r * two_r * 3000
+        |                   // (CAST(n AS HUGEINT) * (n + 1) * n_j))
+        |               - 3000 * (CAST(n AS HUGEINT) + 1))
+        |              * (CAST(n AS HUGEINT) * n * n - n)
+        |              // ((CAST(n AS HUGEINT) * n * n - n) - ties)
+        |           AS BIGINT) AS h_milli
+        |  FROM grp CROSS JOIN tot GROUP BY n, ties)
+        |SELECT g.priority, g.n_j, CAST(g.two_r AS BIGINT) AS two_r,
+        |       CAST(g.two_r * 1000 // (2 * CAST(g.n_j AS HUGEINT))
+        |         AS BIGINT) AS mean_rank_milli,
+        |       h.h_milli
+        |FROM grp g CROSS JOIN h""".stripMargin,
     "q_mann_whitney" ->
       """WITH s AS (
         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
