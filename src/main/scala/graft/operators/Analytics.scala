@@ -652,6 +652,57 @@ object Analytics {
         coalesce(col("orphan_keys"), lit(0L)).as("orphan_keys"))
   }
 
+  /** SKEW / SALT PLANNER — the pre-join diagnosis a 1000-executor
+    * shuffle needs: for each join-key column of the two fact tables,
+    * exact row count, distinct-key count, hottest key (identity and
+    * count), the skew ratio hottest/mean in milli, and the
+    * RECOMMENDED SALT FACTOR = ⌈max_cnt · P / rows⌉ with P =
+    * [[SaltTasks]] target parallelism — "how many tasks does the
+    * hottest key need so it stops exceeding one task's fair share",
+    * the number you feed straight into a salted re-key (and the
+    * exact quantity AQE's skew-split derives at runtime; computing it
+    * AHEAD of the join is what lets you pre-partition or bucket).
+    * Scale-free by construction: uniform keys give 1, a key owning
+    * half the table gives P/2, independent of SF.
+    *
+    * Plan: the three lineitem key columns MELT from ONE fact scan
+    * (`stack`, int tags — the [[fkOrphans]] discipline), union one
+    * events scan; ONE (edge, key) map-side-combined aggregate; the
+    * per-edge rollup rides `max_by(k, struct(c, k))` so the hottest
+    * key needs no second pass and no join-back (deterministic: k is
+    * unique within an edge, so the (c, k) ordering has no ties). The
+    * 4-row report joins the broadcast name table. */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Seq(
+      1 -> "lineitem.l_orderkey", 2 -> "lineitem.l_partkey",
+      3 -> "lineitem.l_suppkey", 4 -> "events.user_id")
+      .toDF("e", "join_key")
+    val keyed = Tables.lineitem(spark, dir)
+      .select(expr("stack(3, 1, l_orderkey, 2, l_partkey, 3, l_suppkey)" +
+        " AS (e, k)"))
+      .unionByName(Tables.events(spark, dir)
+        .select(lit(4).as("e"), col("user_id").as("k")))
+      .groupBy("e", "k").agg(count(lit(1)).as("c"))
+    keyed.groupBy("e")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("ndv"),
+        max("c").as("max_cnt"),
+        expr("max_by(k, struct(c, k))").as("hot_key"))
+      .join(broadcast(names), Seq("e"))
+      .select(col("join_key"), col("n_rows"), col("ndv"), col("max_cnt"),
+        col("hot_key"),
+        expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * ndv * 1000 div n_rows" +
+          " AS BIGINT)").as("skew_milli"),
+        expr(s"CAST((CAST(max_cnt AS DECIMAL(38,0)) * $SaltTasks" +
+          " + n_rows - 1) div n_rows AS BIGINT)").as("salt_factor"))
+  }
+
+  /** Target parallelism for [[saltPlan]]'s recommendation — the
+    * shuffle-partition count the plan is sized against (matches
+    * GraftSession's spark.sql.shuffle.partitions; a cluster deploy
+    * passes its own). A literal so the DuckDB oracle replays it. */
+  val SaltTasks = 32
+
   /** Declarative data-quality CONSTRAINT REPORT (the Deequ/
     * Great-Expectations shape): completeness, uniqueness, domain,
     * range and referential-integrity checks computed as ONE aggregate
@@ -818,6 +869,7 @@ object Analytics {
     "q_corpus_diff" -> corpusDiff,
     "q_constraint_report" -> constraintReport,
     "q_fk_orphans" -> fkOrphans,
+    "q_salt_plan" -> saltPlan,
     "q_ohlc_daily" -> ohlcDaily,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
@@ -966,6 +1018,34 @@ object Analytics {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_salt_plan" ->
+      s"""WITH keyed AS (
+         |  SELECT e, k, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT 1 AS e, l_orderkey AS k FROM lineitem
+         |    UNION ALL SELECT 2, l_partkey FROM lineitem
+         |    UNION ALL SELECT 3, l_suppkey FROM lineitem
+         |    UNION ALL SELECT 4, user_id FROM events)
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT e, CAST(sum(c) AS BIGINT) AS n_rows,
+         |         CAST(count(*) AS BIGINT) AS ndv,
+         |         CAST(max(c) AS BIGINT) AS max_cnt
+         |  FROM keyed GROUP BY 1),
+         |hot AS (
+         |  SELECT e, CAST(k AS BIGINT) AS hot_key FROM (
+         |    SELECT e, k, row_number() OVER (PARTITION BY e
+         |      ORDER BY c DESC, k DESC) AS rn FROM keyed) WHERE rn = 1),
+         |stats AS (SELECT agg.*, hot.hot_key FROM agg JOIN hot USING (e))
+         |SELECT CASE e WHEN 1 THEN 'lineitem.l_orderkey'
+         |              WHEN 2 THEN 'lineitem.l_partkey'
+         |              WHEN 3 THEN 'lineitem.l_suppkey'
+         |              ELSE 'events.user_id' END AS join_key,
+         |       n_rows, ndv, max_cnt, hot_key,
+         |       CAST(CAST(max_cnt AS HUGEINT) * ndv * 1000 // n_rows
+         |         AS BIGINT) AS skew_milli,
+         |       CAST((CAST(max_cnt AS HUGEINT) * $SaltTasks + n_rows - 1)
+         |         // n_rows AS BIGINT) AS salt_factor
+         |FROM stats""".stripMargin,
     "q_fk_orphans" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,

@@ -321,6 +321,33 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
+  /** ANN quality gate: RECALL@10 of the IVF approximate search
+    * ([[annIvf]]) against the exact brute-force top-10 ([[annTopK]])
+    * per probe query — the eval every approximate index ships with,
+    * closing the measure-don't-guess loop for the vector path the way
+    * `dedupEval` does for MinHash: the IVF speedup claim is only
+    * meaningful next to its measured recall. Hits via LEFT SEMI join
+    * of the exact list against the approximate list on
+    * (query_id, vec_id); recall as an exact ppm floor-div.
+    *
+    * Plan/scale shape: both operand queries are |queries|-bounded
+    * top-k tables (10 rows each per probe), so the semi join and the
+    * per-query aggregate run on k·|queries| rows no matter the corpus
+    * size; at production scale both sides are persisted serve-time
+    * artifacts and this is a tiny join of result logs. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val approx = annIvf(spark, dir).select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("CAST(coalesce(n_hit, 0) * 1000000 div k AS BIGINT)")
+          .as("recall_ppm"))
+  }
+
   /** INCREMENTAL IVF index update — the daily-crawl shape for the ANN
     * index, completing the incremental family (exact-hash
     * `incrementalDedup`, LSH `incrementalMinhash`, now the vector
@@ -817,6 +844,7 @@ object Similarity {
     "q_bitext_mining" -> ((s, d) => bitextMining(s, d)),
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
+    "q_ann_recall" -> annRecall,
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
@@ -1161,16 +1189,36 @@ object Similarity {
          |       dom.dominator IS NULL AS kept,
          |       coalesce(dom.dominator, e.vec_id) AS keeper
          |FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.vec_id""".stripMargin,
-    "q_ann_topk" ->
-      s"""WITH scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-         |         round($cosineSql, 6) AS cos_sim
-         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 5)
-         |SELECT query_id, vec_id, cos_sim,
-         |       CAST(nn_rank_big AS INT) AS nn_rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos_sim DESC, vec_id) AS nn_rank_big
-         |      FROM scored) r
-         |WHERE nn_rank_big <= 10""".stripMargin)
+    "q_ann_topk" -> topkSql,
+    "q_ann_recall" ->
+      s"""WITH ex0 AS ($topkSql),
+         |ap0 AS ($ivfSql),
+         |ex AS (SELECT query_id, vec_id FROM ex0),
+         |hits AS (
+         |  SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ex SEMI JOIN ap0
+         |    ON ex.query_id = ap0.query_id AND ex.vec_id = ap0.vec_id
+         |  GROUP BY 1)
+         |SELECT k.query_id, k.k, coalesce(h.n_hit, 0) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) * 1000000 // k.k AS BIGINT)
+         |         AS recall_ppm
+         |FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+         |      FROM ex GROUP BY 1) k
+         |LEFT JOIN hits h ON k.query_id = h.query_id""".stripMargin)
+
+  /** Exact brute-force top-10 oracle, shared by q_ann_topk and (as the
+    * ground-truth CTE) q_ann_recall — one definition so the eval can
+    * never disagree with the query it grades. */
+  private lazy val topkSql: String =
+    s"""WITH scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+       |         round($cosineSql, 6) AS cos_sim
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 5)
+       |SELECT query_id, vec_id, cos_sim,
+       |       CAST(nn_rank_big AS INT) AS nn_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, vec_id) AS nn_rank_big
+       |      FROM scored) r
+       |WHERE nn_rank_big <= 10""".stripMargin
 }

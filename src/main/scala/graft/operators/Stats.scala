@@ -1007,7 +1007,179 @@ object Stats {
         col("h_milli"))
   }
 
+  /** WILCOXON SIGNED-RANK test on PAIRED samples — per-part revenue in
+    * 1995 vs 1996 (ship-date years): did individual parts' revenue
+    * shift, pairing each part with itself across the years. Completes
+    * the nonparametric drift family: [[mannWhitney]] (two independent
+    * samples), [[kruskalWallis]] (k groups), and now the paired face,
+    * which is the right test when the unit (the part) is its own
+    * control. Standard zero-handling: d = 0 pairs are dropped.
+    *
+    * Everything integer-exact: |d| midranks via the half-unit trick
+    * (2·W⁺ = Σ_v pos(v)·(2·cb(v) + t(v) + 1) over |d| value groups —
+    * no /2 anywhere); rank-biserial effect size r = (4W⁺ − n(n+1)) /
+    * (n(n+1)) as one sign-split ppm floor-div; tie-corrected z²
+    * cleared to the single rational 3000·(4W⁺ − n(n+1))² div
+    * (2n(n+1)(2n+1) − Σ(t³−t)) in DECIMAL(38) (numerator ≈ 6·10³⁶ at
+    * n ≈ 2·10⁸ parts — documented ceiling; rescale by dropping to
+    * centi-z² if the pair universe ever exceeds ~3·10⁸).
+    *
+    * Plan/scale shape: ONE (part) conditional aggregate over the fact
+    * scan → |d|-value cell aggregate → ONE `withGlobalCumsums` range
+    * pass over the post-agg |d| table → 1-row broadcasts; single row
+    * out. */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")).isin(1995, 1996))
+      .select(col("l_partkey").as("p"),
+        year(col("l_shipdate")).as("yr"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("p")
+      .agg(sum(when(col("yr") === 1995, col("cents"))).as("y95"),
+        sum(when(col("yr") === 1996, col("cents"))).as("y96"))
+      .filter(col("y95").isNotNull && col("y96").isNotNull &&
+        col("y95") =!= col("y96"))
+      .select(abs(col("y96") - col("y95")).as("abs_d"),
+        (col("y96") > col("y95")).as("is_pos"))
+    val g = pairs.groupBy("abs_d")
+      .agg(count(lit(1)).as("t"),
+        count(when(col("is_pos"), 1)).as("pos"))
+    val cum = Packing.withGlobalCumsums(g, Seq("t" -> "cb"), Seq("abs_d"))
+    val w = cum.agg(sum(expr(
+      "CAST(pos AS DECIMAL(38,0)) * (2 * cb + t + 1)")).as("two_w_plus"))
+    val tot = g.agg(sum("t").as("n"), sum("pos").as("n_pos"),
+      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties"))
+    w.crossJoin(broadcast(tot))
+      .selectExpr("n", "n_pos", "CAST(two_w_plus AS BIGINT) AS two_w_plus",
+        "CAST(CASE WHEN 2 * two_w_plus - CAST(n AS DECIMAL(38,0)) * (n + 1)" +
+          " >= 0 THEN (2 * two_w_plus - CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " ELSE -((CAST(n AS DECIMAL(38,0)) * (n + 1) - 2 * two_w_plus)" +
+          " * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n + 1))) END" +
+          " AS BIGINT) AS rank_biserial_ppm",
+        "CAST(CASE WHEN 2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)" +
+          " - ties = 0 THEN 0 ELSE" +
+          " (2 * two_w_plus - CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " * (2 * two_w_plus - CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " * 3000 div (2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)" +
+          " - ties) END AS BIGINT) AS z2_milli")
+  }
+
+  /** FRIEDMAN test — k related samples over repeated blocks: do the
+    * five order priorities keep the same revenue ORDERING month after
+    * month, with each month ranking only its own five cells (so
+    * seasonality and corpus growth cancel by construction — the
+    * blocked design [[kruskalWallis]] cannot express). Midranks via
+    * 2·mr = 2·rank + cnt_eq − 1 (half-units, no /2), both windows
+    * bounded by the block size k; tie-corrected statistic cleared to
+    * one rational Q_milli = 1000·(k−1)·Σ_j(S_j − n(k+1))² div
+    * (A2 − n·k·(k+1)²) with S_j = Σ 2·mr and A2 = Σ(2·mr)² — all
+    * pure integers, so the gate replays digit-for-digit.
+    *
+    * Only COMPLETE blocks enter (months with all k priorities
+    * present), the standard Friedman requirement.
+    *
+    * Plan/scale shape: one (month, priority) map-side-combined
+    * aggregate over the scan; every window is partitioned by month
+    * (≤ k rows per partition); the report is the k-row per-priority
+    * rank-sum table with Q broadcast — post-aggregate sizes at any
+    * corpus scale. */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("mo"),
+        col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("mo", "priority").agg(sum("cents").as("y"))
+      .localCheckpoint()
+    val k = cells.agg(countDistinct("priority").as("k"))
+    val complete = cells
+      .withColumn("n_in_block", count(lit(1)).over(Window.partitionBy("mo")))
+      .crossJoin(broadcast(k))
+      .filter(col("n_in_block") === col("k"))
+    val ranked = complete
+      .withColumn("rnk", rank().over(
+        Window.partitionBy("mo").orderBy("y")))
+      .withColumn("cnt_eq", count(lit(1)).over(
+        Window.partitionBy("mo", "y")))
+      .select(col("mo"), col("priority"), col("k"),
+        (lit(2) * col("rnk") + col("cnt_eq") - 1).as("two_r"))
+    val grp = ranked.groupBy("priority", "k")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum("two_r").as("s_j"),
+        sum(expr("CAST(two_r AS DECIMAL(38,0)) * two_r")).as("a2_j"))
+    val q = grp
+      .select(col("k"), col("n_blocks"), col("a2_j"),
+        expr("(CAST(s_j AS DECIMAL(38,0)) - CAST(n_blocks AS DECIMAL(38,0))" +
+          " * (k + 1)) * (CAST(s_j AS DECIMAL(38,0))" +
+          " - CAST(n_blocks AS DECIMAL(38,0)) * (k + 1))").as("dev2"))
+      .groupBy("k", "n_blocks")
+      .agg(sum("dev2").as("num"), sum("a2_j").as("a2"))
+      .select(expr("CAST(CASE WHEN a2 - CAST(n_blocks AS DECIMAL(38,0))" +
+        " * k * (k + 1) * (k + 1) = 0 THEN 0 ELSE" +
+        " 1000 * (k - 1) * num div (a2 - CAST(n_blocks AS DECIMAL(38,0))" +
+        " * k * (k + 1) * (k + 1)) END AS BIGINT)").as("q_milli"))
+    grp.crossJoin(broadcast(q))
+      .select(col("priority"), col("n_blocks"),
+        col("s_j").cast("long").as("two_r_sum"),
+        expr("CAST(CAST(s_j AS DECIMAL(38,0)) * 1000" +
+          " div (2 * CAST(n_blocks AS DECIMAL(38,0))) AS BIGINT)")
+          .as("mean_rank_milli"),
+        col("q_milli"))
+  }
+
+  /** Closed-form DELETE-ONE JACKKNIFE for the ratio estimator
+    * R = Σ revenue / Σ orders over customers (average order value,
+    * customer-weighted) — the estimator-variance question ("how
+    * trustworthy is this ratio") answered WITHOUT resampling: each
+    * leave-one-out replicate is the pure function
+    * m_i = (Sx − x_i)·1000 div (Sy − y_i) of the broadcast totals, so
+    * the full jackknife costs one extra projection + one aggregate
+    * instead of n re-computations (the identity [[bootstrapMeans]]
+    * cannot use — the bootstrap resamples, the jackknife deletes).
+    *
+    * All milli-exact: Var_jk = (n−1)/n·Σ(m_i − m̄)² assembled as the
+    * two-step floor ((n·Sm2 − Sm²) div n)·(n−1) div n (each factor
+    * < 10³³ at 10⁸ customers — a single-rational form would pass
+    * DECIMAL(38) at n ≈ 10⁸, which is WHY the floor is split; both
+    * steps are deterministic so the oracle replays them); bias_jk =
+    * (n−1)(m̄ − R) as one sign-split milli floor-div.
+    *
+    * Plan/scale shape: one per-customer map-side-combined aggregate →
+    * 1-row broadcast totals → replicate projection → one final
+    * aggregate; single row out. */
+  def jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("c")
+      .agg(sum("cents").as("x"), count(lit(1)).as("y"))
+    val tot = per.agg(sum("x").as("sx"), sum("y").as("sy"),
+      count(lit(1)).as("n"))
+    val reps = per.crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("CAST((CAST(sx AS DECIMAL(38,0)) - x) * 1000 div (sy - y)" +
+          " AS DECIMAL(38,0))").as("m"))
+    reps.groupBy("n", "sx", "sy")
+      .agg(sum("m").as("sm"), sum(expr("m * m")).as("sm2"))
+      .selectExpr("n",
+        "CAST(CAST(sx AS DECIMAL(38,0)) * 1000 div sy AS BIGINT) AS r_milli",
+        "CAST(sm div n AS BIGINT) AS mean_loo_milli",
+        "CAST(CAST((CAST(n AS DECIMAL(38,0)) * sm2 - sm * sm) div n" +
+          " AS DECIMAL(38,0)) * (n - 1) div n AS BIGINT) AS jk_var_milli2",
+        "CAST(CASE WHEN sm - CAST(n AS DECIMAL(38,0))" +
+          " * (CAST(sx AS DECIMAL(38,0)) * 1000 div sy) >= 0 THEN" +
+          " (n - 1) * (sm - CAST(n AS DECIMAL(38,0))" +
+          " * (CAST(sx AS DECIMAL(38,0)) * 1000 div sy)) div n" +
+          " ELSE -((n - 1) * (CAST(n AS DECIMAL(38,0))" +
+          " * (CAST(sx AS DECIMAL(38,0)) * 1000 div sy) - sm) div n)" +
+          " END AS BIGINT) AS jk_bias_milli")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wilcoxon_signed" -> wilcoxonSigned,
+    "q_friedman" -> friedman,
+    "q_jackknife" -> jackknife,
     "q_kruskal_wallis" -> kruskalWallis,
     "q_mann_whitney" -> mannWhitney,
     "q_theil_sen" -> theilSen,
@@ -1036,6 +1208,122 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_wilcoxon_signed" ->
+      """WITH pairs AS (
+        |  SELECT abs(y96 - y95) AS abs_d, (y96 > y95) AS is_pos
+        |  FROM (
+        |    SELECT l_partkey,
+        |           sum(CASE WHEN year(l_shipdate) = 1995 THEN
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS y95,
+        |           sum(CASE WHEN year(l_shipdate) = 1996 THEN
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS y96
+        |    FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |    GROUP BY 1)
+        |  WHERE y95 IS NOT NULL AND y96 IS NOT NULL AND y95 <> y96),
+        |g AS (
+        |  SELECT abs_d, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS pos
+        |  FROM pairs GROUP BY 1),
+        |cum AS (
+        |  SELECT abs_d, t, pos,
+        |         CAST(coalesce(sum(t) OVER (ORDER BY abs_d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cb
+        |  FROM g),
+        |w AS (SELECT CAST(sum(CAST(pos AS HUGEINT) * (2 * cb + t + 1))
+        |        AS HUGEINT) AS two_w_plus FROM cum),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |               CAST(sum(pos) AS BIGINT) AS n_pos,
+        |               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+        |                 AS ties
+        |        FROM g)
+        |SELECT n, n_pos, CAST(two_w_plus AS BIGINT) AS two_w_plus,
+        |  CAST(CASE WHEN 2 * two_w_plus - CAST(n AS HUGEINT) * (n + 1) >= 0
+        |    THEN (2 * two_w_plus - CAST(n AS HUGEINT) * (n + 1)) * 1000000
+        |         // (CAST(n AS HUGEINT) * (n + 1))
+        |    ELSE -((CAST(n AS HUGEINT) * (n + 1) - 2 * two_w_plus) * 1000000
+        |         // (CAST(n AS HUGEINT) * (n + 1))) END AS BIGINT)
+        |    AS rank_biserial_ppm,
+        |  CAST(CASE WHEN 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+        |      - ties = 0 THEN 0 ELSE
+        |    (2 * two_w_plus - CAST(n AS HUGEINT) * (n + 1))
+        |    * (2 * two_w_plus - CAST(n AS HUGEINT) * (n + 1)) * 3000
+        |    // (2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties)
+        |    END AS BIGINT) AS z2_milli
+        |FROM w CROSS JOIN tot""".stripMargin,
+    "q_friedman" ->
+      """WITH cells AS (
+        |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+        |           AS mo,
+        |         o_orderpriority AS priority,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k
+        |       FROM cells),
+        |complete AS (
+        |  SELECT mo, priority, y, k FROM (
+        |    SELECT c.*, kk.k, count(*) OVER (PARTITION BY mo) AS nb
+        |    FROM cells c CROSS JOIN kk) WHERE nb = k),
+        |ranked AS (
+        |  SELECT mo, priority, k,
+        |         2 * rank() OVER (PARTITION BY mo ORDER BY y)
+        |           + count(*) OVER (PARTITION BY mo, y) - 1 AS two_r
+        |  FROM complete),
+        |grp AS (
+        |  SELECT priority, k, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         CAST(sum(two_r) AS BIGINT) AS s_j,
+        |         CAST(sum(CAST(two_r AS HUGEINT) * two_r) AS HUGEINT) AS a2_j
+        |  FROM ranked GROUP BY 1, 2),
+        |q AS (
+        |  SELECT CAST(CASE WHEN a2 - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+        |      * (k + 1) = 0 THEN 0 ELSE
+        |    1000 * (k - 1) * num
+        |    // (a2 - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1))
+        |    END AS BIGINT) AS q_milli
+        |  FROM (SELECT k, n_blocks,
+        |          sum((CAST(s_j AS HUGEINT)
+        |               - CAST(n_blocks AS HUGEINT) * (k + 1))
+        |            * (CAST(s_j AS HUGEINT)
+        |               - CAST(n_blocks AS HUGEINT) * (k + 1))) AS num,
+        |          sum(a2_j) AS a2
+        |        FROM grp GROUP BY 1, 2))
+        |SELECT g.priority, g.n_blocks, g.s_j AS two_r_sum,
+        |       CAST(CAST(g.s_j AS HUGEINT) * 1000
+        |         // (2 * CAST(g.n_blocks AS HUGEINT)) AS BIGINT)
+        |         AS mean_rank_milli,
+        |       q.q_milli
+        |FROM grp g CROSS JOIN q""".stripMargin,
+    "q_jackknife" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS c,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |               CAST(sum(y) AS BIGINT) AS sy,
+        |               CAST(count(*) AS BIGINT) AS n FROM per),
+        |reps AS (
+        |  SELECT n, sx, sy,
+        |         (CAST(sx AS HUGEINT) - x) * 1000 // (sy - y) AS m
+        |  FROM per CROSS JOIN tot),
+        |agg AS (SELECT n, sx, sy, CAST(sum(m) AS HUGEINT) AS sm,
+        |               CAST(sum(m * m) AS HUGEINT) AS sm2
+        |        FROM reps GROUP BY 1, 2, 3)
+        |SELECT n,
+        |  CAST(CAST(sx AS HUGEINT) * 1000 // sy AS BIGINT) AS r_milli,
+        |  CAST(sm // n AS BIGINT) AS mean_loo_milli,
+        |  CAST(((CAST(n AS HUGEINT) * sm2 - sm * sm) // n) * (n - 1) // n
+        |    AS BIGINT) AS jk_var_milli2,
+        |  CAST(CASE WHEN sm - CAST(n AS HUGEINT)
+        |      * (CAST(sx AS HUGEINT) * 1000 // sy) >= 0
+        |    THEN (n - 1) * (sm - CAST(n AS HUGEINT)
+        |      * (CAST(sx AS HUGEINT) * 1000 // sy)) // n
+        |    ELSE -((n - 1) * (CAST(n AS HUGEINT)
+        |      * (CAST(sx AS HUGEINT) * 1000 // sy) - sm) // n) END AS BIGINT)
+        |    AS jk_bias_milli
+        |FROM agg""".stripMargin,
     "q_kruskal_wallis" ->
       """WITH cells AS (
         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
