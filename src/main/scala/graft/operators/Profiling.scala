@@ -1050,6 +1050,50 @@ object Profiling {
       .withColumn("err_milli", expr("est_milli - n_true * 1000"))
   }
 
+  /** CENTRAL-DP COUNT RELEASE with the DISCRETE LAPLACE (two-sided
+    * geometric) mechanism at ε = ln 2 — per-nation order counts plus
+    * integer noise, where the noise is EXACT and REPLAYABLE: the
+    * discrete Laplace with α = ½ is the difference g₁ − g₂ of two iid
+    * Geometric(½) draws, and a Geometric(½) draw is just "leading
+    * zeros of a uniform bit string" — computed as 60 − length(bin(x))
+    * on a 60-bit md5 slice, which both engines evaluate identically
+    * (bin() strips leading zeros in Spark and DuckDB alike; the x ≤ 1
+    * boundary collapses the geometric tail into g = 59, mass 2⁻⁵⁹ =
+    * exactly the tail it replaces, so the distribution is EXACTLY
+    * geometric with a depth-59 clamp). Contrast [[randResponse]]
+    * (local DP, noise per record): here the aggregate is exact and
+    * ONE noise draw per released cell protects it — the
+    * central-model face completing the privacy suite. Released value
+    * is max(0, true + noise) (post-processing keeps ε); the true
+    * count and the noise ride along as mechanism-audit columns, the
+    * `released` column is the publishable slice.
+    *
+    * Plan/scale shape: fact⋈broadcast-dims → |nations| aggregate →
+    * noise is a pure projection of the group key (no RNG state, no
+    * driver randomness) — the mechanism adds ZERO plan cost at any
+    * scale, which is the point: determinism makes the DP release
+    * auditable and re-runnable. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    def geom(seed: String) =
+      s"60 - length(bin(CAST(conv(substr(md5(concat('$seed', n_name))," +
+        s" 1, 15), 16, 10) AS BIGINT)))"
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_true"))
+      .select(col("n_name"), col("n_true"),
+        expr(s"CAST(${geom("graft-dp1-")} - (${geom("graft-dp2-")})" +
+          " AS BIGINT)").as("noise"))
+      .withColumn("released",
+        greatest(lit(0L), col("n_true") + col("noise")))
+      .withColumn("eps_milli", lit(693L))
+  }
+
   /** PSEUDONYMIZED EXPORT — the privacy-preserving data-sharing shape:
     * direct identifiers are replaced by a salted-md5 pseudonym (stable
     * per key, so cross-table joins still work; irreversible without
@@ -1085,6 +1129,7 @@ object Profiling {
     "q_l_diversity" -> lDiversity,
     "q_t_closeness" -> tCloseness,
     "q_rand_response" -> randResponse,
+    "q_dp_release" -> dpRelease,
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
@@ -1167,6 +1212,26 @@ object Profiling {
          |       CAST(sum(CASE WHEN tvd_ppm > $TCloseTPpm THEN n_g
          |                ELSE 0 END) AS BIGINT) AS records_past_t
          |FROM pg GROUP BY 1""".stripMargin,
+    "q_dp_release" ->
+      """WITH base AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |noised AS (
+        |  SELECT n_name, n_true,
+        |         CAST((60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dp1-' || n_name), 1, 15))
+        |                AS BIGINT))))
+        |            - (60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dp2-' || n_name), 1, 15))
+        |                AS BIGINT)))) AS BIGINT) AS noise
+        |  FROM base)
+        |SELECT n_name, n_true, noise,
+        |       greatest(CAST(0 AS BIGINT), n_true + noise) AS released,
+        |       CAST(693 AS BIGINT) AS eps_milli
+        |FROM noised""".stripMargin,
     "q_rand_response" ->
       """WITH seg AS (
         |  SELECT c_mktsegment,

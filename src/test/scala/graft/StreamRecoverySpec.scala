@@ -122,4 +122,61 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected, s"state buffer $f must match recompute: $got vs $expected")
     }
   }
+
+  test("RocksDB state store: aggregation state persists across restart") {
+    // The at-scale state backend: HDFSBackedStateStoreProvider keeps
+    // every key on the JVM heap (state size is bounded by executor
+    // memory — the thing that falls over first on a 10⁸-key streaming
+    // aggregation), RocksDB spills to local disk with incremental
+    // checkpointing. Same query contract, one config switch — this
+    // test pins (a) the provider actually engages on this build and
+    // (b) state written by a RocksDB-backed run is recovered by a
+    // SECOND run from the same checkpoint: the restart face of the
+    // large-state deployment story.
+    val root = Files.createTempDirectory("graft_rocksdb")
+    val (src, chk) = (root.resolve("src"), root.resolve("chk"))
+    Files.createDirectories(src)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = root.resolve("out").toString
+      def runOnce(): Unit = {
+        // memory sink cannot recover a checkpoint; foreachBatch can —
+        // each update-mode micro-batch appends its changed keys, and
+        // max(n) per key reads back the (monotone) final count.
+        val q = spark.readStream
+          .schema("orderId STRING, product STRING, price DOUBLE, timestamp LONG")
+          .json(src.toString)
+          .groupBy("product")
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", chk.toString)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeBatch(src, "b1.json", 0 until 50)
+      runOnce()
+      // restart with new data: per-key counts must CARRY the run-1
+      // state (50 + 40 records → 30 per product), proving the RocksDB
+      // files in the checkpoint were loaded, not rebuilt from scratch.
+      writeBatch(src, "b2.json", 50 until 90)
+      runOnce()
+      val got = spark.read.parquet(out)
+        .groupBy("product").agg(max("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("P0" -> 30L, "P1" -> 30L, "P2" -> 30L),
+        s"RocksDB-backed state must accumulate across restart, got $got")
+      // The checkpoint really is RocksDB-format: the state store
+      // reader loads it back under the same provider config.
+      val state = spark.read.format("statestore").load(chk.toString)
+      assert(state.count() == 3, "one RocksDB state row per product")
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
 }
