@@ -568,6 +568,59 @@ object Analytics {
       .withColumn("rk", row_number().over(w))
   }
 
+  /** ASSOCIATION RULES (A → B with support / confidence / lift) over
+    * market baskets — the rule-mining readout on top of [[itemPairs]]'
+    * co-occurrence counts: confidence = P(B|A) answers "what to
+    * recommend", lift = P(A,B)/(P(A)P(B)) answers "is it real or just
+    * popularity", and both are exact integer rationals here
+    * (conf_ppm = sup·10⁶ div n_a, lift_milli = sup·N·1000 div
+    * (n_a·n_b)) so the top-k rule list replays digit-for-digit.
+    * Both rule directions are emitted (A→B and B→A share sup but not
+    * confidence); ties on lift break on (antecedent, consequent).
+    *
+    * Plan/scale shape: distinct (order, part) → pair self-join per
+    * order → (i, j) pair aggregate (the [[itemPairs]] cost, dominated
+    * by the pair shuffle) → minSup ≥ 2 filter FIRST (kills the sup=1
+    * long tail before any further join) → item-count equi-join
+    * (post-agg sizes both sides) → broadcast 1-row N → TakeOrdered
+    * top-k with the rank attached after the limit. */
+  def assocRules(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val nTab = items.agg(countDistinct("l_orderkey").as("n_baskets"))
+    val itemCnt = items.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pi"), col("b.l_partkey").as("pj"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val directed = pairs
+      .select(col("pi").as("antecedent"), col("pj").as("consequent"),
+        col("sup"))
+      .unionAll(pairs.select(col("pj").as("antecedent"),
+        col("pi").as("consequent"), col("sup")))
+    val w = Window.orderBy(col("lift_milli").desc,
+      col("antecedent"), col("consequent"))
+    directed
+      .join(itemCnt.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("n_item", "n_a"), Seq("antecedent"))
+      .join(itemCnt.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("n_item", "n_b"), Seq("consequent"))
+      .crossJoin(broadcast(nTab))
+      .select(col("antecedent"), col("consequent"), col("sup"),
+        col("n_a"), col("n_b"),
+        expr("CAST(sup * 1000000 div n_a AS BIGINT)").as("conf_ppm"),
+        expr("CAST(CAST(sup AS DECIMAL(38,0)) * n_baskets * 1000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
   /** Daily OHLC (open / high / low / close) candlesticks per event
     * type — the time-series rollup every monitoring / market surface
     * draws. Open and close are the first and last VALUES of the day,
@@ -872,6 +925,7 @@ object Analytics {
     "q_salt_plan" -> saltPlan,
     "q_ohlc_daily" -> ohlcDaily,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
+    "q_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
     "q_ivm_retract" -> ivmRetract,
@@ -1018,6 +1072,35 @@ object Analytics {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |        AS n_baskets FROM items),
+        |ic AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pi, b.l_partkey AS pj,
+        |         CAST(count(*) AS BIGINT) AS sup
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT pi AS antecedent, pj AS consequent, sup FROM pairs
+        |  UNION ALL SELECT pj, pi, sup FROM pairs),
+        |scored AS (
+        |  SELECT d.antecedent, d.consequent, d.sup,
+        |         ia.n_item AS n_a, ib.n_item AS n_b,
+        |         CAST(d.sup * 1000000 // ia.n_item AS BIGINT) AS conf_ppm,
+        |         CAST(CAST(d.sup AS HUGEINT) * n.n_baskets * 1000
+        |           // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT)
+        |           AS lift_milli
+        |  FROM directed d JOIN ic ia ON d.antecedent = ia.item
+        |  JOIN ic ib ON d.consequent = ib.item CROSS JOIN n)
+        |SELECT antecedent, consequent, sup, n_a, n_b, conf_ppm,
+        |       lift_milli, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY lift_milli DESC,
+        |        antecedent, consequent) AS rk FROM scored)
+        |WHERE rk <= 20""".stripMargin,
     "q_salt_plan" ->
       s"""WITH keyed AS (
          |  SELECT e, k, CAST(count(*) AS BIGINT) AS c FROM (

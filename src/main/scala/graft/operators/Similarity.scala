@@ -533,7 +533,24 @@ object Similarity {
     * as [[embeddingNearDup]]).
     */
   def semDedup(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
+    // The quadratic here is PER CELL (label-partitioned self-join), so
+    // the global allPairsVecGuard bound is the wrong denominator — one
+    // skewed cell is enough to go n². Guard the MAX cell size instead:
+    // the cell-count aggregate prunes to the label column (near-free),
+    // and the in-plan assert makes the blowup loud, the same discipline
+    // as the Jaccard baseline's df-cap (Dedup.scala) and the vec cap.
+    val cap = spark.conf.getOption("spark.graft.allPairsVecCap")
+      .map(_.toLong).getOrElse(AllPairsVecCapDefault)
+    val maxCell = e0.groupBy("label").agg(count(lit(1)).as("nc"))
+      .agg(max("nc").as("max_cell"))
+    val e = e0.crossJoin(broadcast(maxCell))
+      .filter(assert_true(col("max_cell") <= lit(cap),
+        concat(lit("graft semDedup: largest cell "), col("max_cell"),
+          lit(s" vectors > cap $cap — per-cell pair blowup; re-cluster" +
+            " with finer cells or raise spark.graft.allPairsVecCap"))
+      ).isNull)
+      .drop("max_cell")
     val dominated = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("senior"),
