@@ -220,6 +220,54 @@ object TextAnalysis {
           col("stopword_ratio") < 0.5)
   }
 
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010) — unsupervised
+    * keyphrase mining, the corpus-labeling primitive between raw token
+    * counts ([[topBigrams]]) and weighted relevance ([[tfidfTopTerms]]):
+    * candidate phrases are maximal runs of content tokens between
+    * stopword/non-alpha delimiters (gaps-and-islands, every window
+    * doc-partitioned), each word scores deg/freq (degree = Σ lengths
+    * of phrases it appears in — words that travel in long phrases
+    * outrank loners), each phrase scores the sum of its members. All
+    * integer-exact: word score is one milli floor-div, phrase score a
+    * deterministic sum of those floors, so the top-20 keyphrase list
+    * hash-checks. Phrase text assembles via array_sort(collect_list(
+    * struct(pos, tok))) — collect_list alone is arrival-ordered and
+    * would differ run to run.
+    *
+    * Plan/scale shape: one posexplode → per-doc bounded windows
+    * (islands + phrase length) → (token) aggregate for word stats →
+    * token-keyed join back (Zipf-skewed: AQE skew territory, same as
+    * the tf-idf join) → (doc, island) aggregate → phrase-text
+    * aggregate → TakeOrdered top-k with post-limit rank. */
+  def rakeKeywords(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+    val words = toks
+      .filter(!col("tok").isin(stop: _*) && col("tok").rlike("^[a-z]+$"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val wp = words.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val wscore = wp.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("tok"),
+        expr("CAST(deg * 1000 div freq AS BIGINT)").as("score_milli"))
+    val phrases = wp.join(wscore, Seq("tok"))
+      .groupBy("doc_id", "grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"),
+        sum("score_milli").as("score_milli"),
+        count(lit(1)).as("n_words"))
+      .select(expr("array_join(transform(pt, p -> p.tok), ' ')").as("phrase"),
+        col("score_milli"), col("n_words"))
+    val w = Window.orderBy(col("score_milli").desc, col("phrase"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        max("score_milli").as("score_milli"), max("n_words").as("n_words"))
+      .orderBy(col("score_milli").desc, col("phrase")).limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
   /** Language ID by marker-token counts (n-gram/stopword heuristic) —
     * argmax over per-language marker hits, 'und' when nothing matches.
     */
@@ -1082,6 +1130,7 @@ object TextAnalysis {
     "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "q_lang_id" -> langId,
+    "q_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
     "q_lang_confusion" -> langConfusion,
     "q_lang_kappa" -> langKappa,
     "q_source_divergence" -> sourceDivergence,
@@ -1440,6 +1489,46 @@ object TextAnalysis {
          |       $gateKeepSql AS keep
          |FROM m""".stripMargin,
     // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
+    "q_rake_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w) + 1),
+        |           i -> CAST(i - 1 AS BIGINT))) AS pos,
+        |         unnest(list_transform(range(1, len(w) + 1),
+        |           i -> w[i])) AS tok
+        |  FROM t),
+        |words AS (
+        |  SELECT doc_id, pos, tok,
+        |         pos - row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY pos) AS grp
+        |  FROM toks
+        |  WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+        |    AND regexp_matches(tok, '^[a-z]+$')),
+        |wp AS (SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, grp)
+        |         AS BIGINT) AS plen FROM words),
+        |wsc AS (
+        |  SELECT tok, CAST(CAST(sum(plen) AS BIGINT) * 1000
+        |    // CAST(count(*) AS BIGINT) AS BIGINT) AS score_milli
+        |  FROM wp GROUP BY 1),
+        |ph AS (
+        |  SELECT w.doc_id, w.grp,
+        |         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+        |         CAST(sum(wsc.score_milli) AS BIGINT) AS score_milli,
+        |         CAST(count(*) AS BIGINT) AS n_words
+        |  FROM wp w JOIN wsc ON w.tok = wsc.tok
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |               CAST(max(score_milli) AS BIGINT) AS score_milli,
+        |               CAST(max(n_words) AS BIGINT) AS n_words
+        |        FROM ph GROUP BY 1)
+        |SELECT phrase, n_occurrences, score_milli, n_words,
+        |       CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY score_milli DESC,
+        |        phrase) AS rk FROM agg)
+        |WHERE rk <= 20""".stripMargin,
     "q_phrase_search" -> phraseSearchSql(DefaultPhrase),
     "q_bpe_merges" -> bpeMergesSql(BpeRounds),
     "q_bpe_encode" -> bpeEncodeSql(BpeRounds),
