@@ -500,6 +500,64 @@ object OlapQueries {
         count(lit(1)).as("order_count"),
         round(sum("o_totalprice"), 2).as("total_revenue"))
 
+  /** Defining query of the quarterly-revenue MATERIALIZED VIEW — the
+    * exact aggregate [[mvRewrite]] registers and then re-states, so
+    * the optimizer's structural match is total. Deliberately a shape
+    * no other registry query builds (quarter index, cents, two aggs):
+    * MvCatalog is session-global during a 6-way Verify run, and a
+    * shape collision would silently flip ANOTHER query's plan onto
+    * the view (same results — it is the same aggregate — but a
+    * nondeterministic plan, which the bench discipline forbids). */
+  private[graft] def quarterlyRevenueDef(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(((year(col("o_orderdate")) - 1992) * 4 +
+        quarter(col("o_orderdate")) - 1).cast("long").as("qtr"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("qtr")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+
+  /** Corpus dir → materialized quarterly-revenue parquet, built at most
+    * once per JVM ([[graft.Indexes]] discipline). */
+  private val mvQuarterlyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MATERIALIZED-VIEW REWRITE, end to end: build the view parquet
+    * once, register its defining plan in [[graft.plans.MvCatalog]],
+    * install [[graft.plans.MvRewrite]] as a session optimizer rule,
+    * and return the defining query STATED AGAIN — which the optimizer
+    * now answers from the view (MvRewriteSpec pins the substitution:
+    * the executed plan scans the view parquet and touches the fact
+    * table zero times; this oracle pins that the rewritten plan still
+    * produces the aggregate's exact rows). The serving half of the
+    * IVM story: q_ivm_monthly_revenue shows the summary is cheap to
+    * MAINTAIN, this shows queries USE it with no client-side rewrite.
+    */
+  def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = mvQuarterlyCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-mv-quarterly").toFile.getAbsolutePath
+      quarterlyRevenueDef(spark, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    val defDf = quarterlyRevenueDef(spark, dir)
+    // Canonical forms captured BEFORE registration: computing
+    // optimizedPlan after the catalog entry exists would let the rule
+    // rewrite the defining plan itself, and the stored "definition"
+    // would be the view scan.
+    val canons = Seq(defDf.queryExecution.analyzed,
+      defDf.queryExecution.optimizedPlan)
+    graft.plans.MvCatalog.register(s"quarterly_revenue:$dir", canons,
+      spark.read.parquet(path).queryExecution.analyzed)
+    OlapQueries.synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.MvRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    }
+    quarterlyRevenueDef(spark, dir)
+  }
+
   /** Semi join: customers having at least one order above a threshold. */
   def customersWithHighValueOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.orders(spark, dir)
@@ -995,6 +1053,7 @@ object OlapQueries {
     "q5_revenue_by_nation" -> q5RevenueByNation,
     "q_top_part_per_nation" -> topPartPerNation,
     "q_monthly_revenue" -> monthlyRevenue,
+    "q_mv_rewrite" -> mvRewrite,
     "q_customers_high_value" -> customersWithHighValueOrders,
     "q_customers_without_orders" -> customersWithoutOrders,
     "q_rollup_flag_status" -> rollupFlagStatus,
@@ -1470,6 +1529,13 @@ object OlapQueries {
         |       count(*) AS order_count,
         |       round(sum(o_totalprice), 2) AS total_revenue
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_mv_rewrite" ->
+      """SELECT ((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1)
+        |         AS qtr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_customers_high_value" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

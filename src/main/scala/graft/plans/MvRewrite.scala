@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** MATERIALIZED-VIEW REWRITE — the third `SparkSessionExtensions`
+  * injection face (beside the [[AvroRoundTripElision]] optimizer rule
+  * and the [[AsofJoinStrategy]] planner strategy): queries that
+  * re-state a registered view's defining aggregate are transparently
+  * redirected to the view's parquet, turning a fact-table scan +
+  * shuffle into a post-aggregate-sized read. This is EXACT-MATCH view
+  * rewriting (the Calcite "structural equivalence" base case):
+  * a query subtree qualifies iff its canonicalized plan equals the
+  * canonicalized defining plan captured at registration — no
+  * containment reasoning, so a rewrite can never change semantics.
+  *
+  * At 100 TB this is the serving half of the IVM story
+  * (q_ivm_monthly_revenue maintains the summary incrementally; this
+  * rule makes dashboards USE it without query rewrites in client
+  * code): the fact scan disappears from the plan, which is the whole
+  * point of maintaining the view.
+  *
+  * Reference anchor: the reference's consumer keeps running
+  * per-product aggregates precisely so later reads are O(|products|)
+  * — this rule is that idea lifted to the optimizer.
+  */
+object MvCatalog {
+  /** `canon`: canonicalized forms of the defining plan (analyzed AND
+    * optimized — the rule runs in the user-provided batch after the
+    * main optimizer, so the optimized form is the one that usually
+    * hits; the analyzed form covers injection points earlier in the
+    * pipeline, e.g. via spark.sql.extensions). `mvPlan`: analyzed
+    * logical plan of the parquet read, re-instanced per substitution
+    * so attribute IDs stay unique across uses. */
+  case class Entry(name: String, canon: Seq[LogicalPlan],
+      mvPlan: LogicalPlan)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  def register(name: String, defPlans: Seq[LogicalPlan],
+      mvRead: LogicalPlan): Unit =
+    entries.put(name,
+      Entry(name, defPlans.map(_.canonicalized), mvRead))
+
+  def deregister(name: String): Unit = entries.remove(name)
+
+  def isEmpty: Boolean = entries.isEmpty
+
+  def find(canonicalized: LogicalPlan): Option[Entry] = {
+    val it = entries.values.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.canon.exists(_ == canonicalized)) return Some(e)
+    }
+    None
+  }
+}
+
+object MvRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvCatalog.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        MvCatalog.find(agg.canonicalized) match {
+          case Some(e) =>
+            // Fresh attribute IDs for the MV relation (a plan reused
+            // verbatim twice in one query would collide), then alias
+            // each MV column back to the MATCHED node's attribute IDs
+            // so every parent operator stays resolved.
+            val fresh = e.mvPlan.transform {
+              case m: LogicalPlan with MultiInstanceRelation =>
+                m.newInstance()
+            }
+            Project(agg.output.zip(fresh.output).map { case (o, m) =>
+              Alias(m, o.name)(exprId = o.exprId)
+            }, fresh)
+          case None => agg
+        }
+    }
+  }
+}

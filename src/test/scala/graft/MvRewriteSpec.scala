@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.OlapQueries
+import graft.plans.{MvCatalog, MvRewrite}
+
+/** Materialized-view rewrite: the optimizer must answer a re-statement
+  * of a registered view's defining aggregate FROM THE VIEW PARQUET —
+  * fact scan gone from the plan — and produce identical rows; a plan
+  * that does not match must pass through untouched.
+  */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("mv-rewrite-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("matching aggregate is answered from the view, exactly") {
+    val direct = OlapQueries.quarterlyRevenueDef(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val rewritten = OlapQueries.mvRewrite(spark, sfDir)
+    try {
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-mv-quarterly"),
+        s"executed plan must scan the view parquet:\n$plan")
+      assert(!plan.contains("orders.parquet"),
+        s"executed plan must NOT scan the fact table:\n$plan")
+      val got = rewritten.collect().map(_.toString).sorted.toSeq
+      assert(got == direct, "view must reproduce the aggregate exactly")
+
+      // A nearby-but-different aggregate (extra grouping key) must NOT
+      // match: exact-match rewriting never fires on containment.
+      import org.apache.spark.sql.functions._
+      val other = Tables.orders(spark, sfDir)
+        .select(((year(col("o_orderdate")) - 1992) * 4 +
+          quarter(col("o_orderdate")) - 1).cast("long").as("qtr"),
+          col("o_orderstatus").as("st"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy("qtr", "st")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+      val otherPlan = other.queryExecution.executedPlan.toString
+      assert(!otherPlan.contains("graft-mv-quarterly"),
+        s"non-matching aggregate must keep its own plan:\n$otherPlan")
+
+      // Deregistration restores the fact scan for the SAME query.
+      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      val back = OlapQueries.quarterlyRevenueDef(spark, sfDir)
+      val backPlan = back.queryExecution.executedPlan.toString
+      assert(!backPlan.contains("graft-mv-quarterly") &&
+        backPlan.contains("orders.parquet"),
+        s"deregistered view must stop rewriting:\n$backPlan")
+    } finally {
+      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
+}
