@@ -1176,7 +1176,95 @@ object Stats {
           " END AS BIGINT) AS jk_bias_milli")
   }
 
+  /** QUANTITY-WEIGHTED MEDIAN price per return flag — the "typical
+    * shipped dollar" rather than the typical line item: a 50-unit line
+    * weighs 50× in the median, which is the right statistic whenever
+    * rows are containers of unequal mass (the same reason revenue
+    * deciles weight by spend). Exact and division-free: the median is
+    * the smallest cents value with 2·cumweight ≥ total (the
+    * [[conformalInterval]] no-division discipline).
+    *
+    * Plan/scale shape: one (flag, cents) map-side-combined cell
+    * aggregate; the cumulative window is partitioned by mode and runs
+    * over the POST-AGG cell table whose size is capped by the price
+    * DOMAIN (≈10⁷ distinct cents — fixed by the price schema), not
+    * the corpus, so the window input is corpus-scale-free; |modes|
+    * rows out. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("mode"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("mode", "cents").agg(sum("qty").as("w"))
+    val cum = cells
+      .withColumn("cw", sum("w").over(Window.partitionBy("mode")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("w").over(Window.partitionBy("mode")))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy("mode")
+      .agg(min("cents").as("wmedian_cents"), min("tw").as("total_qty"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST on daily order volume — is the
+    * above/below-median day sequence RANDOM, or does it clump
+    * (momentum/regimes) or alternate (over-dispersion)?  The
+    * randomness face completing the nonparametric suite: KS/MW ask
+    * about level drift, this asks about ORDER. Days equal to the
+    * median drop (standard dichotomization); the median is the exact
+    * k-th order statistic (k = ⌈n/2⌉) over the bounded day table via
+    * the conformalInterval TakeOrdered pattern; runs count via one
+    * lag window; z² clears to the single rational
+    * (Rn − n − 2n₁n₂)²(n−1)·1000 div (2n₁n₂(2n₁n₂ − n)). The day
+    * table is CALENDAR-bounded (~2.4k rows at any corpus scale), so
+    * the unpartitioned lag window is post-aggregate constant-size
+    * work and every product fits int64 with room — DECIMAL(38) wraps
+    * kept anyway for the house discipline.
+    *
+    * Plan/scale shape: one scan → |days| aggregate (checkpointed) →
+    * bounded TakeOrdered median → bounded lag window → 1-row out. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(to_date(col("o_orderdate")),
+        lit("1992-01-01").cast("date")).cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val kTab = daily.agg(
+      expr("CAST((count(1) + 1) div 2 AS BIGINT)").as("k"))
+    val med = daily.crossJoin(broadcast(kTab))
+      .orderBy("cnt", "d").limit(10000)
+      .withColumn("rk", row_number().over(Window.orderBy("cnt", "d")))
+      .filter(col("rk") === col("k"))
+      .select(col("cnt").as("med"))
+    val w = Window.orderBy("d")
+    // Explicit bound before the unpartitioned lag: the checkpoint makes
+    // the day table a leaf the plan guard cannot see through, so the
+    // limit is what keeps the window provably bounded (theilSen's
+    // TakeOrdered discipline; |days| ≤ 2.4k forever).
+    daily.crossJoin(broadcast(med))
+      .filter(col("cnt") =!= col("med"))
+      .withColumn("above", (col("cnt") > col("med")).cast("long"))
+      .orderBy("d").limit(10000)
+      .withColumn("chg", when(lag("above", 1).over(w).isNull ||
+        lag("above", 1).over(w) =!= col("above"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n"), sum("above").as("n1"),
+        sum("chg").as("runs"))
+      .selectExpr("n", "n1", "n - n1 AS n2", "runs",
+        "CAST(CASE WHEN 2 * CAST(n1 AS DECIMAL(38,0)) * (n - n1) - n <= 0" +
+          " THEN 0 ELSE" +
+          " (CAST(runs AS DECIMAL(38,0)) * n - n" +
+          "  - 2 * CAST(n1 AS DECIMAL(38,0)) * (n - n1))" +
+          " * (CAST(runs AS DECIMAL(38,0)) * n - n" +
+          "  - 2 * CAST(n1 AS DECIMAL(38,0)) * (n - n1))" +
+          " * (n - 1) * 1000" +
+          " div ((2 * CAST(n1 AS DECIMAL(38,0)) * (n - n1))" +
+          " * (2 * CAST(n1 AS DECIMAL(38,0)) * (n - n1) - n))" +
+          " END AS BIGINT) AS z2_milli")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runs_test" -> runsTest,
+    "q_weighted_median" -> weightedMedian,
     "q_wilcoxon_signed" -> wilcoxonSigned,
     "q_friedman" -> friedman,
     "q_jackknife" -> jackknife,
@@ -1208,6 +1296,55 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1992-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |kt AS (SELECT CAST((count(*) + 1) // 2 AS BIGINT) AS k FROM daily),
+        |med AS (
+        |  SELECT cnt AS med FROM
+        |    (SELECT cnt, row_number() OVER (ORDER BY cnt, d) AS rk
+        |     FROM daily) r, kt WHERE r.rk = kt.k),
+        |seq AS (
+        |  SELECT d, CASE WHEN cnt > med THEN 1 ELSE 0 END AS above
+        |  FROM daily, med WHERE cnt <> med),
+        |runs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(above) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM (SELECT above, lag(above) OVER (ORDER BY d) AS prev
+        |        FROM seq))
+        |SELECT n, n1, n - n1 AS n2, runs,
+        |  CAST(CASE WHEN 2 * CAST(n1 AS HUGEINT) * (n - n1) - n <= 0
+        |    THEN 0 ELSE
+        |    (CAST(runs AS HUGEINT) * n - n
+        |     - 2 * CAST(n1 AS HUGEINT) * (n - n1))
+        |    * (CAST(runs AS HUGEINT) * n - n
+        |     - 2 * CAST(n1 AS HUGEINT) * (n - n1))
+        |    * (n - 1) * 1000
+        |    // ((2 * CAST(n1 AS HUGEINT) * (n - n1))
+        |    * (2 * CAST(n1 AS HUGEINT) * (n - n1) - n))
+        |    END AS BIGINT) AS z2_milli
+        |FROM runs""".stripMargin,
+    "q_weighted_median" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS mode,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT mode, cents, w,
+        |         CAST(sum(w) OVER (PARTITION BY mode ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cw,
+        |         CAST(sum(w) OVER (PARTITION BY mode) AS BIGINT) AS tw
+        |  FROM cells)
+        |SELECT mode, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+        |       CAST(min(tw) AS BIGINT) AS total_qty
+        |FROM cum WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
     "q_wilcoxon_signed" ->
       """WITH pairs AS (
         |  SELECT abs(y96 - y95) AS abs_d, (y96 > y95) AS is_pos

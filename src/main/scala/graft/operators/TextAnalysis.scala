@@ -502,8 +502,16 @@ object TextAnalysis {
     * short token arrays (at real corpus scale the Σlen/alpha counts
     * would move into a custom codegen'd expression like `Shingles`).
     */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    withGateRules(gateMetrics(spark, dir).drop("n_stop"))
+
+  /** The gate's metric projection, shared by [[qualityGate]] and
+    * [[mcnemarGates]] (one definition, the filter_bias discipline);
+    * carries the legacy gate's `n_stop` too so the drift test costs
+    * ONE scan — qualityGate drops it to keep its oracle schema. */
+  private def gateMetrics(spark: SparkSession, dir: String): DataFrame = {
     val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stop7 = Seq("the", "a", "of", "and", "to", "in", "is")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), tokens.as("toks"))
       .select(col("doc_id"),
@@ -513,8 +521,17 @@ object TextAnalysis {
         size(array_intersect(array_distinct(col("toks")),
           array(reqStop.map(lit(_)): _*))).as("n_req_stop"),
         (regexp_count(col("text"), lit("#")) +
-          regexp_count(col("text"), lit("\\.\\.\\."))).as("n_symbols"))
-      .withColumn("r_word_count",
+          regexp_count(col("text"), lit("\\.\\.\\."))).as("n_symbols"),
+        size(filter(col("toks"),
+          t => t.isin(stop7.map(lit(_)): _*))).as("n_stop"))
+  }
+
+  /** The five Gopher rule columns + `keep`, applied to a
+    * [[gateMetrics]] projection — the ONE place the rule thresholds
+    * live on the Spark side (the SQL side's single place is the
+    * r*Sql/gateKeepSql vals). */
+  private def withGateRules(m: DataFrame): DataFrame =
+    m.withColumn("r_word_count",
         col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("r_mean_word_len",
         lit(3) * col("n_words") <= col("word_chars") &&
@@ -527,6 +544,39 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
+
+  /** McNEMAR'S PAIRED TEST between the deployed Gopher gate
+    * ([[qualityGate]]'s rules via the SHARED [[withGateRules]] — the
+    * test can never disagree with the gate it tests) and
+    * the legacy length+stopword gate ([[qualityScore]]'s is_quality
+    * rule in exact integer form) — the right significance test when
+    * comparing two FILTERS on the SAME documents: only the
+    * disagreement cells (kept-by-A-only, kept-by-B-only) carry
+    * information, and χ² = (b−c)²/(b+c) is exact in milli with a
+    * DECIMAL(38) wrap (the docs-count² product passes int64 at
+    * ~3·10⁹ docs). The concordant cells ride along as the audit
+    * columns a gate-migration review reads.
+    *
+    * Plan/scale shape: ONE documents scan → one codegen projection
+    * computing both gates' metrics → one 1-row conditional aggregate.
+    */
+  def mcnemarGates(spark: SparkSession, dir: String): DataFrame = {
+    withGateRules(gateMetrics(spark, dir))
+      .withColumn("ga", col("keep"))
+      .withColumn("gb",
+        col("n_words") >= 20 && col("n_words") <= 1000 &&
+          lit(2) * col("n_stop") < col("n_words"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ga") && col("gb"), 1)).as("n_both"),
+        count(when(col("ga") && !col("gb"), 1)).as("n_only_a"),
+        count(when(!col("ga") && col("gb"), 1)).as("n_only_b"),
+        count(when(!col("ga") && !col("gb"), 1)).as("n_neither"))
+      .withColumn("chi2_milli",
+        expr("CAST(CASE WHEN n_only_a + n_only_b = 0 THEN 0 ELSE" +
+          " (CAST(n_only_a AS DECIMAL(38,0)) - n_only_b)" +
+          " * (CAST(n_only_a AS DECIMAL(38,0)) - n_only_b) * 1000" +
+          " div (CAST(n_only_a AS DECIMAL(38,0)) + n_only_b)" +
+          " END AS BIGINT)"))
   }
 
   /** FILTER-BIAS audit — who does the quality gate actually drop? Per
@@ -1123,6 +1173,7 @@ object TextAnalysis {
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "q_quality_score" -> qualityScore,
     "q_quality_gate" -> qualityGate,
+    "q_mcnemar_gates" -> mcnemarGates,
     "q_filter_bias" -> filterBias,
     "q_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "q_bpe_pairs" -> ((s, d) => bpePairCounts(s, d)),
@@ -1489,6 +1540,37 @@ object TextAnalysis {
          |       $gateKeepSql AS keep
          |FROM m""".stripMargin,
     // 0-based positions: DuckDB's 1-based list index i maps to pos i−1.
+    "q_mcnemar_gates" ->
+      s"""WITH $gateMetricsSql,
+         |bmet AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(toks, t2 -> list_contains(
+         |           ['the','a','of','and','to','in','is'], t2))) AS INT)
+         |           AS n_stop
+         |  FROM t),
+         |flags AS (
+         |  SELECT m.doc_id, $gateKeepSql AS ga,
+         |         (m.n_words BETWEEN 20 AND 1000
+         |          AND 2 * bmet.n_stop < m.n_words) AS gb
+         |  FROM m JOIN bmet USING (doc_id)),
+         |cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(CASE WHEN ga AND gb THEN 1 END) AS BIGINT)
+         |           AS n_both,
+         |         CAST(count(CASE WHEN ga AND NOT gb THEN 1 END) AS BIGINT)
+         |           AS n_only_a,
+         |         CAST(count(CASE WHEN NOT ga AND gb THEN 1 END) AS BIGINT)
+         |           AS n_only_b,
+         |         CAST(count(CASE WHEN NOT ga AND NOT gb THEN 1 END)
+         |           AS BIGINT) AS n_neither
+         |  FROM flags)
+         |SELECT n_docs, n_both, n_only_a, n_only_b, n_neither,
+         |       CAST(CASE WHEN n_only_a + n_only_b = 0 THEN 0 ELSE
+         |         (CAST(n_only_a AS HUGEINT) - n_only_b)
+         |         * (CAST(n_only_a AS HUGEINT) - n_only_b) * 1000
+         |         // (CAST(n_only_a AS HUGEINT) + n_only_b)
+         |         END AS BIGINT) AS chi2_milli
+         |FROM cells""".stripMargin,
     "q_rake_keywords" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
