@@ -282,7 +282,47 @@ object Sampling {
       .select(col("cust"), col("p_partkey").as("neg_part"), col("rk"))
   }
 
+  /** CAPTURE–RECAPTURE corpus-size estimation (Lincoln–Petersen +
+    * Chapman's bias-corrected form) — "how big is the true universe"
+    * from two OVERLAPPING crawls, the coverage-planning question a
+    * crawl operator answers before paying for crawl three: if crawl A
+    * saw n₁ docs, crawl B saw n₂, and m showed up in both, then
+    * N̂ ≈ n₁n₂/m (Petersen) or (n₁+1)(n₂+1)/(m+1) − 1 (Chapman,
+    * finite-sample corrected) — both exact integer floor-divs here.
+    * The two "crawls" are independent md5 coins per doc (60% / 50%),
+    * so the whole experiment replays bit-identically; the true N and
+    * the signed estimator error in ppm ride along as the audit
+    * columns this synthetic setting makes checkable.
+    *
+    * Plan/scale shape: one documents scan → md5-coin projection →
+    * ONE 1-row conditional aggregate → pure projection. */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    def coin(seed: String) =
+      s"CAST(conv(substr(md5(concat('$seed', CAST(doc_id AS STRING)))," +
+        s" 1, 8), 16, 10) AS BIGINT) % 10"
+    Tables.documents(spark, dir)
+      .select(expr(s"${coin("crawl-a-")} < 6").as("in_a"),
+        expr(s"${coin("crawl-b-")} < 5").as("in_b"))
+      .agg(count(lit(1)).as("n_true"),
+        count(when(col("in_a"), 1)).as("n_a"),
+        count(when(col("in_b"), 1)).as("n_b"),
+        count(when(col("in_a") && col("in_b"), 1)).as("n_overlap"))
+      .selectExpr("n_true", "n_a", "n_b", "n_overlap",
+        "CAST((CAST(n_a AS DECIMAL(38,0)) + 1) * (n_b + 1)" +
+          " div (n_overlap + 1) - 1 AS BIGINT) AS chapman_hat",
+        "CAST(CASE WHEN n_overlap = 0 THEN NULL ELSE" +
+          " CAST(n_a AS DECIMAL(38,0)) * n_b div n_overlap END AS BIGINT)" +
+          " AS petersen_hat")
+      .selectExpr("*",
+        "CAST(CASE WHEN chapman_hat >= n_true THEN" +
+          " (CAST(chapman_hat AS DECIMAL(38,0)) - n_true) * 1000000" +
+          " div n_true ELSE" +
+          " -((CAST(n_true AS DECIMAL(38,0)) - chapman_hat) * 1000000" +
+          " div n_true) END AS BIGINT) AS err_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capture_recapture" -> captureRecapture,
     "q_negative_sampling" -> ((s, d) => negativeSampling(s, d)),
     "q_mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "q_mix_alloc" -> ((s, d) => mixAllocation(s, d)),
@@ -327,6 +367,37 @@ object Sampling {
       |  FROM r CROSS JOIN l)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_capture_recapture" ->
+      """WITH flags AS (
+        |  SELECT CAST(('0x' || substr(md5('crawl-a-'
+        |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 6
+        |           AS in_a,
+        |         CAST(('0x' || substr(md5('crawl-b-'
+        |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 5
+        |           AS in_b
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |         CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+        |         CAST(count(CASE WHEN in_b THEN 1 END) AS BIGINT) AS n_b,
+        |         CAST(count(CASE WHEN in_a AND in_b THEN 1 END) AS BIGINT)
+        |           AS n_overlap
+        |  FROM flags),
+        |est AS (
+        |  SELECT *,
+        |         CAST((CAST(n_a AS HUGEINT) + 1) * (n_b + 1)
+        |           // (n_overlap + 1) - 1 AS BIGINT) AS chapman_hat,
+        |         CAST(CASE WHEN n_overlap = 0 THEN NULL ELSE
+        |           CAST(n_a AS HUGEINT) * n_b // n_overlap END AS BIGINT)
+        |           AS petersen_hat
+        |  FROM agg)
+        |SELECT n_true, n_a, n_b, n_overlap, chapman_hat, petersen_hat,
+        |       CAST(CASE WHEN chapman_hat >= n_true THEN
+        |         (CAST(chapman_hat AS HUGEINT) - n_true) * 1000000
+        |         // n_true ELSE
+        |         -((CAST(n_true AS HUGEINT) - chapman_hat) * 1000000
+        |         // n_true) END AS BIGINT) AS err_ppm
+        |FROM est""".stripMargin,
     "q_negative_sampling" ->
       s"""WITH pool AS (
          |  SELECT p_partkey,
