@@ -123,6 +123,41 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maxFilesPerTrigger bounds micro-batch size under AvailableNow") {
+    // Ingestion BACKPRESSURE: a catch-up run over a large backlog must
+    // not load the whole backlog into one micro-batch (state + shuffle
+    // sized to the backlog instead of the trigger). maxFilesPerTrigger
+    // caps each batch; AvailableNow honors it while still draining
+    // everything — the bounded-catch-up contract a 100 TB backfill
+    // relies on.
+    val root = Files.createTempDirectory("graft_ratelimit")
+    val (src, chk) = (root.resolve("src"), root.resolve("chk"))
+    Files.createDirectories(src)
+    writeBatch(src, "b1.json", 0 until 10)
+    writeBatch(src, "b2.json", 10 until 20)
+    writeBatch(src, "b3.json", 20 until 30)
+    val batchSizes =
+      new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream
+      .schema("orderId STRING, product STRING, price DOUBLE, timestamp LONG")
+      .option("maxFilesPerTrigger", "1")
+      .json(src.toString)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => { batchSizes.put(id, df.count()); () }
+      }
+      .option("checkpointLocation", chk.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.values.toSeq
+    assert(sizes.sum == 30, s"every order drains exactly once: $sizes")
+    assert(sizes.count(_ > 0) >= 3 && sizes.forall(_ <= 10),
+      s"each micro-batch must hold at most one file's rows: $sizes")
+  }
+
   test("RocksDB state store: aggregation state persists across restart") {
     // The at-scale state backend: HDFSBackedStateStoreProvider keeps
     // every key on the JVM heap (state size is bounded by executor
