@@ -568,6 +568,98 @@ object Analytics {
       .withColumn("rk", row_number().over(w))
   }
 
+  /** EXACT DECISION-STUMP SPLIT FINDING (the GBDT/random-forest inner
+    * loop, distributed): over feature = quantity (integral domain
+    * 1..50) and label = "line was returned", score every candidate
+    * threshold t by the two-sided Gini purity Σ-classes c²/n — the
+    * quantity a tree learner maximizes — computed ENTIRELY from one
+    * (feature value) histogram + prefix sums: n_L, r_L at every t are
+    * cumulative cells, never a re-scan per candidate (the histogram
+    * trick XGBoost/LightGBM run per feature, here as one window over
+    * the domain-bounded value table). Scores are per-side milli
+    * floor-divs (deterministic sum of floors — the kruskalWallis
+    * per-term discipline), argmax by (score, t) so the chosen split
+    * replays engine-identically; the report is the full candidate
+    * table with `is_best` flagged — the table IS what a boosting
+    * round inspects.
+    *
+    * Plan/scale shape: one fact scan → |domain| cell aggregate →
+    * bounded prefix window → |domain|-row scoring + 1-row argmax
+    * broadcast. */
+  def bestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy("q").agg(count(lit(1)).as("n"), sum("ret").as("r"))
+    val w = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells
+      .orderBy("q").limit(100000) // integral feature domain; plan bound
+      .withColumn("nl", sum("n").over(w))
+      .withColumn("rl", sum("r").over(w))
+      .crossJoin(broadcast(cells.agg(sum("n").as("nt"), sum("r").as("rt"))))
+      .filter(col("nl") < col("nt")) // top value has no right side
+      .select(col("q").as("threshold"), col("nl").as("n_left"),
+        (col("nt") - col("nl")).as("n_right"),
+        expr("CAST((CAST(rl AS DECIMAL(38,0)) * rl" +
+          " + CAST(nl - rl AS DECIMAL(38,0)) * (nl - rl)) * 1000 div nl" +
+          " + (CAST(rt - rl AS DECIMAL(38,0)) * (rt - rl)" +
+          " + CAST((nt - nl) - (rt - rl) AS DECIMAL(38,0))" +
+          " * ((nt - nl) - (rt - rl))) * 1000 div (nt - nl)" +
+          " AS BIGINT)").as("purity_milli"))
+    val best = scored.agg(max(struct(col("purity_milli"),
+      (-col("threshold")).as("neg_t"))).as("b"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("is_best",
+        col("purity_milli") === col("b.purity_milli") &&
+          col("threshold") === -col("b.neg_t"))
+      .drop("b")
+  }
+
+  /** LEAVE-ONE-OUT TARGET ENCODING (the leakage-safe categorical
+    * feature): encode each order's customer-nation by the
+    * high-value rate of the OTHER orders in that nation —
+    * (s_g − y_i)·10⁶ div (n_g − 1), a pure function of broadcast
+    * group totals (the [[graft.operators.Stats.jackknife]] deletion
+    * identity reused as feature engineering). The naive group-mean
+    * encoding leaks each row's own label into its feature and
+    * inflates offline metrics; LOO is the standard fix and costs ONE
+    * projection here, not a per-row recomputation. Singleton groups
+    * fall back to the global prior (the other standard rule). The
+    * report aggregates the encoded column per nation (n, rate, LOO
+    * min/max/mean ppm) so the whole encoding is hash-checked without
+    * shipping per-row features.
+    *
+    * Plan/scale shape: fact⋈broadcast dims → |nations| totals
+    * broadcast back → encode projection → |nations| aggregate. */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        when(col("o_totalprice") > 200000.0, 1L).otherwise(0L).as("y"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("y"))
+    val grp = rows.groupBy("n_name")
+      .agg(count(lit(1)).as("n_g"), sum("y").as("s_g"))
+    val tot = grp.agg(sum("n_g").as("n"), sum("s_g").as("s"))
+    rows.join(broadcast(grp), Seq("n_name"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_name"), col("n_g"), col("s_g"),
+        expr("CAST(CASE WHEN n_g <= 1 THEN" +
+          " CAST(s AS DECIMAL(38,0)) * 1000000 div n ELSE" +
+          " CAST(s_g - y AS DECIMAL(38,0)) * 1000000 div (n_g - 1)" +
+          " END AS BIGINT)").as("enc_ppm"))
+      .groupBy("n_name", "n_g", "s_g")
+      .agg(min("enc_ppm").as("enc_min_ppm"),
+        max("enc_ppm").as("enc_max_ppm"),
+        expr("CAST(sum(enc_ppm) div count(1) AS BIGINT)")
+          .as("enc_mean_ppm"))
+  }
+
   /** ASSOCIATION RULES (A → B with support / confidence / lift) over
     * market baskets — the rule-mining readout on top of [[itemPairs]]'
     * co-occurrence counts: confidence = P(B|A) answers "what to
@@ -926,6 +1018,8 @@ object Analytics {
     "q_ohlc_daily" -> ohlcDaily,
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_assoc_rules" -> ((s, d) => assocRules(s, d)),
+    "q_best_split" -> bestSplit,
+    "q_target_encoding" -> targetEncoding,
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
     "q_ivm_retract" -> ivmRetract,
@@ -1072,6 +1166,62 @@ object Analytics {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_best_split" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |               CAST(sum(r) AS BIGINT) AS rt FROM cells),
+        |pre AS (
+        |  SELECT q, CAST(sum(n) OVER win AS BIGINT) AS nl,
+        |         CAST(sum(r) OVER win AS BIGINT) AS rl, nt, rt
+        |  FROM cells CROSS JOIN tot
+        |  WINDOW win AS (ORDER BY q
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT q AS threshold, nl AS n_left, nt - nl AS n_right,
+        |         CAST((CAST(rl AS HUGEINT) * rl
+        |            + CAST(nl - rl AS HUGEINT) * (nl - rl)) * 1000 // nl
+        |            + (CAST(rt - rl AS HUGEINT) * (rt - rl)
+        |            + CAST((nt - nl) - (rt - rl) AS HUGEINT)
+        |              * ((nt - nl) - (rt - rl))) * 1000 // (nt - nl)
+        |           AS BIGINT) AS purity_milli
+        |  FROM pre WHERE nl < nt),
+        |best AS (
+        |  SELECT threshold AS bt, purity_milli AS bp FROM (
+        |    SELECT threshold, purity_milli, row_number() OVER (
+        |      ORDER BY purity_milli DESC, threshold) AS rk FROM scored)
+        |  WHERE rk = 1)
+        |SELECT s.threshold, s.n_left, s.n_right, s.purity_milli,
+        |       (s.purity_milli = b.bp AND s.threshold = b.bt) AS is_best
+        |FROM scored s CROSS JOIN best b""".stripMargin,
+    "q_target_encoding" ->
+      """WITH rows_ AS (
+        |  SELECT n_name,
+        |         CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |grp AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_g,
+        |               CAST(sum(y) AS BIGINT) AS s_g
+        |        FROM rows_ GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |               CAST(sum(s_g) AS BIGINT) AS s FROM grp),
+        |enc AS (
+        |  SELECT r.n_name, g.n_g, g.s_g,
+        |         CAST(CASE WHEN g.n_g <= 1 THEN
+        |             CAST(t.s AS HUGEINT) * 1000000 // t.n
+        |           ELSE CAST(g.s_g - r.y AS HUGEINT) * 1000000
+        |             // (g.n_g - 1) END AS BIGINT) AS enc_ppm
+        |  FROM rows_ r JOIN grp g USING (n_name) CROSS JOIN tot t)
+        |SELECT n_name, n_g, s_g,
+        |       CAST(min(enc_ppm) AS BIGINT) AS enc_min_ppm,
+        |       CAST(max(enc_ppm) AS BIGINT) AS enc_max_ppm,
+        |       CAST(CAST(sum(enc_ppm) AS HUGEINT) // count(*) AS BIGINT)
+        |         AS enc_mean_ppm
+        |FROM enc GROUP BY 1, 2, 3""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)

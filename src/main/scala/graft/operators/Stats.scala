@@ -1262,7 +1262,57 @@ object Stats {
           " END AS BIGINT) AS z2_milli")
   }
 
+  /** ROLLING-ORIGIN FORECAST BACKTEST — the eval harness around
+    * [[trendSlope]]-style OLS forecasting: for each of the last 12
+    * months, fit OLS on STRICTLY EARLIER months only and score the
+    * one-step-ahead prediction — the walk-forward protocol that is the
+    * only honest accuracy estimate for a time series (a single
+    * train/test split leaks trend; in-sample fit is not forecast
+    * skill). Engine-exact: per-cutoff OLS sums are PREFIX windows over
+    * the calendar-bounded month table (n, Σx, Σy, Σxy, Σxx with rows
+    * preceding the cutoff), so all 12 fits cost ONE window pass, and
+    * ŷ/err are sign-split CENTS floor-divs (a micro scale
+    * would pass int64 at 100 TB monthly revenue).
+    *
+    * Plan/scale shape: one scan → |months| aggregate → bounded
+    * TakeOrdered + prefix windows on the post-agg series → 12 rows. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("mo"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("mo").agg(sum("cents").as("y"))
+    val w = Window.orderBy("mo")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val maxMo = monthly.agg(max("mo").as("max_mo"))
+    monthly.crossJoin(broadcast(maxMo))
+      .orderBy("mo").limit(10000) // calendar-bounded; plan-guard bound
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("mo").cast("decimal(38,0)")).over(w))
+      .withColumn("sy", sum(col("y").cast("decimal(38,0)")).over(w))
+      .withColumn("sxy", sum(expr(
+        "CAST(mo AS DECIMAL(38,0)) * y")).over(w))
+      .withColumn("sxx", sum(expr(
+        "CAST(mo AS DECIMAL(38,0)) * mo")).over(w))
+      .filter(col("mo") > col("max_mo") - 12 && col("n") >= 2)
+      .select(col("mo"), col("y").as("y_cents"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").as("b_num"),
+        expr("(sy * sxx - sx * sxy)").as("a_num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").as("d"),
+        col("mo").cast("decimal(38,0)").as("x"))
+      .select(col("mo"), col("y_cents"),
+        // Prediction floored to whole CENTS: at 100 TB monthly revenue
+        // is ~10¹⁵ cents, so a micro-scaled prediction would pass
+        // int64 — cents keep the errors exact AND representable.
+        expr("CAST(CASE WHEN a_num + b_num * x >= 0 THEN" +
+          " (a_num + b_num * x) div d ELSE" +
+          " -((-(a_num + b_num * x)) div d) END AS BIGINT)")
+          .as("yhat_cents"))
+      .withColumn("err_cents", expr("yhat_cents - y_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_backtest" -> forecastBacktest,
     "q_runs_test" -> runsTest,
     "q_weighted_median" -> weightedMedian,
     "q_wilcoxon_signed" -> wilcoxonSigned,
@@ -1296,6 +1346,40 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_forecast_backtest" ->
+      """WITH monthly AS (
+        |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+        |           AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |mm AS (SELECT CAST(max(mo) AS BIGINT) AS max_mo FROM monthly),
+        |pre AS (
+        |  SELECT mo, y, max_mo,
+        |         CAST(count(*) OVER win AS HUGEINT) AS n,
+        |         CAST(coalesce(sum(mo) OVER win, 0) AS HUGEINT) AS sx,
+        |         CAST(coalesce(sum(y) OVER win, 0) AS HUGEINT) AS sy,
+        |         CAST(coalesce(sum(CAST(mo AS HUGEINT) * y) OVER win, 0)
+        |           AS HUGEINT) AS sxy,
+        |         CAST(coalesce(sum(CAST(mo AS HUGEINT) * mo) OVER win, 0)
+        |           AS HUGEINT) AS sxx
+        |  FROM monthly CROSS JOIN mm
+        |  WINDOW win AS (ORDER BY mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |fit AS (
+        |  SELECT mo, y AS y_cents,
+        |         n * sxy - sx * sy AS b_num, sy * sxx - sx * sxy AS a_num,
+        |         n * sxx - sx * sx AS d, CAST(mo AS HUGEINT) AS x
+        |  FROM pre WHERE mo > max_mo - 12 AND n >= 2),
+        |scored AS (
+        |  SELECT mo, y_cents,
+        |         CAST(CASE WHEN a_num + b_num * x >= 0
+        |           THEN (a_num + b_num * x) // d
+        |           ELSE -((-(a_num + b_num * x)) // d) END AS BIGINT)
+        |           AS yhat_cents
+        |  FROM fit)
+        |SELECT mo, y_cents, yhat_cents, yhat_cents - y_cents AS err_cents
+        |FROM scored""".stripMargin,
     "q_runs_test" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1992-01-01',
