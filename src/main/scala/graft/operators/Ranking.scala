@@ -304,7 +304,71 @@ object Ranking {
         (col("ts") - col("src.ts")).as("gap_ns"))
   }
 
+  /** SHAPLEY-VALUE CHANNEL ATTRIBUTION — the game-theoretic split of
+    * conversion credit across the three marketing touchpoints (view /
+    * click / signup), the principled answer where [[lastTouchAttribution]]
+    * is the heuristic one: each channel gets its average marginal
+    * contribution over all 2³ coalitions. The value function is
+    * v(S) = (conversions among users whose ENTIRE touch set ⊆ S) / N —
+    * monotone, and with the constant denominator N every Shapley value
+    * is one exact rational with denominator 6N (3! = 6 carries the
+    * coalition weights 2/1/2 as INTEGER w6), so the attribution
+    * hash-checks and Σ shapley ≡ v(all) − v(none) by construction.
+    *
+    * Plan/scale shape: one events scan → per-user conditional
+    * aggregate (touch bitmask + converted) → 8-row exact-touchset
+    * cell table — EVERYTHING after is algebra on ≤ 8×8 bounded rows
+    * (subset sums via a bitmask join, marginals via a coalition
+    * join), independent of corpus size; 3 rows out. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg((max(when(col("event_type") === "view", 1).otherwise(0)) +
+        max(when(col("event_type") === "click", 1).otherwise(0)) * 2 +
+        max(when(col("event_type") === "signup", 1).otherwise(0)) * 4)
+        .as("t"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      .localCheckpoint() // 8 rows; feeds vsum and the total
+    val subsets = (0 until 8).toDF("s")
+    val vsum = subsets.crossJoin(cells)
+      .filter(expr("(t & s) = t"))
+      .groupBy("s").agg(sum("n_conv").as("v"))
+      // subsets with no qualifying touchset (possible at tiny SF)
+      .unionByName(subsets.select(col("s"), lit(0L).as("v")))
+      .groupBy("s").agg(max("v").as("v"))
+    val tot = cells.agg(sum("n_users").as("n_total"))
+    val channels = Seq((1, "view"), (2, "click"), (4, "signup"))
+      .toDF("c", "channel")
+    channels.crossJoin(vsum.select(col("s"), col("v")))
+      .filter(expr("(s & c) = 0"))
+      .join(vsum.select(col("s").as("s1"), col("v").as("v1")),
+        expr("s1 = (s | c)"))
+      .select(col("channel"),
+        expr("CASE bit_count(s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END")
+          .as("w6"),
+        (col("v1") - col("v")).as("dv"))
+      .groupBy("channel").agg(sum(expr("w6 * dv")).as("num6"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(
+        vsum.filter(col("s") === 7).select(col("v").as("v_all"))))
+      .crossJoin(broadcast(
+        vsum.filter(col("s") === 0).select(col("v").as("v_none"))))
+      .select(col("channel"),
+        expr("CAST(CAST(num6 AS DECIMAL(38,0)) * 1000000" +
+          " div (6 * CAST(n_total AS DECIMAL(38,0))) AS BIGINT)")
+          .as("shapley_ppm"),
+        expr("CAST(CAST(v_all AS DECIMAL(38,0)) * 1000000 div n_total" +
+          " AS BIGINT)").as("v_all_ppm"),
+        expr("CAST(CAST(v_none AS DECIMAL(38,0)) * 1000000 div n_total" +
+          " AS BIGINT)").as("v_none_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shapley_attribution" -> shapleyAttribution,
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_bigram_surprisal" -> bigramSurprisal,
     "q_dsir_weights" -> dsirWeights,
@@ -425,6 +489,46 @@ object Ranking {
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
         |       CAST(s // n_tokens AS BIGINT) AS dsir_micro
         |FROM perdoc""".stripMargin,
+    "q_shapley_attribution" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |       + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |           AS t,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT t, CAST(count(*) AS BIGINT) AS n_users,
+        |                 CAST(sum(conv) AS BIGINT) AS n_conv
+        |          FROM per GROUP BY 1),
+        |subsets AS (SELECT CAST(range AS INT) AS s FROM range(0, 8)),
+        |vsum AS (
+        |  SELECT s, CAST(coalesce(sum(CASE WHEN (t & s) = t
+        |    THEN n_conv END), 0) AS BIGINT) AS v
+        |  FROM subsets LEFT JOIN cells ON (t & s) = t GROUP BY s),
+        |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM cells),
+        |ch(c, channel) AS (VALUES (1, 'view'), (2, 'click'), (4, 'signup')),
+        |marg AS (
+        |  SELECT ch.channel,
+        |         CASE bit_count(a.s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+        |           AS w6,
+        |         b.v - a.v AS dv
+        |  FROM ch JOIN vsum a ON (a.s & ch.c) = 0
+        |  JOIN vsum b ON b.s = (a.s | ch.c)),
+        |shap AS (SELECT channel, CAST(sum(w6 * dv) AS BIGINT) AS num6
+        |         FROM marg GROUP BY 1)
+        |SELECT sh.channel,
+        |       CAST(CAST(num6 AS HUGEINT) * 1000000
+        |         // (6 * CAST(t.n_total AS HUGEINT)) AS BIGINT)
+        |         AS shapley_ppm,
+        |       CAST(CAST(v7.v AS HUGEINT) * 1000000 // t.n_total AS BIGINT)
+        |         AS v_all_ppm,
+        |       CAST(CAST(v0.v AS HUGEINT) * 1000000 // t.n_total AS BIGINT)
+        |         AS v_none_ppm
+        |FROM shap sh CROSS JOIN tot t
+        |CROSS JOIN (SELECT v FROM vsum WHERE s = 7) v7
+        |CROSS JOIN (SELECT v FROM vsum WHERE s = 0) v0""".stripMargin,
     "q_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
