@@ -518,6 +518,42 @@ object Profiling {
           " AS pos_rate_micro")
   }
 
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) on the reliability
+    * bins — the FIX beside [[calibrationTable]]'s diagnosis: the
+    * monotone-nondecreasing calibrated rate per score bucket, via the
+    * closed-form PAV identity ŷ_i = max_{j≤i} min_{k≥i} rate(j..k)
+    * (every pooled-range rate floored to micro FIRST, then min/max —
+    * deterministic in both engines; the floor changes a pooled rate by
+    * < 1 micro, which is the documented tolerance). The entire
+    * computation after the shared bins runs on ≤ B³ rows with B = 10
+    * buckets — corpus-size-independent bounded algebra, the Shapley
+    * discipline. Output is monotone by construction, which the oracle
+    * hash check enforces structurally.
+    *
+    * Plan/scale shape: the [[calibrationTable]] pipeline (histogram +
+    * cumsum artifact) → 10-row bins (checkpointed) → range/min/max
+    * joins on bounded rows → 10 rows out. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bins = calibrationTable(spark, dir)
+      .select(col("bucket"), col("n"), col("n_pos"))
+      .localCheckpoint()
+    val ranges = bins.select(col("bucket").as("j"))
+      .crossJoin(bins.select(col("bucket").as("k")))
+      .filter(col("j") <= col("k"))
+      .join(bins, col("bucket").between(col("j"), col("k")))
+      .groupBy("j", "k")
+      .agg(expr("CAST(sum(n_pos) * 1000000 div sum(n) AS BIGINT)")
+        .as("rate_micro"))
+    val iso = bins.select(col("bucket").as("i"))
+      .join(ranges, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("rate_micro").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_micro"))
+    bins.join(iso, col("bucket") === col("i"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("raw_micro"),
+        col("iso_micro"))
+  }
+
   /** HEAVY-HITTER DRIFT: today's top-k vs yesterday's — the CHANGE
     * report a monitoring surface actually pages on (a new entrant in
     * the top talkers, a leaver, a rank jump), here as the top-10
@@ -1147,6 +1183,7 @@ object Profiling {
     "q_script_median" -> scriptMedianSearch,
     "q_auc_purchase" -> aucPurchase,
     "q_calibration" -> ((s, d) => calibrationTable(s, d)),
+    "q_isotonic_calibration" -> isotonicCalibration,
     "q_pr_points" -> ((s, d) => prPoints(s, d)),
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
@@ -1154,6 +1191,29 @@ object Profiling {
     "q_source_deciles" -> ((s, d) => sourceLengthDeciles(s, d)),
     "q_trimmed_price_stats" -> trimmedPriceStats,
     "q_cms_user_counts" -> ((s, d) => cmsUserCounts(s, d)))
+
+  /** Reliability-bins oracle, shared by q_calibration and (as the bins
+    * CTE) q_isotonic_calibration — one definition so the fix can never
+    * disagree with the diagnosis it corrects. */
+  private lazy val calibrationSql: String =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      |  FROM events),
+      |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(label) AS BIGINT) AS n_pos
+      |      FROM e GROUP BY 1),
+      |c AS (SELECT sc, n, n_pos,
+      |             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |               AS BIGINT) AS cb,
+      |             CAST(SUM(n) OVER () AS BIGINT) AS total
+      |      FROM g)
+      |SELECT CAST((10 * cb) // total AS INT) AS bucket,
+      |       CAST(sum(n) AS BIGINT) AS n, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+      |       min(sc) AS lo_cents, max(sc) AS hi_cents,
+      |       CAST(sum(n_pos) * 1000000 // sum(n) AS BIGINT) AS pos_rate_micro
+      |FROM c GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_k_anonymity" ->
@@ -1500,25 +1560,28 @@ object Profiling {
         |FROM contrib c
         |JOIN days d ON d.event_type = c.event_type AND d.day = c.wday
         |GROUP BY 1, 2""".stripMargin,
-    "q_calibration" ->
-      """WITH e AS (
-        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
-        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
-        |  FROM events),
-        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
-        |             CAST(sum(label) AS BIGINT) AS n_pos
-        |      FROM e GROUP BY 1),
-        |c AS (SELECT sc, n, n_pos,
-        |             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |               AS BIGINT) AS cb,
-        |             CAST(SUM(n) OVER () AS BIGINT) AS total
-        |      FROM g)
-        |SELECT CAST((10 * cb) // total AS INT) AS bucket,
-        |       CAST(sum(n) AS BIGINT) AS n, CAST(sum(n_pos) AS BIGINT) AS n_pos,
-        |       min(sc) AS lo_cents, max(sc) AS hi_cents,
-        |       CAST(sum(n_pos) * 1000000 // sum(n) AS BIGINT) AS pos_rate_micro
-        |FROM c GROUP BY 1""".stripMargin,
+    "q_calibration" -> calibrationSql,
+    "q_isotonic_calibration" ->
+      s"""WITH cal AS ($calibrationSql),
+         |bins AS (SELECT bucket, n, n_pos FROM cal),
+         |ranges AS (
+         |  SELECT a.bucket AS j, b.bucket AS k,
+         |         CAST(sum(c2.n_pos) * 1000000 // sum(c2.n) AS BIGINT)
+         |           AS rate_micro
+         |  FROM bins a JOIN bins b ON a.bucket <= b.bucket
+         |  JOIN bins c2 ON c2.bucket BETWEEN a.bucket AND b.bucket
+         |  GROUP BY 1, 2),
+         |iso AS (
+         |  SELECT i, CAST(max(mn) AS BIGINT) AS iso_micro FROM (
+         |    SELECT ib.bucket AS i, r.j,
+         |           CAST(min(r.rate_micro) AS BIGINT) AS mn
+         |    FROM bins ib JOIN ranges r
+         |      ON r.j <= ib.bucket AND r.k >= ib.bucket
+         |    GROUP BY 1, 2) GROUP BY 1)
+         |SELECT b.bucket, b.n, b.n_pos,
+         |       CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS raw_micro,
+         |       iso.iso_micro
+         |FROM bins b JOIN iso ON iso.i = b.bucket""".stripMargin,
     "q_hh_drift" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
