@@ -1311,7 +1311,113 @@ object Stats {
       .withColumn("err_cents", expr("yhat_cents - y_cents"))
   }
 
+  /** COARSENED EXACT MATCHING + ATT — the deterministic causal-
+    * inference workhorse (Iacus/King/Porro): "treated" customers
+    * (ordered during the 1995H1 window) are compared to controls ONLY
+    * within exact strata of (market segment, account-balance bucket),
+    * strata missing either side are PRUNED, and the counterfactual
+    * mean re-weights each stratum's control mean by its treated count
+    * — all of which is exact integer arithmetic here (per-stratum
+    * micro floors summed deterministically, the kruskalWallis per-term
+    * discipline), unlike propensity methods whose logistic weights
+    * cannot replay. Outcome = 1995H2–1996 spend cents. The report
+    * carries the pruning counts because CEM's honesty IS the pruning:
+    * unmatched treated units are dropped, not extrapolated.
+    *
+    * Plan/scale shape: per-customer outcome/treatment aggregate over
+    * the orders scan ⋈ broadcast customer dims → |strata| cell
+    * aggregate → matched-strata filter → 1-row assembly. */
+  def cemAtt(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        when(col("o_orderdate") >= to_timestamp_ntz(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp_ntz(lit("1995-07-01")), 1L)
+          .otherwise(0L).as("in_window"),
+        when(col("o_orderdate") >= to_timestamp_ntz(lit("1995-07-01")) &&
+          col("o_orderdate") < to_timestamp_ntz(lit("1997-01-01")),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .otherwise(0L).as("out_cents"))
+      .groupBy("o_custkey")
+      .agg(max("in_window").as("treated"), sum("out_cents").as("y"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          expr("CAST((CAST(round(c_acctbal * 100, 0) AS BIGINT)" +
+            " + 100000) div 200000 AS BIGINT)").as("bal_b"))),
+        col("o_custkey") === col("c_custkey"))
+    val strata = per.groupBy("seg", "bal_b")
+      .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("syc"))
+      .localCheckpoint() // |strata| rows; feeds counts + both sums
+    val matched = strata.filter(col("nt") > 0 && col("nc") > 0)
+    val counts = strata.agg(count(lit(1)).as("n_strata"),
+      sum(when(col("nt") > 0 && col("nc") === 0, col("nt")).otherwise(0L))
+        .as("n_treated_pruned"))
+    val mTot = matched.agg(sum("nt").as("ntm"), sum("nc").as("ncm"),
+      sum("syt").as("sytm"))
+    matched.crossJoin(broadcast(mTot))
+      .select(expr("CAST(CAST(syc AS DECIMAL(38,0)) * 1000000 * nt" +
+        " div (CAST(nc AS DECIMAL(38,0)) * ntm) AS BIGINT)").as("cf_term"))
+      .agg(sum("cf_term").as("cf_micro"), count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(mTot)).crossJoin(broadcast(counts))
+      .select(col("n_strata"), col("n_matched"),
+        col("ntm").as("n_treated_matched"),
+        col("ncm").as("n_control_matched"), col("n_treated_pruned"),
+        expr("CAST(CAST(sytm AS DECIMAL(38,0)) * 1000000 div ntm" +
+          " AS BIGINT)").as("treated_mean_micro"),
+        col("cf_micro").as("counterfactual_mean_micro"),
+        expr("CAST(CAST(sytm AS DECIMAL(38,0)) * 1000000 div ntm" +
+          " - cf_micro AS BIGINT)").as("att_micro"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES on the revenue panel — the two-group ×
+    * two-period causal estimate (treated = BUILDING-segment customers,
+    * periods = 1996 vs 1997): DiD = (ȳ_treated,post − ȳ_treated,pre)
+    * − (ȳ_control,post − ȳ_control,pre), removing both the group's
+    * level difference and the common time trend. One conditional
+    * aggregate produces the four cells; every mean is an exact micro
+    * floor-div and the DiD is plain integer subtraction of those
+    * floors — the parallel-trends assumption is economics, but the
+    * ARITHMETIC replays digit-for-digit.
+    *
+    * Plan/scale shape: orders scan ⋈ broadcast customer segment →
+    * ONE 4-cell conditional aggregate → 1-row projection. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    def cell(g: Int, p: Int, f: String) =
+      sum(when(col("g") === g && col("p") === p, expr(f)).otherwise(0L))
+    Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("o_custkey"),
+        when(year(col("o_orderdate")) === 1997, 1).otherwise(0).as("p"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+            .as("g"))),
+        col("o_custkey") === col("c_custkey"))
+      .agg(cell(1, 0, "cents").as("s10"), cell(1, 1, "cents").as("s11"),
+        cell(0, 0, "cents").as("s00"), cell(0, 1, "cents").as("s01"),
+        cell(1, 0, "1").as("n10"), cell(1, 1, "1").as("n11"),
+        cell(0, 0, "1").as("n00"), cell(0, 1, "1").as("n01"))
+      .selectExpr(
+        "n10", "n11", "n00", "n01",
+        "CAST(CAST(s10 AS DECIMAL(38,0)) * 1000000 div n10 AS BIGINT)" +
+          " AS y_treated_pre_micro",
+        "CAST(CAST(s11 AS DECIMAL(38,0)) * 1000000 div n11 AS BIGINT)" +
+          " AS y_treated_post_micro",
+        "CAST(CAST(s00 AS DECIMAL(38,0)) * 1000000 div n00 AS BIGINT)" +
+          " AS y_control_pre_micro",
+        "CAST(CAST(s01 AS DECIMAL(38,0)) * 1000000 div n01 AS BIGINT)" +
+          " AS y_control_post_micro")
+      .withColumn("did_micro",
+        expr("(y_treated_post_micro - y_treated_pre_micro)" +
+          " - (y_control_post_micro - y_control_pre_micro)"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cem_att" -> cemAtt,
+    "q_diff_in_diff" -> diffInDiff,
     "q_forecast_backtest" -> forecastBacktest,
     "q_runs_test" -> runsTest,
     "q_weighted_median" -> weightedMedian,
@@ -1346,6 +1452,94 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_cem_att" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         max(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+        |               AND o_orderdate < TIMESTAMP '1995-07-01'
+        |               THEN 1 ELSE 0 END) AS treated,
+        |         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-07-01'
+        |               AND o_orderdate < TIMESTAMP '1997-01-01'
+        |               THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |               ELSE 0 END) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT p.*, c.c_mktsegment AS seg,
+        |             (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+        |               // 200000 AS bal_b
+        |      FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+        |strata AS (
+        |  SELECT seg, bal_b,
+        |         CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nt,
+        |         CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END)
+        |           AS BIGINT) AS syt,
+        |         CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END)
+        |           AS BIGINT) AS syc
+        |  FROM j GROUP BY 1, 2),
+        |counts AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |         CAST(sum(CASE WHEN nt > 0 AND nc = 0 THEN nt ELSE 0 END)
+        |           AS BIGINT) AS n_treated_pruned
+        |  FROM strata),
+        |matched AS (SELECT * FROM strata WHERE nt > 0 AND nc > 0),
+        |mtot AS (SELECT CAST(sum(nt) AS BIGINT) AS ntm,
+        |                CAST(sum(nc) AS BIGINT) AS ncm,
+        |                CAST(sum(syt) AS BIGINT) AS sytm FROM matched),
+        |cf AS (
+        |  SELECT CAST(sum(CAST(syc AS HUGEINT) * 1000000 * nt
+        |           // (CAST(nc AS HUGEINT) * ntm)) AS BIGINT) AS cf_micro,
+        |         CAST(count(*) AS BIGINT) AS n_matched
+        |  FROM matched CROSS JOIN mtot)
+        |SELECT counts.n_strata, cf.n_matched, mtot.ntm AS n_treated_matched,
+        |       mtot.ncm AS n_control_matched, counts.n_treated_pruned,
+        |       CAST(CAST(sytm AS HUGEINT) * 1000000 // ntm AS BIGINT)
+        |         AS treated_mean_micro,
+        |       cf.cf_micro AS counterfactual_mean_micro,
+        |       CAST(CAST(sytm AS HUGEINT) * 1000000 // ntm - cf_micro
+        |         AS BIGINT) AS att_micro
+        |FROM cf CROSS JOIN mtot CROSS JOIN counts""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END AS p,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g=1 AND p=0 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s10,
+        |    CAST(sum(CASE WHEN g=1 AND p=1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s11,
+        |    CAST(sum(CASE WHEN g=0 AND p=0 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s00,
+        |    CAST(sum(CASE WHEN g=0 AND p=1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s01,
+        |    CAST(sum(CASE WHEN g=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN g=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN g=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00,
+        |    CAST(sum(CASE WHEN g=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01
+        |  FROM r),
+        |m AS (
+        |  SELECT n10, n11, n00, n01,
+        |    CAST(CAST(s10 AS HUGEINT) * 1000000 // n10 AS BIGINT)
+        |      AS y_treated_pre_micro,
+        |    CAST(CAST(s11 AS HUGEINT) * 1000000 // n11 AS BIGINT)
+        |      AS y_treated_post_micro,
+        |    CAST(CAST(s00 AS HUGEINT) * 1000000 // n00 AS BIGINT)
+        |      AS y_control_pre_micro,
+        |    CAST(CAST(s01 AS HUGEINT) * 1000000 // n01 AS BIGINT)
+        |      AS y_control_post_micro
+        |  FROM agg)
+        |SELECT *, (y_treated_post_micro - y_treated_pre_micro)
+        |        - (y_control_post_micro - y_control_pre_micro) AS did_micro
+        |FROM m""".stripMargin,
     "q_forecast_backtest" ->
       """WITH monthly AS (
         |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
