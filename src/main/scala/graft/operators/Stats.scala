@@ -1415,7 +1415,217 @@ object Stats {
           " - (y_control_post_micro - y_control_pre_micro)"))
   }
 
+  /** EVENT-STUDY plot data — the dynamic generalization of
+    * [[diffInDiff]] and its standard diagnostic: per-YEAR treated-vs-
+    * control mean gaps, each re-centered on the base-year (1995) gap.
+    * Pre-period effects near zero = the parallel-trends assumption
+    * looks credible; a pre-trend = the DiD number is suspect. Every
+    * cell mean is an exact micro floor-div and the effect is integer
+    * subtraction of those floors, so the whole curve hash-checks.
+    *
+    * Plan/scale shape: orders scan ⋈ broadcast segment flag → ONE
+    * (year) conditional aggregate (4 cells per year, map-side
+    * combined) → broadcast 1-row base gap → |years| rows out. */
+  def eventStudy(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+            .as("g"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("yr")
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("g") === 1, col("cents")).otherwise(0L)).as("s_t"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("g") === 0, col("cents")).otherwise(0L)).as("s_c"))
+      .selectExpr("yr", "n_t", "n_c",
+        "CAST(CAST(s_t AS DECIMAL(38,0)) * 1000000 div n_t AS BIGINT)" +
+          " AS y_treated_micro",
+        "CAST(CAST(s_c AS DECIMAL(38,0)) * 1000000 div n_c AS BIGINT)" +
+          " AS y_control_micro")
+      .withColumn("gap_micro",
+        expr("y_treated_micro - y_control_micro"))
+    gaps.crossJoin(broadcast(
+        gaps.filter(col("yr") === 1995)
+          .select(col("gap_micro").as("base_gap"))))
+      .withColumn("effect_micro", expr("gap_micro - base_gap"))
+      .drop("base_gap")
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng/Xu/Kohavi/Walker
+    * 2013) — the industry-standard A/B sensitivity boost: per-user
+    * PRE-period spend X (events before the calendar midpoint) adjusts
+    * the POST-period metric Y, θ = cov(X,Y)/var(X) pooled. The
+    * adjusted lift (Ȳt−Ȳc) − θ(X̄t−X̄c) and the variance-reduction
+    * ratio ρ² = θ·(P/R) are computed from ONE aggregate's integer
+    * sums. θ is floored to ppm BEFORE the adjustment products (the
+    * jackknife two-step-floor discipline: the single-rational form
+    * P·diff·10⁶/(Q·n_t·n_c) passes DECIMAL(38) at ~10⁹ users), so
+    * every reported number is a deterministic function of exact
+    * BIGINTs and replays on any engine. Arm = user-id parity, the
+    * same pure key split q_ab_test / q_srm_check use; the midpoint
+    * cutoff is integer epoch-nano arithmetic, not a wall-clock.
+    *
+    * Plan/scale shape: events scan → 1-row min/max broadcast →
+    * per-user (X, Y) aggregate → ONE pooled+per-arm aggregate →
+    * pure projection. Σx², Σxy, Σy² accumulate in DECIMAL(38). */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val rng = ev.agg(min("ts").as("mn"), max("ts").as("mx"))
+      .selectExpr("(mn + mx) div 2 AS cutoff")
+    val per = ev.crossJoin(broadcast(rng))
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < col("cutoff"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= col("cutoff"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .withColumn("is_a", col("user_id") % 2 === 0)
+    per.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("is_a"), col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("is_a"), col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("is_a"), col("x")).otherwise(0L)).as("sx_c"),
+        sum(when(!col("is_a"), col("y")).otherwise(0L)).as("sy_c"))
+      .selectExpr("n", "n_t", "n_c",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy" +
+          " AS p",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx" +
+          " AS q",
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy" +
+          " AS r",
+        "CAST(CAST(sy_t AS DECIMAL(38,0)) * 1000000 div n_t AS BIGINT)" +
+          " - CAST(CAST(sy_c AS DECIMAL(38,0)) * 1000000 div n_c" +
+          " AS BIGINT) AS raw_diff_micro",
+        "CAST(CAST(sx_t AS DECIMAL(38,0)) * 1000000 div n_t AS BIGINT)" +
+          " - CAST(CAST(sx_c AS DECIMAL(38,0)) * 1000000 div n_c" +
+          " AS BIGINT) AS x_diff_micro")
+      .selectExpr("n_t", "n_c", "raw_diff_micro",
+        "CASE WHEN q = 0 THEN NULL ELSE CAST(CASE WHEN p >= 0" +
+          " THEN p * 1000000 div q" +
+          " ELSE -((-p) * 1000000 div q) END AS BIGINT) END AS theta_ppm",
+        "CASE WHEN r = 0 THEN NULL ELSE CAST(CASE WHEN p >= 0" +
+          " THEN p * 1000000 div r" +
+          " ELSE -((-p) * 1000000 div r) END AS BIGINT) END AS p_over_r_ppm",
+        "x_diff_micro")
+      .selectExpr("n_t", "n_c", "raw_diff_micro", "theta_ppm",
+        // two-step floors: θ_ppm and (P/R)_ppm are already exact
+        // BIGINTs, so these products are deterministic on both engines
+        "CASE WHEN theta_ppm IS NULL THEN NULL ELSE raw_diff_micro" +
+          " - CAST(CASE WHEN CAST(theta_ppm AS DECIMAL(38,0)) * x_diff_micro >= 0" +
+          " THEN CAST(theta_ppm AS DECIMAL(38,0)) * x_diff_micro div 1000000" +
+          " ELSE -((-(CAST(theta_ppm AS DECIMAL(38,0)) * x_diff_micro))" +
+          " div 1000000) END AS BIGINT) END AS adj_diff_micro",
+        // ρ² = θ·(P/R) ≥ 0: both factors share P's sign
+        "CASE WHEN theta_ppm IS NULL OR p_over_r_ppm IS NULL THEN NULL" +
+          " ELSE CAST(abs(CAST(theta_ppm AS DECIMAL(38,0)) * p_over_r_ppm)" +
+          " div 1000000 AS BIGINT) END AS var_reduction_ppm")
+  }
+
+  /** QUANTILE TREATMENT EFFECT at the median — the distributional
+    * companion to the mean lift: exact lower-median event value per
+    * arm (the division-free k-th-order-statistic pick over the
+    * value-domain cell table, q_weighted_median's discipline) and
+    * their difference. Means hide what medians show: a lift driven by
+    * a few whales moves the mean and not the median — QTE is how an
+    * experimentation platform tells those apart.
+    *
+    * Plan/scale shape: events scan → (arm, cents) map-side-combined
+    * cell aggregate → arm-partitioned cumsum window over the DOMAIN-
+    * capped cell table → min-pick per arm → 1-row pivot. The window
+    * input is bounded by the price domain, not the corpus. */
+  def qteMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select((col("user_id") % 2 === 0).as("is_a"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("is_a", "cents").agg(count(lit(1)).as("w"))
+    val tot = cells.groupBy("is_a").agg(sum("w").as("n"))
+    val wCum = Window.partitionBy("is_a").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum", sum("w").over(wCum))
+      .join(tot, "is_a")
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("is_a").agg(min("cents").as("med"), max("n").as("n"))
+      .agg(max(when(col("is_a"), col("n"))).as("n_a"),
+        max(when(!col("is_a"), col("n"))).as("n_b"),
+        max(when(col("is_a"), col("med"))).as("median_a_cents"),
+        max(when(!col("is_a"), col("med"))).as("median_b_cents"))
+      .withColumn("qte_cents",
+        expr("median_b_cents - median_a_cents"))
+  }
+
+  /** POWER ANALYSIS / MINIMUM DETECTABLE EFFECT for the next
+    * experiment, from the current corpus's own variance: at α=5%
+    * (two-sided) and 80% power, MDE = (z₀.₉₇₅+z₀.₈)·σ·√(2/n_arm) and
+    * the required n per arm for a 1%-of-mean target effect is
+    * n = 2σ²(z_α+z_β)²/δ². The z constants are fixed milli integers
+    * (1960 + 842 = 2802). σ² is the exact sample-variance rational
+    * (n·Σy² − (Σy)²)/(n(n−1)) of per-user spend, and the square root
+    * is an EXACT INTEGER SQRT: correctly-rounded IEEE double sqrt as
+    * the seed, then a ±1 integer correction against the true square
+    * (for x < 2⁶³ the double seed is within 1 of ⌊√x⌋ — the x→double
+    * rounding error is ≤ √x·2⁻⁵⁴ < 1 — so one two-sided step lands
+    * exactly; both engines' sqrt is IEEE correctly rounded). n_req is
+    * a ceiling division, all DECIMAL(38).
+    *
+    * Plan/scale shape: events scan → per-user aggregate → ONE 1-row
+    * total aggregate → pure projection chain. */
+  def powerMde(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("user_id").agg(sum("cents").as("y"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .selectExpr("n", "sy",
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy" +
+          " AS varnum",
+        "n div 2 AS n_arm",
+        "CAST(CAST(sy AS DECIMAL(38,0)) * 1000 div n AS BIGINT)" +
+          " AS mean_milli_cents")
+      .selectExpr("n AS n_users", "n_arm", "mean_milli_cents",
+        "CAST(varnum div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)" +
+          " AS var_cents2",
+        // X = 2σ²/n_arm scaled by 10⁶ (so isqrt yields milli-cents)
+        "CAST(2 * varnum * 1000000 div (CAST(n AS DECIMAL(38,0))" +
+          " * (n - 1) * n_arm) AS BIGINT) AS xv",
+        "mean_milli_cents div 100 AS delta_milli_cents",
+        "varnum")
+      .selectExpr("n_users", "n_arm", "mean_milli_cents", "var_cents2",
+        "xv", "delta_milli_cents", "varnum",
+        "CAST(floor(sqrt(CAST(xv AS DOUBLE))) AS BIGINT) AS r0")
+      .selectExpr("n_users", "n_arm", "mean_milli_cents", "var_cents2",
+        "xv", "delta_milli_cents", "varnum",
+        "r0 + (CASE WHEN CAST(r0 + 1 AS DECIMAL(38,0)) * (r0 + 1) <= xv" +
+          " THEN 1 ELSE 0 END) AS r1")
+      .selectExpr("n_users", "n_arm", "mean_milli_cents", "var_cents2",
+        "delta_milli_cents", "varnum",
+        "r1 - (CASE WHEN CAST(r1 AS DECIMAL(38,0)) * r1 > xv" +
+          " THEN 1 ELSE 0 END) AS sd2n_milli")
+      .selectExpr("n_users", "n_arm", "mean_milli_cents", "var_cents2",
+        "delta_milli_cents",
+        "CAST(2802 * sd2n_milli div 1000 AS BIGINT) AS mde_milli_cents",
+        // n_req = ⌈2·z²·varnum / (n(n−1)·δ²)⌉, z² in micro cancels δ²'s
+        // milli² — ceiling division via (a + b − 1) div b
+        "CAST((2 * 7851204 * varnum + CAST(n_users AS DECIMAL(38,0))" +
+          " * (n_users - 1) * delta_milli_cents * delta_milli_cents - 1)" +
+          " div (CAST(n_users AS DECIMAL(38,0)) * (n_users - 1)" +
+          " * delta_milli_cents * delta_milli_cents) AS BIGINT)" +
+          " AS n_required_per_arm")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_study" -> eventStudy,
+    "q_cuped" -> cuped,
+    "q_qte_median" -> qteMedian,
+    "q_power_mde" -> powerMde,
     "q_cem_att" -> cemAtt,
     "q_diff_in_diff" -> diffInDiff,
     "q_forecast_backtest" -> forecastBacktest,
@@ -1452,6 +1662,166 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_event_study" ->
+      """WITH cells AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |         CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS n_t,
+        |         CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |           THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS s_t,
+        |         CAST(sum(CASE WHEN c_mktsegment <> 'BUILDING' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS n_c,
+        |         CAST(sum(CASE WHEN c_mktsegment <> 'BUILDING'
+        |           THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS s_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |gaps AS (
+        |  SELECT yr, n_t, n_c,
+        |         CAST(CAST(s_t AS HUGEINT) * 1000000 // n_t AS BIGINT)
+        |           AS y_treated_micro,
+        |         CAST(CAST(s_c AS HUGEINT) * 1000000 // n_c AS BIGINT)
+        |           AS y_control_micro
+        |  FROM cells),
+        |g2 AS (SELECT *, y_treated_micro - y_control_micro AS gap_micro
+        |       FROM gaps),
+        |base AS (SELECT gap_micro AS base_gap FROM g2 WHERE yr = 1995)
+        |SELECT yr, n_t, n_c, y_treated_micro, y_control_micro, gap_micro,
+        |       gap_micro - base_gap AS effect_micro
+        |FROM g2 CROSS JOIN base""".stripMargin,
+    "q_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |rng AS (SELECT (min(tns) + max(tns)) // 2 AS cutoff FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN tns < cutoff THEN cents ELSE 0 END)
+        |           AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN tns >= cutoff THEN cents ELSE 0 END)
+        |           AS BIGINT) AS y,
+        |         user_id % 2 = 0 AS is_a
+        |  FROM ev CROSS JOIN rng GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_t,
+        |         CAST(sum(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT)
+        |           AS sx_t,
+        |         CAST(sum(CASE WHEN is_a THEN y ELSE 0 END) AS BIGINT)
+        |           AS sy_t,
+        |         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_c,
+        |         CAST(sum(CASE WHEN NOT is_a THEN x ELSE 0 END) AS BIGINT)
+        |           AS sx_c,
+        |         CAST(sum(CASE WHEN NOT is_a THEN y ELSE 0 END) AS BIGINT)
+        |           AS sy_c
+        |  FROM per),
+        |d AS (
+        |  SELECT n, n_t, n_c,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS p,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS q,
+        |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS r,
+        |         CAST(CAST(sy_t AS HUGEINT) * 1000000 // n_t AS BIGINT)
+        |           - CAST(CAST(sy_c AS HUGEINT) * 1000000 // n_c AS BIGINT)
+        |           AS raw_diff_micro,
+        |         CAST(CAST(sx_t AS HUGEINT) * 1000000 // n_t AS BIGINT)
+        |           - CAST(CAST(sx_c AS HUGEINT) * 1000000 // n_c AS BIGINT)
+        |           AS x_diff_micro
+        |  FROM tot),
+        |t AS (
+        |  SELECT n_t, n_c, raw_diff_micro, x_diff_micro,
+        |         CASE WHEN q = 0 THEN NULL ELSE CAST(CASE WHEN p >= 0
+        |           THEN p * 1000000 // q
+        |           ELSE -((-p) * 1000000 // q) END AS BIGINT) END
+        |           AS theta_ppm,
+        |         CASE WHEN r = 0 THEN NULL ELSE CAST(CASE WHEN p >= 0
+        |           THEN p * 1000000 // r
+        |           ELSE -((-p) * 1000000 // r) END AS BIGINT) END
+        |           AS p_over_r_ppm
+        |  FROM d)
+        |SELECT n_t, n_c, raw_diff_micro, theta_ppm,
+        |       CASE WHEN theta_ppm IS NULL THEN NULL ELSE raw_diff_micro
+        |         - CAST(CASE WHEN CAST(theta_ppm AS HUGEINT) * x_diff_micro >= 0
+        |           THEN CAST(theta_ppm AS HUGEINT) * x_diff_micro // 1000000
+        |           ELSE -((-(CAST(theta_ppm AS HUGEINT) * x_diff_micro))
+        |             // 1000000) END AS BIGINT) END AS adj_diff_micro,
+        |       CASE WHEN theta_ppm IS NULL OR p_over_r_ppm IS NULL THEN NULL
+        |         ELSE CAST(abs(CAST(theta_ppm AS HUGEINT) * p_over_r_ppm)
+        |           // 1000000 AS BIGINT) END AS var_reduction_ppm
+        |FROM t""".stripMargin,
+    "q_qte_median" ->
+      """WITH cells AS (
+        |  SELECT user_id % 2 = 0 AS is_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT is_a, CAST(sum(w) AS BIGINT) AS n FROM cells
+        |        GROUP BY 1),
+        |cum AS (
+        |  SELECT c.is_a, c.cents, t.n,
+        |         CAST(sum(w) OVER (PARTITION BY c.is_a ORDER BY c.cents
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM cells c JOIN tot t ON c.is_a = t.is_a),
+        |med AS (
+        |  SELECT is_a, CAST(min(cents) AS BIGINT) AS med,
+        |         CAST(max(n) AS BIGINT) AS n
+        |  FROM cum WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT max(CASE WHEN is_a THEN n END) AS n_a,
+        |       max(CASE WHEN NOT is_a THEN n END) AS n_b,
+        |       max(CASE WHEN is_a THEN med END) AS median_a_cents,
+        |       max(CASE WHEN NOT is_a THEN med END) AS median_b_cents,
+        |       max(CASE WHEN NOT is_a THEN med END)
+        |         - max(CASE WHEN is_a THEN med END) AS qte_cents
+        |FROM med""".stripMargin,
+    "q_power_mde" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per),
+        |d AS (
+        |  SELECT n, sy,
+        |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |           AS varnum,
+        |         n // 2 AS n_arm,
+        |         CAST(CAST(sy AS HUGEINT) * 1000 // n AS BIGINT)
+        |           AS mean_milli_cents
+        |  FROM tot),
+        |e AS (
+        |  SELECT n AS n_users, n_arm, mean_milli_cents,
+        |         CAST(varnum // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+        |           AS var_cents2,
+        |         CAST(2 * varnum * 1000000 // (CAST(n AS HUGEINT)
+        |           * (n - 1) * n_arm) AS BIGINT) AS xv,
+        |         mean_milli_cents // 100 AS delta_milli_cents,
+        |         varnum
+        |  FROM d),
+        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(xv AS DOUBLE))) AS BIGINT)
+        |         AS r0 FROM e),
+        |s1 AS (SELECT *, r0 + (CASE WHEN CAST(r0 + 1 AS HUGEINT) * (r0 + 1)
+        |         <= xv THEN 1 ELSE 0 END) AS r1 FROM s0),
+        |s2 AS (SELECT *, r1 - (CASE WHEN CAST(r1 AS HUGEINT) * r1 > xv
+        |         THEN 1 ELSE 0 END) AS sd2n_milli FROM s1)
+        |SELECT n_users, n_arm, mean_milli_cents, var_cents2,
+        |       delta_milli_cents,
+        |       CAST(2802 * sd2n_milli // 1000 AS BIGINT) AS mde_milli_cents,
+        |       CAST((2 * 7851204 * varnum + CAST(n_users AS HUGEINT)
+        |         * (n_users - 1) * delta_milli_cents * delta_milli_cents
+        |         - 1) // (CAST(n_users AS HUGEINT) * (n_users - 1)
+        |         * delta_milli_cents * delta_milli_cents) AS BIGINT)
+        |         AS n_required_per_arm
+        |FROM s2""".stripMargin,
     "q_cem_att" ->
       """WITH per AS (
         |  SELECT o_custkey,
