@@ -627,7 +627,14 @@ object Similarity {
     * the CC/PageRank/BPE fixpoints so the unrolled plan stays linear.
     * Output: the final round's update table. */
   def kmeansTrain(spark: SparkSession, dir: String, k: Int = 8,
-      rounds: Int = KmeansRounds): DataFrame = {
+      rounds: Int = KmeansRounds): DataFrame =
+    kmeansFit(spark, dir, k, rounds)._3
+
+  /** The shared fit: returns (quantized vectors, final centroids, final
+    * update table) so evaluation operators ([[silhouette]]) score the
+    * SAME model the training loop produced instead of re-deriving it. */
+  private[graft] def kmeansFit(spark: SparkSession, dir: String, k: Int,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
     val absMax = e.agg(greatest(max(aggregate(col("embedding"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))), lit(1e-30))
@@ -662,7 +669,61 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("c_new")))).as("pc"))
         .select(col("cluster"), expr("transform(pc, p -> p.c_new)").as("c"))
     }
-    update
+    (qv, cents, update)
+  }
+
+  /** SIMPLIFIED SILHOUETTE (Hruschka et al.) of the trained k-means
+    * model — the clustering-quality gate beside q_ann_recall's
+    * retrieval gate: per vector, a = distance to the nearest (own)
+    * final centroid and b = distance to the second-nearest, scored
+    * s = (b − a)/b (the centroid form of silhouette; O(n·k), never the
+    * O(n²) pairwise original — the only version that runs at 100 TB).
+    * Distances are TRUE Euclidean in exact milli-units via the exact
+    * integer sqrt (IEEE double seed + ±1 correction — d²·10⁶ ≤ 4·10¹²
+    * here, far under the 2⁶³ exactness ceiling), so the report
+    * hash-checks; with nearest-centroid assignment a ≤ b always, so
+    * s ∈ [0, 1] and no sign split is needed. Low per-cluster means
+    * flag the clusters IVF/SemDeDup cell builds should re-split.
+    *
+    * Plan/scale shape: the fit's checkpointed quantized scan ⋈ k
+    * broadcast centroids → per-vector k-row bounded rank window →
+    * rank-1/rank-2 self-join on vec_id → isqrt projection chain →
+    * k-row aggregate. */
+  def silhouette(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (qv, cents, _) = kmeansFit(spark, dir, k, KmeansRounds)
+    val ranked = qv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.L2Sq(col("q"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") <= 2)
+    def milli(src: String, out: String) = Seq(
+      s"CAST(floor(sqrt(CAST($src * 1000000 AS DOUBLE))) AS BIGINT)" +
+        s" AS ${out}_r0",
+      s"$src * 1000000 AS ${out}_x")
+    ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("d2").as("a2"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("vec_id"), col("d2").as("b2")), "vec_id")
+      .selectExpr(Seq("vec_id", "cluster") ++
+        milli("a2", "a") ++ milli("b2", "b"): _*)
+      .selectExpr("vec_id", "cluster",
+        "a_x", "a_r0 + (CASE WHEN (a_r0 + 1) * (a_r0 + 1) <= a_x" +
+          " THEN 1 ELSE 0 END) AS a_r1",
+        "b_x", "b_r0 + (CASE WHEN (b_r0 + 1) * (b_r0 + 1) <= b_x" +
+          " THEN 1 ELSE 0 END) AS b_r1")
+      .selectExpr("vec_id", "cluster",
+        "a_r1 - (CASE WHEN a_r1 * a_r1 > a_x THEN 1 ELSE 0 END) AS a_milli",
+        "b_r1 - (CASE WHEN b_r1 * b_r1 > b_x THEN 1 ELSE 0 END) AS b_milli")
+      .selectExpr("cluster",
+        "CASE WHEN b_milli = 0 THEN 0 ELSE" +
+          " CAST(CAST(b_milli - a_milli AS DECIMAL(38,0)) * 1000000" +
+          " div b_milli AS BIGINT) END AS s_ppm")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        expr("CAST(sum(CAST(s_ppm AS DECIMAL(38,0))) div count(1)" +
+          " AS BIGINT)").as("mean_sil_ppm"),
+        min("s_ppm").as("min_sil_ppm"), max("s_ppm").as("max_sil_ppm"))
   }
 
   /** Retrieval (the RAG serving shape): ANN candidates from the IVF
@@ -858,6 +919,7 @@ object Similarity {
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "q_kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
+    "q_silhouette" -> ((s, d) => silhouette(s, d)),
     "q_bitext_mining" -> ((s, d) => bitextMining(s, d)),
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
@@ -930,7 +992,13 @@ object Similarity {
     * +128-shifted space, and the list re-assembly feeding the next
     * round — the adaptive loop unrolled as CTEs (same technique as the
     * BPE oracle). */
-  private def kmeansSql(rounds: Int): String = {
+  private def kmeansSql(rounds: Int): String =
+    kmeansCtes(rounds) + s"\nSELECT cluster, pos, c_new, n_members FROM u$rounds"
+
+  /** The WITH-chain of [[kmeansSql]] without the final SELECT — shared
+    * with [[silhouetteSql]] so the evaluated model and the trained
+    * model cannot drift. */
+  private def kmeansCtes(rounds: Int): String = {
     val base =
       """WITH am AS (
         |  SELECT greatest(max(list_max(list_transform(embedding,
@@ -964,9 +1032,59 @@ object Similarity {
          |c$r AS (SELECT cluster, list(c_new ORDER BY pos) AS c
          |        FROM u$r GROUP BY 1)""".stripMargin
     }
-    (base +: roundCtes).mkString(",\n") +
-      s"\nSELECT cluster, pos, c_new, n_members FROM u$rounds"
+    (base +: roundCtes).mkString(",\n")
   }
+
+  /** Oracle for [[silhouette]]: the full kmeans CTE chain, then the
+    * final-centroid assignment, nearest/second-nearest ranks, the exact
+    * integer sqrt (float seed + ±1 correction, the q_power_mde
+    * primitive), and the per-cluster silhouette aggregate. */
+  private def silhouetteSql(rounds: Int): String =
+    kmeansCtes(rounds) +
+      s""",
+         |df AS (
+         |  SELECT q.vec_id, c.cluster,
+         |         list_sum(list_transform(range(1, 65), i ->
+         |           (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d2
+         |  FROM q CROSS JOIN c$rounds c),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY d2, cluster) AS rn
+         |  FROM df),
+         |ab AS (
+         |  SELECT a.vec_id, a.cluster,
+         |         a.d2 * 1000000 AS a_x, b.d2 * 1000000 AS b_x
+         |  FROM (SELECT * FROM rk WHERE rn = 1) a
+         |  JOIN (SELECT * FROM rk WHERE rn = 2) b ON a.vec_id = b.vec_id),
+         |s0 AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(a_x AS DOUBLE))) AS BIGINT) AS a_r0,
+         |         CAST(floor(sqrt(CAST(b_x AS DOUBLE))) AS BIGINT) AS b_r0
+         |  FROM ab),
+         |s1 AS (
+         |  SELECT *, a_r0 + (CASE WHEN (a_r0 + 1) * (a_r0 + 1) <= a_x
+         |           THEN 1 ELSE 0 END) AS a_r1,
+         |         b_r0 + (CASE WHEN (b_r0 + 1) * (b_r0 + 1) <= b_x
+         |           THEN 1 ELSE 0 END) AS b_r1
+         |  FROM s0),
+         |s2 AS (
+         |  SELECT vec_id, cluster,
+         |         a_r1 - (CASE WHEN a_r1 * a_r1 > a_x THEN 1 ELSE 0 END)
+         |           AS a_milli,
+         |         b_r1 - (CASE WHEN b_r1 * b_r1 > b_x THEN 1 ELSE 0 END)
+         |           AS b_milli
+         |  FROM s1),
+         |sil AS (
+         |  SELECT cluster,
+         |         CASE WHEN b_milli = 0 THEN 0 ELSE
+         |           CAST(CAST(b_milli - a_milli AS HUGEINT) * 1000000
+         |             // b_milli AS BIGINT) END AS s_ppm
+         |  FROM s2)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(CAST(s_ppm AS HUGEINT)) // count(*) AS BIGINT)
+         |         AS mean_sil_ppm,
+         |       CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm,
+         |       CAST(max(s_ppm) AS BIGINT) AS max_sil_ppm
+         |FROM sil GROUP BY 1""".stripMargin
 
   /** Oracle for [[mmrSelect]]: the greedy loop unrolled as one CTE
     * chain per step (sel1..selK), each step an argmax over the exact
@@ -1157,6 +1275,7 @@ object Similarity {
     // form unrolls the SAME per-round CTEs for KmeansRounds.
     "q_kmeans_step" -> kmeansSql(1),
     "q_kmeans_train" -> kmeansSql(KmeansRounds),
+    "q_silhouette" -> silhouetteSql(KmeansRounds),
     // Served form is result-identical to q_retrieval by construction
     // (same quantizer, same assignments, just persisted) — same oracle.
     "q_retrieval_served" ->
