@@ -37,6 +37,26 @@ class RegistrySpec extends AnyFunSuite {
         s"says $SurveyLedgerCount — update both together")
   }
 
+  /** Round-11 drift: `q_silhouette` was registered and hash-green but
+    * absent from SURVEY §2, and §14's prose tally still said 298 while
+    * this spec pinned 299 — the count check alone cannot catch a query
+    * that is counted but never ledgered. So the PROSE side of the
+    * contract is mechanical too: every registered query name must
+    * appear somewhere in SURVEY.md, and §14 must quote this spec's
+    * `SurveyLedgerCount` literal verbatim.
+    */
+  test("every registered query is ledgered in SURVEY.md") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val unledgered = SparkEntry.queries.keySet.filterNot(survey.contains)
+    assert(unledgered.isEmpty,
+      s"queries registered but absent from SURVEY.md: $unledgered — " +
+        "add a §2 row (and oracle note) in the same commit")
+    assert(survey.contains(s"SurveyLedgerCount = $SurveyLedgerCount"),
+      s"SURVEY.md must quote `SurveyLedgerCount = $SurveyLedgerCount` " +
+        "verbatim in its §14 tally — update the prose with the constant")
+  }
+
   test("no duplicate query names across operator modules") {
     // Map ++ silently keeps the last binding; a name collision between
     // modules would shadow an operator and its oracle without any
