@@ -262,11 +262,16 @@ object Bench {
 
     // A failed query records -1 (a sentinel the driver can see — never a
     // bogus sub-second "timing") and is excluded from the headline total.
+    // Every timed measurement also records its RUN POSITION (0-based
+    // index in the run order), so late-run drift is attributable.
+    val runPos = new java.util.concurrent.atomic.AtomicInteger(0)
+    val positions = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timeOne(name: String): (String, Double) = {
       val fn = SparkEntry.queries(name)
       if (doWarm)
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+      positions(name) = runPos.getAndIncrement()
       val times = (1 to reps).map { _ =>
         if (doGc) System.gc()
         val t0 = System.nanoTime()
@@ -282,8 +287,42 @@ object Bench {
         else times.sorted.apply((times.size - 1) / 2) // lower median
       name -> t
     }
+
+    // CANARY (round-11 verdict №1): BENCH_r11's +32.7% uniform shift was
+    // indistinguishable, from the artifact alone, between host/JVM-state
+    // drift and a real across-the-board regression. One FIXED query is
+    // re-measured with the identical discipline at run START, MIDDLE
+    // (after the headline set) and END (after the non-headline sweep);
+    // its inflation across the run measures within-run drift, and its
+    // start value across ROUNDS measures host drift — a code regression
+    // moves queries relative to the canary, host drift moves the canary
+    // itself. Normalization rule (SURVEY §6): divide round-over-round
+    // per-query ratios by the canary-start ratio before reading them.
+    val canaryName = "q1_pricing_summary"
+    def canaryRun(): Double = {
+      val fn = SparkEntry.queries(canaryName)
+      val times = (1 to reps).map { _ =>
+        if (doGc) System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }
+      if (times.exists(_ < 0)) -1.0
+      else times.sorted.apply((times.size - 1) / 2)
+    }
+    // Warm the canary's shape once so canary_start is steady-state, not
+    // first-plan codegen cost (headline queries get the same treatment
+    // via the per-query warmup above).
+    if (doWarm)
+      try SparkEntry.queries(canaryName)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    val canaryStart = canaryRun()
     val results = selected.map(timeOne)
+    val canaryMid = canaryRun()
     val extraResults = nonHeadline.map(timeOne)
+    val canaryEnd = canaryRun()
     val failed = (results ++ extraResults).count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalAll = total +
@@ -297,19 +336,49 @@ object Bench {
     val qs = (results ++ extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val nh = nonHeadline.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Round-11 verdict №4: the non-headline list carries a per-query
+    // REASON for why it is outside the headline total. Most are the
+    // same reason — the headline set froze in round 10 so its total
+    // stays comparable round-over-round, and later additions are timed
+    // identically but accumulate in value_all instead — with explicit
+    // overrides where the exclusion is structural, not chronological.
+    val nhReasonOverrides: Map[String, String] = Map(
+      "q_script_median" -> ("SQL-scripting control flow: ~26 sequential"
+        + " COUNT probes pay per-statement job latency by design"),
+      "q_ann_recall" -> "evaluation companion of headlined q_ann_ivf",
+      "q_mv_rewrite" -> ("plan-rewrite demonstration; its data path is"
+        + " the headlined monthly aggregate read from the view"),
+      "q_approx_distinct_users" -> ("5-row HLL aggregate; headline"
+        + " covers HLL via q_heavy_hitters-family scans"),
+      "q_param_sql" -> "SQL-surface variant of a headlined query shape",
+      "q_pipe_sql" -> "SQL-surface variant of a headlined query shape",
+      "q_avro_evolution" -> "codec variant of headlined q_avro_roundtrip",
+      "q_csv_roundtrip" -> "format variant of headlined q_orc_roundtrip",
+      "q_json_roundtrip" -> "format variant of headlined q_orc_roundtrip",
+      "q_xml_roundtrip" -> "format variant of headlined q_orc_roundtrip")
+    val nhDefault = "added after the round-10 headline freeze (total " +
+      "stays round-over-round comparable); timed identically, in value_all"
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val nh = nonHeadline.map { n =>
+      s"""{"name":"$n","reason":"${esc(nhReasonOverrides.getOrElse(n, nhDefault))}"}"""
+    }.mkString("[", ",", "]")
+    val posJson = positions
+      .map { case (k, i) => "\"" + k + s"\":$i" }.mkString("{", ",", "}")
+    val canaryJson =
+      f"""{"query":"$canaryName","start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_queries.json")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     (results ++ extraResults).foreach { case (k, v) =>
       println(f"""{"query":"$k","sec":$v%.3f}""") }
+    println(s"""{"canary":$canaryJson}""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"sf":"$sfDir","queries_file":"$outPath"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }
