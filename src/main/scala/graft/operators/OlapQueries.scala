@@ -592,23 +592,38 @@ object OlapQueries {
       .agg(countDistinct("user_id").as("distinct_users"),
         count(lit(1)).as("event_count"))
 
-  /** Approximate distinct (HyperLogLog++) — the 100 TB path where exact
-    * distinct would shuffle every key. The raw estimate is
-    * engine-specific, so the oracle-checked surface asserts the HLL
-    * estimate lands within its error bound of the exact count (rsd=0.01,
-    * bound 5% = 5 sigma — deterministic: HLL register maxima are
-    * order-independent).
+  /** Approximate distinct (HLL) — the 100 TB path where exact distinct
+    * would shuffle every key. The raw estimate is engine-specific, so
+    * the oracle-checked surface asserts the HLL estimate lands within
+    * its error bound of the exact count (lgK=14 → ~0.8% 1σ, bound 5% ≈
+    * 6σ — deterministic: HLL register maxima are order-independent).
+    *
+    * Round-12 rewrite (2.2 s isolated → 0.43 s): the original shape
+    * mixed `approx_count_distinct(rsd=0.01)` with `countDistinct` in
+    * ONE agg, and Spark's distinct rewrite then carries the p=14
+    * HLL++ buffer — ~1.6k LongType buffer attributes — through a
+    * 4-stage plan keyed on (event_type, user_id), i.e. one 13 KB
+    * buffer PER DISTINCT PAIR. Fix is structural, not precision-loss:
+    * the sketch side runs in its own 2-stage agg using the
+    * Datasketches `hll_sketch_agg` (one compact binary buffer per
+    * group instead of thousands of codegen'd Long columns), the exact
+    * side keeps its own distinct plan, and the |event_type|-row sketch
+    * result broadcast-joins back. Same output schema, same 5% bound,
+    * tighter sigma.
     */
-  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        approx_count_distinct("user_id", 0.01).as("approx"),
-        countDistinct("user_id").as("exact_users"))
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "user_id")
+    val approx = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("approx"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    exact.join(broadcast(approx), "event_type")
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=
           greatest(lit(5.0), col("exact_users") * 0.05))
           .as("approx_within_5pct"))
+  }
 
   /** Approximate percentile (KLL-style sketch) — the 100 TB path where
     * the exact sort-based percentile would shuffle every value. Like the
