@@ -348,6 +348,8 @@ object Bench {
       "q_ann_recall" -> "evaluation companion of headlined q_ann_ivf",
       "q_mv_rewrite" -> ("plan-rewrite demonstration; its data path is"
         + " the headlined monthly aggregate read from the view"),
+      "q_mv_rewrite_filtered" -> ("plan-rewrite demonstration: the"
+        + " filter-over-view containment case, view scan + pushed filter"),
       "q_approx_distinct_users" -> ("5-row HLL aggregate; headline"
         + " covers HLL via q_heavy_hitters-family scans"),
       "q_param_sql" -> "SQL-surface variant of a headlined query shape",

@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.AvroRoundTripElision)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // Materialized-view rewrite at END OF ANALYSIS (not optimization):
+    // ahead of predicate pushdown, a restatement with a residual
+    // filter on view columns still contains the pristine defining
+    // Aggregate, so the structural match fires and the main optimizer
+    // then pushes the residual into the VIEW parquet scan. No-op while
+    // MvCatalog is empty. See plans/MvRewrite.scala.
+    ext.injectPostHocResolutionRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((
       new FunctionIdentifier("to_avro_order"),
       new ExpressionInfo(classOf[ToAvroOrder].getName, "to_avro_order"),

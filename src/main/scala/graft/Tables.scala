@@ -81,6 +81,12 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // The library's own extensions entry point, exactly as a cluster
+      // user would install it — SQL functions everywhere, the as-of
+      // planner strategy, the Avro-elision optimizer rule, and the
+      // MV-rewrite post-hoc resolution rule (the analysis-time slot
+      // that makes filtered view restatements rewritable).
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -540,15 +540,25 @@ object OlapQueries {
       quarterlyRevenueDef(spark, d).write.mode("overwrite").parquet(p)
       p
     })
-    val defDf = quarterlyRevenueDef(spark, dir)
-    // Canonical forms captured BEFORE registration: computing
-    // optimizedPlan after the catalog entry exists would let the rule
-    // rewrite the defining plan itself, and the stored "definition"
-    // would be the view scan.
-    val canons = Seq(defDf.queryExecution.analyzed,
-      defDf.queryExecution.optimizedPlan)
-    graft.plans.MvCatalog.register(s"quarterly_revenue:$dir", canons,
-      spark.read.parquet(path).queryExecution.analyzed)
+    // Registration is check-then-skip (ADVICE r11): on a SECOND call
+    // the rule is already live, so re-deriving the defining plan here
+    // yields the REWRITTEN view-scan form, and re-registering would
+    // overwrite the aggregate canon with it — silently ending all
+    // future matches and making the plan nondeterministic across bench
+    // repetitions. The canons captured on the first call stay valid
+    // for the life of the JVM (the defining shape is a pure function
+    // of the corpus dir).
+    if (!graft.plans.MvCatalog.contains(s"quarterly_revenue:$dir")) {
+      val defDf = quarterlyRevenueDef(spark, dir)
+      // Canonical forms captured BEFORE registration: computing
+      // optimizedPlan after the catalog entry exists would let the rule
+      // rewrite the defining plan itself, and the stored "definition"
+      // would be the view scan.
+      val canons = Seq(defDf.queryExecution.analyzed,
+        defDf.queryExecution.optimizedPlan)
+      graft.plans.MvCatalog.register(s"quarterly_revenue:$dir", canons,
+        spark.read.parquet(path).queryExecution.analyzed)
+    }
     OlapQueries.synchronized {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.MvRewrite))
@@ -556,6 +566,25 @@ object OlapQueries {
           spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
     }
     quarterlyRevenueDef(spark, dir)
+  }
+
+  /** FILTER-OVER-VIEW rewrite — the first containment step past exact
+    * match (the Calcite filter-on-view case, and the one dashboards
+    * actually hit: "recent quarters only" over the quarterly view).
+    * The query is the defining aggregate RESTATED plus a residual
+    * predicate on a grouping column. The `extraOptimizations` slot
+    * cannot catch this (pushdown has already threaded the filter
+    * through the Aggregate by the time user rules run), so the rule
+    * also rides `GraftExtensions.injectPostHocResolutionRule`: at end
+    * of analysis the pristine Aggregate subtree is still intact, the
+    * structural match fires, and the MAIN optimizer then pushes
+    * `qtr >= 8` into the VIEW parquet scan — fact scan gone AND the
+    * residual predicate lands as a parquet PushedFilter on the view
+    * (MvRewriteSpec pins both plan facts + row parity).
+    */
+  def mvRewriteFiltered(spark: SparkSession, dir: String): DataFrame = {
+    mvRewrite(spark, dir) // build + register + install, all idempotent
+    quarterlyRevenueDef(spark, dir).filter(col("qtr") >= 8)
   }
 
   /** Semi join: customers having at least one order above a threshold. */
@@ -1069,6 +1098,7 @@ object OlapQueries {
     "q_top_part_per_nation" -> topPartPerNation,
     "q_monthly_revenue" -> monthlyRevenue,
     "q_mv_rewrite" -> mvRewrite,
+    "q_mv_rewrite_filtered" -> mvRewriteFiltered,
     "q_customers_high_value" -> customersWithHighValueOrders,
     "q_customers_without_orders" -> customersWithoutOrders,
     "q_rollup_flag_status" -> rollupFlagStatus,
@@ -1551,6 +1581,15 @@ object OlapQueries {
         |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |         AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_mv_rewrite_filtered" ->
+      """SELECT ((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1)
+        |         AS qtr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1
+        |HAVING ((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1)
+        |         >= 8""".stripMargin,
     "q_customers_high_value" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

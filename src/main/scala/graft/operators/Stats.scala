@@ -824,10 +824,18 @@ object Stats {
         expr("abs(CAST(y AS DECIMAL(38,0)) * d - n_x)"))
     val cal = withPred.filter(col("mo") % 2 === 1)
     val kTab = cal.agg(
-      expr("CAST((count(1) + 1) * 9 + 9 AS BIGINT) div 10").as("k"))
+      expr("CAST((count(1) + 1) * 9 + 9 AS BIGINT) div 10").as("k"),
+      count(lit(1)).as("n_cal"))
     // k-th smallest scaled residual: TakeOrdered over the bounded
-    // calibration table, never a global sort of raw data.
+    // calibration table, never a global sort of raw data. The limit is
+    // a plan bound, not a semantic one — if the calendar ever outgrows
+    // it, rk === k would match nothing and the query would silently
+    // return 0 rows, so the bound fails loudly instead (ADVICE r11).
     val qTab = cal.crossJoin(broadcast(kTab))
+      .filter(assert_true(col("n_cal") <= lit(1000),
+        concat(lit("graft conformalInterval: "), col("n_cal"),
+          lit(" calibration rows > plan bound 1000 — raise the" +
+            " TakeOrdered limit with the calendar"))).isNull)
       .select(col("res_scaled"), col("k"))
       .orderBy("res_scaled").limit(1000) // >= any realistic |months|/2
       .withColumn("rk", row_number().over(
@@ -947,6 +955,13 @@ object Stats {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("slope_micro"), col("mi"), col("mj"))))
       .crossJoin(broadcast(pTab))
+      // Loud bound (ADVICE r11): if |pairs| ever exceeded the plan
+      // bound, the median rank could point past the truncated set and
+      // the statistic would be silently wrong — fail instead.
+      .filter(assert_true(col("n_pairs") <= lit(10000),
+        concat(lit("graft theilSen: "), col("n_pairs"),
+          lit(" slope pairs > plan bound 10000 — raise the TakeOrdered" +
+            " limit with the calendar"))).isNull)
       .filter(col("rk") === expr("(n_pairs + 1) div 2"))
       .crossJoin(broadcast(ols))
       .select(col("n_months"), col("n_pairs"),
@@ -1230,8 +1245,16 @@ object Stats {
       .groupBy("d").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val kTab = daily.agg(
-      expr("CAST((count(1) + 1) div 2 AS BIGINT)").as("k"))
+      expr("CAST((count(1) + 1) div 2 AS BIGINT)").as("k"),
+      count(lit(1)).as("n_days"))
+    // Loud bound (ADVICE r11): |days| past the plan bound would drop
+    // rows from the median pick AND the runs count below — one guard
+    // here covers both stages (same day table feeds each).
     val med = daily.crossJoin(broadcast(kTab))
+      .filter(assert_true(col("n_days") <= lit(10000),
+        concat(lit("graft runsTest: "), col("n_days"),
+          lit(" day rows > plan bound 10000 — raise the TakeOrdered" +
+            " limit with the calendar"))).isNull)
       .orderBy("cnt", "d").limit(10000)
       .withColumn("rk", row_number().over(Window.orderBy("cnt", "d")))
       .filter(col("rk") === col("k"))
@@ -1284,8 +1307,15 @@ object Stats {
       .groupBy("mo").agg(sum("cents").as("y"))
     val w = Window.orderBy("mo")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val maxMo = monthly.agg(max("mo").as("max_mo"))
+    val maxMo = monthly.agg(max("mo").as("max_mo"),
+      count(lit(1)).as("n_mo"))
     monthly.crossJoin(broadcast(maxMo))
+      // Loud bound (ADVICE r11 pattern): truncation would silently
+      // corrupt the prefix sums every fit reads — fail instead.
+      .filter(assert_true(col("n_mo") <= lit(10000),
+        concat(lit("graft forecastBacktest: "), col("n_mo"),
+          lit(" month rows > plan bound 10000 — raise the limit with" +
+            " the calendar"))).isNull)
       .orderBy("mo").limit(10000) // calendar-bounded; plan-guard bound
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sx", sum(col("mo").cast("decimal(38,0)")).over(w))

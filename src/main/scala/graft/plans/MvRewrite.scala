@@ -45,6 +45,13 @@ object MvCatalog {
     entries.put(name,
       Entry(name, defPlans.map(_.canonicalized), mvRead))
 
+  /** Registration must be check-then-skip, not overwrite (ADVICE r11):
+    * once the rule is live, re-deriving the defining plan in the same
+    * session yields the REWRITTEN form (a view-scan Project), and
+    * overwriting the entry with it would silently stop all future
+    * matches. */
+  def contains(name: String): Boolean = entries.containsKey(name)
+
   def deregister(name: String): Unit = entries.remove(name)
 
   def isEmpty: Boolean = entries.isEmpty
@@ -59,6 +66,25 @@ object MvCatalog {
   }
 }
 
+/** The rewrite rule itself. Two injection points, same object:
+  *
+  *  - `spark.experimental.extraOptimizations` (installed by
+  *    `OlapQueries.mvRewrite`): runs after the main optimizer —
+  *    catches the EXACT restatement, but a restatement carrying a
+  *    residual filter is out of reach there because predicate
+  *    pushdown has already threaded the filter through the Aggregate
+  *    and the subtree no longer matches.
+  *  - `GraftExtensions.injectPostHocResolutionRule`: runs at the END
+  *    OF ANALYSIS, before any optimization — so a query that is
+  *    "defining aggregate + residual predicate on view columns"
+  *    (`Filter` / `Project` / anything above the matched node) still
+  *    contains the pristine Aggregate subtree. The rewrite swaps in
+  *    the view read, and the MAIN optimizer then pushes the residual
+  *    filter into the view parquet scan — the Calcite
+  *    filter-on-view containment case, delivered by rule ORDERING
+  *    instead of containment reasoning (which is why it cannot
+  *    change semantics: the match is still structural equality).
+  */
 object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvCatalog.isEmpty) plan

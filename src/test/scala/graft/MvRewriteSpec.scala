@@ -61,4 +61,52 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
   }
+
+  test("filtered restatement reads the view with the residual pushed") {
+    import org.apache.spark.sql.functions.col
+    // Expected rows computed with the catalog EMPTY (fact-table plan).
+    val direct = OlapQueries.quarterlyRevenueDef(spark, sfDir)
+      .filter(col("qtr") >= 8)
+      .collect().map(_.toString).sorted.toSeq
+    val rewritten = OlapQueries.mvRewriteFiltered(spark, sfDir)
+    try {
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-mv-quarterly"),
+        s"filtered restatement must scan the view parquet:\n$plan")
+      assert(!plan.contains("orders.parquet"),
+        s"filtered restatement must NOT scan the fact table:\n$plan")
+      // The residual predicate must land on the VIEW scan as a parquet
+      // pushed filter — the whole payoff of rewriting BEFORE pushdown.
+      assert(plan.contains("PushedFilters: [IsNotNull(qtr), GreaterThanOrEqual(qtr,8)]")
+          || plan.contains("GreaterThanOrEqual(qtr,8)"),
+        s"residual qtr >= 8 must be pushed into the view scan:\n$plan")
+      val got = rewritten.collect().map(_.toString).sorted.toSeq
+      assert(got == direct,
+        "filtered view read must reproduce the filtered aggregate exactly")
+    } finally {
+      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
+
+  test("re-registration is check-then-skip: second call still rewrites") {
+    try {
+      // First call registers; the rule is now live, so a second call
+      // re-derives the defining plan in REWRITTEN form — before the
+      // ADVICE-r11 fix it overwrote the aggregate canon with the
+      // view-scan form and every later restatement silently reverted
+      // to the fact plan.
+      OlapQueries.mvRewrite(spark, sfDir)
+      val second = OlapQueries.mvRewrite(spark, sfDir)
+      val plan = second.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-mv-quarterly") &&
+        !plan.contains("orders.parquet"),
+        s"second mvRewrite call must still be answered from the view:\n$plan")
+    } finally {
+      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
 }
