@@ -878,6 +878,34 @@ object Stats {
     * Plan/scale shape: identical to ksDrift — one (value, side) cell
     * aggregate, ONE `withGlobalCumsums` range pass over the post-agg
     * value table, 1-row broadcasts; output is a single row. */
+
+  /** SHARED MIDRANK PRIMITIVE for the rank-test family
+    * ([[mannWhitney]] / [[kruskalWallis]] / [[wilcoxonSigned]]; the
+    * block-local [[friedman]] shares [[twoMidrank]]): given a
+    * per-distinct-value cell table with multiplicity column `tCol`,
+    * appends `cb` (count of strictly smaller values — ONE distributed
+    * `withGlobalCumsums` range pass, never a single-partition window)
+    * and `two_mr` = 2·midrank in half-units. Before round 12 each
+    * test carried its own copy of the cumsum + tie formula, so a
+    * tie-handling fix could drift between tests; now the identity
+    * lives here once. */
+  private[graft] def withTwoMidrank(cells: DataFrame, tCol: String,
+      valueCols: Seq[String]): DataFrame =
+    Packing.withGlobalCumsums(cells, Seq(tCol -> "cb"), valueCols)
+      .withColumn("two_mr", twoMidrank(col("cb"), col(tCol)))
+
+  /** 2·midrank in half-units: with `cb` values strictly below and `t`
+    * tied values, midrank = cb + (t+1)/2, so 2·midrank = 2·cb + t + 1
+    * — no /2 anywhere, everything downstream stays integer-exact. */
+  private[graft] def twoMidrank(cb: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(2L) * cb + t + lit(1L)
+
+  /** Tie-correction cube term Σ(t³ − t) in DECIMAL(38,0) — the common
+    * correction of the MW/KW/Wilcoxon variance denominators. */
+  private[graft] def tieCubes(tCol: String): org.apache.spark.sql.Column =
+    sum(expr(s"CAST($tCol AS DECIMAL(38,0)) * $tCol * $tCol - $tCol"))
+
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.orders(spark, dir)
       .filter(year(col("o_orderdate")).isin(1995, 1996))
@@ -886,13 +914,20 @@ object Stats {
       .groupBy("cents")
       .agg(count(when(col("side") === 1, 1)).as("c1"),
         count(when(col("side") === 2, 1)).as("c2"))
-    val cum = Packing.withGlobalCumsums(g, Seq("c2" -> "cb2"), Seq("cents"))
+      .withColumn("t", col("c1") + col("c2"))
+    // Shared midrank primitive; 2U₁ recovered from the COMBINED
+    // midrank sum via 2U₁ = 2R₁ − n₁(n₁+1) (the within-side-1 rank
+    // sum is n₁(n₁+1) identically), so the cross-side cumsum copy
+    // this query used to carry is gone — value-identical, and the
+    // tie formula now lives in ONE place for the whole family.
+    val cum = withTwoMidrank(g, "t", Seq("cents"))
     val u = cum.agg(sum(expr(
-      "CAST(c1 AS DECIMAL(38,0)) * (2 * cb2 + c2)")).as("u1_x2"))
+      "CAST(c1 AS DECIMAL(38,0)) * two_mr")).as("two_r1"))
     val tot = g.agg(sum("c1").as("n1"), sum("c2").as("n2"),
-      sum(expr("CAST(c1 + c2 AS DECIMAL(38,0)) * (c1 + c2) * (c1 + c2)" +
-        " - (c1 + c2)")).as("ties"))
+      tieCubes("t").as("ties"))
     u.crossJoin(broadcast(tot))
+      .withColumn("u1_x2",
+        expr("two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"))
       .selectExpr("CAST(u1_x2 AS BIGINT) AS u1_x2", "n1", "n2",
         "CAST(u1_x2 * 1000000 div (2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
           " AS BIGINT) AS cles_ppm",
@@ -995,16 +1030,14 @@ object Stats {
         col("o_orderpriority").as("priority"))
       .groupBy("cents", "priority").agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val vals = Packing.withGlobalCumsums(
+    val vals = withTwoMidrank(
       cells.groupBy("cents").agg(sum("c").as("t")),
-      Seq("t" -> "cb"), Seq("cents"))
+      "t", Seq("cents"))
     val grp = cells.join(vals, "cents")
       .groupBy("priority")
       .agg(sum("c").as("n_j"),
-        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * cb + t + 1)"))
-          .as("two_r"))
-    val tot = vals.agg(sum("t").as("n"),
-      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties"))
+        sum(expr("CAST(c AS DECIMAL(38,0)) * two_mr")).as("two_r"))
+    val tot = vals.agg(sum("t").as("n"), tieCubes("t").as("ties"))
     val h = grp.crossJoin(broadcast(tot))
       .select(expr("CAST(two_r * two_r * 3000" +
         " div (CAST(n AS DECIMAL(38,0)) * (n + 1) * n_j) AS DECIMAL(38,0))")
@@ -1059,11 +1092,11 @@ object Stats {
     val g = pairs.groupBy("abs_d")
       .agg(count(lit(1)).as("t"),
         count(when(col("is_pos"), 1)).as("pos"))
-    val cum = Packing.withGlobalCumsums(g, Seq("t" -> "cb"), Seq("abs_d"))
+    val cum = withTwoMidrank(g, "t", Seq("abs_d"))
     val w = cum.agg(sum(expr(
-      "CAST(pos AS DECIMAL(38,0)) * (2 * cb + t + 1)")).as("two_w_plus"))
+      "CAST(pos AS DECIMAL(38,0)) * two_mr")).as("two_w_plus"))
     val tot = g.agg(sum("t").as("n"), sum("pos").as("n_pos"),
-      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties"))
+      tieCubes("t").as("ties"))
     w.crossJoin(broadcast(tot))
       .selectExpr("n", "n_pos", "CAST(two_w_plus AS BIGINT) AS two_w_plus",
         "CAST(CASE WHEN 2 * two_w_plus - CAST(n AS DECIMAL(38,0)) * (n + 1)" +
@@ -1117,8 +1150,11 @@ object Stats {
         Window.partitionBy("mo").orderBy("y")))
       .withColumn("cnt_eq", count(lit(1)).over(
         Window.partitionBy("mo", "y")))
+      // Same half-unit identity as the global family, block-local
+      // form: cb = rnk − 1 strictly-below, t = cnt_eq tied, so
+      // 2·midrank = 2(rnk−1) + cnt_eq + 1 = 2·rnk + cnt_eq − 1.
       .select(col("mo"), col("priority"), col("k"),
-        (lit(2) * col("rnk") + col("cnt_eq") - 1).as("two_r"))
+        twoMidrank(col("rnk") - 1, col("cnt_eq")).as("two_r"))
     val grp = ranked.groupBy("priority", "k")
       .agg(count(lit(1)).as("n_blocks"),
         sum("two_r").as("s_j"),
