@@ -191,7 +191,47 @@ object CorpusClean {
         "shared * 1000000 div (n_i + n_j - shared) AS jaccard_micro")
   }
 
+  /** LEAVE-ONE-SOURCE-OUT corpus impact — the data-ablation question
+    * ("what does dropping this feed cost the release?") answered
+    * WITHOUT one pipeline re-run per source: the jackknife deletion
+    * identity applied to corpus curation. Per source: the doc and
+    * whitespace-token counts the corpus would have without it, its
+    * token share (exact ppm), and `langs_lost` — languages this
+    * source ALONE provides (the coverage a drop actually destroys;
+    * token share alone hides it). Everything derives from one
+    * per-(source, lang) aggregate: excl = totals − group, sole-provider
+    * langs from the (source, lang) matrix vs per-lang totals — ONE
+    * corpus pass for all |sources| ablations, vs |sources| re-scans
+    * at 100 TB.
+    */
+  def leaveOneSourceOut(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_toks"))
+      .localCheckpoint()
+    val bySource = cells.groupBy("source")
+      .agg(sum("n_docs").as("d_s"), sum("n_toks").as("t_s"))
+    val byLang = cells.groupBy("lang")
+      .agg(sum("n_docs").as("d_l"))
+    val tot = cells.agg(sum("n_docs").as("d"), sum("n_toks").as("t"))
+    val sole = cells.join(broadcast(byLang), "lang")
+      .filter(col("n_docs") === col("d_l"))
+      .groupBy("source").agg(count(lit(1)).as("langs_lost"))
+    bySource
+      .join(broadcast(sole), Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        (col("d") - col("d_s")).as("docs_excl"),
+        (col("t") - col("t_s")).as("tokens_excl"),
+        expr("CAST(t_s AS DECIMAL(38,0)) * 1000000 div t")
+          .cast("long").as("token_share_ppm"),
+        coalesce(col("langs_lost"), lit(0L)).as("langs_lost"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_loso_source_impact" -> leaveOneSourceOut,
     "q_source_dedup_rates" -> sourceDedupRates,
     "q_source_overlap" -> sourceOverlap,
     "q_dup_spans" -> ((s, d) => dupSpans(s, d)),
@@ -208,6 +248,30 @@ object CorpusClean {
       |        FROM t, unnest(range(1, len(w) - 6)) AS u(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_loso_source_impact" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(length(regexp_split_to_array(lower(text),
+        |           '\s+'))) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY 1, 2),
+        |bys AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS d_s,
+        |               CAST(sum(n_toks) AS BIGINT) AS t_s
+        |        FROM cells GROUP BY 1),
+        |byl AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS d_l
+        |        FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d,
+        |               CAST(sum(n_toks) AS BIGINT) AS t FROM cells),
+        |sole AS (
+        |  SELECT c.source, CAST(count(*) AS BIGINT) AS langs_lost
+        |  FROM cells c JOIN byl ON c.lang = byl.lang
+        |  WHERE c.n_docs = byl.d_l GROUP BY 1)
+        |SELECT b.source, tot.d - b.d_s AS docs_excl,
+        |       tot.t - b.t_s AS tokens_excl,
+        |       CAST(CAST(b.t_s AS HUGEINT) * 1000000 // tot.t AS BIGINT)
+        |         AS token_share_ppm,
+        |       CAST(coalesce(s.langs_lost, 0) AS BIGINT) AS langs_lost
+        |FROM bys b LEFT JOIN sole s ON s.source = b.source
+        |CROSS JOIN tot""".stripMargin,
     "q_source_dedup_rates" ->
       """WITH h AS (
         |  SELECT source,

@@ -326,7 +326,62 @@ object GraphOps {
     spark.sql(walkSqlBody("edges_walks"))
   }
 
+  /** LINK PREDICTION on the part co-purchase graph — basket
+    * completion / "customers also bought" as a pure graph query:
+    * score NON-adjacent part pairs by COMMON NEIGHBORS (how many
+    * parts co-occur with both) and PREFERENTIAL ATTACHMENT
+    * (deg·deg), the two classic exact link-prediction baselines
+    * (Liben-Nowell & Kleinberg, CIKM'03) — both integer-exact, no
+    * Adamic-Adar log needed for a deterministic ranking. The
+    * support-≥`minSup` edge filter is what makes the quadratic
+    * tractable: the wedge join costs Σ deg² over the FILTERED graph
+    * (support pruning cuts the hub tail exactly where deg² explodes),
+    * never Σ deg² of the raw co-purchase multigraph.
+    *
+    * Plan/scale shape: basket self-join (the declared Σ basket²
+    * itemPairs cost class) → support-filtered edge list materialized
+    * ONCE (localCheckpoint; persisted parquet at corpus scale) →
+    * edges⋈edges wedge join on the middle node → LEFT ANTI against
+    * the edge set (predicted links must be NEW) → degree broadcasts →
+    * global top-k as TakeOrdered with the rank attached post-limit
+    * (the window sees k rows). */
+  def linkPrediction(spark: SparkSession, dir: String, minSup: Int = 2,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSup)
+      .select("u", "v")
+      .localCheckpoint()
+    val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("u").as("x"), col("v").as("b"))
+      .join(und.select(col("u").as("b2"), col("v").as("y")),
+        col("b") === col("b2") && col("x") < col("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"))
+    val cand = wedges.join(edges,
+      wedges("x") === edges("u") && wedges("y") === edges("v"), "left_anti")
+    val ranked = cand
+      .join(deg.select(col("u").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("deg").as("dy")), "y")
+      .select(col("x").as("part_i"), col("y").as("part_j"),
+        col("common_neighbors"), (col("dx") * col("dy")).as("pref_attach"))
+      .orderBy(col("common_neighbors").desc, col("pref_attach").desc,
+        col("part_i"), col("part_j"))
+      .limit(k)
+    ranked.withColumn("rk", row_number().over(
+      Window.orderBy(col("common_neighbors").desc, col("pref_attach").desc,
+        col("part_i"), col("part_j"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_prediction" -> ((s, d) => linkPrediction(s, d)),
     "q_pagerank_trade" -> pageRank,
     "q_kcore_peel" -> ((s, d) => kCorePeel(s, d)),
     "q_bfs_hops" -> ((s, d) => bfsHops(s, d)),
@@ -439,6 +494,41 @@ object GraphOps {
            |FROM e$r""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_link_prediction" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+        |    FROM items a JOIN items b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2) WHERE w >= 2),
+        |und AS (
+        |  SELECT u, v FROM edges
+        |  UNION ALL SELECT v AS u, u AS v FROM edges),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |wedges AS (
+        |  SELECT p.u AS x, q.v AS y, CAST(count(*) AS BIGINT)
+        |           AS common_neighbors
+        |  FROM und p JOIN und q ON p.v = q.u AND p.u < q.v
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.* FROM wedges w
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                    WHERE e.u = w.x AND e.v = w.y)),
+        |scored AS (
+        |  SELECT c.x AS part_i, c.y AS part_j, c.common_neighbors,
+        |         dx.deg * dy.deg AS pref_attach
+        |  FROM cand c
+        |  JOIN deg dx ON dx.u = c.x
+        |  JOIN deg dy ON dy.u = c.y)
+        |SELECT part_i, part_j, common_neighbors, pref_attach,
+        |       CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY common_neighbors DESC,
+        |        pref_attach DESC, part_i, part_j) AS rk
+        |      FROM scored)
+        |WHERE rk <= 20""".stripMargin,
     "q_walk_counts" ->
       (s"""WITH RECURSIVE edges_w AS (
           |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w

@@ -202,7 +202,52 @@ object Multimodal {
         md5(col("content")).as("content_md5"))
   }
 
+  /** VOICE-ACTIVITY-DETECTION segmentation over the audio payloads —
+    * the speech-pipeline pre-pass that turns raw audio into utterance
+    * segments before any expensive ASR/embedding model sees it. The
+    * payload is framed into fixed 64-char windows (char-addressed
+    * like [[frameSample]] so the oracle's VARCHAR slicing agrees);
+    * per-frame "energy" is the deterministic decode stand-in (count
+    * of alphanumeric chars — a real deployment swaps in RMS energy
+    * from the codec, every operator downstream unchanged); frames at
+    * or above the threshold are voiced, and maximal voiced runs
+    * become segments via gaps-and-islands (frame_idx − row_number),
+    * the same distributed segmentation primitive as sessionization —
+    * per-media windows only, never a global sort.
+    *
+    * Plan/scale shape: one scan → frame explode (payload-bounded) →
+    * per-media partitioned window → (media, run) aggregate; segments
+    * out ≤ frames/2. */
+  def vadSegments(spark: SparkSession, dir: String,
+      frameChars: Int = 64, minEnergy: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = asMediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select(col("media_id"), decode(col("payload"), "utf-8").as("txt"))
+      .select(col("media_id"), posexplode(expr(
+        s"""CASE WHEN length(txt) = 0 THEN CAST(array() AS ARRAY<STRING>)
+           |ELSE transform(
+           |  sequence(0, CAST(ceil(length(txt) / $frameChars.0) AS INT) - 1),
+           |  i -> substring(txt, i * $frameChars + 1, $frameChars)) END"""
+          .stripMargin)).as(Seq("pos", "frame")))
+      .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
+        length(regexp_replace(col("frame"), "[^A-Za-z0-9]", ""))
+          .cast("long").as("energy"))
+    frames.filter(col("energy") >= minEnergy)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("media_id").orderBy("frame_idx")))
+      .withColumn("grp", col("frame_idx") - col("rn"))
+      .groupBy("media_id", "grp")
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("energy_sum"))
+      .select("media_id", "start_frame", "end_frame", "n_frames",
+        "energy_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vad_segments" -> ((s, d) => vadSegments(s, d)),
     "q_media_features" -> mediaFeatures,
     "q_media_integrity" -> mediaIntegrity,
     "q_media_dedup" -> mediaDedup,
@@ -210,6 +255,30 @@ object Multimodal {
     "q_frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
+    "q_vad_segments" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text AS txt
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (
+        |  SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |         substr(txt, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+        |  FROM a, unnest(range(0, CAST(ceil(length(txt) / 64.0) AS BIGINT)))
+        |       AS u(i)),
+        |en AS (
+        |  SELECT media_id, frame_idx,
+        |         CAST(length(regexp_replace(frame, '[^A-Za-z0-9]', '', 'g'))
+        |           AS BIGINT) AS energy
+        |  FROM fr),
+        |v AS (
+        |  SELECT media_id, frame_idx, energy,
+        |         frame_idx - row_number() OVER (PARTITION BY media_id
+        |           ORDER BY frame_idx) AS grp
+        |  FROM en WHERE energy >= 32)
+        |SELECT media_id, CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |       CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS energy_sum
+        |FROM v GROUP BY media_id, grp""".stripMargin,
     "q_binary_ingest" ->
       """SELECT doc_id,
         |       CAST(strlen(text || chr(10)) AS INT) AS n_bytes,

@@ -497,6 +497,50 @@ object Similarity {
       out
     })
 
+  /** IVF-PQ / IVFADC ANN — the FAISS serving shape (Jégou et al.,
+    * TPAMI'11) that actually runs at trillion-vector scale, composed
+    * from this library's two halves: IVF bounds WHICH vectors get
+    * scored (top-`probes` cells per query ≈ probes/k of the corpus)
+    * and PQ bounds WHAT a score costs (M LUT lookups against the
+    * persisted 4-bit codes — query time touches no corpus floats at
+    * all). The persisted index = cell assignments + PQ codes; the
+    * per-query work is a KB-sized LUT and a |queries·probes|-row
+    * probe table, both broadcast, so corpus codes never shuffle.
+    * Distances stay integer micro-units (order-independent M-way
+    * sums), so the full probe→ADC pipeline hash-matches the DuckDB
+    * replay — same contract as [[annIvf]] and [[annPq]] separately.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, probes: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = queries.join(broadcast(ivfCentroids(spark, dir)))
+      .select(col("query_id"), col("cell"),
+        round(cosine(col("qv"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= probes)
+      .select("query_id", "cell")
+    val lut = pqDistancesOf(e.filter(col("vec_id") < 5), pqAnchors(e))
+      .select(col("vec_id").as("lut_query"), col("m"), col("anchor_id"),
+        floor(col("ssd") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("micro"))
+    val codes = spark.read.parquet(pqCodesPath(spark, dir))
+      .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_l2_micro"), col("vec_id"))
+    codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut),
+        col("lut_query") === col("query_id") && col("c_m") === col("m") &&
+          col("code") === col("anchor_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("micro").as("approx_l2_micro"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 10)
+  }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // Serve the corpus codes from the persisted index; compute only the
@@ -927,6 +971,7 @@ object Similarity {
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
+    "q_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q_hard_negatives" -> hardNegatives,
     "q_semdedup" -> ((s, d) => semDedup(s, d)))
 
@@ -947,8 +992,11 @@ object Similarity {
 
   /** Full IVF quantize→probe→score replay, shared by the q_ann_ivf
     * oracle and the retrieval wrapper. */
-  private lazy val ivfSql: String =
-    s"""WITH cent AS (
+  /** IVF probe WITH-chain (through `probed`) shared by [[ivfSql]] and
+    * the IVF-PQ oracle, so the probe stage cannot drift between the
+    * float-scoring and ADC-scoring serves. */
+  private lazy val ivfProbeCtes: String =
+    s"""cent AS (
        |  SELECT label AS cell, k,
        |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
        |  FROM embeddings, range(1, 65) t(k)
@@ -966,7 +1014,10 @@ object Similarity {
        |  SELECT query_id, qv, cell
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |          ORDER BY cell_sim DESC, cell) AS r FROM cellsim)
-       |  WHERE r <= 2),
+       |  WHERE r <= 2)""".stripMargin
+
+  private lazy val ivfSql: String =
+    s"""WITH $ivfProbeCtes,
        |scored AS (
        |  SELECT p.query_id, e.vec_id, p.cell,
        |         round(${cosSql("p.qv", "e.embedding")}, 6) AS cos_sim
@@ -976,6 +1027,29 @@ object Similarity {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
        |WHERE r <= 10""".stripMargin
+  /** PQ WITH-chain (anchors → distance table → codes → query LUT)
+    * shared by the q_ann_pq oracle and the IVF-PQ oracle, so the
+    * encode stage cannot drift between the flat-ADC and IVF-ADC
+    * serves. */
+  private lazy val pqCodeCtes: String =
+    s"""a AS (
+       |  SELECT vec_id AS anchor_id, embedding AS anchor
+       |  FROM embeddings WHERE vec_id < $PqAnchors),
+       |m AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+       |d AS (
+       |  SELECT e.vec_id, a.anchor_id, m.m, $pqSsdSql AS ssd
+       |  FROM embeddings e CROSS JOIN a CROSS JOIN m),
+       |codes AS (
+       |  SELECT vec_id, m, CAST(p % 16 AS BIGINT) AS code
+       |  FROM (SELECT vec_id, m,
+       |          min(CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) * 16
+       |              + anchor_id) AS p
+       |        FROM d GROUP BY 1, 2) pk),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, anchor_id,
+       |         CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM d WHERE vec_id < 5)""".stripMargin
+
   /** Left-associated squared-L2 sum for subspace `m.m` in DuckDB,
     * term-for-term the tree pqDistances builds (1-based list indexing
     * vs Spark's 0-based getItem — same elements). */
@@ -1191,23 +1265,7 @@ object Similarity {
          |         AS BIGINT) AS growth_ppm
          |FROM hc LEFT JOIN na USING (cell)""".stripMargin,
     "q_ann_pq" ->
-      s"""WITH a AS (
-         |  SELECT vec_id AS anchor_id, embedding AS anchor
-         |  FROM embeddings WHERE vec_id < $PqAnchors),
-         |m AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
-         |d AS (
-         |  SELECT e.vec_id, a.anchor_id, m.m, $pqSsdSql AS ssd
-         |  FROM embeddings e CROSS JOIN a CROSS JOIN m),
-         |codes AS (
-         |  SELECT vec_id, m, CAST(p % 16 AS BIGINT) AS code
-         |  FROM (SELECT vec_id, m,
-         |          min(CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) * 16
-         |              + anchor_id) AS p
-         |        FROM d GROUP BY 1, 2) pk),
-         |lut AS (
-         |  SELECT vec_id AS query_id, m, anchor_id,
-         |         CAST(floor(ssd * 1000000.0 + 0.5) AS BIGINT) AS micro
-         |  FROM d WHERE vec_id < 5),
+      s"""WITH $pqCodeCtes,
          |scored AS (
          |  SELECT l.query_id, c.vec_id,
          |         CAST(sum(l.micro) AS BIGINT) AS approx_l2_micro
@@ -1219,6 +1277,27 @@ object Similarity {
          |        ORDER BY approx_l2_micro, vec_id) AS r FROM scored)
          |WHERE r <= 10""".stripMargin,
     "q_ann_ivf" -> ivfSql,
+    // IVF-PQ: the shared probe chain picks the cells, the shared PQ
+    // chain encodes the corpus, ADC scores only in-cell candidates.
+    "q_ann_ivfpq" ->
+      s"""WITH $ivfProbeCtes,
+         |$pqCodeCtes,
+         |cands AS (
+         |  SELECT p.query_id, e.vec_id
+         |  FROM probed p JOIN embeddings e
+         |    ON e.label = p.cell AND e.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT ca.query_id, ca.vec_id,
+         |         CAST(sum(l.micro) AS BIGINT) AS approx_l2_micro
+         |  FROM cands ca
+         |  JOIN codes c ON c.vec_id = ca.vec_id
+         |  JOIN lut l ON l.query_id = ca.query_id AND l.m = c.m
+         |    AND l.anchor_id = c.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, approx_l2_micro, CAST(r AS INT) AS nn_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_l2_micro, vec_id) AS r FROM scored)
+         |WHERE r <= 10""".stripMargin,
     // Truth arm mirrors the q_ann_topk CTEs; candidate arm is the full
     // IVF replay. The metrics are pure integer arithmetic on the two
     // rank lists.

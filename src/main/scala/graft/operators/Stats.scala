@@ -1132,7 +1132,13 @@ object Stats {
     * (≤ k rows per partition); the report is the k-row per-priority
     * rank-sum table with Q broadcast — post-aggregate sizes at any
     * corpus scale. */
-  def friedman(spark: SparkSession, dir: String): DataFrame = {
+  /** Complete-block midranks shared by [[friedman]] and [[pageTrend]]:
+    * (mo, priority, k, two_r) for months holding all k priorities,
+    * each month ranking only its own k cells. The half-unit identity
+    * is the block-local face of [[twoMidrank]]: cb = rnk − 1
+    * strictly-below, t = cnt_eq tied, so 2·midrank = 2·rnk + cnt_eq
+    * − 1; both windows are bounded by the block size k. */
+  private def blockRanks(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .select(((year(col("o_orderdate")) - 1992) * 12 +
         month(col("o_orderdate")) - 1).cast("long").as("mo"),
@@ -1141,20 +1147,20 @@ object Stats {
       .groupBy("mo", "priority").agg(sum("cents").as("y"))
       .localCheckpoint()
     val k = cells.agg(countDistinct("priority").as("k"))
-    val complete = cells
+    cells
       .withColumn("n_in_block", count(lit(1)).over(Window.partitionBy("mo")))
       .crossJoin(broadcast(k))
       .filter(col("n_in_block") === col("k"))
-    val ranked = complete
       .withColumn("rnk", rank().over(
         Window.partitionBy("mo").orderBy("y")))
       .withColumn("cnt_eq", count(lit(1)).over(
         Window.partitionBy("mo", "y")))
-      // Same half-unit identity as the global family, block-local
-      // form: cb = rnk − 1 strictly-below, t = cnt_eq tied, so
-      // 2·midrank = 2(rnk−1) + cnt_eq + 1 = 2·rnk + cnt_eq − 1.
       .select(col("mo"), col("priority"), col("k"),
         twoMidrank(col("rnk") - 1, col("cnt_eq")).as("two_r"))
+  }
+
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = blockRanks(spark, dir)
     val grp = ranked.groupBy("priority", "k")
       .agg(count(lit(1)).as("n_blocks"),
         sum("two_r").as("s_j"),
@@ -1178,6 +1184,163 @@ object Stats {
           .as("mean_rank_milli"),
         col("q_milli"))
   }
+
+  /** PAGE'S TREND TEST (Page 1963) — ordered alternatives in the
+    * [[friedman]] blocked design: not "do the priorities differ"
+    * (Friedman's question) but "do they fall in the HYPOTHESIZED
+    * order" — here the priority labels' own 1-URGENT … 5-LOW order —
+    * which has far more power when a monotone trend is what you
+    * expect. Built ON the shared block-rank primitive ([[blockRanks]]
+    * / [[twoMidrank]]): 2L = Σ_j j·(2R_j) exact; E and the classical
+    * tie-free variance clear to one rational
+    * z²_milli = 36000·(2L − 2E)² div (n·k²(k+1)²(k−1)) with
+    * 2E = n·k(k+1)²/2 (k = 5 ⇒ integer) — intra-block ties in
+    * cents-valued monthly revenue are measure-zero, and the midranks
+    * still handle them exactly if they occur.
+    *
+    * Plan/scale shape: identical to friedman — one map-side-combined
+    * (month, priority) aggregate, k-bounded block windows, k-row
+    * report with the trend statistic broadcast. */
+  def pageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val grp = blockRanks(spark, dir).groupBy("priority", "k")
+      .agg(count(lit(1)).as("n_blocks"), sum("two_r").as("s_j"))
+      .withColumn("j", expr("CAST(substr(priority, 1, 1) AS BIGINT)"))
+    val l = grp.groupBy("k", "n_blocks")
+      .agg(sum(expr("CAST(j AS DECIMAL(38,0)) * s_j")).as("two_l"))
+      .select(col("k"), col("n_blocks"), col("two_l"),
+        expr("CAST(n_blocks AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)" +
+          " div 2").as("two_e_l"))
+      .select(expr("CAST(two_l AS BIGINT)").as("two_l"),
+        expr("CAST(two_e_l AS BIGINT)").as("two_e_l"),
+        expr("CAST(CASE WHEN n_blocks = 0 OR k <= 1 THEN 0 ELSE" +
+          " 36000 * (CAST(two_l AS DECIMAL(38,0)) - two_e_l)" +
+          " * (CAST(two_l AS DECIMAL(38,0)) - two_e_l)" +
+          " div (CAST(n_blocks AS DECIMAL(38,0)) * k * k * (k + 1)" +
+          " * (k + 1) * (k - 1)) END AS BIGINT)").as("z2_milli"))
+    grp.crossJoin(broadcast(l))
+      .select(col("priority"), col("j"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        col("s_j").cast("long").as("two_r_sum"),
+        col("two_l"), col("two_e_l"), col("z2_milli"))
+  }
+
+  /** ONE-WAY ANOVA F across the five order priorities — the
+    * parametric sibling of [[kruskalWallis]] over the same design
+    * (means instead of midranks; KW survives outliers, F names the
+    * variance decomposition). Everything is exact integers with the
+    * sum-of-squares terms in KILO-cents² (divisor 10⁶ INSIDE each
+    * floor — F is invariant to the common scale, and raw cents²
+    * terms would pass the BIGINT `div` result at sf0.1):
+    * SSB = Σ_j ⌊S_j²/(n_j·10⁶)⌋ − ⌊S²/(n·10⁶)⌋,
+    * SSW = ⌊Q/10⁶⌋ − Σ_j ⌊S_j²/(n_j·10⁶)⌋ — per-group floors, each a
+    * pure function of its group's (S_j, n_j), so the sum is
+    * merge-order-independent (the kruskalWallis per-term discipline);
+    * F in milli as one guarded floor-div, in range to n ≈ 10⁹ rows.
+    *
+    * Plan/scale shape: ONE map-side-combined aggregate over the fact
+    * scan → k-row group table → 1-row broadcast; k-row report. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_j"),
+        sum(col("cents").cast("decimal(38,0)")).as("s_j"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q_j"))
+    // Sum-of-squares terms in KILO-cents² (divisor 10⁶, documented):
+    // Spark's `div` result is BIGINT, and raw cents² terms
+    // (S_j²/n_j ≈ 10¹⁹ at sf0.1) pass int64 — dividing INSIDE each
+    // per-group floor keeps every term and the report columns in
+    // range to n ≈ 10⁹ rows, and F is invariant to the common scale.
+    val tot = g.agg(sum("n_j").as("n"), sum("s_j").as("s"),
+      sum("q_j").as("q"), count(lit(1)).cast("decimal(38,0)").as("k"),
+      sum(expr("CAST(s_j * s_j div (n_j * 1000000) AS DECIMAL(38,0))"))
+        .as("sb"))
+      .select(col("n"), col("k"),
+        expr("sb - s * s div (n * 1000000)").as("ssb"),
+        expr("q div 1000000 - sb").as("ssw"))
+      .select(expr("CAST(n AS BIGINT)").as("n"),
+        expr("CAST(k AS BIGINT)").as("k"),
+        expr("CAST(ssb AS BIGINT)").as("ssb_kc2"),
+        expr("CAST(ssw AS BIGINT)").as("ssw_kc2"),
+        expr("CAST(CASE WHEN ssw <= 0 OR k <= 1 OR n <= k THEN 0 ELSE" +
+          " ssb * (n - k) * 1000 div (ssw * (k - 1)) END AS BIGINT)")
+          .as("f_milli"))
+    g.crossJoin(broadcast(tot))
+      .select(col("priority"),
+        expr("CAST(n_j AS BIGINT)").as("n_j"),
+        expr("CAST(s_j * 1000 div n_j AS BIGINT)").as("mean_cents_milli"),
+        col("ssb_kc2"), col("ssw_kc2"), col("f_milli"))
+  }
+
+  /** WELCH'S T² between the 1995 and 1996 order-price distributions —
+    * the unequal-variance parametric face of [[mannWhitney]] over the
+    * SAME split (no pooled-variance assumption, the default two-sample
+    * test modern practice recommends). Exact integer chain in cents:
+    * per-side (n, S, Q) from one conditional aggregate; sample
+    * variances v_i = ⌊(n_i·Q_i − S_i²)/(n_i(n_i−1))⌋, standard-error
+    * terms a_i = ⌊v_i/n_i⌋, mean gap as one sign-split milli-cents
+    * floor-div, t²_milli = d_milli² div (1000·(a₁+a₂)), and the
+    * Welch–Satterthwaite ratio on KILO-rescaled terms
+    * ā_i = ⌊a_i/1000⌋ (df is scale-invariant; the raw per-term floor
+    * ā² div (n−1) would pass int64 at small n): df_milli =
+    * (ā₁+ā₂)²·1000 div (⌊ā₁²/(n₁−1)⌋ + ⌊ā₂²/(n₂−1)⌋) — per-term
+    * floors throughout, so both engines replay the identical digits.
+    *
+    * Plan/scale shape: one conditional aggregate over the fact scan →
+    * single broadcast row; one row out. */
+  def welchT(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(when(year(col("o_orderdate")) === 1995, 1).otherwise(2)
+        .as("side"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy()
+      .agg(
+        count(when(col("side") === 1, 1)).cast("decimal(38,0)").as("n1"),
+        count(when(col("side") === 2, 1)).cast("decimal(38,0)").as("n2"),
+        sum(when(col("side") === 1, col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).as("s1"),
+        sum(when(col("side") === 2, col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).as("s2"),
+        sum(when(col("side") === 1,
+          expr("CAST(cents AS DECIMAL(38,0)) * cents")).otherwise(
+          lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(col("side") === 2,
+          expr("CAST(cents AS DECIMAL(38,0)) * cents")).otherwise(
+          lit(0).cast("decimal(38,0)"))).as("q2"))
+      .select(col("n1"), col("n2"), col("s1"), col("s2"),
+        expr("(n1 * q1 - s1 * s1) div (n1 * (n1 - 1))").as("v1"),
+        expr("(n2 * q2 - s2 * s2) div (n2 * (n2 - 1))").as("v2"))
+      .select(col("n1"), col("n2"), col("v1"), col("v2"),
+        expr("CASE WHEN s1 * n2 - s2 * n1 >= 0" +
+          " THEN (s1 * n2 - s2 * n1) * 1000 div (n1 * n2)" +
+          " ELSE -((s2 * n1 - s1 * n2) * 1000 div (n1 * n2)) END")
+          .as("d_milli"),
+        expr("v1 div n1 + v2 div n2").as("se2"),
+        // df terms in KILO-cents² (documented rescale): the raw
+        // per-term floor a² div (n−1) can exceed int64 at SMALL n
+        // (a = v/n grows as n shrinks; Spark's `div` result is
+        // BIGINT), while df itself is scale-invariant — so the
+        // Satterthwaite ratio is computed on ⌊a/1000⌋ terms, exact
+        // floors both engines replay, ≥6 significant digits at any SF.
+        expr("v1 div n1 div 1000").as("ak"),
+        expr("v2 div n2 div 1000").as("bk"))
+      .select(
+        expr("CAST(n1 AS BIGINT)").as("n1"),
+        expr("CAST(n2 AS BIGINT)").as("n2"),
+        expr("CAST(v1 AS BIGINT)").as("var1_cents2"),
+        expr("CAST(v2 AS BIGINT)").as("var2_cents2"),
+        expr("CAST(d_milli AS BIGINT)").as("mean_diff_milli"),
+        expr("CAST(CASE WHEN se2 <= 0 THEN 0 ELSE" +
+          " CAST(d_milli AS DECIMAL(38,0)) * d_milli div (1000 * se2)" +
+          " END AS BIGINT)").as("t2_milli"),
+        expr("CAST(CASE WHEN CAST(ak AS DECIMAL(38,0)) * ak div (n1 - 1)" +
+          " + CAST(bk AS DECIMAL(38,0)) * bk div (n2 - 1) <= 0 THEN 0 ELSE" +
+          " CAST(ak + bk AS DECIMAL(38,0)) * (ak + bk) * 1000" +
+          " div (CAST(ak AS DECIMAL(38,0)) * ak div (n1 - 1)" +
+          " + CAST(bk AS DECIMAL(38,0)) * bk div (n2 - 1)) END AS BIGINT)")
+          .as("df_milli"))
 
   /** Closed-form DELETE-ONE JACKKNIFE for the ratio estimator
     * R = Σ revenue / Σ orders over customers (average order value,
@@ -1699,6 +1862,9 @@ object Stats {
     "q_weighted_median" -> weightedMedian,
     "q_wilcoxon_signed" -> wilcoxonSigned,
     "q_friedman" -> friedman,
+    "q_page_trend" -> pageTrend,
+    "q_anova_f" -> anovaF,
+    "q_welch_t" -> welchT,
     "q_jackknife" -> jackknife,
     "q_kruskal_wallis" -> kruskalWallis,
     "q_mann_whitney" -> mannWhitney,
@@ -2145,6 +2311,128 @@ object Stats {
         |         AS mean_rank_milli,
         |       q.q_milli
         |FROM grp g CROSS JOIN q""".stripMargin,
+    "q_page_trend" ->
+      """WITH cells AS (
+        |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+        |           AS mo,
+        |         o_orderpriority AS priority,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k
+        |       FROM cells),
+        |complete AS (
+        |  SELECT mo, priority, y, k FROM (
+        |    SELECT c.*, kk.k, count(*) OVER (PARTITION BY mo) AS nb
+        |    FROM cells c CROSS JOIN kk) WHERE nb = k),
+        |ranked AS (
+        |  SELECT mo, priority, k,
+        |         2 * rank() OVER (PARTITION BY mo ORDER BY y)
+        |           + count(*) OVER (PARTITION BY mo, y) - 1 AS two_r
+        |  FROM complete),
+        |grp AS (
+        |  SELECT priority, k, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         CAST(sum(two_r) AS BIGINT) AS s_j
+        |  FROM ranked GROUP BY 1, 2),
+        |lt AS (
+        |  SELECT k, n_blocks,
+        |         CAST(sum(CAST(CAST(substr(priority, 1, 1) AS BIGINT)
+        |             AS HUGEINT) * s_j) AS HUGEINT) AS two_l
+        |  FROM grp GROUP BY 1, 2),
+        |lz AS (
+        |  SELECT CAST(two_l AS BIGINT) AS two_l,
+        |         CAST(CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+        |           // 2 AS BIGINT) AS two_e_l,
+        |         CAST(CASE WHEN n_blocks = 0 OR k <= 1 THEN 0 ELSE
+        |           36000 * (two_l - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+        |                    * (k + 1) // 2)
+        |                 * (two_l - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+        |                    * (k + 1) // 2)
+        |           // (CAST(n_blocks AS HUGEINT) * k * k * (k + 1) * (k + 1)
+        |              * (k - 1)) END AS BIGINT) AS z2_milli
+        |  FROM lt)
+        |SELECT g.priority, CAST(substr(g.priority, 1, 1) AS BIGINT) AS j,
+        |       g.n_blocks, g.s_j AS two_r_sum,
+        |       l.two_l, l.two_e_l, l.z2_milli
+        |FROM grp g CROSS JOIN lz l""".stripMargin,
+    "q_anova_f" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT priority, CAST(count(*) AS HUGEINT) AS n_j,
+        |         CAST(sum(cents) AS HUGEINT) AS s_j,
+        |         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q_j
+        |  FROM o GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_j) AS HUGEINT) AS n,
+        |         CAST(sum(s_j) AS HUGEINT) AS s,
+        |         CAST(sum(q_j) AS HUGEINT) AS q,
+        |         CAST(count(*) AS HUGEINT) AS k,
+        |         CAST(sum(s_j * s_j // (n_j * 1000000)) AS HUGEINT) AS sb
+        |  FROM g),
+        |f AS (
+        |  SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |         CAST(sb - s * s // (n * 1000000) AS BIGINT) AS ssb_kc2,
+        |         CAST(q // 1000000 - sb AS BIGINT) AS ssw_kc2,
+        |         CAST(CASE WHEN q // 1000000 - sb <= 0 OR k <= 1
+        |             OR n <= k THEN 0 ELSE
+        |           (sb - s * s // (n * 1000000)) * (n - k) * 1000
+        |           // ((q // 1000000 - sb) * (k - 1)) END AS BIGINT)
+        |           AS f_milli
+        |  FROM tot)
+        |SELECT g.priority, CAST(g.n_j AS BIGINT) AS n_j,
+        |       CAST(g.s_j * 1000 // g.n_j AS BIGINT) AS mean_cents_milli,
+        |       f.ssb_kc2, f.ssw_kc2, f.f_milli
+        |FROM g CROSS JOIN f""".stripMargin,
+    "q_welch_t" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 2 END
+        |           AS side,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |t AS (
+        |  SELECT CAST(count(*) FILTER (WHERE side = 1) AS HUGEINT) AS n1,
+        |         CAST(count(*) FILTER (WHERE side = 2) AS HUGEINT) AS n2,
+        |         CAST(sum(CASE WHEN side = 1 THEN cents ELSE 0 END)
+        |           AS HUGEINT) AS s1,
+        |         CAST(sum(CASE WHEN side = 2 THEN cents ELSE 0 END)
+        |           AS HUGEINT) AS s2,
+        |         CAST(sum(CASE WHEN side = 1
+        |             THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |           AS HUGEINT) AS q1,
+        |         CAST(sum(CASE WHEN side = 2
+        |             THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |           AS HUGEINT) AS q2
+        |  FROM o),
+        |v AS (
+        |  SELECT n1, n2, s1, s2,
+        |         (n1 * q1 - s1 * s1) // (n1 * (n1 - 1)) AS v1,
+        |         (n2 * q2 - s2 * s2) // (n2 * (n2 - 1)) AS v2
+        |  FROM t),
+        |d AS (
+        |  SELECT n1, n2, v1, v2,
+        |         CASE WHEN s1 * n2 - s2 * n1 >= 0
+        |           THEN (s1 * n2 - s2 * n1) * 1000 // (n1 * n2)
+        |           ELSE -((s2 * n1 - s1 * n2) * 1000 // (n1 * n2)) END
+        |           AS d_milli,
+        |         v1 // n1 + v2 // n2 AS se2,
+        |         v1 // n1 // 1000 AS ak,
+        |         v2 // n2 // 1000 AS bk
+        |  FROM v)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       CAST(v1 AS BIGINT) AS var1_cents2,
+        |       CAST(v2 AS BIGINT) AS var2_cents2,
+        |       CAST(d_milli AS BIGINT) AS mean_diff_milli,
+        |       CAST(CASE WHEN se2 <= 0 THEN 0 ELSE
+        |         d_milli * d_milli // (1000 * se2) END AS BIGINT) AS t2_milli,
+        |       CAST(CASE WHEN ak * ak // (n1 - 1)
+        |           + bk * bk // (n2 - 1) <= 0 THEN 0 ELSE
+        |         (ak + bk) * (ak + bk) * 1000 // (ak * ak // (n1 - 1)
+        |           + bk * bk // (n2 - 1)) END AS BIGINT)
+        |         AS df_milli
+        |FROM d""".stripMargin,
     "q_jackknife" ->
       """WITH per AS (
         |  SELECT o_custkey AS c,
