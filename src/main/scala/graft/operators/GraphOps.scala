@@ -380,7 +380,56 @@ object GraphOps {
         col("part_i"), col("part_j"))))
   }
 
+  /** Rounds of [[labelPropagation]]; the oracle unrolls the same
+    * count. */
+  val LpaRounds = 4
+
+  /** WEIGHTED LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007), made engine-deterministic: each round every node adopts
+    * the label with the LARGEST total incident edge weight among its
+    * neighbours' current labels — argmax packed into one integer
+    * `max(s·32 + (31 − lbl))` (score-major, min-label tiebreak; node
+    * ids < 32, score ceiling 2⁵⁸ documents the repack point), so the
+    * round replays bit-identically where textbook async LPA is
+    * visit-order-dependent. Distinct from [[Dedup.connectedComponents]]:
+    * min-label propagation finds REACHABILITY; weighted LPA finds
+    * DENSITY (a weak bridge between two dense blocks keeps two
+    * communities).
+    *
+    * Plan/scale shape: identical to [[pageRank]] — symmetrized edge
+    * list materialized once, per-round join + two aggregates keyed on
+    * node id, labels checkpointed per round; nothing driver-side, so
+    * nodes can be 10⁹ documents (the near-dup-graph use: communities
+    * = topical clusters of the similarity graph). */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = LpaRounds): DataFrame = {
+    val edges = tradeEdges(spark, dir).localCheckpoint()
+    val und = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("node"))
+    var lbl = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val scores = und.as("e")
+        .join(lbl.as("l"), col("e.u") === col("l.node"))
+        .select(col("e.v").as("node"), col("l.lbl").as("nlbl"), col("e.w"))
+        .groupBy("node", "nlbl").agg(sum("w").as("s"))
+      val best = scores.groupBy("node")
+        .agg(max(expr("s * 32 + (31 - nlbl)")).as("p"))
+        .select(col("node"), expr("31 - p % 32").as("newlbl"))
+      lbl = lbl.as("o").join(best.as("b"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    lbl.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop" -> ((s, d) => labelPropagation(s, d)),
     "q_link_prediction" -> ((s, d) => linkPrediction(s, d)),
     "q_pagerank_trade" -> pageRank,
     "q_kcore_peel" -> ((s, d) => kCorePeel(s, d)),
@@ -493,7 +542,46 @@ object GraphOps {
            |       CAST(count(DISTINCT p) AS BIGINT) AS n_parts
            |FROM e$r""".stripMargin).mkString("\nUNION ALL\n")
 
+  /** Oracle for [[labelPropagation]]: the deterministic rounds
+    * unrolled as CTEs (the pageRank/kmeans technique). */
+  private def lpaSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT e.v AS node, l.lbl AS nlbl, CAST(sum(e.w) AS BIGINT) AS s
+         |  FROM und e JOIN l${r - 1} l ON e.u = l.node GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT node, 31 - max(s * 32 + (31 - nlbl)) % 32 AS newlbl
+         |  FROM s$r GROUP BY 1),
+         |l$r AS (
+         |  SELECT l.node, coalesce(b.newlbl, l.lbl) AS lbl
+         |  FROM l${r - 1} l LEFT JOIN b$r b ON b.node = l.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH dir_e AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS u, dst AS v, w FROM dir_e
+       |    UNION ALL SELECT dst AS u, src AS v, w FROM dir_e)
+       |  GROUP BY 1, 2),
+       |l0 AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |         CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
+       |$roundCtes,
+       |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |          FROM l$rounds GROUP BY 1)
+       |SELECT l.node, l.lbl AS community, s.community_size
+       |FROM l$rounds l JOIN sizes s ON s.lbl = l.lbl""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_label_prop" -> lpaSql(LpaRounds),
     "q_link_prediction" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -277,7 +277,58 @@ object Packing {
         expr("n_masked * 1000000 div n_tokens"))
   }
 
+  /** T5-STYLE SPAN-CORRUPTION PLAN (Raffel et al., JMLR'20) — the
+    * seq2seq sibling of [[maskPlan]]'s BERT masking, equally
+    * replayable: span STARTS fire where md5(doc, pos) % 100 < 5 (5%
+    * of positions), each span runs 2–4 tokens (mean 3 ⇒ ~15% of
+    * tokens corrupted — the T5 default), drawn from a DIFFERENT hex
+    * window of the same digest; overlapping spans merge via
+    * gaps-and-islands over the exploded masked positions, exactly as
+    * a sentinel-based corruption must (each MERGED span gets one
+    * sentinel). Per doc: span/masked counts, corruption ratio, and
+    * the encoder/decoder lengths the batch planner needs —
+    * input_len = n − masked + spans, target_len = masked + spans + 1
+    * (sentinels on both sides, final EOS). Word text never enters the
+    * plan (position-keyed off the doc-length projection, the
+    * maskPlan discipline); every window is doc-partitioned.
+    */
+  def spanCorruptPlan(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val digest = "md5(concat('graft-span-', CAST(doc_id AS STRING), " +
+      "'-', CAST(pos AS STRING)))"
+    val starts = lens
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0L, n_tokens - 1)")).as("pos"))
+      .filter(expr(s"CAST(conv(substr($digest, 1, 8), 16, 10) AS BIGINT)" +
+        " % 100 < 5"))
+      .withColumn("len",
+        expr(s"2 + CAST(conv(substr($digest, 9, 8), 16, 10) AS BIGINT) % 3"))
+    val maskedPos = starts
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(pos, pos + len - 1)")).as("mp"))
+      .filter(col("mp") < col("n_tokens"))
+      .select("doc_id", "mp").distinct()
+    val spans = maskedPos
+      .withColumn("isl", col("mp") - row_number()
+        .over(Window.partitionBy("doc_id").orderBy("mp")))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("len"))
+    lens.join(
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum("len").as("n_masked"),
+          max("len").as("max_span")),
+      Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_masked", "max_span"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_masked"), col("max_span"),
+        expr("n_masked * 1000000 div n_tokens").as("corrupt_ratio_ppm"),
+        expr("n_tokens - n_masked + n_spans").as("input_len"),
+        expr("n_masked + n_spans + 1").as("target_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_corrupt" -> spanCorruptPlan,
     "q_mask_plan" -> maskPlan,
     "q_pack_waste" -> ((s, d) => packWaste(s, d)),
     "q_seq_pack" -> ((s, d) => seqPack(s, d)),
@@ -286,6 +337,50 @@ object Packing {
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tok AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens)) AS pos
+        |        FROM d),
+        |st AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         2 + CAST(('0x' || substr(md5('graft-span-'
+        |             || CAST(doc_id AS VARCHAR) || '-'
+        |             || CAST(pos AS VARCHAR)), 9, 8)) AS BIGINT) % 3 AS len
+        |  FROM tok
+        |  WHERE CAST(('0x' || substr(md5('graft-span-'
+        |          || CAST(doc_id AS VARCHAR) || '-'
+        |          || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5),
+        |mp AS (
+        |  SELECT DISTINCT doc_id, pos + u.i AS mp
+        |  FROM st, unnest(range(0, len)) AS u(i)
+        |  WHERE pos + u.i < n_tokens),
+        |isl AS (
+        |  SELECT doc_id,
+        |         mp - row_number() OVER (PARTITION BY doc_id ORDER BY mp)
+        |           AS grp
+        |  FROM mp),
+        |sp AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+        |       FROM isl GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(len) AS BIGINT) AS n_masked,
+        |         CAST(max(len) AS BIGINT) AS max_span
+        |  FROM sp GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        |       coalesce(a.n_spans, 0) AS n_spans,
+        |       coalesce(a.n_masked, 0) AS n_masked,
+        |       coalesce(a.max_span, 0) AS max_span,
+        |       coalesce(a.n_masked, 0) * 1000000 // d.n_tokens
+        |         AS corrupt_ratio_ppm,
+        |       d.n_tokens - coalesce(a.n_masked, 0) + coalesce(a.n_spans, 0)
+        |         AS input_len,
+        |       coalesce(a.n_masked, 0) + coalesce(a.n_spans, 0) + 1
+        |         AS target_len
+        |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "q_mask_plan" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -541,6 +541,65 @@ object Similarity {
       .filter(col("nn_rank") <= 10)
   }
 
+  /** Power-iteration rounds for [[pcaPower]]; the oracle unrolls the
+    * same count. */
+  val PcaRounds = 3
+
+  /** TOP PRINCIPAL DIRECTION of the embedding corpus by DISTRIBUTED
+    * POWER ITERATION — the embedding-compression / drift-monitoring
+    * primitive (project onto the top component before cheap filters;
+    * watch the dominant direction move between crawls). The corpus is
+    * touched ONCE: milli-quantized coordinates feed a single
+    * outer-product aggregate into the 64×64 second-moment matrix
+    * (d² = 4096 cells out at ANY corpus size — the map-side-combined
+    * Gram trick); each of the [[PcaRounds]] matvec rounds then joins
+    * the 4096-cell table to the 64-row vector, renormalizing to
+    * max|v| = 10⁶ with sign-split integer floors. Uncentered moments
+    * and a fixed all-ones start keep every round bit-deterministic
+    * (float PCA drifts with merge order); cell ceiling n·(q_max)²
+    * holds LONG past 10¹¹ vectors (ANSI overflow is the loud guard).
+    */
+  def pcaPower(spark: SparkSession, dir: String,
+      rounds: Int = PcaRounds): DataFrame = {
+    // Gram WITHOUT a self-join: quantize the row once, explode twice
+    // (d² rows per vector, all generated in-task) into the map-side-
+    // combined aggregate — the only shuffle is the 4096-cell exchange
+    // (the vec_id-keyed self-join form re-shuffled n·d rows twice).
+    // MILLI quantization keeps the hot multiply-accumulate in LONG
+    // (DECIMAL(38) accumulation over the d²·n product rows was 4.6×
+    // slower: 3.45 → 0.75 s at sf0.1); products ≤ (8·10³)² so the
+    // long SUM holds to ~10¹¹ vectors, and ANSI mode makes an
+    // overflow loud, never silent. The 4096-row matvec below stays
+    // DECIMAL — off the hot path, and c·v needs the headroom.
+    val cov = Tables.embeddings(spark, dir)
+      .select(expr("transform(embedding, x ->" +
+        " CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+        .as("qa"))
+      .select(posexplode(col("qa")).as(Seq("ci", "qi")), col("qa"))
+      .select(col("ci"), col("qi"),
+        posexplode(col("qa")).as(Seq("cj", "qj")))
+      .groupBy("ci", "cj")
+      .agg(sum(expr("qi * qj")).as("c"))
+      .localCheckpoint()
+    var v = spark.range(64)
+      .select(col("id").cast("int").as("vj"),
+        lit(1000000L).cast("decimal(38,0)").as("v"))
+    for (_ <- 1 to rounds) {
+      val u = cov.join(v, col("cj") === col("vj"))
+        .groupBy("ci")
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * v")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("ci").as("vj"),
+          expr("CASE WHEN m = 0 THEN CAST(0 AS DECIMAL(38,0))" +
+            " WHEN u >= 0 THEN u * 1000000 div m" +
+            " ELSE -((-u) * 1000000 div m) END").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("vj").as("pos"),
+      expr("CAST(v AS BIGINT)").as("component_micro"))
+  }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // Serve the corpus codes from the persisted index; compute only the
@@ -972,6 +1031,7 @@ object Similarity {
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
     "q_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "q_pca_power" -> ((s, d) => pcaPower(s, d)),
     "q_hard_negatives" -> hardNegatives,
     "q_semdedup" -> ((s, d) => semDedup(s, d)))
 
@@ -1027,6 +1087,37 @@ object Similarity {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
        |WHERE r <= 10""".stripMargin
+  /** Oracle for [[pcaPower]]: the Gram aggregate + the deterministic
+    * matvec rounds unrolled as CTEs (the kmeans/LPA technique). */
+  private def pcaPowerSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""u$r AS (
+         |  SELECT ci, CAST(sum(c * v) AS HUGEINT) AS u
+         |  FROM cov JOIN v${r - 1} ON cj = vj GROUP BY 1),
+         |m$r AS (SELECT max(abs(u)) AS m FROM u$r),
+         |v$r AS (
+         |  SELECT ci AS vj,
+         |         CAST(CASE WHEN m = 0 THEN 0
+         |           WHEN u >= 0 THEN u * 1000000 // m
+         |           ELSE -((-u) * 1000000 // m) END AS HUGEINT) AS v
+         |  FROM u$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, k - 1 AS i,
+       |         CAST(floor(CAST(embedding[k] AS DOUBLE) * 1000.0 + 0.5)
+       |           AS BIGINT) AS q
+       |  FROM embeddings, range(1, 65) t(k)),
+       |cov AS (
+       |  SELECT a.i AS ci, b.i AS cj,
+       |         CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS c
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(j AS INT) AS vj, CAST(1000000 AS HUGEINT) AS v
+       |       FROM range(0, 64) t(j)),
+       |$roundCtes
+       |SELECT CAST(vj AS INT) AS pos, CAST(v AS BIGINT) AS component_micro
+       |FROM v$rounds""".stripMargin
+  }
+
   /** PQ WITH-chain (anchors → distance table → codes → query LUT)
     * shared by the q_ann_pq oracle and the IVF-PQ oracle, so the
     * encode stage cannot drift between the flat-ADC and IVF-ADC
@@ -1277,6 +1368,7 @@ object Similarity {
          |        ORDER BY approx_l2_micro, vec_id) AS r FROM scored)
          |WHERE r <= 10""".stripMargin,
     "q_ann_ivf" -> ivfSql,
+    "q_pca_power" -> pcaPowerSql(PcaRounds),
     // IVF-PQ: the shared probe chain picks the cells, the shared PQ
     // chain encodes the corpus, ADC scores only in-cell candidates.
     "q_ann_ivfpq" ->
