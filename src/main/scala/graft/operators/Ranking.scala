@@ -367,7 +367,178 @@ object Ranking {
           " AS BIGINT)").as("v_none_ppm"))
   }
 
+  /** Power-iteration rounds for [[textRank]]; the oracle unrolls the
+    * same count. */
+  val TextRankRounds = 3
+
+  /** Integer mass budget shared by [[textRank]] and
+    * [[markovRemoval]]: 10¹² keeps six significant digits through
+    * repeated floor-division rounds while every intermediate product
+    * stays far under Long.MaxValue (see the split-identity notes). */
+  private val MassTotal = 1000000000000L
+
+  /** TEXTRANK corpus keywords (Mihalcea & Tarau, EMNLP'04): PageRank
+    * over the word ADJACENCY graph — nodes are content tokens
+    * (alphabetic, non-stopword — the RAKE gate), edges are symmetrized
+    * bigram co-occurrence counts served from the build-once persisted
+    * bigram index ([[bigramIndexPaths]], the same artifact the
+    * surprisal and Kneser-Ney queries ride). Each of the
+    * [[TextRankRounds]] damped rounds moves integer mass with the
+    * overflow-free split identity (mass div ow)·w + ((mass mod ow)·w)
+    * div ow (exact floor, products bounded by mass and ow·w — see
+    * GraphOps.pageRank), teleport (15% of 10¹²)/|V| from a broadcast
+    * 1-row node count; bit-deterministic where float PageRank drifts
+    * with merge order. Output: top-20 tokens by mass, total-ordered
+    * (mass desc, token) so the cut is unambiguous in both engines.
+    *
+    * Scale: the graph build is one index scan (persisted parquet —
+    * Zipf-skewed join keys stay AQE-splittable); each round is one
+    * token-keyed join + aggregate, exactly [[GraphOps.pageRank]]'s
+    * shape with a 10⁵⁺-node vocabulary instead of 25 nations. */
+  def textRank(spark: SparkSession, dir: String,
+      rounds: Int = TextRankRounds): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val (bPath, _) = bigramIndexPaths(spark, dir)
+    val dirEdges = spark.read.parquet(bPath)
+      .select(split(col("xy"), " ").getItem(0).as("src"),
+        split(col("xy"), " ").getItem(1).as("dst"), col("cxy").as("w"))
+      .filter(col("src") =!= col("dst") &&
+        !col("src").isin(stop: _*) && !col("dst").isin(stop: _*) &&
+        col("src").rlike("^[a-z]+$") && col("dst").rlike("^[a-z]+$"))
+    val und = dirEdges
+      .union(dirEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint() // feeds out-mass + every round; cuts lineage
+    val out = und.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = und.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    var mass = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$MassTotal div nn").as("mass"))
+    for (_ <- 0 until rounds) {
+      val in = und.join(out, "src")
+        .join(mass, col("node") === col("src"))
+        .select(col("dst"),
+          expr("(mass div ow) * w + ((mass % ow) * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("inm"))
+      mass = nodes.crossJoin(broadcast(nn))
+        .join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr("85 * coalesce(inm, 0L) div 100") +
+            expr(s"(15 * $MassTotal div 100) div nn")).as("mass"))
+    }
+    mass.orderBy(col("mass").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("token"), col("mass").as("rank_mass"))
+  }
+
+  /** Bounded-horizon rounds for [[markovRemoval]]; with journeys cut
+    * at first conversion the transient chain drains geometrically, so
+    * 12 rounds capture the absorption mass to well past the 10⁻⁶
+    * output resolution. The oracle unrolls the same count. */
+  val MarkovRounds = 12
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    * chain-model answer where [[shapleyAttribution]] is the
+    * coalition-model one and [[lastTouchAttribution]] the heuristic:
+    * user journeys (events ordered by (ts, event_id), cut at the FIRST
+    * purchase) become a first-order chain START → {view, click,
+    * signup, error} → CONV | END; a channel's credit is its REMOVAL
+    * EFFECT — how much absorption into CONV drops when every
+    * transition INTO the channel is redirected to END (outflow totals
+    * are preserved, so the chain stays stochastic without
+    * renormalizing). All five scenarios (baseline + 4 removals)
+    * advance through ONE shared matvec loop keyed (scenario, state):
+    * integer mass via the split identity, CONV/END absorbing via
+    * weight-1 self-loops, [[MarkovRounds]] bounded rounds —
+    * bit-deterministic where textbook absorbing-chain inversion is
+    * float. Output per channel: conversion probability under removal,
+    * removal effect, and the normalized attribution share.
+    *
+    * Scale: ONE events scan → per-user windows (partitioned by
+    * user_id) → a ≤|states|²-cell transition table; everything after
+    * is algebra on ≤ 5·36 bounded rows, independent of corpus size. */
+  def markovRemoval(spark: SparkSession, dir: String,
+      rounds: Int = MarkovRounds): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    val seq = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("conv_rn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wAll))
+    val j = seq
+      .filter(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+      .withColumn("state", when(col("event_type") === "purchase", "CONV")
+        .otherwise(col("event_type")))
+      .withColumn("mx", max("rn").over(wAll))
+    val steps = j
+      .withColumn("src", lag(col("state"), 1, "START").over(wOrd))
+      .select(col("src"), col("state").as("dst"))
+    val lasts = j.filter(col("rn") === col("mx") && col("state") =!= "CONV")
+      .select(col("state").as("src"), lit("END").as("dst"))
+    val tc = steps.union(lasts).groupBy("src", "dst")
+      .agg(count(lit(1)).as("c"))
+    val scn = Seq("none", "view", "click", "signup", "error").toDF("scn")
+    val st = tc.crossJoin(broadcast(scn))
+      .filter(col("src") =!= col("scn"))
+      .select(col("scn"),
+        col("src"),
+        when(col("dst") === col("scn"), "END").otherwise(col("dst"))
+          .as("dst"),
+        col("c"))
+      .groupBy("scn", "src", "dst").agg(sum("c").as("c"))
+      .union(scn.select(col("scn"), lit("CONV").as("src"),
+        lit("CONV").as("dst"), lit(1L).as("c")))
+      .union(scn.select(col("scn"), lit("END").as("src"),
+        lit("END").as("dst"), lit(1L).as("c")))
+    // Fold the per-(scenario, src) outflow total into the transition
+    // table ONCE — it is constant across rounds, so the loop body is a
+    // single join instead of two.
+    val stw = st.join(
+        st.groupBy("scn", "src").agg(sum("c").as("ow"))
+          .withColumnRenamed("scn", "oscn").withColumnRenamed("src", "osrc"),
+        col("oscn") === col("scn") && col("osrc") === col("src"))
+      .select(col("scn"), col("src"), col("dst"), col("c"), col("ow"))
+      .localCheckpoint() // ≤ 5·36 rows; feeds every round
+    var mass = scn.select(col("scn").as("mscn"),
+      lit("START").as("state"), lit(MassTotal).as("mass"))
+    for (r <- 1 to rounds) {
+      mass = mass
+        .join(stw, col("scn") === col("mscn") && col("src") === col("state"))
+        .select(col("scn"), col("dst"),
+          expr("(mass div ow) * c + ((mass % ow) * c) div ow").as("f"))
+        .groupBy("scn", "dst").agg(sum("f").as("mass"))
+        .select(col("scn").as("mscn"), col("dst").as("state"), col("mass"))
+      // Checkpoint every 4th round, not every round: the vector is
+      // ≤ 5·7 rows, so 4 rounds of chained lineage plan fine, and each
+      // skipped checkpoint is one whole Spark job saved (12 → 3).
+      if (r % 4 == 0) mass = mass.localCheckpoint()
+    }
+    val fin = mass.filter(col("state") === "CONV")
+      .select(col("mscn"), col("mass"))
+    val base = fin.filter(col("mscn") === "none")
+      .select(col("mass").as("bm"))
+    val eff = fin.filter(col("mscn") =!= "none").crossJoin(broadcast(base))
+      .select(col("mscn").as("channel"),
+        expr(s"mass * 1000000 div $MassTotal").as("conv_prob_micro"),
+        expr(s"bm * 1000000 div $MassTotal").as("base_prob_micro"),
+        expr("(bm - mass) * 1000000 div bm").as("removal_micro"))
+    val tot = eff.agg(sum("removal_micro").as("tr"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("conv_prob_micro"),
+        col("base_prob_micro"), col("removal_micro"),
+        expr("CASE WHEN tr = 0 THEN 0L" +
+          " ELSE removal_micro * 1000000 div tr END")
+          .as("attr_share_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_textrank" -> ((s, d) => textRank(s, d)),
+    "q_markov_removal" -> ((s, d) => markovRemoval(s, d)),
     "q_shapley_attribution" -> shapleyAttribution,
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_bigram_surprisal" -> bigramSurprisal,
@@ -416,7 +587,126 @@ object Ranking {
        |WHERE fused_rank <= 10""".stripMargin
   }
 
+  /** Oracle for [[textRank]]: bigram graph rebuilt from documents,
+    * the damped rounds unrolled as CTEs (the pageRank technique). */
+  private def textRankSql(rounds: Int): String = {
+    val stop = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""i$r AS (
+         |  SELECT u.dst,
+         |         CAST(sum((m.mass // o.ow) * u.w
+         |           + ((m.mass % o.ow) * u.w) // o.ow) AS BIGINT) AS inm
+         |  FROM und u JOIN outm o ON o.src = u.src
+         |  JOIN m${r - 1} m ON m.node = u.src GROUP BY 1),
+         |m$r AS (
+         |  SELECT n.node, 85 * coalesce(i.inm, 0) // 100
+         |    + (15 * 1000000000000 // 100) // x.nn AS mass
+         |  FROM nodes n CROSS JOIN nn x
+         |  LEFT JOIN i$r i ON i.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT regexp_split_to_array(lower(text), '\\s+') AS ws
+       |  FROM documents),
+       |big AS (
+       |  SELECT unnest(list_transform(range(2, len(ws) + 1),
+       |    i -> ws[i-1] || ' ' || ws[i])) AS xy FROM t),
+       |bc AS (SELECT str_split(xy, ' ')[1] AS src,
+       |              str_split(xy, ' ')[2] AS dst,
+       |              CAST(count(*) AS BIGINT) AS w
+       |       FROM big GROUP BY 1, 2),
+       |de AS (
+       |  SELECT src, dst, w FROM bc
+       |  WHERE src <> dst
+       |    AND src NOT IN ($stop) AND dst NOT IN ($stop)
+       |    AND regexp_matches(src, '^[a-z]+${"$"}')
+       |    AND regexp_matches(dst, '^[a-z]+${"$"}')),
+       |und AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |          SELECT src, dst, w FROM de
+       |          UNION ALL SELECT dst AS src, src AS dst, w FROM de)
+       |        GROUP BY 1, 2),
+       |outm AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+       |         FROM und GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |m0 AS (SELECT node, 1000000000000 // nn AS mass
+       |       FROM nodes CROSS JOIN nn),
+       |$roundCtes
+       |SELECT node AS token, CAST(mass AS BIGINT) AS rank_mass
+       |FROM m$rounds ORDER BY mass DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** Oracle for [[markovRemoval]]: journey chain + the bounded
+    * absorption rounds unrolled as CTEs. */
+  private def markovRemovalSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS (
+         |  SELECT t.scn, t.dst AS state,
+         |         CAST(sum((m.mass // o.ow) * t.c
+         |           + ((m.mass % o.ow) * t.c) // o.ow) AS BIGINT) AS mass
+         |  FROM m${r - 1} m
+         |  JOIN st t ON t.scn = m.scn AND t.src = m.state
+         |  JOIN outm o ON o.scn = t.scn AND o.src = t.src
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |conv AS (SELECT user_id, min(rn) AS conv_rn FROM seq
+       |         WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS (
+       |  SELECT s.user_id, s.rn,
+       |         CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+       |           ELSE s.event_type END AS state
+       |  FROM seq s LEFT JOIN conv c USING (user_id)
+       |  WHERE c.conv_rn IS NULL OR s.rn <= c.conv_rn),
+       |steps AS (
+       |  SELECT coalesce(lag(state) OVER (
+       |    PARTITION BY user_id ORDER BY rn), 'START') AS src,
+       |         state AS dst FROM j),
+       |lasts AS (
+       |  SELECT state AS src, 'END' AS dst FROM (
+       |    SELECT state, rn, max(rn) OVER (PARTITION BY user_id) AS mx
+       |    FROM j) WHERE rn = mx AND state <> 'CONV'),
+       |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+       |         SELECT * FROM steps UNION ALL SELECT * FROM lasts)
+       |       GROUP BY 1, 2),
+       |scn AS (SELECT unnest(['none', 'view', 'click', 'signup',
+       |                       'error']) AS scn),
+       |st AS (
+       |  SELECT scn.scn, t.src,
+       |         CASE WHEN t.dst = scn.scn THEN 'END' ELSE t.dst END AS dst,
+       |         CAST(sum(t.c) AS BIGINT) AS c
+       |  FROM tc t CROSS JOIN scn WHERE t.src <> scn.scn GROUP BY 1, 2, 3
+       |  UNION ALL SELECT scn, 'CONV', 'CONV', CAST(1 AS BIGINT) FROM scn
+       |  UNION ALL SELECT scn, 'END', 'END', CAST(1 AS BIGINT) FROM scn),
+       |outm AS (SELECT scn, src, CAST(sum(c) AS BIGINT) AS ow
+       |         FROM st GROUP BY 1, 2),
+       |m0 AS (SELECT scn, 'START' AS state,
+       |              CAST(1000000000000 AS BIGINT) AS mass FROM scn),
+       |$roundCtes,
+       |fin AS (SELECT scn, mass FROM m$rounds WHERE state = 'CONV'),
+       |base AS (SELECT mass AS bm FROM fin WHERE scn = 'none'),
+       |eff AS (
+       |  SELECT scn AS channel,
+       |         mass * 1000000 // 1000000000000 AS conv_prob_micro,
+       |         bm * 1000000 // 1000000000000 AS base_prob_micro,
+       |         (bm - mass) * 1000000 // bm AS removal_micro
+       |  FROM fin CROSS JOIN base WHERE scn <> 'none'),
+       |tot AS (SELECT CAST(sum(removal_micro) AS BIGINT) AS tr FROM eff)
+       |SELECT channel,
+       |       CAST(conv_prob_micro AS BIGINT) AS conv_prob_micro,
+       |       CAST(base_prob_micro AS BIGINT) AS base_prob_micro,
+       |       CAST(removal_micro AS BIGINT) AS removal_micro,
+       |       CAST(CASE WHEN tr = 0 THEN 0
+       |         ELSE removal_micro * 1000000 // tr END AS BIGINT)
+       |         AS attr_share_micro
+       |FROM eff CROSS JOIN tot""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_textrank" -> textRankSql(TextRankRounds),
+    "q_markov_removal" -> markovRemovalSql(MarkovRounds),
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_kneser_ney" ->
       """WITH toks AS (

@@ -1850,7 +1850,63 @@ object Stats {
           " * delta_milli_cents * delta_milli_cents) AS BIGINT)" +
           " AS n_required_per_arm")
 
+  /** INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz-Thompson form) — the
+    * classic observational estimator completing the causal suite
+    * (CEM matches, DiD differences, CUPED residualizes; IPW
+    * REWEIGHTS). Unit = order, treatment = high order priority
+    * (1-URGENT/2-HIGH), outcome = order value in cents; the propensity
+    * is the EXACT within-stratum treatment share e_s = nt_s/n_s over
+    * (market segment × order year) confounder strata, so every weight
+    * is a rational and the whole estimate replays digit-for-digit:
+    * Ê[Y(1)] = (1/N)·Σ_s syt_s·n_s/nt_s, Ê[Y(0)] symmetric, summed as
+    * per-stratum micro-floored DECIMAL(38) terms. Strata violating
+    * positivity (no treated or no control) are EXCLUDED and counted —
+    * the honesty report CEM pioneered — and the naive unadjusted
+    * difference rides along so the confounding correction is visible.
+    *
+    * Scale: one fact scan + broadcast dim join → one |strata|-row
+    * aggregate (segments × years ≈ 35 rows at ANY corpus size) →
+    * 1-row output. Nothing quadratic, nothing driver-side.
+    */
+  def ipwAte(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("t"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+    val strata = per.groupBy("seg", "yr")
+      .agg(count(lit(1)).as("n"), sum("t").as("nt"),
+        sum(when(col("t") === 1, col("cents")).otherwise(0L)).as("syt"),
+        sum(when(col("t") === 0, col("cents")).otherwise(0L)).as("syc"))
+      .localCheckpoint() // ≤ segments×years rows; feeds used + pruned
+    val used = strata.filter(col("nt") > 0 && col("nt") < col("n"))
+      .select(col("n"), col("nt"),
+        expr("CAST(syt AS DECIMAL(38,0)) * n * 1000000 div nt")
+          .as("y1term"),
+        expr("CAST(syc AS DECIMAL(38,0)) * n * 1000000 div (n - nt)")
+          .as("y0term"),
+        col("syt"), col("syc"))
+    val pruned = strata.filter(col("nt") === 0 || col("nt") === col("n"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_pruned"))
+    used.agg(sum("n").as("n_used"), count(lit(1)).as("n_strata_used"),
+        sum("y1term").as("s1"), sum("y0term").as("s0"),
+        sum("nt").as("ntt"), sum(expr("n - nt")).as("ncc"),
+        sum("syt").as("st"), sum("syc").as("sc"))
+      .crossJoin(broadcast(pruned))
+      .selectExpr("n_used", "n_strata_used", "n_pruned",
+        "CAST(s1 div n_used AS BIGINT) AS ey1_micro",
+        "CAST(s0 div n_used AS BIGINT) AS ey0_micro",
+        "CAST(s1 div n_used - s0 div n_used AS BIGINT) AS ate_ipw_micro",
+        "CAST(CAST(st AS DECIMAL(38,0)) * 1000000 div ntt" +
+          " - CAST(sc AS DECIMAL(38,0)) * 1000000 div ncc AS BIGINT)" +
+          " AS ate_naive_micro")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ipw_ate" -> ipwAte,
     "q_event_study" -> eventStudy,
     "q_cuped" -> cuped,
     "q_qte_median" -> qteMedian,
@@ -1894,6 +1950,48 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_ipw_ate" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS seg, year(o_orderdate) AS yr,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END AS t,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |strata AS (
+        |  SELECT seg, yr, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS nt,
+        |         CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END)
+        |           AS BIGINT) AS syt,
+        |         CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END)
+        |           AS BIGINT) AS syc
+        |  FROM per GROUP BY 1, 2),
+        |used AS (
+        |  SELECT n, nt,
+        |         CAST(syt AS HUGEINT) * n * 1000000 // nt AS y1term,
+        |         CAST(syc AS HUGEINT) * n * 1000000 // (n - nt) AS y0term,
+        |         syt, syc
+        |  FROM strata WHERE nt > 0 AND nt < n),
+        |pruned AS (
+        |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pruned
+        |  FROM strata WHERE nt = 0 OR nt = n),
+        |agg AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_used,
+        |         CAST(count(*) AS BIGINT) AS n_strata_used,
+        |         sum(y1term) AS s1, sum(y0term) AS s0,
+        |         CAST(sum(nt) AS BIGINT) AS ntt,
+        |         CAST(sum(n - nt) AS BIGINT) AS ncc,
+        |         CAST(sum(syt) AS BIGINT) AS st,
+        |         CAST(sum(syc) AS BIGINT) AS sc
+        |  FROM used)
+        |SELECT n_used, n_strata_used, n_pruned,
+        |       CAST(s1 // n_used AS BIGINT) AS ey1_micro,
+        |       CAST(s0 // n_used AS BIGINT) AS ey0_micro,
+        |       CAST(s1 // n_used - s0 // n_used AS BIGINT)
+        |         AS ate_ipw_micro,
+        |       CAST(CAST(st AS HUGEINT) * 1000000 // ntt
+        |         - CAST(sc AS HUGEINT) * 1000000 // ncc AS BIGINT)
+        |         AS ate_naive_micro
+        |FROM agg CROSS JOIN pruned""".stripMargin,
     "q_event_study" ->
       """WITH cells AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
