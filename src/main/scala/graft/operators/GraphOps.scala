@@ -242,19 +242,26 @@ object GraphOps {
     * the top-k sparsify is one partitioned window, and the frontier
     * (not the graph) drives the cost. DuckDB replays it as
     * `WITH RECURSIVE` — the SQL face of the same fixpoint. */
-  def bfsHops(spark: SparkSession, dir: String,
-      seed: Long = 0L, maxHops: Int = BfsMaxHops): DataFrame = {
-    import spark.implicits._
+  /** Top-[[BfsTopLanes]] sparsified directed trade graph, checkpointed
+    * — shared by [[bfsHops]] and [[hyperBall]] so the two traversals
+    * run the same graph. */
+  private[graft] def sparseTradeEdges(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = tradeEdges(spark, dir)
     val wlane = Window.partitionBy("src")
       .orderBy(col("w").desc, col("dst"))
-    val sparse = edges
+    tradeEdges(spark, dir)
       .withColumn("rn", row_number().over(wlane))
       .filter(col("rn") <= BfsTopLanes)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .localCheckpoint() // feeds every level
+  }
+
+  def bfsHops(spark: SparkSession, dir: String,
+      seed: Long = 0L, maxHops: Int = BfsMaxHops): DataFrame = {
+    import spark.implicits._
+    val sparse = sparseTradeEdges(spark, dir)
     var reached = Seq((seed, 0)).toDF("node", "hops").localCheckpoint()
     for (t <- 1 to maxHops) {
       val frontier = reached.filter(col("hops") === t - 1)
@@ -428,7 +435,58 @@ object GraphOps {
       .select(col("node"), col("lbl").as("community"), col("community_size"))
   }
 
+  /** Ball radius for [[hyperBall]]; the oracle replays the same
+    * horizon. */
+  val HyperBallRadius = 3
+
+  /** HYPERBALL neighborhood function (Boldi & Vigna, WSDM'13 shape):
+    * per-node |ball(v, ≤r)| estimated by propagating MERGEABLE HLL
+    * sketches along edges — each of the r rounds unions every node's
+    * sketch into its in-neighbors (self-loops keep the ball monotone),
+    * so the reach statistic costs r sketch-sized shuffles instead of
+    * the pairwise frontier blow-up. This is THE graph-scale path: at
+    * 10⁹ nodes the exact distinct-pairs table (nodes × avg-ball) is
+    * unmaterializable, while the sketch table stays |V|×KB —
+    * HyperBall is how effective-diameter/centrality stats are
+    * actually computed on webgraph-sized inputs. Runs on the same
+    * [[sparseTradeEdges]] graph as the BFS pair so traversals agree.
+    *
+    * Oracle contract: the sketch blob is not cross-engine-replayable,
+    * so the EXACT reach (r rounds of distinct pair expansion — the
+    * oracle anchor, fine at 25 nodes, impossible at 10⁹) rides along
+    * with an estimate-in-bounds flag, the q_hll_daily pattern. */
+  def hyperBall(spark: SparkSession, dir: String,
+      radius: Int = HyperBallRadius): DataFrame = {
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("node"))
+    val adj = sparseTradeEdges(spark, dir)
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint() // + self-loops: ball(v) always contains v
+    var ball = nodes.groupBy("node")
+      .agg(expr("hll_sketch_agg(node)").as("sk"))
+    for (_ <- 1 to radius) {
+      ball = adj.join(ball, col("dst") === col("node"))
+        .groupBy("src").agg(expr("hll_union_agg(sk)").as("sk"))
+        .select(col("src").as("node"), col("sk"))
+        .localCheckpoint() // |V| sketch rows per round
+    }
+    var pairs = nodes.select(col("node").as("v"), col("node").as("u"))
+    for (_ <- 1 to radius) {
+      pairs = pairs
+        .union(pairs.join(adj, col("u") === col("src"))
+          .select(col("v"), col("dst").as("u")))
+        .distinct().localCheckpoint()
+    }
+    val exact = pairs.groupBy("v").agg(count(lit(1)).as("exact_reach"))
+    ball.select(col("node"), expr("hll_sketch_estimate(sk)").as("est"))
+      .join(exact, col("node") === col("v"))
+      .select(col("node"), col("exact_reach"),
+        (abs(col("est") - col("exact_reach")) <=
+          col("exact_reach") * 0.05 + lit(16)).as("estimate_in_bounds"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hyperball" -> ((s, d) => hyperBall(s, d)),
     "q_label_prop" -> ((s, d) => labelPropagation(s, d)),
     "q_link_prediction" -> ((s, d) => linkPrediction(s, d)),
     "q_pagerank_trade" -> pageRank,
@@ -580,7 +638,39 @@ object GraphOps {
        |FROM l$rounds l JOIN sizes s ON s.lbl = l.lbl""".stripMargin
   }
 
+  /** Oracle for [[hyperBall]]: exact reach via unrolled distinct pair
+    * expansion on the same sparse graph; the estimate is asserted
+    * in-bounds Spark-side (q_hll_daily contract). */
+  private def hyperBallSql(radius: Int): String = {
+    val roundCtes = (1 to radius).map { r =>
+      s"""p$r AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT v, u FROM p${r - 1}
+         |    UNION ALL
+         |    SELECT p.v, a.dst AS u
+         |    FROM p${r - 1} p JOIN adj a ON a.src = p.u))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |sparse AS (
+       |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |  FROM (SELECT src, dst, row_number() OVER (
+       |          PARTITION BY src ORDER BY w DESC, dst) AS rn
+       |        FROM edges)
+       |  WHERE rn <= $BfsTopLanes),
+       |adj AS (
+       |  SELECT src, dst FROM sparse
+       |  UNION ALL
+       |  SELECT CAST(node AS BIGINT), CAST(node AS BIGINT) FROM nodes),
+       |p0 AS (SELECT CAST(node AS BIGINT) AS v, CAST(node AS BIGINT) AS u
+       |       FROM nodes),
+       |$roundCtes
+       |SELECT v AS node, CAST(count(*) AS BIGINT) AS exact_reach,
+       |       true AS estimate_in_bounds
+       |FROM p$radius GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hyperball" -> hyperBallSql(HyperBallRadius),
     "q_label_prop" -> lpaSql(LpaRounds),
     "q_link_prediction" ->
       """WITH items AS (

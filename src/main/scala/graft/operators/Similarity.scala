@@ -724,6 +724,58 @@ object Similarity {
   def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     kmeansTrain(spark, dir, k, rounds = 1)
 
+  /** Seed count for [[kcenterSeeds]]; the oracle unrolls the same k. */
+  val KCenterK = 8
+
+  /** GONZALEZ FARTHEST-POINT (k-center) SEEDING — the deterministic
+    * initialization k-means++ randomizes: seed 1 is vector 0, each
+    * next seed is the vector FARTHEST from the current seed set
+    * (exact integer L2² on the shared int8 quantization, ties to the
+    * smaller vec_id), a 2-approximation of the k-center optimum
+    * (Gonzalez 1985). The per-vector nearest-seed distance is
+    * maintained INCREMENTALLY — each round joins ONE broadcast new
+    * seed and takes `least(dmin, d2_new)`, so the whole seeding is k
+    * linear passes (never n·k distance recomputes, never n²); the
+    * argmax pick is a 1-row TakeOrdered. Output: the k seeds in
+    * selection order with the coverage radius each pick closed — the
+    * decreasing radius_d2 sequence IS the k-center quality curve
+    * (where it plateaus is the right k). */
+  def kcenterSeeds(spark: SparkSession, dir: String,
+      k: Int = KCenterK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val absMax = e.agg(greatest(max(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))), lit(1e-30))
+      .as("absmax"))
+    val qv = e.crossJoin(broadcast(absMax))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * (lit(127.0) / col("absmax")) + lit(0.5))
+            .cast("long")).as("q"))
+      .localCheckpoint()
+    var picks = qv.filter(col("vec_id") === 0)
+      .select(lit(1).as("seed_rank"), col("vec_id").as("seed_id"),
+        col("q").as("c"), lit(0L).as("radius_d2"))
+      .localCheckpoint()
+    var state = qv.crossJoin(broadcast(picks.select(col("c"))))
+      .select(col("vec_id"), col("q"),
+        graft.functions.L2Sq(col("q"), col("c")).as("dmin"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pick = state.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select(lit(r).as("seed_rank"), col("vec_id").as("seed_id"),
+          col("q").as("c"), col("dmin").as("radius_d2"))
+        .localCheckpoint() // 1 row
+      picks = picks.union(pick)
+      if (r < k) state = state
+        .crossJoin(broadcast(pick.select(col("c").as("nc"))))
+        .select(col("vec_id"), col("q"),
+          least(col("dmin"), graft.functions.L2Sq(col("q"), col("nc")))
+            .as("dmin"))
+        .localCheckpoint() // n rows × k rounds — Gonzalez IS k passes
+    }
+    picks.select(col("seed_rank"), col("seed_id"), col("radius_d2"))
+  }
+
   /** The full iterative loop: `rounds` Lloyd iterations, each
     * re-assembling the updated (cluster, pos, c_new) rows into array
     * centroids for the next assignment — checkpointed per round like
@@ -1020,6 +1072,7 @@ object Similarity {
     "q_jl_project" -> jlProject,
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
+    "q_kcenter_seeds" -> ((s, d) => kcenterSeeds(s, d)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "q_kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
     "q_silhouette" -> ((s, d) => silhouette(s, d)),
@@ -1157,6 +1210,47 @@ object Similarity {
     * +128-shifted space, and the list re-assembly feeding the next
     * round — the adaptive loop unrolled as CTEs (same technique as the
     * BPE oracle). */
+  /** Oracle for [[kcenterSeeds]]: the incremental farthest-point
+    * rounds unrolled (same quantization base as the kmeans chain). */
+  private def kcenterSql(k: Int): String = {
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val roundCtes = (2 to k).map { r =>
+      val pick =
+        s"""pk$r AS (
+           |  SELECT vec_id AS seed_id, q AS c, dmin AS radius_d2
+           |  FROM st${r - 1} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+          .stripMargin
+      if (r < k) pick + s""",
+         |st$r AS (
+         |  SELECT s.vec_id, s.q,
+         |         least(s.dmin, ${l2("s.q", "p.c")}) AS dmin
+         |  FROM st${r - 1} s CROSS JOIN pk$r p)""".stripMargin
+      else pick
+    }.mkString(",\n")
+    val finals = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS INT), seed_id, CAST(radius_d2 AS BIGINT) FROM pk$r")
+      .mkString("\n")
+    s"""WITH am AS (
+       |  SELECT greatest(max(list_max(list_transform(embedding,
+       |           x -> abs(CAST(x AS DOUBLE))))), 1e-30) AS absmax
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x ->
+       |           CAST(floor(CAST(x AS DOUBLE) * (127.0 / am.absmax) + 0.5)
+       |             AS BIGINT)) AS q
+       |  FROM embeddings, am),
+       |s1 AS (SELECT vec_id AS seed_id, q AS c FROM q WHERE vec_id = 0),
+       |st1 AS (
+       |  SELECT q.vec_id, q.q, ${l2("q.q", "s.c")} AS dmin
+       |  FROM q CROSS JOIN s1 s),
+       |$roundCtes
+       |SELECT CAST(1 AS INT) AS seed_rank, seed_id,
+       |       CAST(0 AS BIGINT) AS radius_d2 FROM s1
+       |$finals""".stripMargin
+  }
+
   private def kmeansSql(rounds: Int): String =
     kmeansCtes(rounds) + s"\nSELECT cluster, pos, c_new, n_members FROM u$rounds"
 
@@ -1446,6 +1540,7 @@ object Similarity {
     // form unrolls the SAME per-round CTEs for KmeansRounds.
     "q_kmeans_step" -> kmeansSql(1),
     "q_kmeans_train" -> kmeansSql(KmeansRounds),
+    "q_kcenter_seeds" -> kcenterSql(KCenterK),
     "q_silhouette" -> silhouetteSql(KmeansRounds),
     // Served form is result-identical to q_retrieval by construction
     // (same quantizer, same assignments, just persisted) — same oracle.
