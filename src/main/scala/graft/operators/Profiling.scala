@@ -1130,6 +1130,40 @@ object Profiling {
       .withColumn("eps_milli", lit(693L))
   }
 
+  /** Stability threshold for [[dpHistogram]]: released cells below τ
+    * are SUPPRESSED, which is what makes a histogram over an
+    * unbounded/unknown key domain (here lang × source, in production
+    * URLs or free-text tags) differentially private — without the
+    * threshold the mere PRESENCE of a key leaks its contributor
+    * (Korolova et al. WWW'09; Wilson et al. VLDB'20). τ = 12 at
+    * ε = ln 2 bounds the per-cell leak probability δ by
+    * P(noise ≥ τ) ≈ 2^-τ/3 ≈ 10⁻⁴. */
+  val DpHistTau = 12L
+
+  /** THRESHOLDED DP HISTOGRAM release — [[dpRelease]] extended to the
+    * unknown-domain case every real release pipeline hits: per
+    * (lang, source) document counts + the same md5-deterministic
+    * two-sided geometric noise (ε = ln 2), then cells whose NOISED
+    * count falls below [[DpHistTau]] are dropped entirely. One grouped
+    * aggregate, noise and threshold in the same projection; the
+    * released histogram replays digit-for-digit (the determinism is an
+    * audit property — production swaps the md5 coins for real ones
+    * without touching the plan). */
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    def geom(seed: String) =
+      s"60 - length(bin(CAST(conv(substr(md5(concat('$seed', lang," +
+        s" '|', source)), 1, 15), 16, 10) AS BIGINT)))"
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_true"))
+      .select(col("lang"), col("source"), col("n_true"),
+        expr(s"CAST(${geom("graft-dph1-")} - (${geom("graft-dph2-")})" +
+          " AS BIGINT)").as("noise"))
+      .withColumn("released", col("n_true") + col("noise"))
+      .filter(col("released") >= lit(DpHistTau))
+      .withColumn("eps_milli", lit(693L))
+      .withColumn("tau", lit(DpHistTau))
+  }
+
   /** PSEUDONYMIZED EXPORT — the privacy-preserving data-sharing shape:
     * direct identifiers are replaced by a salted-md5 pseudonym (stable
     * per key, so cross-table joins still work; irreversible without
@@ -1166,6 +1200,7 @@ object Profiling {
     "q_t_closeness" -> tCloseness,
     "q_rand_response" -> randResponse,
     "q_dp_release" -> dpRelease,
+    "q_dp_histogram" -> dpHistogram,
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
@@ -1272,6 +1307,24 @@ object Profiling {
          |       CAST(sum(CASE WHEN tvd_ppm > $TCloseTPpm THEN n_g
          |                ELSE 0 END) AS BIGINT) AS records_past_t
          |FROM pg GROUP BY 1""".stripMargin,
+    "q_dp_histogram" ->
+      s"""WITH base AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY 1, 2),
+        |noised AS (
+        |  SELECT lang, source, n_true,
+        |         CAST((60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dph1-' || lang || '|' || source),
+        |                       1, 15)) AS BIGINT))))
+        |            - (60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dph2-' || lang || '|' || source),
+        |                       1, 15)) AS BIGINT)))) AS BIGINT) AS noise
+        |  FROM base)
+        |SELECT lang, source, n_true, noise,
+        |       n_true + noise AS released,
+        |       CAST(693 AS BIGINT) AS eps_milli,
+        |       CAST(${DpHistTau} AS BIGINT) AS tau
+        |FROM noised WHERE n_true + noise >= ${DpHistTau}""".stripMargin,
     "q_dp_release" ->
       """WITH base AS (
         |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_true

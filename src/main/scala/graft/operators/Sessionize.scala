@@ -329,7 +329,48 @@ object Sessionize {
         col("t1_us"), col("t2_us"), col("t3_us"))
   }
 
+  /** SESSION CONVERSION RATE per day — the product-analytics KPI the
+    * session machinery exists to serve: sessions from the same
+    * 30-minute gaps-and-islands as [[sessions]], each flagged
+    * converted if it contains ≥1 purchase, rolled up per session-start
+    * day with the exact conversion ppm, purchase revenue, and event
+    * volume. Distinct from [[funnel]] (whose unit is the USER and
+    * whose stages are ordered) — here the unit is the SESSION and the
+    * question is the per-day conversion trend an on-call dashboard
+    * watches.
+    *
+    * Plan: one shuffle on user_id (user-bounded windows), one
+    * (user, session) aggregate, one small per-day aggregate — all
+    * map-side combined. */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > GapNanos, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("start_ns"), count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("pc"))
+    per.groupBy(expr("start_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_converting"),
+        sum("pc").as("purchase_cents"), sum("n_events").as("n_events"))
+      .select(col("day"), col("n_sessions"), col("n_converting"),
+        expr("n_converting * 1000000 div n_sessions").as("conv_ppm"),
+        col("purchase_cents"), col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_conversion" -> sessionConversion,
     "q_peak_concurrency" -> peakConcurrency,
     "q_windowed_funnel" -> windowedFunnel,
     "q_event_patterns" -> eventPatterns,
@@ -362,6 +403,35 @@ object Sessionize {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_session_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+        |      OR tsn - lag(tsn) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY tsn, event_id)),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY tsn, event_id) AS seq FROM m),
+        |per AS (
+        |  SELECT user_id, seq, min(tsn) AS start_ns,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv,
+        |         sum(CASE WHEN event_type = 'purchase' THEN cents
+        |             ELSE 0 END) AS pc
+        |  FROM s GROUP BY 1, 2)
+        |SELECT start_ns // 86400000000000 AS day,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(conv) AS BIGINT) AS n_converting,
+        |       CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+        |       CAST(sum(pc) AS BIGINT) AS purchase_cents,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM per GROUP BY 1""".stripMargin,
     "q_interval_coverage" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS t,

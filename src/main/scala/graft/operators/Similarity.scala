@@ -724,6 +724,48 @@ object Similarity {
   def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     kmeansTrain(spark, dir, k, rounds = 1)
 
+  /** EMBEDDING-QUALITY AUDIT — the vector-store INGEST GATE: malformed
+    * embeddings (all-zero, near-zero, byte-identical duplicates from
+    * upstream retry bugs) are the classic silent poisoners of an ANN
+    * index. One pass milli-quantizes each vector and emits, per
+    * power-of-two norm² bucket (exact integer log2 via binary-repr
+    * length — the doclen-histogram trick): vector count, zero-valued
+    * dimension total, EXACT duplicate-vector count (same quantized
+    * coordinates as a lower vec_id — a groupBy on the array itself,
+    * the content-addressed-dedup idea applied to vectors), and the
+    * bucket's norm² range. Bounded output (≤ ~33 buckets) at any
+    * corpus size; the duplicate check is one array-keyed exchange,
+    * never a pairwise compare. */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
+    embeddingAuditFrom(Tables.embeddings(spark, dir))
+
+  /** Same, over an explicit (vec_id, embedding) frame — the seam the
+    * spec drives with constructed duplicates and an all-zero vector
+    * (the natural testdata has neither, so the dup/zero columns would
+    * otherwise never be exercised). */
+  private[graft] def embeddingAuditFrom(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x ->" +
+          " CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+          .as("qa"))
+      .select(col("vec_id"), col("qa"),
+        expr("aggregate(qa, 0L, (a, x) -> a + x * x)").as("n2"),
+        expr("aggregate(qa, 0L, (a, x) ->" +
+          " a + CASE WHEN x = 0 THEN 1 ELSE 0 END)").as("zdims"))
+    val dups = q.groupBy("qa")
+      .agg(min("vec_id").as("keeper"))
+    q.join(dups, "qa")
+      .select(col("vec_id"), col("n2"), col("zdims"),
+        when(col("vec_id") =!= col("keeper"), 1L).otherwise(0L)
+          .as("is_dup"),
+        length(bin(col("n2"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), sum("zdims").as("n_zero_dims"),
+        sum("is_dup").as("n_dup_vectors"),
+        min("n2").as("min_norm2"), max("n2").as("max_norm2"))
+  }
+
   /** Seed count for [[kcenterSeeds]]; the oracle unrolls the same k. */
   val KCenterK = 8
 
@@ -1072,6 +1114,7 @@ object Similarity {
     "q_jl_project" -> jlProject,
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
+    "q_embedding_audit" -> embeddingAudit,
     "q_kcenter_seeds" -> ((s, d) => kcenterSeeds(s, d)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "q_kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
@@ -1541,6 +1584,30 @@ object Similarity {
     "q_kmeans_step" -> kmeansSql(1),
     "q_kmeans_train" -> kmeansSql(KmeansRounds),
     "q_kcenter_seeds" -> kcenterSql(KCenterK),
+    "q_embedding_audit" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+        |             AS BIGINT)) AS qa
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, qa,
+        |         CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT)
+        |           AS n2,
+        |         CAST(len(list_filter(qa, x -> x = 0)) AS BIGINT)
+        |           AS zdims
+        |  FROM q),
+        |dups AS (SELECT qa, min(vec_id) AS keeper FROM qq GROUP BY 1)
+        |SELECT CAST(length(bin(n2)) AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(sum(zdims) AS BIGINT) AS n_zero_dims,
+        |       CAST(sum(CASE WHEN qq.vec_id <> d.keeper THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dup_vectors,
+        |       CAST(min(n2) AS BIGINT) AS min_norm2,
+        |       CAST(max(n2) AS BIGINT) AS max_norm2
+        |FROM qq JOIN dups d USING (qa)
+        |GROUP BY 1""".stripMargin,
     "q_silhouette" -> silhouetteSql(KmeansRounds),
     // Served form is result-identical to q_retrieval by construction
     // (same quantizer, same assignments, just persisted) — same oracle.

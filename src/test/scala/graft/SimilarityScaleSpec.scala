@@ -68,4 +68,33 @@ class SimilarityScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.allPairsVecCap")
     assert(Similarity.annTopK(spark, sfDir).count() == under)
   }
+
+  test("embedding audit counts duplicates and zero dimensions") {
+    // The natural testdata has no duplicate vectors and no zero dims,
+    // so the sweep's hash-check never exercises those columns — this
+    // constructed frame does: vecs 0 and 2 are byte-identical (one dup,
+    // keeper = min id), vec 1 is all-zero (64 zero dims, norm² bucket
+    // length(bin(0)) = 1).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = Seq.fill(64)(0.5f)
+    val z = Seq.fill(64)(0.0f)
+    val emb = Seq((0L, v), (1L, z), (2L, v))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"))
+    val rows = Similarity.embeddingAuditFrom(emb)
+      .orderBy("bucket").collect()
+    assert(rows.length == 2)
+    val zeroB = rows(0)
+    assert(zeroB.getAs[Int]("bucket") == 1 &&
+      zeroB.getAs[Long]("n_vectors") == 1 &&
+      zeroB.getAs[Long]("n_zero_dims") == 64 &&
+      zeroB.getAs[Long]("n_dup_vectors") == 0)
+    val mainB = rows(1)
+    // 500² · 64 = 16,000,000 → bin length 24; dup = vec 2 (not 0)
+    assert(mainB.getAs[Long]("n_vectors") == 2 &&
+      mainB.getAs[Long]("n_dup_vectors") == 1 &&
+      mainB.getAs[Long]("n_zero_dims") == 0 &&
+      mainB.getAs[Long]("min_norm2") == 16000000L)
+  }
 }
