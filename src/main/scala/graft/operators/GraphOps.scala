@@ -485,7 +485,41 @@ object GraphOps {
           col("exact_reach") * 0.05 + lit(16)).as("estimate_in_bounds"))
   }
 
+  /** PERSONALIZED PageRank from one seed node — the recommendation /
+    * related-items primitive ([[pageRank]] ranks GLOBAL importance;
+    * PPR ranks importance RELATIVE to a seed, which is what "users
+    * who trade with nation 0 also trade with…" actually asks). Same
+    * exact-integer split-identity rounds on the same checkpointed
+    * edge list; the only change is WHERE the 15% teleport lands — all
+    * of it on the seed instead of uniformly — so mass concentrates in
+    * the seed's neighbourhood and decays with random-walk distance.
+    * At corpus scale this is the standard PPR power iteration (k
+    * edge-keyed shuffles; production pushes residuals, same plan). */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+      seed: Long = 0L): DataFrame = {
+    val edges = tradeEdges(spark, dir).localCheckpoint()
+    val out = edges.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("node"))
+    var mass = nodes.withColumn("mass",
+      when(col("node") === seed, lit(TotalMass)).otherwise(lit(0L)))
+    for (_ <- 0 until Iterations) {
+      val in = edges.join(out, "src")
+        .join(mass, col("node") === col("src"))
+        .select(col("dst"),
+          expr("(mass div ow) * w + ((mass % ow) * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("inm"))
+      mass = nodes.join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr("85 * coalesce(inm, 0L) div 100") +
+            when(col("node") === seed, lit(TotalMass * 15L / 100L))
+              .otherwise(lit(0L))).as("mass"))
+    }
+    mass.select(col("node"), col("mass").as("ppr_mass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppr_trade" -> ((s, d) => personalizedPageRank(s, d)),
     "q_hyperball" -> ((s, d) => hyperBall(s, d)),
     "q_label_prop" -> ((s, d) => labelPropagation(s, d)),
     "q_link_prediction" -> ((s, d) => linkPrediction(s, d)),
@@ -573,6 +607,21 @@ object GraphOps {
     s"""m${k + 1} AS (
        |  SELECT n.node,
        |         85 * coalesce(i.inm, 0) // 100 + 6000000000 AS mass
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |           CAST(sum((m.mass // o.ow) * e.w
+       |                    + ((m.mass % o.ow) * e.w) // o.ow) AS BIGINT) AS inm
+       |    FROM m$k m JOIN edges e ON m.node = e.src JOIN outw o ON o.src = e.src
+       |    GROUP BY 1) i USING (node))""".stripMargin
+
+  /** [[iterSql]] with the teleport landing entirely on seed node 0
+    * (the personalized variant). */
+  private def pprIterSql(k: Int): String =
+    s"""m${k + 1} AS (
+       |  SELECT n.node,
+       |         85 * coalesce(i.inm, 0) // 100
+       |           + CASE WHEN n.node = 0 THEN 150000000000 ELSE 0 END
+       |           AS mass
        |  FROM nodes n LEFT JOIN (
        |    SELECT e.dst AS node,
        |           CAST(sum((m.mass // o.ow) * e.w
@@ -726,6 +775,13 @@ object GraphOps {
           |""".stripMargin +
         (0 until Iterations).map(iterSql).mkString(",\n") +
         s"\nSELECT node, CAST(mass AS BIGINT) AS mass FROM m$Iterations"),
+    "q_ppr_trade" ->
+      (s"""WITH $edgesSql,
+          |m0 AS (SELECT node, CASE WHEN node = 0 THEN 1000000000000
+          |                    ELSE 0 END AS mass FROM nodes),
+          |""".stripMargin +
+        (0 until Iterations).map(pprIterSql).mkString(",\n") +
+        s"\nSELECT node, CAST(mass AS BIGINT) AS ppr_mass FROM m$Iterations"),
     "q_triangle_count" ->
       s"""WITH $edgesSql,
          |und AS (

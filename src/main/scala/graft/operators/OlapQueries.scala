@@ -758,6 +758,40 @@ object OlapQueries {
         !   GROUP BY l_returnflag, l_linestatus""".stripMargin('!'))
   }
 
+  /** LISTAGG (Spark 4 `listagg(...) WITHIN GROUP (ORDER BY ...)`) —
+    * the ordered string-aggregation SQL surface every report export
+    * hits: per nation, its top-5 customers by exact spend concatenated
+    * in rank order. The WITHIN GROUP ordering is what makes the string
+    * deterministic (bare collect_list/string_agg is arrival-ordered
+    * and would never replay); the top-5 cut happens BEFORE the
+    * aggregation via a nation-partitioned rank window
+    * (WindowGroupLimit territory), so listagg only ever sees 5 rows
+    * per group. */
+  def listaggExport(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_la")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_la")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_la")
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT c_nationkey, c_name,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders_la JOIN customer_la ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |top5 AS (
+        |  SELECT * FROM (
+        |    SELECT c_nationkey, c_name, cents,
+        |           row_number() OVER (PARTITION BY c_nationkey
+        |             ORDER BY cents DESC, c_name) AS rk
+        |    FROM spend) WHERE rk <= 5)
+        |SELECT n_name,
+        |       listagg(c_name, ',')
+        |         WITHIN GROUP (ORDER BY cents DESC, c_name) AS top_customers,
+        |       CAST(sum(cents) AS BIGINT) AS top5_cents
+        |FROM top5 JOIN nation_la ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin)
+  }
+
   /** PARAMETERIZED SQL (named parameter markers, `spark.sql(text,
     * args)`): the injection-safe prepared-statement surface — literals
     * bind as typed parameters, never string-spliced. Catalyst folds the
@@ -1085,6 +1119,7 @@ object OlapQueries {
     "q1_pricing_summary" -> q1PricingSummary,
     "q_pipe_sql" -> pipeSqlStats,
     "q_param_sql" -> paramSql,
+    "q_listagg_export" -> listaggExport,
     "q_exec_immediate" -> execImmediate,
     "q_revenue_waterfall" -> revenueWaterfall,
     "q_share_of_parent" -> shareOfParent,
@@ -1520,6 +1555,25 @@ object OlapQueries {
         |WHERE o_totalprice >= 200000
         |GROUP BY 1""".stripMargin,
     // Bound parameters replayed as folded literals.
+    "q_listagg_export" ->
+      """WITH spend AS (
+        |  SELECT c_nationkey, c_name,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |top5 AS (
+        |  SELECT * FROM (
+        |    SELECT c_nationkey, c_name, cents,
+        |           row_number() OVER (PARTITION BY c_nationkey
+        |             ORDER BY cents DESC, c_name) AS rk
+        |    FROM spend) t WHERE rk <= 5)
+        |SELECT n_name,
+        |       string_agg(c_name, ',' ORDER BY cents DESC, c_name)
+        |         AS top_customers,
+        |       CAST(sum(cents) AS BIGINT) AS top5_cents
+        |FROM top5 JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_param_sql" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,

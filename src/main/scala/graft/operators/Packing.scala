@@ -327,7 +327,40 @@ object Packing {
         expr("n_masked + n_spans + 1").as("target_len"))
   }
 
+  /** Data-parallel world size for [[loaderManifest]]; the oracle
+    * replays the same modulus. */
+  val WorldSize = 8L
+
+  /** DISTRIBUTED DATA-LOADER MANIFEST — the last mile of the packing
+    * family: the packed sequences ([[seqPack]]'s spans) are assigned
+    * to [[WorldSize]] data-parallel ranks by a seeded md5 hash
+    * (replayable shuffling — every worker can recompute its own shard
+    * membership without a coordinator), and the output is the
+    * per-rank BALANCE AUDIT a training launch checks before burning
+    * cluster-hours: sequence count, exact share ppm, and signed
+    * deviation from the ideal 1/world share. Sequence ids are derived
+    * DISTRIBUTED from the per-doc spans (explode + distinct — never a
+    * driver-side range over 10⁸ sequences). */
+  def loaderManifest(spark: SparkSession, dir: String,
+      world: Long = WorldSize): DataFrame = {
+    val seqs = seqPack(spark, dir)
+      .select(explode(expr("sequence(first_seq, last_seq)")).as("seq"))
+      .distinct()
+    val ranked = seqs.select(col("seq"),
+      expr("CAST(conv(substr(md5(concat('graft-rank-'," +
+        s" CAST(seq AS STRING))), 1, 8), 16, 10) AS BIGINT) % $world")
+        .as("rank"))
+    val tot = ranked.agg(count(lit(1)).as("s_total"))
+    ranked.groupBy("rank").agg(count(lit(1)).as("n_seqs"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("n_seqs"),
+        expr("n_seqs * 1000000 div s_total").as("share_ppm"),
+        expr(s"n_seqs * 1000000 div s_total - 1000000 div $world")
+          .as("dev_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_loader_manifest" -> ((s, d) => loaderManifest(s, d)),
     "q_span_corrupt" -> spanCorruptPlan,
     "q_mask_plan" -> maskPlan,
     "q_pack_waste" -> ((s, d) => packWaste(s, d)),
@@ -337,6 +370,39 @@ object Packing {
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_loader_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+         |           AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS rnd
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rnd, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM d),
+         |spans AS (
+         |  SELECT cum_before // ${SeqLen} AS first_seq,
+         |         (cum_before + n_tokens - 1) // ${SeqLen} AS last_seq
+         |  FROM c),
+         |seqs AS (
+         |  SELECT DISTINCT unnest(range(first_seq, last_seq + 1)) AS seq
+         |  FROM spans),
+         |ranked AS (
+         |  SELECT seq,
+         |         CAST(('0x' || substr(md5('graft-rank-'
+         |           || CAST(seq AS VARCHAR)), 1, 8)) AS BIGINT)
+         |           % ${WorldSize} AS rank
+         |  FROM seqs),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS s_total FROM ranked)
+         |SELECT rank, CAST(count(*) AS BIGINT) AS n_seqs,
+         |       CAST(count(*) * 1000000 // s_total AS BIGINT) AS share_ppm,
+         |       CAST(count(*) * 1000000 // s_total
+         |         - 1000000 // ${WorldSize} AS BIGINT) AS dev_ppm
+         |FROM ranked CROSS JOIN tot
+         |GROUP BY rank, s_total""".stripMargin,
     "q_span_corrupt" ->
       """WITH d AS (
         |  SELECT doc_id,
