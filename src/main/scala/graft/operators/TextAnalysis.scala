@@ -1156,7 +1156,98 @@ object TextAnalysis {
       .agg(count(lit(1)).as("vocab_size"))
   }
 
+  /** READABILITY scores (Flesch Reading Ease + Flesch-Kincaid grade)
+    * in exact milli units — the classic pedagogical quality features a
+    * curriculum or audience filter keys on, beside the Gopher gate's
+    * structural rules. Counts are pure regexp aggregates (codegen'd,
+    * no UDF): words = whitespace tokens, sentences = terminal
+    * punctuation runs `[.!?]+` (floored at 1 — headlines have no
+    * period), syllables ≈ vowel runs `[aeiou]+` over the lowercased
+    * text (runs cannot span words, so no per-word explode is needed —
+    * one regexp pass per doc). The published coefficients are
+    * milli-scaled integers (206.835 → 206835) and every ratio is one
+    * floor-div, so the scores replay digit-for-digit; FRE can go
+    * negative on degenerate text (that is the signal). */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("sentences"),
+        greatest(lit(1L),
+          regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long"))
+          .as("syllables"))
+      .withColumn("words", greatest(lit(1L), col("words")))
+      .select(col("doc_id"), col("lang"), col("words"), col("sentences"),
+        col("syllables"),
+        expr("206835 - 1015 * words div sentences" +
+          " - 84600 * syllables div words").as("fre_milli"),
+        expr("390 * words div sentences + 11800 * syllables div words" +
+          " - 15590").as("fk_grade_milli"))
+
+  /** Bin count for [[featureHashAudit]]; the oracle replays the same
+    * modulus. */
+  val FeatureHashBins = 64L
+
+  /** FEATURE-HASHING (hashing-trick) AUDIT — before a large-scale
+    * linear model trains on hashed bag-of-words features, this is the
+    * collision report that decides the bin count: every distinct token
+    * hashes to bin md5(tok) % 64, and each bin reports its vocabulary
+    * load (distinct tokens colliding there), total occurrence mass,
+    * occurrence share ppm, and the heaviest single token's share of
+    * the bin (how much one word dominates its bucket — near 10⁶ means
+    * the collision is harmless, near uniform means feature smearing).
+    * One token aggregate + one 64-row rollup; output bounded at any
+    * corpus size. */
+  def featureHashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(explode(tokens).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("bin",
+        expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)" +
+          s" % $FeatureHashBins"))
+    tc.groupBy("bin")
+      .agg(count(lit(1)).as("n_vocab"), sum("cnt").as("n_occ"),
+        max("cnt").as("max_tok_occ"))
+      .crossJoin(broadcast(tc.agg(sum("cnt").as("tot"))))
+      .select(col("bin"), col("n_vocab"), col("n_occ"),
+        expr("n_occ * 1000000 div tot").as("occ_share_ppm"),
+        expr("max_tok_occ * 1000000 div n_occ").as("dominance_ppm"))
+  }
+
+  /** Pairwise SOURCE VOCABULARY OVERLAP — exact Jaccard between the
+    * distinct-token sets of every source pair, the lexical
+    * complement of the span-level contamination matrix (shared
+    * n-grams say "copied text"; shared vocabulary says "same
+    * register/domain" — a mixture design reads both). The join is on
+    * the DISTINCT (source, token) table, so each token fans out to at
+    * most |sources|² rows regardless of its corpus frequency — the
+    * Zipf head cannot skew this join by construction. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens).as("tok"))
+      .distinct()
+      .localCheckpoint() // feeds sizes + both join sides
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("nv"))
+    st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("source", "s1")
+        .withColumnRenamed("nv", "nv1")), "s1")
+      .join(broadcast(sizes.withColumnRenamed("source", "s2")
+        .withColumnRenamed("nv", "nv2")), "s2")
+      .select(col("s1"), col("s2"), col("nv1"), col("nv2"), col("inter"),
+        expr("inter * 1000000 div (nv1 + nv2 - inter)")
+          .as("jaccard_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_overlap" -> vocabOverlap,
+    "q_feature_hash" -> featureHashAudit,
+    "q_readability" -> readability,
     "q_vocab_growth" -> vocabGrowth,
     "q_doc_rarity" -> docRarity,
     "q_ccnet_buckets" -> ccnetBuckets,
@@ -1333,6 +1424,68 @@ object TextAnalysis {
       |        FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_readability" ->
+      """SELECT doc_id, lang,
+        |       greatest(1, CAST(len(regexp_split_to_array(lower(text),
+        |         '\s+')) AS BIGINT)) AS words,
+        |       greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |         AS BIGINT)) AS sentences,
+        |       greatest(1, CAST(len(regexp_extract_all(lower(text),
+        |         '[aeiou]+')) AS BIGINT)) AS syllables,
+        |       206835 - 1015 * greatest(1, CAST(len(
+        |           regexp_split_to_array(lower(text), '\s+')) AS BIGINT))
+        |         // greatest(1, CAST(len(regexp_extract_all(text,
+        |           '[.!?]+')) AS BIGINT))
+        |         - 84600 * greatest(1, CAST(len(regexp_extract_all(
+        |           lower(text), '[aeiou]+')) AS BIGINT))
+        |         // greatest(1, CAST(len(regexp_split_to_array(
+        |           lower(text), '\s+')) AS BIGINT)) AS fre_milli,
+        |       390 * greatest(1, CAST(len(regexp_split_to_array(
+        |           lower(text), '\s+')) AS BIGINT))
+        |         // greatest(1, CAST(len(regexp_extract_all(text,
+        |           '[.!?]+')) AS BIGINT))
+        |         + 11800 * greatest(1, CAST(len(regexp_extract_all(
+        |           lower(text), '[aeiou]+')) AS BIGINT))
+        |         // greatest(1, CAST(len(regexp_split_to_array(
+        |           lower(text), '\s+')) AS BIGINT)) - 15590
+        |         AS fk_grade_milli
+        |FROM documents""".stripMargin,
+    "q_feature_hash" ->
+      s"""WITH tc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(text),
+         |          '\\s+')) AS tok FROM documents) t
+         |  GROUP BY 1),
+         |binned AS (
+         |  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+         |           % ${FeatureHashBins} AS bin, cnt
+         |  FROM tc),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM binned)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_vocab,
+         |       CAST(sum(cnt) AS BIGINT) AS n_occ,
+         |       CAST(sum(cnt) * 1000000 // tot AS BIGINT) AS occ_share_ppm,
+         |       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
+         |         AS dominance_ppm
+         |FROM binned CROSS JOIN tot
+         |GROUP BY bin, tot""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(regexp_split_to_array(
+        |      lower(text), '\s+')) AS tok
+        |    FROM documents) q),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |          FROM st GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, x.nv AS nv1, y.nv AS nv2, inter,
+        |       CAST(inter * 1000000 // (x.nv + y.nv - inter) AS BIGINT)
+        |         AS jaccard_ppm
+        |FROM pairs JOIN sizes x ON x.source = s1
+        |JOIN sizes y ON y.source = s2""".stripMargin,
     "q_vocab_growth" ->
       """WITH fo AS (
         |  SELECT tok, min(doc_id) AS first_doc
