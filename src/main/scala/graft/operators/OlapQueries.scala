@@ -986,6 +986,31 @@ object OlapQueries {
         |FROM orders_udf GROUP BY 1""".stripMargin)
   }
 
+  /** SQL TABLE FUNCTION (Spark 4 `CREATE FUNCTION … RETURNS TABLE`):
+    * the parameterized-view surface — a top-5-orders-per-segment
+    * table function declared in SQL and invoked twice with different
+    * arguments, results unioned. Like scalar SQL UDFs the body is
+    * INLINED at analysis time, so each call plans as the ordinary
+    * TakeOrdered-over-join it expands to (no black-box boundary, limit
+    * still pushed); the oracle replays the expansion. */
+  def sqlTableUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_tf")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_tf")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_top_orders(seg STRING)
+        |RETURNS TABLE(o_orderkey BIGINT, cents BIGINT)
+        |RETURN SELECT o_orderkey,
+        |              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |       FROM orders_tf JOIN customer_tf ON o_custkey = c_custkey
+        |       WHERE c_mktsegment = seg
+        |       ORDER BY 2 DESC, o_orderkey LIMIT 5""".stripMargin)
+    spark.sql(
+      """SELECT 'BUILDING' AS seg, * FROM graft_top_orders('BUILDING')
+        |UNION ALL
+        |SELECT 'MACHINERY', * FROM graft_top_orders('MACHINERY')"""
+        .stripMargin)
+  }
+
   /** String COLLATIONS (Spark 4 `COLLATE UTF8_LCASE`): per-manufacturer
     * distinct first-words of part names counted under binary vs
     * case-insensitive collation — the dialect-level answer to "how
@@ -1120,6 +1145,7 @@ object OlapQueries {
     "q_pipe_sql" -> pipeSqlStats,
     "q_param_sql" -> paramSql,
     "q_listagg_export" -> listaggExport,
+    "q_sql_table_udf" -> sqlTableUdf,
     "q_exec_immediate" -> execImmediate,
     "q_revenue_waterfall" -> revenueWaterfall,
     "q_share_of_parent" -> shareOfParent,
@@ -1555,6 +1581,16 @@ object OlapQueries {
         |WHERE o_totalprice >= 200000
         |GROUP BY 1""".stripMargin,
     // Bound parameters replayed as folded literals.
+    "q_sql_table_udf" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY round(o_totalprice * 100, 0) DESC, o_orderkey)
+        |           AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        |SELECT seg, o_orderkey, cents FROM ranked WHERE rk <= 5""".stripMargin,
     "q_listagg_export" ->
       """WITH spend AS (
         |  SELECT c_nationkey, c_name,

@@ -1905,7 +1905,45 @@ object Stats {
           " AS ate_naive_micro")
   }
 
+  /** CHURN LABEL BUILDER — the leakage-safe supervised-dataset
+    * construction every behavioral model starts from: one temporal
+    * cutoff (median of the event-time range, the CUPED split point),
+    * FEATURES strictly from the pre-cutoff window (event count, spend
+    * cents, active days, recency gap to cutoff) and the LABEL strictly
+    * from the post-cutoff window (churned = zero post-cutoff events) —
+    * the feature/label windows cannot overlap by construction, which
+    * is the leakage discipline the point-in-time join enforces rowwise
+    * applied at dataset grain. Users with no pre-cutoff activity are
+    * excluded (no features to train on) and counted implicitly by the
+    * row count. One events scan, one per-user conditional aggregate. */
+  def churnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val rng = ev.agg(min("ts").as("mn"), max("ts").as("mx"))
+      .selectExpr("(mn + mx) div 2 AS cutoff")
+    ev.crossJoin(broadcast(rng))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < col("cutoff"), 1L).otherwise(0L))
+          .as("f_events"),
+        sum(when(col("ts") < col("cutoff"), col("cents")).otherwise(0L))
+          .as("f_spend_cents"),
+        countDistinct(when(col("ts") < col("cutoff"),
+          expr("ts div 86400000000000"))).as("f_active_days"),
+        max(when(col("ts") < col("cutoff"), col("ts"))).as("last_pre"),
+        max(col("cutoff")).as("cutoff"),
+        sum(when(col("ts") >= col("cutoff"), 1L).otherwise(0L))
+          .as("post_events"))
+      .filter(col("f_events") > 0)
+      .select(col("user_id"), col("f_events"), col("f_spend_cents"),
+        col("f_active_days"),
+        (col("cutoff") - col("last_pre")).as("f_recency_ns"),
+        (col("post_events") === 0).as("label_churned"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_churn_labels" -> churnLabels,
     "q_ipw_ate" -> ipwAte,
     "q_event_study" -> eventStudy,
     "q_cuped" -> cuped,
@@ -1950,6 +1988,30 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_churn_labels" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |rng AS (SELECT (min(tsn) + max(tsn)) // 2 AS cutoff FROM e),
+        |per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN tsn < cutoff THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS f_events,
+        |         CAST(sum(CASE WHEN tsn < cutoff THEN cents ELSE 0 END)
+        |           AS BIGINT) AS f_spend_cents,
+        |         CAST(count(DISTINCT CASE WHEN tsn < cutoff
+        |           THEN tsn // 86400000000000 END) AS BIGINT)
+        |           AS f_active_days,
+        |         max(CASE WHEN tsn < cutoff THEN tsn END) AS last_pre,
+        |         max(cutoff) AS cutoff,
+        |         CAST(sum(CASE WHEN tsn >= cutoff THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS post_events
+        |  FROM e CROSS JOIN rng GROUP BY 1)
+        |SELECT user_id, f_events, f_spend_cents, f_active_days,
+        |       cutoff - last_pre AS f_recency_ns,
+        |       post_events = 0 AS label_churned
+        |FROM per WHERE f_events > 0""".stripMargin,
     "q_ipw_ate" ->
       """WITH per AS (
         |  SELECT c_mktsegment AS seg, year(o_orderdate) AS yr,
