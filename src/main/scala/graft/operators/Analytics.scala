@@ -616,6 +616,88 @@ object Analytics {
       .drop("b")
   }
 
+  /** Boosting rounds for [[boostRounds]]; the oracle unrolls the same
+    * count. */
+  val BoostRounds = 2
+
+  /** GRADIENT-BOOSTING TRAINING LOOP (two rounds of regression
+    * stumps on residuals) — [[bestSplit]] is the single-stump inner
+    * loop; this is the actual GBDT round structure as queries: fit
+    * the best (feature, threshold) stump to the current residuals by
+    * SSE-reduction in the mean×sum form (gain = μ_L·S_L + μ_R·S_R
+    * with the floored leaf means, over the bounded-domain value
+    * cells — the histogram trick; see the in-body note on why not
+    * S²/n), subtract the leaf means, refit on what remains. Everything is exact integer
+    * cents: sums ≤ 6·10¹³ so squared sums stay inside DECIMAL(38)/
+    * HUGEINT, and every residual mean uses the SIGN-SPLIT floor
+    * (`CASE s≥0 … ELSE -((-s) div n)`) because Spark's `div`
+    * truncates where DuckDB's `//` floors — on negative residual
+    * sums the two would silently diverge otherwise. Candidate counts
+    * are bounded by the integral feature domains (quantity ≤ 50,
+    * discount ≤ 11), so the per-round work is one fact aggregate +
+    * bounded algebra, and the model replays digit-for-digit where
+    * float GBDT depends on summation order. */
+  def boostRounds(spark: SparkSession, dir: String,
+      rounds: Int = BoostRounds): DataFrame = {
+    var rows = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("fq"),
+        expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("fd"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("r"))
+      .localCheckpoint() // feeds both features' cells + the residual map
+    var picks: DataFrame = null
+    for (rnd <- 1 to rounds) {
+      def cand(f: String) = {
+        val cells = rows.groupBy(f).agg(count(lit(1)).as("n"),
+          sum(expr("CAST(r AS DECIMAL(38,0))")).as("s"))
+        val w = Window.orderBy(f)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Gain uses the MEAN×SUM form μ_L·S_L + μ_R·S_R (with the
+        // floored leaf means) instead of S²/n: Spark's `div` returns
+        // LONG, and S²/n quotients pass Long.MaxValue once |S| ~ 10¹³
+        // (observed at sf0.1) — the mean×sum products stay ≤ ~10²⁰
+        // inside DECIMAL(38) and the floored objective is identical
+        // in both engines.
+        cells.orderBy(f).limit(100000) // integral feature domain; plan bound
+          .withColumn("nl", sum("n").over(w))
+          .withColumn("sl", sum("s").over(w))
+          .crossJoin(broadcast(cells.agg(sum("n").as("nt"),
+            sum("s").as("st"))))
+          .filter(col("nl") < col("nt"))
+          .select(lit(f).as("feature"), col(f).as("threshold"),
+            col("nl").as("n_left"), expr("nt - nl").as("n_right"),
+            col("sl"), expr("st - sl").as("sr"),
+            expr("CAST(CASE WHEN sl >= 0 THEN sl div nl" +
+              " ELSE -((-sl) div nl) END AS BIGINT)")
+              .as("leaf_left_cents"),
+            expr("CAST(CASE WHEN st - sl >= 0" +
+              " THEN (st - sl) div (nt - nl)" +
+              " ELSE -((-(st - sl)) div (nt - nl)) END AS BIGINT)")
+              .as("leaf_right_cents"))
+          .withColumn("gain",
+            expr("CAST(CAST(leaf_left_cents AS DECIMAL(38,0)) * sl" +
+              " + CAST(leaf_right_cents AS DECIMAL(38,0)) * sr" +
+              " AS DECIMAL(38,0))"))
+      }
+      val pick = cand("fq").unionByName(cand("fd"))
+        .orderBy(col("gain").desc, col("feature"), col("threshold"))
+        .limit(1)
+        .select(lit(rnd).as("round"), col("feature"), col("threshold"),
+          col("n_left"), col("n_right"), col("leaf_left_cents"),
+          col("leaf_right_cents"),
+          expr("CAST(gain div 1000000000 AS BIGINT)").as("gain_e9"))
+        .localCheckpoint() // 1 row
+      picks = if (picks == null) pick else picks.union(pick)
+      if (rnd < rounds) rows = rows.crossJoin(broadcast(pick))
+        .select(col("fq"), col("fd"),
+          (col("r") - when(
+            (col("feature") === "fq" && col("fq") <= col("threshold")) ||
+              (col("feature") === "fd" && col("fd") <= col("threshold")),
+            col("leaf_left_cents")).otherwise(col("leaf_right_cents")))
+            .as("r"))
+    }
+    picks
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING (the leakage-safe categorical
     * feature): encode each order's customer-nation by the
     * high-value rate of the OTHER orders in that nation —
@@ -1019,6 +1101,7 @@ object Analytics {
     "q_item_pairs" -> ((s, d) => itemPairs(s, d)),
     "q_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q_best_split" -> bestSplit,
+    "q_boost_rounds" -> ((s, d) => boostRounds(s, d)),
     "q_target_encoding" -> targetEncoding,
     "q_item_triples" -> ((s, d) => itemTriples(s, d)),
     "q_ivm_monthly_revenue" -> ((s, d) => incrementalMonthlyRevenue(s, d)),
@@ -1042,7 +1125,76 @@ object Analytics {
     "q_xml_roundtrip" -> xmlRoundtrip,
     "q_schema_merge" -> schemaMergeRead)
 
+  /** Oracle for [[boostRounds]]: the stump-fit + residual rounds
+    * unrolled as CTEs, all HUGEINT with the same sign-split floors. */
+  private def boostSql(rounds: Int): String = {
+    def candCtes(r: Int) = Seq("fq", "fd").map { f =>
+      s"""c_${f}_$r AS (
+         |  SELECT $f AS v, CAST(count(*) AS HUGEINT) AS n,
+         |         CAST(sum(r) AS HUGEINT) AS s
+         |  FROM rows$r GROUP BY 1),
+         |sc_${f}_$r AS (
+         |  SELECT '$f' AS feature, v AS threshold,
+         |         sum(n) OVER w AS nl, sum(s) OVER w AS sl,
+         |         (SELECT sum(n) FROM c_${f}_$r) AS nt,
+         |         (SELECT sum(s) FROM c_${f}_$r) AS st
+         |  FROM c_${f}_$r
+         |  WINDOW w AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+        .stripMargin
+    }.mkString(",\n")
+    val roundCtes = (1 to rounds).map { r =>
+      val residual = if (r < rounds)
+        s""",
+           |rows${r + 1} AS (
+           |  SELECT fq, fd,
+           |         r - (CASE WHEN (p.feature = 'fq' AND fq <= p.threshold)
+           |               OR (p.feature = 'fd' AND fd <= p.threshold)
+           |             THEN p.leaf_left_cents
+           |             ELSE p.leaf_right_cents END) AS r
+           |  FROM rows$r CROSS JOIN pick_$r p)""".stripMargin
+      else ""
+      s"""${candCtes(r)},
+         |cand_$r AS (
+         |  SELECT feature, threshold, nl AS n_left, nt - nl AS n_right,
+         |         sl, st - sl AS sr,
+         |         CASE WHEN sl >= 0 THEN sl // nl
+         |           ELSE -((-sl) // nl) END AS leaf_left_cents,
+         |         CASE WHEN st - sl >= 0 THEN (st - sl) // (nt - nl)
+         |           ELSE -((-(st - sl)) // (nt - nl)) END
+         |           AS leaf_right_cents
+         |  FROM (SELECT * FROM sc_fq_$r UNION ALL SELECT * FROM sc_fd_$r) u
+         |  WHERE nl < nt),
+         |pick_$r AS (
+         |  SELECT $r AS round, feature, threshold, n_left, n_right,
+         |         leaf_left_cents, leaf_right_cents,
+         |         (leaf_left_cents * sl + leaf_right_cents * sr)
+         |           // 1000000000 AS gain_e9
+         |  FROM cand_$r
+         |  ORDER BY leaf_left_cents * sl + leaf_right_cents * sr DESC,
+         |           feature, threshold LIMIT 1)$residual"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (1 to rounds).map(r =>
+      s"""SELECT CAST(round AS INT) AS round, feature,
+         |       CAST(threshold AS BIGINT) AS threshold,
+         |       CAST(n_left AS BIGINT) AS n_left,
+         |       CAST(n_right AS BIGINT) AS n_right,
+         |       CAST(leaf_left_cents AS BIGINT) AS leaf_left_cents,
+         |       CAST(leaf_right_cents AS BIGINT) AS leaf_right_cents,
+         |       CAST(gain_e9 AS BIGINT) AS gain_e9
+         |FROM pick_$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH rows1 AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS fq,
+       |         CAST(round(l_discount * 100, 0) AS BIGINT) AS fd,
+       |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS r
+       |  FROM lineitem),
+       |$roundCtes
+       |$finals""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_boost_rounds" -> boostSql(BoostRounds),
     "q_embed_norm_stats" ->
       """WITH p AS (SELECT unnest(range(1, 65)) AS k),
         |q AS (

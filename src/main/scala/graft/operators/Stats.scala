@@ -1942,7 +1942,31 @@ object Stats {
         (col("post_events") === 0).as("label_churned"))
   }
 
+  /** EXACT GINI COEFFICIENT of customer spend — the single-number
+    * concentration statistic the Lorenz-decile table approximates:
+    * G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) with rk the ascending global
+    * rank by (spend, custkey). The rank comes from the distributed
+    * range-shuffle cumsum primitive (weight 1 → strictly-before count
+    * + 1), so no global window ever sees the raw rows; one DECIMAL(38)
+    * rational out, ppm-floored. Ascending order makes every term
+    * non-negative, so `div`/`//` agree without a sign split. */
+  def giniCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("x"))
+      .withColumn("one", lit(1L))
+    Packing.withGlobalCumsum(per, "one", Seq("x", "o_custkey"))
+      .withColumn("rk", col("cum_before") + 1)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(rk AS DECIMAL(38,0)) * x")).as("srx"))
+      .selectExpr("n", "sx AS total_cents",
+        "CAST((2 * srx - CAST(n + 1 AS DECIMAL(38,0)) * sx) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT) AS gini_ppm")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini_coefficient" -> giniCoefficient,
     "q_churn_labels" -> churnLabels,
     "q_ipw_ate" -> ipwAte,
     "q_event_study" -> eventStudy,
@@ -1988,6 +2012,21 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_gini_coefficient" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rk
+        |      FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(x) AS BIGINT) AS total_cents,
+        |       CAST((2 * sum(CAST(rk AS HUGEINT) * x)
+        |           - (count(*) + 1) * CAST(sum(x) AS HUGEINT)) * 1000000
+        |         // (CAST(count(*) AS HUGEINT) * sum(x)) AS BIGINT)
+        |         AS gini_ppm
+        |FROM r""".stripMargin,
     "q_churn_labels" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tsn,
