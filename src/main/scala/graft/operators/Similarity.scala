@@ -724,6 +724,37 @@ object Similarity {
   def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     kmeansTrain(spark, dir, k, rounds = 1)
 
+  /** EMBEDDING DRIFT MONITOR — the vector-space face of the drift
+    * family (KS/MW watch scalars; this watches the REPRESENTATION):
+    * assign every vector of two corpus halves (vec_id parity — the
+    * deterministic stand-in for old-crawl/new-crawl) to the SAME
+    * trained k-means centroids ([[kmeansFit]], so both halves are
+    * measured against one fixed codebook), then compare the two
+    * cell-share distributions: per-cluster shares in exact ppm and
+    * the per-cell absolute gap whose half-sum is the total-variation
+    * distance a retraining trigger thresholds on. One assignment pass
+    * (n×k broadcast scoring) + a k-row report. */
+  def embeddingDrift(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val (qv, cents, _) = kmeansFit(spark, dir, k, KmeansRounds)
+    val assign = qv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.L2Sq(col("q"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") === 1)
+    val cell = assign.groupBy("cluster")
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("nb"))
+    cell.crossJoin(broadcast(cell.agg(sum("na").as("ta"),
+        sum("nb").as("tb"))))
+      .select(col("cluster"), col("na"), col("nb"),
+        expr("na * 1000000 div ta").as("share_a_ppm"),
+        expr("nb * 1000000 div tb").as("share_b_ppm"),
+        expr("abs(na * 1000000 div ta - nb * 1000000 div tb)")
+          .as("abs_gap_ppm"))
+  }
+
   /** EMBEDDING-QUALITY AUDIT — the vector-store INGEST GATE: malformed
     * embeddings (all-zero, near-zero, byte-identical duplicates from
     * upstream retry bugs) are the classic silent poisoners of an ANN
@@ -1115,6 +1146,7 @@ object Similarity {
     "q_retrieval" -> ((s, d) => retrieval(s, d)),
     "q_retrieval_served" -> ((s, d) => retrievalServed(s, d)),
     "q_embedding_audit" -> embeddingAudit,
+    "q_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "q_kcenter_seeds" -> ((s, d) => kcenterSeeds(s, d)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "q_kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
@@ -1293,6 +1325,37 @@ object Similarity {
        |       CAST(0 AS BIGINT) AS radius_d2 FROM s1
        |$finals""".stripMargin
   }
+
+  /** Oracle for [[embeddingDrift]]: the shared kmeans chain + the
+    * parity-half cell shares. */
+  private def embeddingDriftSql(rounds: Int): String =
+    kmeansCtes(rounds) +
+      s""",
+         |df AS (
+         |  SELECT q.vec_id, c.cluster,
+         |         list_sum(list_transform(range(1, 65), i ->
+         |           (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d2
+         |  FROM q CROSS JOIN c$rounds c),
+         |asg AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY d2, cluster) AS rn FROM df) t
+         |  WHERE rn = 1),
+         |cell AS (
+         |  SELECT cluster,
+         |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS na,
+         |         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS nb
+         |  FROM asg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |               CAST(sum(nb) AS BIGINT) AS tb FROM cell)
+         |SELECT cluster, na, nb,
+         |       CAST(na * 1000000 // ta AS BIGINT) AS share_a_ppm,
+         |       CAST(nb * 1000000 // tb AS BIGINT) AS share_b_ppm,
+         |       CAST(abs(na * 1000000 // ta - nb * 1000000 // tb)
+         |         AS BIGINT) AS abs_gap_ppm
+         |FROM cell CROSS JOIN tot""".stripMargin
 
   private def kmeansSql(rounds: Int): String =
     kmeansCtes(rounds) + s"\nSELECT cluster, pos, c_new, n_members FROM u$rounds"
@@ -1584,6 +1647,7 @@ object Similarity {
     "q_kmeans_step" -> kmeansSql(1),
     "q_kmeans_train" -> kmeansSql(KmeansRounds),
     "q_kcenter_seeds" -> kcenterSql(KCenterK),
+    "q_embedding_drift" -> embeddingDriftSql(KmeansRounds),
     "q_embedding_audit" ->
       """WITH q AS (
         |  SELECT vec_id,

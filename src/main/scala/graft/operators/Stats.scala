@@ -1965,7 +1965,31 @@ object Stats {
           " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT) AS gini_ppm")
   }
 
+  /** ROLLING 7-day MEDIAN of daily revenue — the robust trendline
+    * beside the rolling OLS slope (a single spike day drags a rolling
+    * mean for a week; the rolling median shrugs it off). The frame is
+    * a RANGE window over the day value (missing days shrink the
+    * window rather than silently stretching it, which a ROWS frame
+    * would), the input is the CALENDAR-bounded daily aggregate (so
+    * the unpartitioned window is plan-safe), and the lower median is
+    * element (n+1) div 2 of the sorted in-frame values — exact
+    * integer cents, no even-count float midpoint. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev"))
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
+    daily.withColumn("arr", sort_array(collect_list("rev").over(w)))
+      .select(col("day"), col("rev"),
+        size(col("arr")).cast("long").as("n_window"),
+        expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
+          .as("roll_med"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> rollingMedian,
     "q_gini_coefficient" -> giniCoefficient,
     "q_churn_labels" -> churnLabels,
     "q_ipw_ate" -> ipwAte,
@@ -2012,6 +2036,24 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |roll AS (
+        |  SELECT a.day, a.rev, b.rev AS brev, b.day AS bday
+        |  FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day),
+        |rk AS (
+        |  SELECT day, rev, brev,
+        |         row_number() OVER (PARTITION BY day
+        |           ORDER BY brev, bday) AS r,
+        |         count(*) OVER (PARTITION BY day) AS n
+        |  FROM roll)
+        |SELECT day, rev, CAST(n AS BIGINT) AS n_window,
+        |       brev AS roll_med
+        |FROM rk WHERE r = (n + 1) // 2""".stripMargin,
     "q_gini_coefficient" ->
       """WITH per AS (
         |  SELECT o_custkey,
