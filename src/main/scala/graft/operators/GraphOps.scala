@@ -518,7 +518,56 @@ object GraphOps {
     mass.select(col("node"), col("mass").as("ppr_mass"))
   }
 
+  /** DEGREE ASSORTATIVITY of the customer–part purchase graph — does
+    * a heavy buyer buy popular parts (r > 0) or niche ones (r < 0)?
+    * Pearson correlation of endpoint degrees over the (symmetrized)
+    * edge list; with every edge counted in both directions the two
+    * marginals coincide, so the usual sqrt-denominator collapses to
+    * nΣx² − (Σx)² and the whole statistic is ONE exact DECIMAL(38)
+    * rational in ppm — no sqrt, no floats. Degrees via two grouped
+    * counts, moments via one edge-keyed join pass. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    // Namespace the bipartite sides (2c / 2p+1): customer 5 and part 5
+    // are different nodes and must not merge under one degree count.
+    val e = spark.read.parquet(purchaseGraphPath(spark, dir))
+      .select(expr("c * 2").as("u"), expr("p * 2 + 1").as("v"))
+    val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = both.groupBy("u").agg(count(lit(1)).as("d"))
+    both
+      .join(deg.withColumnRenamed("u", "du").withColumnRenamed("d", "x"),
+        col("u") === col("du"))
+      .join(deg.withColumnRenamed("u", "dv").withColumnRenamed("d", "y"),
+        col("v") === col("dv"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .selectExpr("CAST(m AS BIGINT) AS n_directed_edges",
+        "CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0" +
+          " WHEN m * sxy - sx * sx >= 0" +
+          " THEN (m * sxy - sx * sx) * 1000000 div (m * sxx - sx * sx)" +
+          " ELSE -((sx * sx - m * sxy) * 1000000" +
+          " div (m * sxx - sx * sx)) END AS BIGINT)" +
+          " AS assortativity_ppm")
+  }
+
+  /** POWER-OF-TWO DEGREE HISTOGRAM of the purchase graph — the
+    * first thing read off any new graph (heavy-tail shape, hub
+    * cutoff): exact integer log2 buckets via binary-repr length (the
+    * doclen-histogram trick), per side of the bipartite graph.
+    * Bounded output (≤ ~33 buckets × 2 sides) at any scale. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(purchaseGraphPath(spark, dir))
+    def side(keyCol: String, name: String) =
+      e.groupBy(col(keyCol)).agg(count(lit(1)).as("d"))
+        .select(lit(name).as("side"), length(bin(col("d"))).as("bucket"))
+        .groupBy("side", "bucket").agg(count(lit(1)).as("n_nodes"))
+    side("c", "customer").unionByName(side("p", "part"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> assortativity,
+    "q_degree_histogram" -> degreeHistogram,
     "q_ppr_trade" -> ((s, d) => personalizedPageRank(s, d)),
     "q_hyperball" -> ((s, d) => hyperBall(s, d)),
     "q_label_prop" -> ((s, d) => labelPropagation(s, d)),
@@ -719,6 +768,46 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH pg AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c * 2 AS u, p * 2 + 1 AS v FROM pg),
+        |bo AS (SELECT u, v FROM e
+        |       UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        |        FROM bo GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m,
+        |         CAST(sum(dx.d) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(dx.d AS HUGEINT) * dx.d) AS HUGEINT)
+        |           AS sxx,
+        |         CAST(sum(CAST(dx.d AS HUGEINT) * dy.d) AS HUGEINT)
+        |           AS sxy
+        |  FROM bo b
+        |  JOIN deg dx ON dx.u = b.u
+        |  JOIN deg dy ON dy.u = b.v)
+        |SELECT CAST(m AS BIGINT) AS n_directed_edges,
+        |       CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+        |         WHEN m * sxy - sx * sx >= 0
+        |         THEN (m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx)
+        |         ELSE -((sx * sx - m * sxy) * 1000000
+        |           // (m * sxx - sx * sx)) END AS BIGINT)
+        |         AS assortativity_ppm
+        |FROM m""".stripMargin,
+    "q_degree_histogram" ->
+      """WITH pg AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cd AS (SELECT 'customer' AS side,
+        |              CAST(length(bin(count(*))) AS INT) AS bucket
+        |       FROM pg GROUP BY c),
+        |pd AS (SELECT 'part' AS side,
+        |              CAST(length(bin(count(*))) AS INT) AS bucket
+        |       FROM pg GROUP BY p)
+        |SELECT side, bucket, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM (SELECT * FROM cd UNION ALL SELECT * FROM pd) u
+        |GROUP BY 1, 2""".stripMargin,
     "q_hyperball" -> hyperBallSql(HyperBallRadius),
     "q_label_prop" -> lpaSql(LpaRounds),
     "q_link_prediction" ->

@@ -1965,6 +1965,55 @@ object Stats {
           " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT) AS gini_ppm")
   }
 
+  /** MULTIPLE-TESTING SCREEN with Bonferroni control — the governance
+    * step after the single-test suite: every nation's mean order
+    * value is Welch-tested against the rest of the corpus (25
+    * simultaneous tests), and each t² is flagged at BOTH the raw
+    * χ²₁(0.95) = 3.841 critical value and the Bonferroni-corrected
+    * χ²₁(1 − 0.05/25) = 9.550 one — the difference between the two
+    * flag columns IS the false-discovery lesson. The critical values
+    * are milli-scaled literals (the one place a distribution constant
+    * is unavoidable; both cited, both engine-identical); everything
+    * else is the welchT integer chain applied per group against the
+    * broadcast complement. One grouped aggregate + 25-row algebra. */
+  def screenBonferroni(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n1"),
+        sum("cents").cast("decimal(38,0)").as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q1"))
+    val tot = per.agg(sum("n1").as("nt"), sum("s1").as("st"),
+      sum("q1").as("qt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("n1"), col("s1"), col("q1"),
+        expr("nt - n1").as("n2"), expr("st - s1").as("s2"),
+        expr("qt - q1").as("q2"))
+      .select(col("n_name"), col("n1"), col("n2"), col("s1"), col("s2"),
+        expr("(n1 * q1 - s1 * s1) div (n1 * (n1 - 1))").as("v1"),
+        expr("(n2 * q2 - s2 * s2) div (n2 * (n2 - 1))").as("v2"))
+      .select(col("n_name"), col("n1"),
+        expr("CASE WHEN s1 * n2 - s2 * n1 >= 0" +
+          " THEN (s1 * n2 - s2 * n1) * 1000 div (n1 * n2)" +
+          " ELSE -((s2 * n1 - s1 * n2) * 1000 div (n1 * n2)) END")
+          .as("d_milli"),
+        expr("v1 div n1 + v2 div n2").as("se2"))
+      .select(col("n_name"), expr("CAST(n1 AS BIGINT)").as("n_group"),
+        expr("CAST(d_milli AS BIGINT)").as("mean_diff_milli"),
+        expr("CAST(CASE WHEN se2 <= 0 THEN 0 ELSE" +
+          " CAST(d_milli AS DECIMAL(38,0)) * d_milli div (1000 * se2)" +
+          " END AS BIGINT)").as("t2_milli"))
+      .withColumn("sig_raw", col("t2_milli") >= 3841)
+      .withColumn("sig_bonferroni", col("t2_milli") >= 9550)
+  }
+
   /** ROLLING 7-day MEDIAN of daily revenue — the robust trendline
     * beside the rolling OLS slope (a single spike day drags a rolling
     * mean for a week; the rolling median shrugs it off). The frame is
@@ -1990,6 +2039,7 @@ object Stats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_median" -> rollingMedian,
+    "q_screen_bonferroni" -> screenBonferroni,
     "q_gini_coefficient" -> giniCoefficient,
     "q_churn_labels" -> churnLabels,
     "q_ipw_ate" -> ipwAte,
@@ -2036,6 +2086,49 @@ object Stats {
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_screen_bonferroni" ->
+      """WITH per AS (
+        |  SELECT n_name,
+        |         CAST(count(*) AS HUGEINT) AS n1,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS HUGEINT) AS s1,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+        |           * CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+        |           AS HUGEINT) AS q1
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n1) AS nt, sum(s1) AS st, sum(q1) AS qt
+        |        FROM per),
+        |w AS (
+        |  SELECT n_name, n1, s1, q1, nt - n1 AS n2, st - s1 AS s2,
+        |         qt - q1 AS q2
+        |  FROM per CROSS JOIN tot),
+        |v AS (
+        |  SELECT n_name, n1, n2, s1, s2,
+        |         (n1 * q1 - s1 * s1) // (n1 * (n1 - 1)) AS v1,
+        |         (n2 * q2 - s2 * s2) // (n2 * (n2 - 1)) AS v2
+        |  FROM w),
+        |d AS (
+        |  SELECT n_name, n1,
+        |         CASE WHEN s1 * n2 - s2 * n1 >= 0
+        |           THEN (s1 * n2 - s2 * n1) * 1000 // (n1 * n2)
+        |           ELSE -((s2 * n1 - s1 * n2) * 1000 // (n1 * n2)) END
+        |           AS d_milli,
+        |         v1 // n1 + v2 // n2 AS se2
+        |  FROM v)
+        |SELECT n_name, CAST(n1 AS BIGINT) AS n_group,
+        |       CAST(d_milli AS BIGINT) AS mean_diff_milli,
+        |       CAST(CASE WHEN se2 <= 0 THEN 0 ELSE
+        |         d_milli * d_milli // (1000 * se2) END AS BIGINT)
+        |         AS t2_milli,
+        |       CASE WHEN se2 <= 0 THEN FALSE ELSE
+        |         d_milli * d_milli // (1000 * se2) >= 3841 END AS sig_raw,
+        |       CASE WHEN se2 <= 0 THEN FALSE ELSE
+        |         d_milli * d_milli // (1000 * se2) >= 9550 END
+        |         AS sig_bonferroni
+        |FROM d""".stripMargin,
     "q_rolling_median" ->
       """WITH daily AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,

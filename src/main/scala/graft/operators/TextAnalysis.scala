@@ -1244,7 +1244,53 @@ object TextAnalysis {
           .as("jaccard_ppm"))
   }
 
+  /** LABELING-FUNCTION AGREEMENT AUDIT (data programming, Ratner et
+    * al. VLDB'17 "Snorkel" shape) — before weak labels train
+    * anything, the pairwise agreement/conflict matrix of the labeling
+    * functions is what says whether they carry signal or noise. Three
+    * deterministic LFs vote keep(1)/drop(0)/abstain(NULL) per doc —
+    * length, required-stopword presence, alpha-token share (all
+    * integer comparisons, no floats) — and the report is, per LF
+    * pair: overlap (both voted), agreement, conflict, and the
+    * agreement rate in ppm. One projection + one aggregate; 3 bounded
+    * rows out. */
+  def lfAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stops = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+    val lfs = Tables.documents(spark, dir)
+      .select(expr("split(lower(text), '\\\\s+')").as("ws"))
+      .select(
+        expr("CASE WHEN size(ws) >= 30 THEN 1" +
+          " WHEN size(ws) < 10 THEN 0 END").as("lf1"),
+        expr(s"CASE WHEN size(filter(array($stops)," +
+          " s -> array_contains(ws, s))) >= 2 THEN 1" +
+          s" WHEN size(filter(array($stops)," +
+          " s -> array_contains(ws, s))) = 0 THEN 0 END").as("lf2"),
+        expr("CASE WHEN size(filter(ws, t -> t rlike '^[a-z]+$')) * 10" +
+          " >= size(ws) * 8 THEN 1" +
+          " WHEN size(filter(ws, t -> t rlike '^[a-z]+$')) * 2" +
+          " < size(ws) THEN 0 END").as("lf3"))
+    def pair(a: String, b: String) = Seq(
+      sum(when(col(a).isNotNull && col(b).isNotNull, 1L).otherwise(0L))
+        .as(s"ov_${a}_$b"),
+      sum(when(col(a).isNotNull && col(a) === col(b), 1L).otherwise(0L))
+        .as(s"ag_${a}_$b"))
+    val agged = lfs.agg(count(lit(1)).as("n_docs"),
+      (pair("lf1", "lf2") ++ pair("lf1", "lf3") ++
+        pair("lf2", "lf3")): _*)
+    agged.select(expr("stack(3," +
+        " 'lf1_lf2', ov_lf1_lf2, ag_lf1_lf2," +
+        " 'lf1_lf3', ov_lf1_lf3, ag_lf1_lf3," +
+        " 'lf2_lf3', ov_lf2_lf3, ag_lf2_lf3)" +
+        " AS (pair, n_overlap, n_agree)"), col("n_docs"))
+      .select(col("pair"), col("n_docs"), col("n_overlap"),
+        col("n_agree"),
+        (col("n_overlap") - col("n_agree")).as("n_conflict"),
+        expr("CASE WHEN n_overlap = 0 THEN 0" +
+          " ELSE n_agree * 1000000 div n_overlap END").as("agree_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lf_audit" -> lfAudit,
     "q_vocab_overlap" -> vocabOverlap,
     "q_feature_hash" -> featureHashAudit,
     "q_readability" -> readability,
@@ -1424,6 +1470,52 @@ object TextAnalysis {
       |        FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_lf_audit" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |lf AS (
+        |  SELECT
+        |    CASE WHEN len(ws) >= 30 THEN 1
+        |      WHEN len(ws) < 10 THEN 0 END AS lf1,
+        |    CASE WHEN len(list_filter(['the', 'a', 'of', 'and', 'to',
+        |        'in', 'is'], s -> list_contains(ws, s))) >= 2 THEN 1
+        |      WHEN len(list_filter(['the', 'a', 'of', 'and', 'to',
+        |        'in', 'is'], s -> list_contains(ws, s))) = 0 THEN 0 END
+        |      AS lf2,
+        |    CASE WHEN len(list_filter(ws,
+        |        t -> regexp_matches(t, '^[a-z]+$'))) * 10
+        |        >= len(ws) * 8 THEN 1
+        |      WHEN len(list_filter(ws,
+        |        t -> regexp_matches(t, '^[a-z]+$'))) * 2
+        |        < len(ws) THEN 0 END AS lf3
+        |  FROM d),
+        |agged AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN lf1 IS NOT NULL AND lf2 IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ov_12,
+        |    CAST(sum(CASE WHEN lf1 IS NOT NULL AND lf1 = lf2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ag_12,
+        |    CAST(sum(CASE WHEN lf1 IS NOT NULL AND lf3 IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ov_13,
+        |    CAST(sum(CASE WHEN lf1 IS NOT NULL AND lf1 = lf3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ag_13,
+        |    CAST(sum(CASE WHEN lf2 IS NOT NULL AND lf3 IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ov_23,
+        |    CAST(sum(CASE WHEN lf2 IS NOT NULL AND lf2 = lf3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ag_23
+        |  FROM lf),
+        |melt AS (
+        |  SELECT 'lf1_lf2' AS pair, n_docs, ov_12 AS n_overlap,
+        |         ag_12 AS n_agree FROM agged
+        |  UNION ALL SELECT 'lf1_lf3', n_docs, ov_13, ag_13 FROM agged
+        |  UNION ALL SELECT 'lf2_lf3', n_docs, ov_23, ag_23 FROM agged)
+        |SELECT pair, n_docs, n_overlap, n_agree,
+        |       n_overlap - n_agree AS n_conflict,
+        |       CAST(CASE WHEN n_overlap = 0 THEN 0
+        |         ELSE n_agree * 1000000 // n_overlap END AS BIGINT)
+        |         AS agree_ppm
+        |FROM melt""".stripMargin,
     "q_readability" ->
       """SELECT doc_id, lang,
         |       greatest(1, CAST(len(regexp_split_to_array(lower(text),
