@@ -367,6 +367,33 @@ object Ranking {
           " AS BIGINT)").as("v_none_ppm"))
   }
 
+  /** NEXT-TOUCH (forward) attribution — [[lastTouchAttribution]]'s
+    * mirror, and the other half every attribution report needs: for
+    * each NON-purchase event, the user's next purchase within a
+    * 7-day horizon (what did this touch lead to?), computed with a
+    * FOLLOWING-frame conditional `first` over the same user-keyed
+    * window — one shuffle on user_id regardless of history length,
+    * never a self-join. Touches whose next purchase falls outside the
+    * horizon report NULL (a real non-conversion signal); the horizon
+    * check is exact epoch-nano arithmetic. */
+  def nextTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val horizonNs = 7L * 86400L * 1000000000L
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("nxt",
+        first(when(col("event_type") === "purchase",
+          struct(col("event_id"), col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("event_type").as("touch_type"),
+        when(col("nxt.ts") - col("ts") <= horizonNs, col("nxt.event_id"))
+          .as("purchase_id"),
+        when(col("nxt.ts") - col("ts") <= horizonNs,
+          col("nxt.ts") - col("ts")).as("gap_ns"))
+  }
+
   /** Power-iteration rounds for [[textRank]]; the oracle unrolls the
     * same count. */
   val TextRankRounds = 3
@@ -544,7 +571,8 @@ object Ranking {
     "q_bigram_surprisal" -> bigramSurprisal,
     "q_dsir_weights" -> dsirWeights,
     "q_kneser_ney" -> ((s, d) => kneserNey(s, d)),
-    "q_attribution" -> lastTouchAttribution)
+    "q_attribution" -> lastTouchAttribution,
+    "q_next_touch" -> nextTouchAttribution)
 
   /** RRF oracle generated from the SAME term list as the operator. */
   private lazy val hybridRrfSql: String = {
@@ -819,6 +847,26 @@ object Ranking {
         |FROM shap sh CROSS JOIN tot t
         |CROSS JOIN (SELECT v FROM vsum WHERE s = 7) v7
         |CROSS JOIN (SELECT v FROM vsum WHERE s = 0) v0""".stripMargin,
+    "q_next_touch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |nx AS (
+        |  SELECT *,
+        |         first_value(CASE WHEN event_type = 'purchase'
+        |             THEN event_id END IGNORE NULLS) OVER w AS nxt_id,
+        |         first_value(CASE WHEN event_type = 'purchase'
+        |             THEN tsn END IGNORE NULLS) OVER w AS nxt_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS touch_id, user_id,
+        |       event_type AS touch_type,
+        |       CASE WHEN nxt_ts - tsn <= 604800000000000
+        |         THEN nxt_id END AS purchase_id,
+        |       CASE WHEN nxt_ts - tsn <= 604800000000000
+        |         THEN nxt_ts - tsn END AS gap_ns
+        |FROM nx WHERE event_type <> 'purchase'""".stripMargin,
     "q_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn

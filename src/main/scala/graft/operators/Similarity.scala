@@ -348,6 +348,36 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** NDCG@10 of the IVF index vs the exact top-10 — the
+    * position-weighted retrieval metric completing [[annRecall]]
+    * (recall counts hits; NDCG asks whether they surface EARLY).
+    * Binary relevance (in the exact top-10), discounts 1/log2(r+1) as
+    * a MILLI-SCALED LITERAL TABLE for ranks 1–10 (the one place a log
+    * is unavoidable; ten cited constants, identical in both engines),
+    * ideal DCG = the full table sum 5543, so every per-query NDCG is
+    * one exact ppm floor-div. Reuses the exact and IVF search chains
+    * so the evaluated lists cannot drift from the operators they
+    * grade. */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    // floor(1000 / log2(r+1)), r = 1..10; table sum (the ideal DCG
+    // with binary gains and 10 relevant) = 4540
+    val disc = "array(1000, 630, 500, 430, 386, 356, 333, 315, 301, 289)"
+    val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val approx = annIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("nn_rank"))
+    val gains = approx
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .select(col("query_id"),
+        expr(s"element_at($disc, CAST(nn_rank AS INT))").as("g"))
+      .groupBy("query_id").agg(sum("g").as("dcg_milli"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(gains, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("dcg_milli"), lit(0L)).as("dcg_milli"),
+        expr("CAST(coalesce(dcg_milli, 0) * 1000000 div 4540 AS BIGINT)")
+          .as("ndcg_ppm"))
+  }
+
   /** INCREMENTAL IVF index update — the daily-crawl shape for the ANN
     * index, completing the incremental family (exact-hash
     * `incrementalDedup`, LSH `incrementalMinhash`, now the vector
@@ -1155,6 +1185,7 @@ object Similarity {
     "q_dedup_embedding" -> embeddingNearDup,
     "q_ann_topk" -> annTopK,
     "q_ann_recall" -> annRecall,
+    "q_retrieval_ndcg" -> ((s, d) => retrievalNdcg(s, d)),
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
@@ -1723,6 +1754,26 @@ object Similarity {
          |       coalesce(dom.dominator, e.vec_id) AS keeper
          |FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.vec_id""".stripMargin,
     "q_ann_topk" -> topkSql,
+    "q_retrieval_ndcg" ->
+      s"""WITH ex0 AS ($topkSql),
+         |ap0 AS ($ivfSql),
+         |ex AS (SELECT query_id, vec_id FROM ex0),
+         |disc AS (SELECT * FROM (VALUES (1, 1000), (2, 630), (3, 500),
+         |  (4, 430), (5, 386), (6, 356), (7, 333), (8, 315), (9, 301),
+         |  (10, 289)) d(rk, g)),
+         |gains AS (
+         |  SELECT a.query_id, CAST(sum(d.g) AS BIGINT) AS dcg_milli
+         |  FROM ap0 a
+         |  SEMI JOIN ex ON ex.query_id = a.query_id
+         |    AND ex.vec_id = a.vec_id
+         |  JOIN disc d ON d.rk = a.nn_rank
+         |  GROUP BY 1)
+         |SELECT k.query_id, k.k, coalesce(g.dcg_milli, 0) AS dcg_milli,
+         |       CAST(coalesce(g.dcg_milli, 0) * 1000000 // 4540
+         |         AS BIGINT) AS ndcg_ppm
+         |FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+         |      FROM ex GROUP BY 1) k
+         |LEFT JOIN gains g ON g.query_id = k.query_id""".stripMargin,
     "q_ann_recall" ->
       s"""WITH ex0 AS ($topkSql),
          |ap0 AS ($ivfSql),
