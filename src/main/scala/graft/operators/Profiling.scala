@@ -622,6 +622,43 @@ object Profiling {
         col("iso_micro"))
   }
 
+  /** BRIER SCORE of the isotonic-calibrated classifier — the proper
+    * scoring rule closing the calibration family (table = diagnosis,
+    * PAV = fix, Brier = did the fix produce a good probability
+    * model): every score row is scored with its bucket's calibrated
+    * probability p and the exact decomposition
+    * Σ [n_pos·(10⁶−p)² + (n−n_pos)·p²] / (N·10¹²) is one DECIMAL(38)
+    * rational in micro units. The CLIMATOLOGY baseline (constant
+    * global rate p₀) rides along — Brier below baseline is the actual
+    * skill claim. Everything after the shared score-cum artifact is
+    * bucket-bounded algebra. */
+  def brierCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val cum = scoreCum(spark, dir)
+    val tot = cum.agg(sum("n").as("total"))
+    val rows = cum.crossJoin(broadcast(tot))
+      .selectExpr("n", "n_pos",
+        "CAST((10 * cum_before) div total AS INT) AS bucket")
+    val iso = isotonicCalibration(spark, dir)
+      .select(col("bucket"), col("iso_micro"))
+    rows.join(broadcast(iso), "bucket")
+      .agg(sum("n").as("n"), sum("n_pos").as("np"),
+        sum(expr("CAST(n_pos AS DECIMAL(38,0))" +
+          " * (1000000 - iso_micro) * (1000000 - iso_micro)" +
+          " + CAST(n - n_pos AS DECIMAL(38,0))" +
+          " * iso_micro * iso_micro")).as("num"))
+      .selectExpr("n", "np",
+        "CAST(num div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)" +
+          " AS brier_micro",
+        "CAST(CAST(np AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)" +
+          " AS p0_micro")
+      .selectExpr("CAST(n AS BIGINT) AS n", "brier_micro", "p0_micro",
+        "CAST((CAST(np AS DECIMAL(38,0))" +
+          " * (1000000 - p0_micro) * (1000000 - p0_micro)" +
+          " + CAST(n - np AS DECIMAL(38,0)) * p0_micro * p0_micro)" +
+          " div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)" +
+          " AS brier0_micro")
+  }
+
   /** HEAVY-HITTER DRIFT: today's top-k vs yesterday's — the CHANGE
     * report a monitoring surface actually pages on (a new entrant in
     * the top talkers, a leaver, a rank jump), here as the top-10
@@ -1289,6 +1326,7 @@ object Profiling {
     "q_auc_purchase" -> aucPurchase,
     "q_calibration" -> ((s, d) => calibrationTable(s, d)),
     "q_isotonic_calibration" -> isotonicCalibration,
+    "q_brier_calibrated" -> brierCalibrated,
     "q_pr_points" -> ((s, d) => prPoints(s, d)),
     "q_doclen_histogram" -> docLengthHistogram,
     "q_data_profile" -> customerProfile,
@@ -1300,6 +1338,28 @@ object Profiling {
   /** Reliability-bins oracle, shared by q_calibration and (as the bins
     * CTE) q_isotonic_calibration — one definition so the fix can never
     * disagree with the diagnosis it corrects. */
+  private lazy val isotonicSql: String =
+    s"""WITH cal AS ($calibrationSql),
+         |bins AS (SELECT bucket, n, n_pos FROM cal),
+         |ranges AS (
+         |  SELECT a.bucket AS j, b.bucket AS k,
+         |         CAST(sum(c2.n_pos) * 1000000 // sum(c2.n) AS BIGINT)
+         |           AS rate_micro
+         |  FROM bins a JOIN bins b ON a.bucket <= b.bucket
+         |  JOIN bins c2 ON c2.bucket BETWEEN a.bucket AND b.bucket
+         |  GROUP BY 1, 2),
+         |iso AS (
+         |  SELECT i, CAST(max(mn) AS BIGINT) AS iso_micro FROM (
+         |    SELECT ib.bucket AS i, r.j,
+         |           CAST(min(r.rate_micro) AS BIGINT) AS mn
+         |    FROM bins ib JOIN ranges r
+         |      ON r.j <= ib.bucket AND r.k >= ib.bucket
+         |    GROUP BY 1, 2) GROUP BY 1)
+         |SELECT b.bucket, b.n, b.n_pos,
+         |       CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS raw_micro,
+         |       iso.iso_micro
+         |FROM bins b JOIN iso ON iso.i = b.bucket""".stripMargin
+
   private lazy val calibrationSql: String =
     """WITH e AS (
       |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
@@ -1737,27 +1797,44 @@ object Profiling {
         |JOIN days d ON d.event_type = c.event_type AND d.day = c.wday
         |GROUP BY 1, 2""".stripMargin,
     "q_calibration" -> calibrationSql,
-    "q_isotonic_calibration" ->
-      s"""WITH cal AS ($calibrationSql),
-         |bins AS (SELECT bucket, n, n_pos FROM cal),
-         |ranges AS (
-         |  SELECT a.bucket AS j, b.bucket AS k,
-         |         CAST(sum(c2.n_pos) * 1000000 // sum(c2.n) AS BIGINT)
-         |           AS rate_micro
-         |  FROM bins a JOIN bins b ON a.bucket <= b.bucket
-         |  JOIN bins c2 ON c2.bucket BETWEEN a.bucket AND b.bucket
-         |  GROUP BY 1, 2),
-         |iso AS (
-         |  SELECT i, CAST(max(mn) AS BIGINT) AS iso_micro FROM (
-         |    SELECT ib.bucket AS i, r.j,
-         |           CAST(min(r.rate_micro) AS BIGINT) AS mn
-         |    FROM bins ib JOIN ranges r
-         |      ON r.j <= ib.bucket AND r.k >= ib.bucket
-         |    GROUP BY 1, 2) GROUP BY 1)
-         |SELECT b.bucket, b.n, b.n_pos,
-         |       CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS raw_micro,
-         |       iso.iso_micro
-         |FROM bins b JOIN iso ON iso.i = b.bucket""".stripMargin,
+    "q_isotonic_calibration" -> isotonicSql,
+    "q_brier_calibrated" ->
+      s"""WITH iso0 AS ($isotonicSql),
+         |e AS (
+         |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |           AS label
+         |  FROM events),
+         |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(label) AS BIGINT) AS n_pos
+         |      FROM e GROUP BY 1),
+         |c AS (SELECT sc, n, n_pos,
+         |             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               0) AS BIGINT) AS cb,
+         |             CAST(SUM(n) OVER () AS BIGINT) AS total
+         |      FROM g),
+         |rows0 AS (SELECT n, n_pos, CAST((10 * cb) // total AS INT)
+         |            AS bucket FROM c),
+         |j AS (SELECT r.n, r.n_pos, i.iso_micro
+         |      FROM rows0 r JOIN iso0 i ON i.bucket = r.bucket),
+         |agged AS (
+         |  SELECT CAST(sum(n) AS HUGEINT) AS n,
+         |         CAST(sum(n_pos) AS HUGEINT) AS np,
+         |         sum(CAST(n_pos AS HUGEINT)
+         |           * (1000000 - iso_micro) * (1000000 - iso_micro)
+         |           + CAST(n - n_pos AS HUGEINT)
+         |           * iso_micro * iso_micro) AS num
+         |  FROM j),
+         |p0t AS (SELECT n, np, num, np * 1000000 // n AS p0 FROM agged)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CAST(num // (n * 1000000) AS BIGINT) AS brier_micro,
+         |       CAST(p0 AS BIGINT) AS p0_micro,
+         |       CAST((np * (1000000 - p0) * (1000000 - p0)
+         |         + (n - np) * p0 * p0) // (n * 1000000) AS BIGINT)
+         |         AS brier0_micro
+         |FROM p0t""".stripMargin,
+
     "q_hh_drift" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),

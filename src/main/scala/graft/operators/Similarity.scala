@@ -348,6 +348,38 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** RECALL@k SWEEP (k ∈ {1, 5, 10}) of the IVF index — one number
+    * per operating point instead of [[annRecall]]'s single k=10 cut,
+    * which is how a serving team actually reads an index (recall@1
+    * is the "first answer right" rate, recall@10 the candidate-set
+    * rate). Both ranked lists come from the SHARED exact/IVF chains;
+    * the sweep reuses ONE pass of each, filtered per k — no
+    * re-search per operating point. */
+  def recallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(1, 5, 10)
+    val exact = annTopK(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("nn_rank"))
+      .localCheckpoint() // ≤ 5 queries × 10 rows; feeds all three cuts
+    val approx = annIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("nn_rank"))
+      .localCheckpoint()
+    ks.map { k =>
+      val ex = exact.filter(col("nn_rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val hits = ex.join(
+          approx.filter(col("nn_rank") <= k)
+            .select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      ex.groupBy("query_id").agg(count(lit(1)).as("kk"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(k).as("k"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("CAST(coalesce(n_hit, 0) * 1000000 div kk AS BIGINT)")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** NDCG@10 of the IVF index vs the exact top-10 — the
     * position-weighted retrieval metric completing [[annRecall]]
     * (recall counts hits; NDCG asks whether they surface EARLY).
@@ -1186,6 +1218,7 @@ object Similarity {
     "q_ann_topk" -> annTopK,
     "q_ann_recall" -> annRecall,
     "q_retrieval_ndcg" -> ((s, d) => retrievalNdcg(s, d)),
+    "q_recall_sweep" -> ((s, d) => recallSweep(s, d)),
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
@@ -1754,6 +1787,28 @@ object Similarity {
          |       coalesce(dom.dominator, e.vec_id) AS keeper
          |FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.vec_id""".stripMargin,
     "q_ann_topk" -> topkSql,
+    "q_recall_sweep" ->
+      s"""WITH ex0 AS ($topkSql),
+         |ap0 AS ($ivfSql),
+         |ks AS (SELECT unnest([1, 5, 10]) AS k),
+         |ex AS (SELECT ks.k, e.query_id, e.vec_id
+         |       FROM ex0 e CROSS JOIN ks WHERE e.nn_rank <= ks.k),
+         |ap AS (SELECT ks.k, a.query_id, a.vec_id
+         |       FROM ap0 a CROSS JOIN ks WHERE a.nn_rank <= ks.k),
+         |hits AS (
+         |  SELECT ex.k, ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ex SEMI JOIN ap
+         |    ON ex.k = ap.k AND ex.query_id = ap.query_id
+         |   AND ex.vec_id = ap.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT t.query_id, CAST(t.k AS INT) AS k,
+         |       coalesce(h.n_hit, 0) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) * 1000000 // t.kk AS BIGINT)
+         |         AS recall_ppm
+         |FROM (SELECT k, query_id, CAST(count(*) AS BIGINT) AS kk
+         |      FROM ex GROUP BY 1, 2) t
+         |LEFT JOIN hits h ON h.k = t.k AND h.query_id = t.query_id"""
+        .stripMargin,
     "q_retrieval_ndcg" ->
       s"""WITH ex0 AS ($topkSql),
          |ap0 AS ($ivfSql),
