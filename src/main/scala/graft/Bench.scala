@@ -12,6 +12,57 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The committed round-over-round baseline map the driver reads. */
+  private[graft] val committedBenchPath = "/root/repo/bench_queries.json"
+
+  /** Query count of an existing bench map on disk (0 if absent or
+    * unparseable). The map is the flat `"queries":{"name":sec,…}`
+    * object this main itself writes — entries carry no nested commas,
+    * so `commas + 1` is exact. */
+  private[graft] def benchMapSize(path: String): Int =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1).trim)
+        .map(s => if (s.isEmpty) 0 else s.count(_ == ',') + 1)
+        .getOrElse(0)
+    } catch { case _: Throwable => 0 }
+
+  /** BASELINE-OVERWRITE GUARD (verdict r12 №1 — this exact footgun
+    * shipped a broken committed baseline in BOTH r11 and r12): decide
+    * where the full per-query map is written.
+    *
+    *  - `SPARK_GRAFT_BENCH_ONLY` set without `SPARK_GRAFT_BENCH_OUT`:
+    *    a subset run NEVER touches the committed baseline — it goes to
+    *    /tmp, loudly.
+    *  - Any run about to land on the committed path with FEWER queries
+    *    than the map already there is refused (diverted to /tmp)
+    *    unless `SPARK_GRAFT_BENCH_FORCE` is set — a full-registry map
+    *    only ever grows; a shrink is either the subset mistake or a
+    *    deliberate registry cut, and the latter must say so.
+    *
+    * Pure so BenchGuardSpec can pin every branch. Returns (path,
+    * optional warning to print). */
+  private[graft] def resolveBenchOut(requested: Option[String],
+      onlySet: Boolean, force: Boolean, newCount: Int,
+      existingCount: Int): (String, Option[String]) = {
+    val base = requested.getOrElse(
+      if (onlySet) "/tmp/bench_queries_subset.json" else committedBenchPath)
+    if (requested.isEmpty && onlySet)
+      (base, Some("SPARK_GRAFT_BENCH_ONLY is set and SPARK_GRAFT_BENCH_OUT "
+        + s"is not: a subset run never writes $committedBenchPath; "
+        + s"writing $base instead"))
+    else if (base == committedBenchPath && newCount < existingCount
+        && !force)
+      ("/tmp/bench_queries_refused.json",
+        Some(s"REFUSING to overwrite $committedBenchPath: this run timed "
+          + s"$newCount queries but the committed map has $existingCount "
+          + "— set SPARK_GRAFT_BENCH_FORCE=1 to shrink it deliberately; "
+          + "writing /tmp/bench_queries_refused.json instead"))
+    else (base, None)
+  }
+
   /** Headline set: every operator family, weighted toward the heavy
     * scan/join/shuffle paths that dominate at scale. */
   val headline: Seq[String] = Seq(
@@ -368,8 +419,13 @@ object Bench {
       .map { case (k, i) => "\"" + k + s"\":$i" }.mkString("{", ",", "}")
     val canaryJson =
       f"""{"query":"$canaryName","start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_queries.json")
+    val (outPath, guardMsg) = resolveBenchOut(
+      requested = sys.env.get("SPARK_GRAFT_BENCH_OUT"),
+      onlySet = only.isDefined,
+      force = sys.env.contains("SPARK_GRAFT_BENCH_FORCE"),
+      newCount = results.size + extraResults.size,
+      existingCount = benchMapSize(committedBenchPath))
+    guardMsg.foreach(m => System.err.println(s"[bench] $m"))
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)

@@ -540,15 +540,17 @@ object OlapQueries {
       quarterlyRevenueDef(spark, d).write.mode("overwrite").parquet(p)
       p
     })
-    // Registration is check-then-skip (ADVICE r11): on a SECOND call
-    // the rule is already live, so re-deriving the defining plan here
-    // yields the REWRITTEN view-scan form, and re-registering would
-    // overwrite the aggregate canon with it — silently ending all
-    // future matches and making the plan nondeterministic across bench
-    // repetitions. The canons captured on the first call stay valid
-    // for the life of the JVM (the defining shape is a pure function
-    // of the corpus dir).
-    if (!graft.plans.MvCatalog.contains(s"quarterly_revenue:$dir")) {
+    // Registration is atomic skip-if-present (ADVICE r11 + r12): on a
+    // SECOND call the rule is already live, so re-deriving the
+    // defining plan here yields the REWRITTEN view-scan form, and
+    // re-registering would overwrite the aggregate canon with it —
+    // silently ending all future matches and making the plan
+    // nondeterministic across bench repetitions. registerIfAbsent runs
+    // the derivation at most once under the catalog's own per-key
+    // lock, so parallel suites can't race past a separate check. The
+    // canons captured on the first call stay valid for the life of the
+    // JVM (the defining shape is a pure function of the corpus dir).
+    graft.plans.MvCatalog.registerIfAbsent(s"quarterly_revenue:$dir") {
       val defDf = quarterlyRevenueDef(spark, dir)
       // Canonical forms captured BEFORE registration: computing
       // optimizedPlan after the catalog entry exists would let the rule
@@ -556,8 +558,7 @@ object OlapQueries {
       // would be the view scan.
       val canons = Seq(defDf.queryExecution.analyzed,
         defDf.queryExecution.optimizedPlan)
-      graft.plans.MvCatalog.register(s"quarterly_revenue:$dir", canons,
-        spark.read.parquet(path).queryExecution.analyzed)
+      (canons, spark.read.parquet(path).queryExecution.analyzed)
     }
     OlapQueries.synchronized {
       if (!spark.experimental.extraOptimizations

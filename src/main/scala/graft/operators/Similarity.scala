@@ -386,14 +386,22 @@ object Similarity {
     * Binary relevance (in the exact top-10), discounts 1/log2(r+1) as
     * a MILLI-SCALED LITERAL TABLE for ranks 1–10 (the one place a log
     * is unavoidable; ten cited constants, identical in both engines),
-    * ideal DCG = the full table sum 5543, so every per-query NDCG is
-    * one exact ppm floor-div. Reuses the exact and IVF search chains
+    * ideal DCG = the PREFIX SUM of the discount table up to each
+    * query's own k (4540 when k = 10; a short corpus emitting k < 10
+    * is graded against its achievable ideal, not understated), so
+    * every per-query NDCG is one exact ppm floor-div. Reuses the
+    * exact and IVF search chains
     * so the evaluated lists cannot drift from the operators they
     * grade. */
   def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
     // floor(1000 / log2(r+1)), r = 1..10; table sum (the ideal DCG
-    // with binary gains and 10 relevant) = 4540
+    // with binary gains and 10 relevant) = 4540. `ideal` is the
+    // running prefix sum, so ideal[k] is the best achievable DCG when
+    // the exact list has only k neighbors (ADVICE r12: a fixed 4540
+    // silently understates NDCG on a corpus with < 11 vectors).
     val disc = "array(1000, 630, 500, 430, 386, 356, 333, 315, 301, 289)"
+    val ideal =
+      "array(1000, 1630, 2130, 2560, 2946, 3302, 3635, 3950, 4251, 4540)"
     val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
     val approx = annIvf(spark, dir)
       .select(col("query_id"), col("vec_id"), col("nn_rank"))
@@ -406,7 +414,8 @@ object Similarity {
       .join(gains, Seq("query_id"), "left")
       .select(col("query_id"), col("k"),
         coalesce(col("dcg_milli"), lit(0L)).as("dcg_milli"),
-        expr("CAST(coalesce(dcg_milli, 0) * 1000000 div 4540 AS BIGINT)")
+        expr(s"CAST(coalesce(dcg_milli, 0) * 1000000 div " +
+          s"element_at($ideal, CAST(k AS INT)) AS BIGINT)")
           .as("ndcg_ppm"))
   }
 
@@ -1822,12 +1831,16 @@ object Similarity {
          |  SEMI JOIN ex ON ex.query_id = a.query_id
          |    AND ex.vec_id = a.vec_id
          |  JOIN disc d ON d.rk = a.nn_rank
-         |  GROUP BY 1)
+         |  GROUP BY 1),
+         |ideal AS (SELECT * FROM (VALUES (1, 1000), (2, 1630),
+         |  (3, 2130), (4, 2560), (5, 2946), (6, 3302), (7, 3635),
+         |  (8, 3950), (9, 4251), (10, 4540)) i(rk, s))
          |SELECT k.query_id, k.k, coalesce(g.dcg_milli, 0) AS dcg_milli,
-         |       CAST(coalesce(g.dcg_milli, 0) * 1000000 // 4540
+         |       CAST(coalesce(g.dcg_milli, 0) * 1000000 // i.s
          |         AS BIGINT) AS ndcg_ppm
          |FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS k
          |      FROM ex GROUP BY 1) k
+         |JOIN ideal i ON i.rk = k.k
          |LEFT JOIN gains g ON g.query_id = k.query_id""".stripMargin,
     "q_ann_recall" ->
       s"""WITH ex0 AS ($topkSql),

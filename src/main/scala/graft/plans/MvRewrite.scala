@@ -40,16 +40,25 @@ object MvCatalog {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  def register(name: String, defPlans: Seq[LogicalPlan],
-      mvRead: LogicalPlan): Unit =
-    entries.put(name,
-      Entry(name, defPlans.map(_.canonicalized), mvRead))
-
-  /** Registration must be check-then-skip, not overwrite (ADVICE r11):
+  /** Registration must be skip-if-present, not overwrite (ADVICE r11):
     * once the rule is live, re-deriving the defining plan in the same
     * session yields the REWRITTEN form (a view-scan Project), and
     * overwriting the entry with it would silently stop all future
-    * matches. */
+    * matches. ATOMIC (ADVICE r12): a separate contains-then-register
+    * at the call site is a check-then-act race — two threads (e.g.
+    * parallel suites) could both pass the check and the second would
+    * overwrite a live entry with the rewritten canon. computeIfAbsent
+    * runs the (by-name) plan derivation at most once, under the map's
+    * own lock for the key. */
+  def registerIfAbsent(name: String)(
+      mk: => (Seq[LogicalPlan], LogicalPlan)): Unit = {
+    entries.computeIfAbsent(name, _ => {
+      val (defPlans, mvRead) = mk
+      Entry(name, defPlans.map(_.canonicalized), mvRead)
+    })
+    ()
+  }
+
   def contains(name: String): Boolean = entries.containsKey(name)
 
   def deregister(name: String): Unit = entries.remove(name)

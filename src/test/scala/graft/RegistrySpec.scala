@@ -45,16 +45,39 @@ class RegistrySpec extends AnyFunSuite {
     * appear somewhere in SURVEY.md, and §14 must quote this spec's
     * `SurveyLedgerCount` literal verbatim.
     */
-  test("every registered query is ledgered in SURVEY.md") {
+  /** Round-12 upgrade (verdict №2 + ADVICE): the old check was a
+    * whole-file substring grep, blind two ways — a name could sit in
+    * prose instead of a §2 row (or in a row whose unescaped `|`
+    * characters shifted the query column), and a name that is a
+    * substring of another ledgered name (q_ann_ivf ⊂ q_ann_ivfpq)
+    * passed vacuously. Now: parse §2's table rows, require every row
+    * to split into exactly 6 cells (unescaped pipes go red), and
+    * require each registered name to appear AS A BACKTICKED TOKEN in
+    * some row's QUERY cell. */
+  test("every registered query is ledgered in a SURVEY §2 query cell") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val unledgered = SparkEntry.queries.keySet.filterNot(survey.contains)
+    val lines = survey.split("\n", -1).toSeq
+    val s2from = lines.indexWhere(_.startsWith("## §2 "))
+    val s2to = lines.indexWhere(_.startsWith("## §3 "))
+    assert(s2from >= 0 && s2to > s2from, "SURVEY §2/§3 headers moved")
+    val rows = lines.slice(s2from, s2to)
+      .filter(l => l.startsWith("|") && !l.startsWith("|---") &&
+        !l.startsWith("| #"))
+    val cellSplit = rows.map(l => l -> l.split("""(?<!\\)\|""", -1))
+    val misCelled = cellSplit.filter(_._2.length != 6).map(_._1.take(80))
+    assert(misCelled.isEmpty,
+      s"§2 rows with unescaped `|` (escape as \\|): $misCelled")
+    val ledgered = cellSplit.flatMap { case (_, cells) =>
+      "`([A-Za-z0-9_]+)`".r.findAllMatchIn(cells(3)).map(_.group(1))
+    }.toSet
+    val unledgered = SparkEntry.queries.keySet -- ledgered
     assert(unledgered.isEmpty,
-      s"queries registered but absent from SURVEY.md: $unledgered — " +
-        "add a §2 row (and oracle note) in the same commit")
+      s"queries registered but absent from every §2 query CELL: " +
+        s"$unledgered — add a §2 row (and oracle note) in the same commit")
     assert(survey.contains(s"SurveyLedgerCount = $SurveyLedgerCount"),
       s"SURVEY.md must quote `SurveyLedgerCount = $SurveyLedgerCount` " +
-        "verbatim in its §14 tally — update the prose with the constant")
+        "verbatim in its ledger tally — update the prose with the constant")
   }
 
   test("no duplicate query names across operator modules") {
