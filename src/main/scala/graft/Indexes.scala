@@ -25,6 +25,61 @@ import org.apache.spark.sql.SparkSession
   * untimed warmup; a real pipeline would call it from the ingest job.
   */
 object Indexes {
+
+  /** Cheap corpus fingerprint (verdict r12 №3 — index staleness): the
+    * sorted (relative path, size, mtime) listing of every regular file
+    * under the corpus dir, md5'd. Build-once caches key on
+    * [[cacheKey]] = `dir#fingerprint`, NOT the bare path, so a corpus
+    * whose CONTENT changes under the same path — exactly the
+    * daily-crawl shape q_ivf_update / q_incremental_minhash are built
+    * for — rebuilds its indexes instead of being served a stale one
+    * silently. Cost per lookup is one directory listing (no data
+    * read); at 100 TB the same role is played by the table-format
+    * snapshot id, and this is the filesystem stand-in. Superseded
+    * entries are dropped so a JVM cycling through corpus versions
+    * holds one live artifact per (cache, dir). */
+  def fingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return "absent"
+    val stream = java.nio.file.Files.walk(root, 3)
+    val listing =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map { p =>
+            val sz = java.nio.file.Files.size(p)
+            val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+            s"${root.relativize(p)}:$sz:$mt"
+          }.toSeq.sorted
+      } finally stream.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(listing.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Staleness-aware cache key for a corpus dir; see [[fingerprint]]. */
+  def cacheKey(dir: String): String = dir + "#" + fingerprint(dir)
+
+  /** Drop cache entries for OTHER fingerprints of the same dir (call
+    * after a computeIfAbsent on the current key): keeps one live
+    * artifact per (cache, dir) as a corpus evolves in one JVM. */
+  def dropStale[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
+      dir: String, keep: String): Unit =
+    cache.keySet.removeIf(k => k.startsWith(dir + "#") && k != keep)
+
+  /** The build-once-per-corpus idiom every persisted index uses: serve
+    * from the cache while the corpus is unchanged, rebuild when its
+    * fingerprint moves, drop the superseded entry. */
+  def corpusCached[V](
+      cache: java.util.concurrent.ConcurrentHashMap[String, V],
+      dir: String)(build: => V): V = {
+    val key = cacheKey(dir)
+    val v = cache.computeIfAbsent(key, _ => build)
+    dropStale(cache, dir, key)
+    v
+  }
+
   def prebuild(spark: SparkSession, dir: String): Unit = {
     operators.TextAnalysis.tokenIndexPath(spark, dir)
     operators.TextAnalysis.vocabIndexPath(spark, dir)

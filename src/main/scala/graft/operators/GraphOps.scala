@@ -280,17 +280,17 @@ object GraphOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def purchaseGraphPath(spark: SparkSession, dir: String): String =
-    purchaseGraphCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(purchaseGraphCache, dir) {
       val path = java.nio.file.Files
         .createTempDirectory("graft-purchase-graph").toFile.getAbsolutePath
-      Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
-        .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
         .write.mode("overwrite").parquet(path)
       path
-    })
+    }
 
   /** Depth bound for [[walkCounts]] — keeps the recursion Σ 25^k. */
   val WalkMaxLen = 3

@@ -185,9 +185,10 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def binaryIngest(spark: SparkSession, dir: String, nDocs: Int = 20): DataFrame = {
-    val out = binStageCache.computeIfAbsent(dir, _ =>
+    val out = graft.Indexes.corpusCached(binStageCache, dir) {
       java.nio.file.Files.createTempDirectory("graft-binfiles")
-        .toFile.getAbsolutePath)
+        .toFile.getAbsolutePath
+    }
     Tables.documents(spark, dir).filter(col("doc_id") < nDocs)
       .select(col("doc_id"), col("text"))
       .write.mode("overwrite").partitionBy("doc_id").text(out)

@@ -534,12 +534,12 @@ object OlapQueries {
     * MAINTAIN, this shows queries USE it with no client-side rewrite.
     */
   def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val path = mvQuarterlyCache.computeIfAbsent(dir, d => {
+    val path = graft.Indexes.corpusCached(mvQuarterlyCache, dir) {
       val p = java.nio.file.Files
         .createTempDirectory("graft-mv-quarterly").toFile.getAbsolutePath
-      quarterlyRevenueDef(spark, d).write.mode("overwrite").parquet(p)
+      quarterlyRevenueDef(spark, dir).write.mode("overwrite").parquet(p)
       p
-    })
+    }
     // Registration is atomic skip-if-present (ADVICE r11 + r12): on a
     // SECOND call the rule is already live, so re-deriving the
     // defining plan here yields the REWRITTEN view-scan form, and
@@ -550,7 +550,8 @@ object OlapQueries {
     // lock, so parallel suites can't race past a separate check. The
     // canons captured on the first call stay valid for the life of the
     // JVM (the defining shape is a pure function of the corpus dir).
-    graft.plans.MvCatalog.registerIfAbsent(s"quarterly_revenue:$dir") {
+    val mvName = s"quarterly_revenue:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.registerIfAbsent(mvName) {
       val defDf = quarterlyRevenueDef(spark, dir)
       // Canonical forms captured BEFORE registration: computing
       // optimizedPlan after the catalog entry exists would let the rule
@@ -560,6 +561,10 @@ object OlapQueries {
         defDf.queryExecution.optimizedPlan)
       (canons, spark.read.parquet(path).queryExecution.analyzed)
     }
+    // Corpus changed under the same path → new fingerprint, new view
+    // parquet, new entry; retire the superseded one so the old view
+    // can never answer a restatement of the new corpus.
+    graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
     OlapQueries.synchronized {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.MvRewrite))

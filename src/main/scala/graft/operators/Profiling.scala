@@ -534,10 +534,10 @@ object Profiling {
     * (otherwise the first timed q_auc_purchase / q_calibration run pays
     * the one-time parquet build inside its measurement). */
   private[graft] def scoreCumPath(spark: SparkSession, dir: String): String =
-    scoreCumCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(scoreCumCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-score-cum").toFile.getAbsolutePath
-      val grouped = Tables.events(spark, d)
+      val grouped = Tables.events(spark, dir)
         .select(round(col("value") * 100, 0).cast("long").as("score_cents"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
         .groupBy("score_cents")
@@ -546,7 +546,7 @@ object Profiling {
         .select(col("score_cents"), col("n"), col("n_pos"), col("cum_before"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   private def scoreCum(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(scoreCumPath(spark, dir))
@@ -753,10 +753,10 @@ object Profiling {
     * plus 26 probes of the tiny histogram. Same fresh-tempdir
     * lifecycle as the other corpus indexes. */
   private[graft] def priceHistPath(spark: SparkSession, dir: String): String =
-    priceHistCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(priceHistCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-price-hist").toFile.getAbsolutePath
-      Tables.orders(spark, d)
+      Tables.orders(spark, dir)
         .select(round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
         .groupBy("pc").agg(count(lit(1)).as("c"))
         // One file: each binary-search probe is then ONE task instead
@@ -764,7 +764,7 @@ object Profiling {
         .coalesce(1)
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   /** SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE/IF procedural surface):
     * exact median order price by BINARY SEARCH over the value domain —

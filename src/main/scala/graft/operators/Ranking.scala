@@ -127,9 +127,9 @@ object Ranking {
     * fresh-tempdir lifecycle as TextAnalysis.vocabIndexPath. */
   private[graft] def bigramIndexPaths(
       spark: SparkSession, dir: String): (String, String) =
-    bigramIndexCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(bigramIndexCache, dir) {
       graft.functions.ShinglesAll.register(spark)
-      val bi = Tables.documents(spark, d)
+      val bi = Tables.documents(spark, dir)
         .select(explode(expr("shingles_all(text, 2)")).as("xy"))
       val bOut = java.nio.file.Files
         .createTempDirectory("graft-bigram-ix").toFile.getAbsolutePath
@@ -141,7 +141,7 @@ object Ranking {
         .groupBy("x").agg(count(lit(1)).as("cx1"))
         .write.mode("overwrite").parquet(fOut)
       (bOut, fOut)
-    })
+    }
 
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val (bPath, fPath) = bigramIndexPaths(spark, dir)
@@ -186,8 +186,8 @@ object Ranking {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def dsirRatioPath(spark: SparkSession, dir: String): String =
-    dsirRatioCache.computeIfAbsent(dir, d => {
-      val words = Tables.documents(spark, d)
+    graft.Indexes.corpusCached(dsirRatioCache, dir) {
+      val words = Tables.documents(spark, dir)
         .select(col("lang"),
           explode(split(lower(col("text")), "\\s+")).as("w"))
       val raw = words.groupBy("w").agg(count(lit(1)).as("cr"))
@@ -205,7 +205,7 @@ object Ranking {
             " div (CAST(cr AS DECIMAL(38,0)) * nt)").as("rw"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val ratio = spark.read.parquet(dsirRatioPath(spark, dir))

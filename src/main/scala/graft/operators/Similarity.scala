@@ -561,12 +561,12 @@ object Similarity {
   /** Force the build-once PQ code table for `dir` and return its path
     * (explicit index-build entry point; see [[Indexes.prebuild]]). */
   private[graft] def pqCodesPath(spark: SparkSession, dir: String): String =
-    pqCodesCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(pqCodesCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-pq-codes").toFile.getAbsolutePath
-      pqCodesFrom(pqDistances(spark, d)).write.mode("overwrite").parquet(out)
+      pqCodesFrom(pqDistances(spark, dir)).write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   /** IVF-PQ / IVFADC ANN — the FAISS serving shape (Jégou et al.,
     * TPAMI'11) that actually runs at trillion-vector scale, composed
@@ -1059,12 +1059,12 @@ object Similarity {
   /** Force the build-once IVF index for `dir` and return its path
     * (explicit index-build entry point; see [[Indexes.prebuild]]). */
   private[graft] def ivfIndexPath(spark: SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(ivfIndexCache, dir) {
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivf-ix").toFile.getAbsolutePath
-      buildIvfIndex(spark, d, path)
+      buildIvfIndex(spark, dir, path)
       path
-    })
+    }
 
   def retrievalServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val out = ivfIndexPath(spark, dir)

@@ -671,12 +671,12 @@ object TextAnalysis {
     * the explicit index-build entry point ([[Indexes.prebuild]] calls it
     * so benchmarked serve paths never pay the build). */
   private[graft] def tokenIndexPath(spark: SparkSession, dir: String): String =
-    tokenIndexCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(tokenIndexCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-token-ix").toFile.getAbsolutePath
-      persistedTokenIndex(spark, d, out)
+      persistedTokenIndex(spark, dir, out)
       out
-    })
+    }
 
   private val vocabIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -688,15 +688,15 @@ object TextAnalysis {
     * [[docRarityFrom]]. Same fresh-tempdir-per-(JVM, dir) lifecycle as
     * [[tokenIndexPath]]. */
   private[graft] def vocabIndexPath(spark: SparkSession, dir: String): String =
-    vocabIndexCache.computeIfAbsent(dir, d => {
+    graft.Indexes.corpusCached(vocabIndexCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-vocab-ix").toFile.getAbsolutePath
-      Tables.documents(spark, d)
+      Tables.documents(spark, dir)
         .select(explode(tokens).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   /** Phrase match as ONE scan of the positional index: filter postings
     * to the phrase's terms (pushed to the parquet scan), explode each
@@ -787,7 +787,8 @@ object TextAnalysis {
 
   private def trainedMerges(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
-    val path = bpeMergeCache.computeIfAbsent(s"$dir|$rounds", _ => {
+    val path = bpeMergeCache.computeIfAbsent(
+      s"${graft.Indexes.cacheKey(dir)}|$rounds", _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-bpe-merges").toFile.getAbsolutePath
       bpeTrain(spark, dir, rounds).zipWithIndex.map { case (best, i) =>

@@ -63,6 +63,22 @@ object MvCatalog {
 
   def deregister(name: String): Unit = entries.remove(name)
 
+  /** Drop every entry under `prefix` except `keep` — the staleness
+    * half of the corpus-fingerprint contract (verdict r12 №3): when a
+    * corpus changes under the same path, its re-registered view gets a
+    * new fingerprinted name and the superseded entry must not keep
+    * matching restatements with the OLD view parquet. */
+  def deregisterOthers(prefix: String, keep: String): Unit = {
+    entries.keySet.removeIf(k => k.startsWith(prefix) && k != keep)
+    ()
+  }
+
+  /** Test hook: drop every entry for a dir regardless of fingerprint. */
+  def deregisterPrefix(prefix: String): Unit = {
+    entries.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
+
   def isEmpty: Boolean = entries.isEmpty
 
   def find(canonicalized: LogicalPlan): Option[Entry] = {

@@ -49,14 +49,14 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"non-matching aggregate must keep its own plan:\n$otherPlan")
 
       // Deregistration restores the fact scan for the SAME query.
-      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
       val back = OlapQueries.quarterlyRevenueDef(spark, sfDir)
       val backPlan = back.queryExecution.executedPlan.toString
       assert(!backPlan.contains("graft-mv-quarterly") &&
         backPlan.contains("orders.parquet"),
         s"deregistered view must stop rewriting:\n$backPlan")
     } finally {
-      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
@@ -84,7 +84,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == direct,
         "filtered view read must reproduce the filtered aggregate exactly")
     } finally {
-      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
@@ -104,7 +104,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         !plan.contains("orders.parquet"),
         s"second mvRewrite call must still be answered from the view:\n$plan")
     } finally {
-      MvCatalog.deregister(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
