@@ -284,4 +284,73 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  // ---- Shared-chain reuse as a PLAN invariant (verdict r12 №4) ----
+  // The eval companions are SPECIFIED to serve their probe/code/
+  // isotonic chains from the build-once persisted artifacts; at 100 TB
+  // a recomputed probe chain is the dominant eval cost. These tests
+  // make that a scan-count assertion, not a prose claim. Artifact
+  // tempdir tokens match the createTempDirectory prefixes.
+
+  private def scanCount(p: String, token: String): Int =
+    java.util.regex.Pattern.quote(token).r.findAllIn(p).length
+
+  test("IVF ANN serves the probe chain from the persisted index") {
+    val p = planOf("q_ann_ivf")
+    withClue(p) {
+      assert(scanCount(p, "graft-ivf-ix") >= 1,
+        "q_ann_ivf must scan the persisted IVF index parquet")
+      assert(scanCount(p, "embeddings.parquet") == 0,
+        "q_ann_ivf re-scans the embedding corpus — probe chain recomputed")
+    }
+  }
+
+  test("recall/NDCG eval joins run off ONE materialized pass per ranked list") {
+    for (q <- Seq("q_ann_recall", "q_retrieval_ndcg")) {
+      val p = planOf(q)
+      withClue(s"$q:\n$p") {
+        assert(scanCount(p, "embeddings.parquet") == 0 &&
+          scanCount(p, "graft-ivf-ix") == 0,
+          s"$q re-plans a search chain per reference instead of " +
+            "reusing the checkpointed ranked list")
+        assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+          s"$q: expected checkpointed ranked lists to feed the eval")
+      }
+    }
+  }
+
+  test("recall sweep reuses ONE materialized pass of each ranked list for all k") {
+    val p = planOf("q_recall_sweep")
+    withClue(p) {
+      assert(scanCount(p, "embeddings.parquet") == 0 &&
+        scanCount(p, "graft-ivf-ix") == 0,
+        "sweep arms must be cut from the checkpointed lists, not re-searched")
+      assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+        "expected the checkpointed ranked lists to feed the sweep")
+    }
+  }
+
+  test("IVF-PQ serves from BOTH persisted halves; corpus floats untouched") {
+    val p = planOf("q_ann_ivfpq")
+    withClue(p) {
+      assert(scanCount(p, "embeddings.parquet") == 0,
+        "IVF-PQ query time must not touch corpus floats")
+      assert(scanCount(p, "graft-pq-codes") == 1,
+        "exactly one scan of the persisted PQ code table")
+      assert(scanCount(p, "graft-ivf-ix") >= 1,
+        "centroids/assignments must come from the persisted IVF index")
+    }
+  }
+
+  test("calibrated Brier runs off the score-cum artifact, never the corpus") {
+    val p = planOf("q_brier_calibrated")
+    withClue(p) {
+      assert(scanCount(p, "events.parquet") == 0,
+        "brier must not re-scan the events corpus")
+      val cums = scanCount(p, "graft-score-cum")
+      assert(cums >= 1 && cums <= 2,
+        s"score-cum artifact scans: $cums (want 1-2: rows + total); " +
+          "the isotonic chain itself must feed from its checkpoint")
+    }
+  }
 }
