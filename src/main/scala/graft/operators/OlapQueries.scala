@@ -559,12 +559,38 @@ object OlapQueries {
       // would be the view scan.
       val canons = Seq(defDf.queryExecution.analyzed,
         defDf.queryExecution.optimizedPlan)
-      (canons, spark.read.parquet(path).queryExecution.analyzed)
+      (canons, () => spark.read.parquet(path).queryExecution.analyzed)
+    }
+    // ROLL-UP CONTAINMENT (step 3 past exact match and filter-over-view
+    // — the most common BI containment case): a YEARLY restatement is
+    // answerable from the quarterly view by RE-AGGREGATING view rows
+    // (year = qtr div 4 + 1992; count rolls up as sum-of-counts, sum as
+    // sum-of-sums — both decomposable). Registered as its own catalog
+    // entry whose canon is the yearly-over-fact plan and whose
+    // substitute is the re-aggregation OVER THE VIEW READ, so the
+    // structural-equality rule delivers the containment case without
+    // any containment reasoning at match time — a non-decomposable
+    // yearly aggregate (exact median) matches nothing and keeps its
+    // fact plan (MvRewriteSpec pins both).
+    val rollName = s"quarterly_revenue_rollup:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.registerIfAbsent(rollName) {
+      val yDef = yearlyRevenueDef(spark, dir)
+      val canons = Seq(yDef.queryExecution.analyzed,
+        yDef.queryExecution.optimizedPlan)
+      def rollup() = spark.read.parquet(path)
+        .selectExpr("CAST(qtr div 4 + 1992 AS BIGINT) AS yr",
+          "n_orders", "total_cents")
+        .groupBy("yr")
+        .agg(sum("n_orders").as("n_orders"),
+          sum("total_cents").as("total_cents"))
+      (canons, () => rollup().queryExecution.analyzed)
     }
     // Corpus changed under the same path → new fingerprint, new view
-    // parquet, new entry; retire the superseded one so the old view
+    // parquet, new entries; retire the superseded ones so the old view
     // can never answer a restatement of the new corpus.
     graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
+    graft.plans.MvCatalog
+      .deregisterOthers(s"quarterly_revenue_rollup:$dir#", rollName)
     OlapQueries.synchronized {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.MvRewrite))
@@ -591,6 +617,29 @@ object OlapQueries {
   def mvRewriteFiltered(spark: SparkSession, dir: String): DataFrame = {
     mvRewrite(spark, dir) // build + register + install, all idempotent
     quarterlyRevenueDef(spark, dir).filter(col("qtr") >= 8)
+  }
+
+  /** Yearly revenue stated directly over the fact table — the COARSER
+    * re-aggregation the roll-up containment entry (see [[mvRewrite]])
+    * redirects onto the quarterly view. */
+  private[graft] def yearlyRevenueDef(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+
+  /** AGGREGATE ROLL-UP over the materialized view: the yearly revenue
+    * query restated over the fact table, answered by re-aggregating
+    * the quarterly view's rows (fact scan gone; the view read is
+    * |quarters| rows). The serving proof that one materialized summary
+    * answers a FAMILY of coarser queries, not just its own restatement
+    * — at 100 TB the difference is a fact-table scan per dashboard
+    * tile vs a KB-sized view read. */
+  def mvRollupYear(spark: SparkSession, dir: String): DataFrame = {
+    mvRewrite(spark, dir) // build + register + install, all idempotent
+    yearlyRevenueDef(spark, dir)
   }
 
   /** Semi join: customers having at least one order above a threshold. */
@@ -1166,6 +1215,7 @@ object OlapQueries {
     "q_monthly_revenue" -> monthlyRevenue,
     "q_mv_rewrite" -> mvRewrite,
     "q_mv_rewrite_filtered" -> mvRewriteFiltered,
+    "q_mv_rollup_year" -> mvRollupYear,
     "q_customers_high_value" -> customersWithHighValueOrders,
     "q_customers_without_orders" -> customersWithoutOrders,
     "q_rollup_flag_status" -> rollupFlagStatus,
@@ -1673,6 +1723,12 @@ object OlapQueries {
     "q_mv_rewrite" ->
       """SELECT ((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1)
         |         AS qtr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_mv_rollup_year" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |         AS BIGINT) AS total_cents

@@ -31,11 +31,15 @@ object MvCatalog {
     * optimized — the rule runs in the user-provided batch after the
     * main optimizer, so the optimized form is the one that usually
     * hits; the analyzed form covers injection points earlier in the
-    * pipeline, e.g. via spark.sql.extensions). `mvPlan`: analyzed
-    * logical plan of the parquet read, re-instanced per substitution
-    * so attribute IDs stay unique across uses. */
+    * pipeline, e.g. via spark.sql.extensions). `mvPlan`: a FACTORY
+    * producing a freshly analyzed substitute plan per substitution —
+    * a factory, not a stored plan, because the substitute may be a
+    * multi-node tree (the roll-up case re-aggregates the view read)
+    * and only rebuilding from scratch gives every node new attribute
+    * IDs; re-instancing just the leaf relation leaves the operators
+    * above it referencing the old IDs (MISSING_ATTRIBUTES). */
   case class Entry(name: String, canon: Seq[LogicalPlan],
-      mvPlan: LogicalPlan)
+      mvPlan: () => LogicalPlan)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -51,7 +55,7 @@ object MvCatalog {
     * runs the (by-name) plan derivation at most once, under the map's
     * own lock for the key. */
   def registerIfAbsent(name: String)(
-      mk: => (Seq[LogicalPlan], LogicalPlan)): Unit = {
+      mk: => (Seq[LogicalPlan], () => LogicalPlan)): Unit = {
     entries.computeIfAbsent(name, _ => {
       val (defPlans, mvRead) = mk
       Entry(name, defPlans.map(_.canonicalized), mvRead)
@@ -117,14 +121,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate =>
         MvCatalog.find(agg.canonicalized) match {
           case Some(e) =>
-            // Fresh attribute IDs for the MV relation (a plan reused
-            // verbatim twice in one query would collide), then alias
-            // each MV column back to the MATCHED node's attribute IDs
-            // so every parent operator stays resolved.
-            val fresh = e.mvPlan.transform {
-              case m: LogicalPlan with MultiInstanceRelation =>
-                m.newInstance()
-            }
+            // Fresh attribute IDs throughout (a plan reused verbatim
+            // twice in one query would collide): the factory rebuilds
+            // the whole substitute plan, then each output column is
+            // aliased back to the MATCHED node's attribute IDs so
+            // every parent operator stays resolved.
+            val fresh = e.mvPlan()
             Project(agg.output.zip(fresh.output).map { case (o, m) =>
               Alias(m, o.name)(exprId = o.exprId)
             }, fresh)

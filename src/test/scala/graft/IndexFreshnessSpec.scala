@@ -123,6 +123,7 @@ class IndexFreshnessSpec extends AnyFunSuite with BeforeAndAfterAll {
         "superseded view entry must be deregistered on corpus change")
     } finally {
       MvCatalog.deregisterPrefix(s"quarterly_revenue:$dir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$dir")
       spark.experimental.extraOptimizations = spark.experimental
         .extraOptimizations.filterNot(_ == graft.plans.MvRewrite)
     }

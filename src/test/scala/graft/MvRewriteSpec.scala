@@ -57,6 +57,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"deregistered view must stop rewriting:\n$backPlan")
     } finally {
       MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$sfDir")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
@@ -85,6 +86,43 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         "filtered view read must reproduce the filtered aggregate exactly")
     } finally {
       MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$sfDir")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
+
+  test("yearly roll-up re-aggregates the view; non-decomposable near-miss untouched") {
+    import org.apache.spark.sql.functions._
+    // Expected rows computed with the catalog EMPTY (fact-table plan).
+    val direct = OlapQueries.yearlyRevenueDef(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val rolled = OlapQueries.mvRollupYear(spark, sfDir)
+    try {
+      val plan = rolled.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-mv-quarterly"),
+        s"yearly roll-up must scan the quarterly view parquet:\n$plan")
+      assert(!plan.contains("orders.parquet"),
+        s"yearly roll-up must NOT scan the fact table:\n$plan")
+      val got = rolled.collect().map(_.toString).sorted.toSeq
+      assert(got == direct,
+        "re-aggregated view must reproduce the yearly aggregate exactly")
+
+      // NEAR-MISS: an exact yearly median is NOT decomposable over the
+      // view's (count, sum) — no containment, so the rewrite must not
+      // fire and the fact plan stays.
+      val median = Tables.orders(spark, sfDir)
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_totalprice"))
+        .groupBy("yr")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"))
+      val mPlan = median.queryExecution.executedPlan.toString
+      assert(!mPlan.contains("graft-mv-quarterly") &&
+        mPlan.contains("orders.parquet"),
+        s"non-decomposable aggregate must keep its fact plan:\n$mPlan")
+    } finally {
+      MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$sfDir")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
@@ -105,6 +143,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"second mvRewrite call must still be answered from the view:\n$plan")
     } finally {
       MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$sfDir")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
