@@ -109,6 +109,43 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node of the nation trade graph —
+    * the closed-wedge fraction (Watts-Strogatz): coeff = 2T/(d(d−1))
+    * in exact ppm, per-node triangles from the same oriented
+    * two-equi-join pass as [[triangleCount]] and degrees from the
+    * deduplicated undirected edge list. The community-structure read
+    * on any graph after the degree histogram: high coefficient at high
+    * degree = dense cliques, low = hub-and-spoke.
+    *
+    * Plan/scale: the undirected edge list is materialized once
+    * (checkpoint) and feeds degrees + both sides of the wedge join;
+    * wedge cost is Σ deg² of the DEDUPLICATED graph, the triangle
+    * bound; everything after is |nodes|-row algebra. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = tradeEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").cast("long").as("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("CASE WHEN deg >= 2 THEN CAST(coalesce(n_triangles, 0)" +
+          " * 2000000 div (deg * (deg - 1)) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END").as("coeff_ppm"))
+  }
+
   val KcoreK = 20
   val KcoreRounds = 6
 
@@ -577,7 +614,8 @@ object GraphOps {
     "q_bfs_hops" -> ((s, d) => bfsHops(s, d)),
     "q_recursive_bfs" -> recursiveBfs,
     "q_walk_counts" -> walkCounts,
-    "q_triangle_count" -> triangleCount)
+    "q_triangle_count" -> triangleCount,
+    "q_clustering_coeff" -> clusteringCoeff)
 
   /** NATIVE `WITH RECURSIVE` BFS — the same sparsified-trade-graph
     * traversal as [[bfsHops]], but the fixpoint runs INSIDE Spark SQL
@@ -883,5 +921,31 @@ object GraphOps {
          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
-         |GROUP BY node""".stripMargin)
+         |GROUP BY node""".stripMargin,
+    "q_clustering_coeff" ->
+      s"""WITH $edgesSql,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tcount AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |  GROUP BY node),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM und
+         |        UNION ALL SELECT b FROM und)
+         |  GROUP BY 1)
+         |SELECT CAST(d.node AS BIGINT) AS node, d.deg,
+         |       coalesce(t.n_triangles, 0) AS n_triangles,
+         |       CASE WHEN d.deg >= 2 THEN
+         |         CAST(coalesce(t.n_triangles, 0) * 2000000
+         |           // (d.deg * (d.deg - 1)) AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS coeff_ppm
+         |FROM deg d LEFT JOIN tcount t ON t.node = d.node""".stripMargin)
 }

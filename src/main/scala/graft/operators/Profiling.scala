@@ -1214,6 +1214,54 @@ object Profiling {
     * driver randomness) — the mechanism adds ZERO plan cost at any
     * scale, which is the point: determinism makes the DP release
     * auditable and re-runnable. */
+  /** CENTRAL-DP MEAN RELEASE — the clipped-sum/count composition
+    * completing the DP release family ([[dpRelease]] = count,
+    * [[dpHistogram]] = unknown-domain histogram): each order's cents
+    * are CLIPPED at C = 30,000,000 (the a-priori ℓ∞ sensitivity bound
+    * every DP mean must fix — one record moves the sum by ≤ C), the
+    * per-nation clipped SUM gets one C-granular discrete-Laplace draw
+    * (the [[dpRelease]] geometric-difference mechanism scaled by C,
+    * same ε), the COUNT gets its own unit-granular draw from
+    * independent seeds, and the released mean is the post-processed
+    * ratio max(0, S̃) div max(1, ñ) — post-processing preserves ε, so
+    * the pair costs 2ε total by basic composition. The clip fraction
+    * rides along as the utility audit (what the sensitivity bound cost
+    * in signal). Noise is md5-seeded per cell and replayable: zero
+    * plan cost, auditable, re-runnable — the property that makes a DP
+    * release operable in a 100 TB pipeline. */
+  def dpMean(spark: SparkSession, dir: String): DataFrame = {
+    val C = 30000000L
+    def geom(seed: String) =
+      s"60 - length(bin(CAST(conv(substr(md5(concat('$seed', n_name))," +
+        s" 1, 15), 16, 10) AS BIGINT)))"
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_true"),
+        sum(least(col("cents"), lit(C))).as("s_clip"),
+        sum(when(col("cents") > C, 1L).otherwise(0L)).as("n_clipped"))
+      .select(col("n_name"), col("n_true"), col("s_clip"),
+        expr("CAST(n_clipped * 1000000 div n_true AS BIGINT)")
+          .as("clip_ppm"),
+        expr(s"CAST(${geom("graft-dpm1-")} - (${geom("graft-dpm2-")})" +
+          " AS BIGINT)").as("noise_sum_units"),
+        expr(s"CAST(${geom("graft-dpm3-")} - (${geom("graft-dpm4-")})" +
+          " AS BIGINT)").as("noise_n"))
+      .select(col("n_name"), col("n_true"), col("s_clip"),
+        col("clip_ppm"), col("noise_sum_units"), col("noise_n"),
+        expr(s"CAST(greatest(CAST(0 AS BIGINT)," +
+          s" s_clip + ${C}L * noise_sum_units)" +
+          " div greatest(CAST(1 AS BIGINT), n_true + noise_n)" +
+          " AS BIGINT)").as("released_mean_cents"))
+  }
+
   def dpRelease(spark: SparkSession, dir: String): DataFrame = {
     def geom(seed: String) =
       s"60 - length(bin(CAST(conv(substr(md5(concat('$seed', n_name))," +
@@ -1305,6 +1353,7 @@ object Profiling {
     "q_t_closeness" -> tCloseness,
     "q_rand_response" -> randResponse,
     "q_dp_release" -> dpRelease,
+    "q_dp_mean" -> dpMean,
     "q_dp_histogram" -> dpHistogram,
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
@@ -1474,6 +1523,42 @@ object Profiling {
         |SELECT n_name, n_true, noise,
         |       greatest(CAST(0 AS BIGINT), n_true + noise) AS released,
         |       CAST(693 AS BIGINT) AS eps_milli
+        |FROM noised""".stripMargin,
+    "q_dp_mean" ->
+      """WITH base AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_true,
+        |         CAST(sum(least(CAST(round(o_totalprice * 100, 0)
+        |           AS BIGINT), 30000000)) AS BIGINT) AS s_clip,
+        |         CAST(sum(CASE WHEN CAST(round(o_totalprice * 100, 0)
+        |           AS BIGINT) > 30000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_clipped
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |noised AS (
+        |  SELECT n_name, n_true, s_clip,
+        |         CAST(n_clipped * 1000000 // n_true AS BIGINT)
+        |           AS clip_ppm,
+        |         CAST((60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dpm1-' || n_name), 1, 15))
+        |                AS BIGINT))))
+        |            - (60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dpm2-' || n_name), 1, 15))
+        |                AS BIGINT)))) AS BIGINT) AS noise_sum_units,
+        |         CAST((60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dpm3-' || n_name), 1, 15))
+        |                AS BIGINT))))
+        |            - (60 - length(bin(CAST(('0x' ||
+        |                substr(md5('graft-dpm4-' || n_name), 1, 15))
+        |                AS BIGINT)))) AS BIGINT) AS noise_n
+        |  FROM base)
+        |SELECT n_name, n_true, s_clip, clip_ppm, noise_sum_units,
+        |       noise_n,
+        |       CAST(greatest(CAST(0 AS BIGINT),
+        |           s_clip + 30000000 * noise_sum_units)
+        |         // greatest(CAST(1 AS BIGINT), n_true + noise_n)
+        |         AS BIGINT) AS released_mean_cents
         |FROM noised""".stripMargin,
     "q_rand_response" ->
       """WITH seg AS (

@@ -397,6 +397,33 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** RECALL@10 vs PROBE COUNT (nprobe ∈ {1, 2, 3}) — the OTHER axis of
+    * the IVF operating surface ([[recallSweep]] sweeps k at fixed
+    * probes; this sweeps the knob a serving team actually turns:
+    * each +1 probe buys recall with ~1/cells more scored candidates).
+    * Every arm serves from the SAME persisted index artifacts
+    * ([[annIvf]]), and the exact baseline list is materialized once;
+    * per-arm work is the probed-cell scoring only. One row per
+    * (query, nprobe): exact ppm recall, monotone in nprobe by
+    * construction (more cells ⊇ fewer). */
+  def probeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val k = exact.groupBy("query_id").agg(count(lit(1)).as("kk"))
+      .localCheckpoint()
+    Seq(1, 2, 3).map { p =>
+      val approx = annIvf(spark, dir, probes = p)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      k.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(p).as("nprobe"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("CAST(coalesce(n_hit, 0) * 1000000 div kk AS BIGINT)")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** NDCG@10 of the IVF index vs the exact top-10 — the
     * position-weighted retrieval metric completing [[annRecall]]
     * (recall counts hits; NDCG asks whether they surface EARLY).
@@ -1258,6 +1285,7 @@ object Similarity {
     "q_ann_recall" -> annRecall,
     "q_retrieval_ndcg" -> ((s, d) => retrievalNdcg(s, d)),
     "q_recall_sweep" -> ((s, d) => recallSweep(s, d)),
+    "q_probe_sweep" -> ((s, d) => probeSweep(s, d)),
     "q_ann_lsh" -> annLshNearDup,
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_ann_pq" -> annPq,
@@ -1286,7 +1314,9 @@ object Similarity {
   /** IVF probe WITH-chain (through `probed`) shared by [[ivfSql]] and
     * the IVF-PQ oracle, so the probe stage cannot drift between the
     * float-scoring and ADC-scoring serves. */
-  private lazy val ivfProbeCtes: String =
+  private lazy val ivfProbeCtes: String = ivfProbeCtesP(2)
+
+  private def ivfProbeCtesP(probes: Int): String =
     s"""cent AS (
        |  SELECT label AS cell, k,
        |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
@@ -1305,10 +1335,12 @@ object Similarity {
        |  SELECT query_id, qv, cell
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |          ORDER BY cell_sim DESC, cell) AS r FROM cellsim)
-       |  WHERE r <= 2)""".stripMargin
+       |  WHERE r <= $probes)""".stripMargin
 
-  private lazy val ivfSql: String =
-    s"""WITH $ivfProbeCtes,
+  private lazy val ivfSql: String = ivfSqlP(2)
+
+  private def ivfSqlP(probes: Int): String =
+    s"""WITH ${ivfProbeCtesP(probes)},
        |scored AS (
        |  SELECT p.query_id, e.vec_id, p.cell,
        |         round(${cosSql("p.qv", "e.embedding")}, 6) AS cos_sim
@@ -1848,6 +1880,20 @@ object Similarity {
          |      FROM ex GROUP BY 1, 2) t
          |LEFT JOIN hits h ON h.k = t.k AND h.query_id = t.query_id"""
         .stripMargin,
+    "q_probe_sweep" ->
+      Seq(1, 2, 3).map { p =>
+        s"""SELECT t.query_id, CAST($p AS INT) AS nprobe,
+           |       coalesce(h.n_hit, 0) AS n_hit,
+           |       CAST(coalesce(h.n_hit, 0) * 1000000 // t.kk AS BIGINT)
+           |         AS recall_ppm
+           |FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS kk
+           |      FROM ($topkSql) e GROUP BY 1) t
+           |LEFT JOIN (
+           |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM ($topkSql) e SEMI JOIN (${ivfSqlP(p)}) a
+           |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+           |  GROUP BY 1) h ON h.query_id = t.query_id""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_retrieval_ndcg" ->
       s"""WITH ex0 AS ($topkSql),
          |ap0 AS ($ivfSql),

@@ -1976,7 +1976,12 @@ object Stats {
     * is unavoidable; both cited, both engine-identical); everything
     * else is the welchT integer chain applied per group against the
     * broadcast complement. One grouped aggregate + 25-row algebra. */
-  def screenBonferroni(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-nation two-sample stats (group vs rest-of-corpus), the SHARED
+    * chain of the multiple-testing family: mean-difference in milli and
+    * the Welch t² statistic in milli, all DECIMAL(38) exact.
+    * [[screenBonferroni]] stamps family-wise flags on it;
+    * [[screenBh]] ranks it through the Benjamini-Hochberg step-up. */
+  private def nationT2(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
@@ -2010,8 +2015,101 @@ object Stats {
         expr("CAST(CASE WHEN se2 <= 0 THEN 0 ELSE" +
           " CAST(d_milli AS DECIMAL(38,0)) * d_milli div (1000 * se2)" +
           " END AS BIGINT)").as("t2_milli"))
+  }
+
+  def screenBonferroni(spark: SparkSession, dir: String): DataFrame =
+    nationT2(spark, dir)
       .withColumn("sig_raw", col("t2_milli") >= 3841)
       .withColumn("sig_bonferroni", col("t2_milli") >= 9550)
+
+  /** chi²₁ upper quantiles at p = 0.002·k for k = 1..25 (α = 0.05 over
+    * the m = 25-nation screen), in milli: floor(1000·F⁻¹(1 − 0.002k)).
+    * 25 cited constants — the one place an inverse CDF is unavoidable,
+    * identical literals in both engines (NDCG-discount discipline).
+    * Endpoints sanity-check against the Bonferroni pair: k=1 → 9549
+    * (α/m), k=25 → 3841 (α). */
+  private[graft] val Chi2QuantMilli: Seq[Long] = Seq(
+    9549L, 8283L, 7550L, 7033L, 6634L, 6310L, 6038L, 5802L, 5596L,
+    5411L, 5245L, 5094L, 4956L, 4828L, 4709L, 4598L, 4494L, 4397L,
+    4305L, 4217L, 4135L, 4056L, 3981L, 3909L, 3841L)
+
+  /** BENJAMINI-HOCHBERG step-up (FDR control at α = 0.05) over the
+    * SAME per-nation screen [[screenBonferroni]] family-wise-corrects
+    * — the pair every large-scale screening pipeline runs together
+    * (Bonferroni for "any false positive is fatal", BH for "a
+    * controlled fraction of discoveries may be false"). p-values never
+    * materialize: p_(k) ≤ k·α/m ⟺ t²_(k) ≥ F⁻¹(1 − k·α/m), so the
+    * step-up compares the DESCENDING t² ranks against the 25-entry
+    * quantile table and k_max is the largest passing rank; discoveries
+    * are ranks ≤ k_max. The thresholds are computed for the design
+    * m = 25 (TPC-H nations); a corpus slice with fewer populated
+    * groups is tested against the same table, which is conservative
+    * (larger m ⇒ stricter k·α/m), so FDR ≤ α still holds.
+    *
+    * Plan/scale: the fact scan is [[nationT2]]'s one aggregate pass;
+    * ranking and the step-up run on ≤ 25 post-aggregate rows (bounded
+    * rank window + broadcast threshold join + broadcast 1-row k_max).
+    */
+  def screenBh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = Chi2QuantMilli.zipWithIndex
+      .map { case (t, i) => (i + 1, t) }
+      .toDF("rk", "thr_milli")
+    val ranked = nationT2(spark, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("t2_milli").desc, col("n_name"))))
+      .join(broadcast(thr), "rk")
+    val kMax = ranked.filter(col("t2_milli") >= col("thr_milli"))
+      .agg(coalesce(max("rk"), lit(0)).as("k_max"))
+    ranked.crossJoin(broadcast(kMax))
+      .select(col("n_name"), col("n_group"), col("t2_milli"),
+        col("rk"), col("thr_milli"),
+        (col("rk") <= col("k_max")).as("sig_bh"))
+  }
+
+  /** KENDALL RANK CONCORDANCE between monthly order volume and monthly
+    * revenue — the robust "do these two series move together"
+    * statistic beside [[Analytics]]' Spearman (tau counts pairwise
+    * order inversions; Spearman correlates midranks): concordant /
+    * discordant / tied pair counts over all month pairs, plus tau-a in
+    * exact ppm ((C − D)·10⁶ div pairs — tau-b's √ normalizer is
+    * libm, so the tie counts ride along raw and the oracle checks
+    * them exactly).
+    *
+    * Plan/scale: one fact scan → |months| aggregate rows; the pair
+    * stage is a broadcast self-join of the ~84-row monthly table
+    * (cheap-comparison BNLJ on bounded post-aggregate rows, the
+    * Shapley discipline) → one global aggregate. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(expr("CAST((year(o_orderdate) - 1992) * 12" +
+        " + month(o_orderdate) - 1 AS BIGINT)").as("m"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("x"), sum("cents").as("y"))
+    val pairs = monthly.as("a")
+      .join(broadcast(monthly.as("b")), col("a.m") < col("b.m"))
+      .select((col("b.x") - col("a.x")).as("dx"),
+        (col("b.y") - col("a.y")).as("dy"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when((col("dx") > 0 && col("dy") > 0) ||
+        (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L))
+        .as("concordant"),
+      sum(when((col("dx") > 0 && col("dy") < 0) ||
+        (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L))
+        .as("discordant"),
+      sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+        .as("ties_x"),
+      sum(when(col("dx") =!= 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("ties_y"),
+      sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("ties_xy"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_xy"),
+        expr("CAST((concordant - discordant) * 1000000" +
+          " div n_pairs AS BIGINT)").as("tau_a_ppm"))
   }
 
   /** ROLLING 7-day MEDIAN of daily revenue — the robust trendline
@@ -2040,6 +2138,8 @@ object Stats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_median" -> rollingMedian,
     "q_screen_bonferroni" -> screenBonferroni,
+    "q_screen_bh" -> screenBh,
+    "q_kendall_tau" -> kendallTau,
     "q_gini_coefficient" -> giniCoefficient,
     "q_churn_labels" -> churnLabels,
     "q_ipw_ate" -> ipwAte,
@@ -2085,7 +2185,95 @@ object Stats {
     "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "q_quantile_norm" -> (quantileNorm(_, _)))
 
+  /** Shared per-nation two-sample CTE chain ([[nationT2]]'s replay):
+    * ends at `d(n_name, n1, d_milli, se2)` — both multiple-testing
+    * oracles build on it so the screened statistics cannot drift. */
+  private val nationT2Sql: String =
+    """per AS (
+      |  SELECT n_name,
+      |         CAST(count(*) AS HUGEINT) AS n1,
+      |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |           AS HUGEINT) AS s1,
+      |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+      |           * CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+      |           AS HUGEINT) AS q1
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(n1) AS nt, sum(s1) AS st, sum(q1) AS qt
+      |        FROM per),
+      |w AS (
+      |  SELECT n_name, n1, s1, q1, nt - n1 AS n2, st - s1 AS s2,
+      |         qt - q1 AS q2
+      |  FROM per CROSS JOIN tot),
+      |v AS (
+      |  SELECT n_name, n1, n2, s1, s2,
+      |         (n1 * q1 - s1 * s1) // (n1 * (n1 - 1)) AS v1,
+      |         (n2 * q2 - s2 * s2) // (n2 * (n2 - 1)) AS v2
+      |  FROM w),
+      |d AS (
+      |  SELECT n_name, n1,
+      |         CASE WHEN s1 * n2 - s2 * n1 >= 0
+      |           THEN (s1 * n2 - s2 * n1) * 1000 // (n1 * n2)
+      |           ELSE -((s2 * n1 - s1 * n2) * 1000 // (n1 * n2)) END
+      |           AS d_milli,
+      |         v1 // n1 + v2 // n2 AS se2
+      |  FROM v)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_screen_bh" ->
+      s"""WITH $nationT2Sql,
+        |stats AS (
+        |  SELECT n_name, CAST(n1 AS BIGINT) AS n_group,
+        |         CAST(CASE WHEN se2 <= 0 THEN 0 ELSE
+        |           d_milli * d_milli // (1000 * se2) END AS BIGINT)
+        |           AS t2_milli
+        |  FROM d),
+        |thr(rk, thr_milli) AS (VALUES
+        |  ${Chi2QuantMilli.zipWithIndex
+             .map { case (t, i) => s"(${i + 1}, $t)" }.mkString(", ")}),
+        |ranked AS (
+        |  SELECT s.*, CAST(row_number() OVER
+        |    (ORDER BY t2_milli DESC, n_name) AS INT) AS rk
+        |  FROM stats s),
+        |j AS (SELECT r.*, CAST(t.thr_milli AS BIGINT) AS thr_milli
+        |      FROM ranked r JOIN thr t ON t.rk = r.rk),
+        |km AS (SELECT CAST(coalesce(max(rk), 0) AS INT) AS k_max
+        |       FROM j WHERE t2_milli >= thr_milli)
+        |SELECT n_name, n_group, t2_milli, rk, thr_milli,
+        |       rk <= k_max AS sig_bh
+        |FROM j CROSS JOIN km""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH monthly AS (
+        |  SELECT CAST((year(o_orderdate) - 1992) * 12
+        |           + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM monthly a JOIN monthly b ON a.m < b.m),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN (dx > 0 AND dy > 0)
+        |           OR (dx < 0 AND dy < 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS concordant,
+        |         CAST(sum(CASE WHEN (dx > 0 AND dy < 0)
+        |           OR (dx < 0 AND dy > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS discordant,
+        |         CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ties_x,
+        |         CAST(sum(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ties_y,
+        |         CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ties_xy
+        |  FROM pairs)
+        |SELECT n_pairs, concordant, discordant, ties_x, ties_y, ties_xy,
+        |       CAST((concordant - discordant) * 1000000 // n_pairs
+        |         AS BIGINT) AS tau_a_ppm
+        |FROM agg""".stripMargin,
     "q_screen_bonferroni" ->
       """WITH per AS (
         |  SELECT n_name,
