@@ -203,6 +203,43 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
   }
 
+  /** SOURCE-INTERLEAVED LENGTH CURRICULUM (Bengio et al. ICML'09
+    * curriculum learning, the short-to-long schedule): a deterministic
+    * global training order in which consecutive positions rotate
+    * through the sources (no source starvation at any prefix) and each
+    * source's documents ascend by token count (easy-to-hard). Position
+    * = per-source rank × n_sources + source index — a pure integer
+    * projection once the per-source rank exists, and the per-source
+    * rank is [[withGlobalCumsum]]'s distributed exact rank in
+    * (source, n_tokens, doc_id) order minus each source's broadcast
+    * start offset: NEVER a per-source window over raw rows (at 100 TB
+    * a source is most of the corpus; the offsets table is |sources|
+    * rows). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("one", lit(1L))
+    val ranked = withGlobalCumsum(docs, "one",
+      Seq("source", "n_tokens", "doc_id"))
+    val srcCounts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    // |sources|-row algebra: name-ordered index + exclusive start
+    // offset via the triangular self-join (no window needed).
+    val srcIdx = srcCounts.as("a")
+      .join(broadcast(srcCounts.as("b")),
+        col("b.source") < col("a.source"), "left")
+      .groupBy(col("a.source").as("source"))
+      .agg(count(col("b.source")).as("src_idx"),
+        coalesce(sum(col("b.cnt")), lit(0L)).as("offset"))
+    val nSrc = srcCounts.agg(count(lit(1)).as("n_sources"))
+    ranked.join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_before") - col("offset")).as("rank_in_source"),
+        expr("(cum_before - offset) * n_sources + src_idx")
+          .as("curriculum_pos"))
+  }
+
   /** PADDING-WASTE SWEEP for the pad-to-length training regime — the
     * seqLen decision table: for each candidate sequence length S, a
     * document of t tokens costs ⌈t/S⌉ sequences of which the last is
@@ -367,6 +404,7 @@ object Packing {
     "q_seq_pack" -> ((s, d) => seqPack(s, d)),
     "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
     "q_shard_plan" -> ((s, d) => shardPlan(s, d)),
+    "q_curriculum_order" -> ((s, d) => curriculumOrder(s, d)),
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -477,6 +515,28 @@ object Packing {
         |       coalesce(pd.n_masked, 0) * 1000000 // d.n_tokens
         |         AS mask_ratio_ppm
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q_curriculum_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(regexp_split_to_array(lower(text), '\s+'))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_tokens, doc_id) - 1 AS BIGINT)
+        |           AS rank_in_source
+        |  FROM d),
+        |s AS (
+        |  SELECT source,
+        |         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |           AS src_idx
+        |  FROM (SELECT DISTINCT source FROM d)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM s)
+        |SELECT r.doc_id, r.source, r.n_tokens, r.rank_in_source,
+        |       r.rank_in_source * n.n_sources + s.src_idx
+        |         AS curriculum_pos
+        |FROM r JOIN s USING (source) CROSS JOIN n""".stripMargin,
     "q_pack_waste" ->
       """WITH d AS (
         |  SELECT CAST(len(regexp_split_to_array(lower(text), '\s+'))

@@ -1262,6 +1262,36 @@ object Profiling {
           " AS BIGINT)").as("released_mean_cents"))
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT of order totals — the classic
+    * fabricated-/degenerate-data screen (Newcomb 1881, Benford 1938):
+    * observed first-digit frequencies of the cent amounts vs the
+    * Benford expectation log₁₀(1 + 1/d), the latter as NINE CITED
+    * PPM CONSTANTS (the χ²-table discipline — the one place a log
+    * appears, frozen identically in both engines). Per digit:
+    * count, observed ppm, expected ppm, |delta| ppm — the audit
+    * column a data-quality gate thresholds. One fact scan → 9-row
+    * algebra; digits with zero mass still appear (broadcast digit
+    * dimension), because a MISSING digit is the loudest signal. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq((1, 301029L), (2, 176091L), (3, 124938L),
+      (4, 96910L), (5, 79181L), (6, 66946L), (7, 57991L),
+      (8, 51152L), (9, 45757L)).toDF("digit", "exp_ppm")
+    val obs = Tables.orders(spark, dir)
+      .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100," +
+        " 0) AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("total"))
+    expected.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("CAST(coalesce(n, 0) * 1000000 div total AS BIGINT)")
+          .as("obs_ppm"),
+        col("exp_ppm"),
+        expr("CAST(abs(coalesce(n, 0) * 1000000 div total - exp_ppm)" +
+          " AS BIGINT)").as("abs_delta_ppm"))
+  }
+
   def dpRelease(spark: SparkSession, dir: String): DataFrame = {
     def geom(seed: String) =
       s"60 - length(bin(CAST(conv(substr(md5(concat('$seed', n_name))," +
@@ -1354,6 +1384,7 @@ object Profiling {
     "q_rand_response" -> randResponse,
     "q_dp_release" -> dpRelease,
     "q_dp_mean" -> dpMean,
+    "q_benford_audit" -> benfordAudit,
     "q_dp_histogram" -> dpHistogram,
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
@@ -1524,6 +1555,24 @@ object Profiling {
         |       greatest(CAST(0 AS BIGINT), n_true + noise) AS released,
         |       CAST(693 AS BIGINT) AS eps_milli
         |FROM noised""".stripMargin,
+    "q_benford_audit" ->
+      """WITH expd(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091),
+        |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+        |  (8, 51152), (9, 45757)),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM obs)
+        |SELECT e.digit, coalesce(o.n, 0) AS n,
+        |       CAST(coalesce(o.n, 0) * 1000000 // total AS BIGINT)
+        |         AS obs_ppm,
+        |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |       CAST(abs(coalesce(o.n, 0) * 1000000 // total - e.exp_ppm)
+        |         AS BIGINT) AS abs_delta_ppm
+        |FROM expd e LEFT JOIN obs o ON o.digit = e.digit
+        |CROSS JOIN tot""".stripMargin,
     "q_dp_mean" ->
       """WITH base AS (
         |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_true,

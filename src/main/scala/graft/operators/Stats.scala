@@ -2068,6 +2068,62 @@ object Stats {
         (col("rk") <= col("k_max")).as("sig_bh"))
   }
 
+  /** INDEX OF DISPERSION (variance-to-mean ratio) of daily event
+    * counts per event type — the burstiness monitor (Poisson arrivals
+    * ⇒ VMR ≈ 1; VMR ≫ 1 = bursty/bot-like traffic, VMR < 1 =
+    * rate-limited/regular): exact milli via the DECIMAL(38) identity
+    * VMR = (n·Σx² − S²) / (S·(n − 1)). Days with ZERO events are in
+    * the denominator (densified against the min..max day span —
+    * omitting them silently deflates the variance of rare types,
+    * which is exactly the signal). Span and type dimensions are
+    * broadcast-tiny; the one corpus pass is the (type, day) count. */
+  def dispersionIndex(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts div ${day}L").as("d"))
+    val days = ev.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("d"))
+    val grid = days.crossJoin(broadcast(ev.select("event_type").distinct()))
+    val counts = ev.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+    grid.join(counts, Seq("event_type", "d"), "left")
+      .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("total"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+      .selectExpr("event_type", "n_days", "total",
+        "CAST((CAST(n_days AS DECIMAL(38,0)) * q" +
+          " - CAST(total AS DECIMAL(38,0)) * total) * 1000" +
+          " div (CAST(total AS DECIMAL(38,0)) * (n_days - 1))" +
+          " AS BIGINT) AS vmr_milli")
+  }
+
+  /** TOTAL-VARIATION drift DISTANCE between the 1995 and 1996 order
+    * price distributions — the log-free companion of the KS drift test
+    * (`q_ks_drift` compares CDFs at the worst point; TVD = ½ Σ|p − q|
+    * over power-of-two cent buckets compares densities in aggregate,
+    * and unlike PSI/KL needs no logarithm, so it stays exact ppm).
+    * The model-monitoring number a feature store pages on. One fact
+    * scan → |buckets| rows (≤ 64 — binary-repr length bucketing, the
+    * 25e idiom) → one-row report. */
+  def tvdDrift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir)
+      .filter(expr("year(o_orderdate) IN (1995, 1996)"))
+      .select(expr("length(bin(CAST(round(o_totalprice * 100, 0)" +
+        " AS BIGINT)))").as("bucket"),
+        expr("year(o_orderdate)").as("yr"))
+      .groupBy("bucket")
+      .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n95"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n96"))
+    val tot = b.agg(sum("n95").as("t95"), sum("n96").as("t96"))
+    b.crossJoin(broadcast(tot))
+      .agg(max("t95").as("n_1995"), max("t96").as("n_1996"),
+        count(lit(1)).as("n_buckets"),
+        sum(expr("abs(n95 * 1000000 div t95 - n96 * 1000000 div t96)"))
+          .as("sd"))
+      .select(col("n_1995"), col("n_1996"), col("n_buckets"),
+        expr("CAST(sd div 2 AS BIGINT)").as("tvd_ppm"))
+  }
+
   /** KENDALL RANK CONCORDANCE between monthly order volume and monthly
     * revenue — the robust "do these two series move together"
     * statistic beside [[Analytics]]' Spearman (tau counts pairwise
@@ -2140,6 +2196,8 @@ object Stats {
     "q_screen_bonferroni" -> screenBonferroni,
     "q_screen_bh" -> screenBh,
     "q_kendall_tau" -> kendallTau,
+    "q_tvd_drift" -> tvdDrift,
+    "q_dispersion_index" -> dispersionIndex,
     "q_gini_coefficient" -> giniCoefficient,
     "q_churn_labels" -> churnLabels,
     "q_ipw_ate" -> ipwAte,
@@ -2244,6 +2302,47 @@ object Stats {
         |SELECT n_name, n_group, t2_milli, rk, thr_milli,
         |       rk <= k_max AS sig_bh
         |FROM j CROSS JOIN km""".stripMargin,
+    "q_dispersion_index" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |days AS (SELECT unnest(range(lo, hi + 1)) AS d FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, dy.d FROM days dy CROSS JOIN types t),
+        |counts AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        |           FROM ev GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT g.event_type, coalesce(c.x, 0) AS x
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.d = g.d),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n_days,
+        |         CAST(sum(x) AS HUGEINT) AS total,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |  FROM filled GROUP BY 1)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |       CAST(total AS BIGINT) AS total,
+        |       CAST((n_days * q - total * total) * 1000
+        |         // (total * (n_days - 1)) AS BIGINT) AS vmr_milli
+        |FROM agg""".stripMargin,
+    "q_tvd_drift" ->
+      """WITH b AS (
+        |  SELECT length(bin(CAST(round(o_totalprice * 100, 0)
+        |           AS BIGINT))) AS bucket,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1995
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n95,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n96
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n95) AS t95, sum(n96) AS t96 FROM b)
+        |SELECT CAST(max(t95) AS BIGINT) AS n_1995,
+        |       CAST(max(t96) AS BIGINT) AS n_1996,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(abs(n95 * 1000000 // t95
+        |         - n96 * 1000000 // t96)) // 2 AS BIGINT) AS tvd_ppm
+        |FROM b CROSS JOIN tot""".stripMargin,
     "q_kendall_tau" ->
       """WITH monthly AS (
         |  SELECT CAST((year(o_orderdate) - 1992) * 12
