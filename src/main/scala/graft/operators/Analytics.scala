@@ -194,6 +194,68 @@ object Analytics {
         expr("next_ts div 1000000000").as("valid_to_s"))
   }
 
+  /** SCD2 AS-OF LOOKUP — the serving half of [[scd2Ranges]] (building
+    * effective ranges is pointless until something reads them): each
+    * user's version valid at a fixed instant (the event-span midpoint,
+    * derived from the data so the probe is deterministic), by range
+    * containment valid_from ≤ t < valid_to with the open current row
+    * as +∞. Zero-length versions (same-second ties, closed by the
+    * next version) can never contain t, so the answer is unique per
+    * user by construction. At 100 TB the same lookup rides the native
+    * as-of join (30b2) against the range table; this is the SCD2
+    * face of it. */
+  def scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(spark, dir)
+      .agg(expr("(min(ts) + max(ts)) div 2 div 1000000000").as("asof_s"))
+    scd2Ranges(spark, dir)
+      .crossJoin(broadcast(t))
+      .filter(col("valid_from_s") <= col("asof_s") &&
+        (col("valid_to_s").isNull || col("valid_to_s") > col("asof_s")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_s"), col("asof_s"))
+  }
+
+  /** SNAPSHOT DIFF — the inverse of [[mergeUpsert]]'s CDC-apply: given
+    * two versions of a dimension, emit the change feed summary
+    * (inserted / deleted / updated / unchanged, plus per-column change
+    * counts). The lakehouse "what changed between snapshots" pass that
+    * feeds IVM deltas, replication, and audit. Version 2 is derived
+    * deterministically from version 1 (the [[mergeUpsert]]
+    * discipline): every 7th key's balance moves, every 11th key is
+    * dropped, every 13th key is re-keyed as an insert — so both
+    * engines replay the identical diff. The diff itself is ONE
+    * full-outer hash join on the key with a pure-projection
+    * classifier; at scale both sides are snapshot scans and the join
+    * shuffles on the key, no ordering needed. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"),
+        col("c_mktsegment").as("seg"))
+    val v2 = v1.filter(col("k") % 11 =!= 5)
+      .select(col("k"),
+        when(col("k") % 7 === 3, col("cents") + 1000)
+          .otherwise(col("cents")).as("cents"), col("seg"))
+      .unionByName(v1.filter(col("k") % 13 === 2)
+        .select((col("k") + 1000000L).as("k"), col("cents"), col("seg")))
+    v1.as("a").join(v2.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(
+        when(col("a.k").isNull, "inserted")
+          .when(col("b.k").isNull, "deleted")
+          .when(col("a.cents") =!= col("b.cents") ||
+            col("a.seg") =!= col("b.seg"), "updated")
+          .otherwise("unchanged").as("status"),
+        when(col("a.k").isNotNull && col("b.k").isNotNull &&
+          col("a.cents") =!= col("b.cents"), 1L).otherwise(0L)
+          .as("bal_chg"),
+        when(col("a.k").isNotNull && col("b.k").isNotNull &&
+          col("a.seg") =!= col("b.seg"), 1L).otherwise(0L)
+          .as("seg_chg"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("bal_chg").as("n_balance_changed"),
+        sum("seg_chg").as("n_segment_changed"))
+  }
+
   /** First-order Markov transition matrix of user behaviour: for each
     * consecutive pair of events per user (event-time order, event_id
     * tiebreak), count (prev_type → event_type) and its conditional
@@ -1117,6 +1179,8 @@ object Analytics {
     "q_decayed_revenue" -> decayedRevenue,
     "q_latest_events" -> latestEvents,
     "q_scd2_ranges" -> scd2Ranges,
+    "q_scd2_asof" -> scd2Asof,
+    "q_snapshot_diff" -> snapshotDiff,
     "q_event_transitions" -> eventTransitions,
     "q_unpivot_metrics" -> unpivotMetrics,
     "q_csv_roundtrip" -> csvRoundtrip,
@@ -1556,6 +1620,49 @@ object Analytics {
         |       epoch_ns(lead(ts, 1) OVER (PARTITION BY user_id
         |         ORDER BY ts, event_id)) // 1000000000 AS valid_to_s
         |FROM events""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS valid_from_s,
+        |         epoch_ns(lead(ts, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id)) // 1000000000 AS valid_to_s
+        |  FROM events),
+        |t AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+        |        // 1000000000 AS asof_s FROM events)
+        |SELECT r.user_id, r.event_id, r.event_type, r.valid_from_s,
+        |       t.asof_s
+        |FROM r CROSS JOIN t
+        |WHERE r.valid_from_s <= t.asof_s
+        |  AND (r.valid_to_s IS NULL OR r.valid_to_s > t.asof_s)"""
+        .stripMargin,
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 7 = 3 THEN cents + 1000
+        |            ELSE cents END AS cents, seg
+        |  FROM v1 WHERE k % 11 <> 5
+        |  UNION ALL
+        |  SELECT k + 1000000, cents, seg FROM v1 WHERE k % 13 = 2),
+        |d AS (
+        |  SELECT CASE WHEN a.k IS NULL THEN 'inserted'
+        |              WHEN b.k IS NULL THEN 'deleted'
+        |              WHEN a.cents <> b.cents OR a.seg <> b.seg
+        |                THEN 'updated'
+        |              ELSE 'unchanged' END AS status,
+        |         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+        |              AND a.cents <> b.cents THEN 1 ELSE 0 END
+        |           AS bal_chg,
+        |         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+        |              AND a.seg <> b.seg THEN 1 ELSE 0 END AS seg_chg
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(bal_chg) AS BIGINT) AS n_balance_changed,
+        |       CAST(sum(seg_chg) AS BIGINT) AS n_segment_changed
+        |FROM d GROUP BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
