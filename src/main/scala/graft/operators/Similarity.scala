@@ -345,7 +345,14 @@ object Similarity {
     * per-query aggregate run on k·|queries| rows no matter the corpus
     * size; at production scale both sides are persisted serve-time
     * artifacts and this is a tiny join of result logs. */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(spark, dir, probes = 2)
+
+  /** [[annRecall]] at an arbitrary probe count — the spec hook behind
+    * the probe-sweep contract (at nprobe = #cells the IVF scan is
+    * exhaustive, so recall must be exactly 10⁶ ppm). */
+  private[graft] def annRecallOf(spark: SparkSession, dir: String,
+      probes: Int): DataFrame = {
     // Both ranked lists are k·|queries|-bounded: materialize each ONCE
     // (the eval joins below reference them twice; un-checkpointed, every
     // reference re-plans the whole search chain — at 100 TB that is a
@@ -353,7 +360,8 @@ object Similarity {
     // zero corpus/index scans in the final eval plan.
     val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
       .localCheckpoint()
-    val approx = annIvf(spark, dir).select(col("query_id"), col("vec_id"))
+    val approx = annIvf(spark, dir, probes)
+      .select(col("query_id"), col("vec_id"))
       .localCheckpoint()
     val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))

@@ -69,6 +69,29 @@ class SimilarityScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.annTopK(spark, sfDir).count() == under)
   }
 
+  test("probe sweep: recall is monotone in nprobe and hits 1.0 at full probe") {
+    // More probed cells can only ADD scored candidates, so recall@10
+    // must be non-decreasing in nprobe per query — the contract the
+    // serving knob is turned against. At nprobe = #cells the IVF scan
+    // is exhaustive over non-self vectors, so recall must be exactly
+    // 10⁶ ppm (the exact top-10 is a subset of an exhaustive scan).
+    val sweep = Similarity.probeSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val byQuery = sweep.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    for ((q, rows) <- byQuery) {
+      val recalls = rows.sortBy(_._2).map(_._3)
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"query $q: recall not monotone in nprobe: ${recalls.toSeq}")
+    }
+    val cells = Similarity.ivfCentroids(spark, sfDir).count().toInt
+    val full = Similarity.annRecallOf(spark, sfDir, probes = cells)
+    full.collect().foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") == 1000000L,
+        s"full-probe IVF must be exhaustive: $r")
+    }
+  }
+
   test("embedding audit counts duplicates and zero dimensions") {
     // The natural testdata has no duplicate vectors and no zero dims,
     // so the sweep's hash-check never exercises those columns — this
