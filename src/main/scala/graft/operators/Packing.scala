@@ -240,6 +240,39 @@ object Packing {
           .as("curriculum_pos"))
   }
 
+  /** TOKEN-BUDGET TRIM — greedy quality-first data selection under a
+    * fixed token budget (the data-selection face of the mixture
+    * family: DSIR reweights, temperature rebalances, THIS one decides
+    * what fits at all): docs ordered by a deterministic quality proxy
+    * (stopword rate in exact milli — the natural-prose signal the
+    * quality gate thresholds), the kept set is the maximal prefix
+    * whose cumulative token count fits the budget, with the boundary
+    * doc kept only if it still fits whole. Per-doc verdict rides out
+    * so the cut is auditable.
+    *
+    * Plan/scale: the prefix sum is the distributed exact-rank
+    * primitive ([[withGlobalCumsum]] — range shuffle + broadcast
+    * offsets), never a global window; the verdict is a pure
+    * projection. */
+  def budgetTrim(spark: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"),
+          t => t.isin(stop.map(lit(_)): _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(n_stop * 1000 div n_tokens AS BIGINT)").as("q_milli"))
+      .withColumn("neg_q", -col("q_milli"))
+    withGlobalCumsum(scored, "n_tokens", Seq("neg_q", "doc_id"))
+      .select(col("doc_id"), col("q_milli"), col("n_tokens"),
+        col("cum_before"),
+        (col("cum_before") + col("n_tokens") <= budget).as("kept"))
+  }
+
   /** PADDING-WASTE SWEEP for the pad-to-length training regime — the
     * seqLen decision table: for each candidate sequence length S, a
     * document of t tokens costs ⌈t/S⌉ sequences of which the last is
@@ -405,6 +438,7 @@ object Packing {
     "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
     "q_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "q_curriculum_order" -> ((s, d) => curriculumOrder(s, d)),
+    "q_budget_trim" -> ((s, d) => budgetTrim(s, d)),
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +549,28 @@ object Packing {
         |       coalesce(pd.n_masked, 0) * 1000000 // d.n_tokens
         |         AS mask_ratio_ppm
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q_budget_trim" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(w, t -> t IN ('the', 'a', 'of',
+        |           'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        |  FROM d),
+        |q AS (SELECT doc_id, n_tokens,
+        |        CAST(n_stop * 1000 // n_tokens AS BIGINT) AS q_milli
+        |      FROM s),
+        |c AS (
+        |  SELECT doc_id, q_milli, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           ORDER BY q_milli DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM q)
+        |SELECT doc_id, q_milli, n_tokens, cum_before,
+        |       cum_before + n_tokens <= 10000 AS kept
+        |FROM c""".stripMargin,
     "q_curriculum_order" ->
       """WITH d AS (
         |  SELECT doc_id, source,
