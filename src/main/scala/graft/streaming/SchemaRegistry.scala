@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+
+/** SCHEMA-REGISTRY SEAM — the component the reference's
+  * `AvroConsumer` gets from a Confluent registry
+  * (`src/consumer/avro_order_consumer.py` constructs its consumer
+  * around registry-resolved schemas). The sandbox has no registry
+  * service, so — like the Kafka broker seam ([[OrderStream]] /
+  * `sources/OrdersSource`) — the CLIENT interface is real and the
+  * transport is swappable: a production deployment implements
+  * [[SchemaRegistryClient]] against the HTTP registry; this repo
+  * ships a file-backed one with identical semantics.
+  *
+  * The WIRE FORMAT is the public Confluent framing (documented in the
+  * Confluent serializer docs): byte 0 = magic 0x00, bytes 1-4 =
+  * big-endian int32 schema id, rest = Avro binary payload encoded
+  * with the WRITER schema the id names. Decoding looks the writer
+  * schema up by id and resolves it against the consumer's READER
+  * schema (Avro schema resolution: renamed-with-alias, added-field
+  * defaults, promoted types) — so a topic can carry MIXED schema
+  * versions and one consumer reads them all, which is the entire
+  * point of pairing a registry with Avro.
+  */
+trait SchemaRegistryClient {
+
+  /** Register `schema` under `subject`; idempotent per (subject,
+    * canonical schema) — re-registering the same schema returns the
+    * existing id (the Confluent contract). */
+  def register(subject: String, schema: Schema): Int
+
+  /** The schema an id names; throws loudly on an unknown id (a
+    * consumer must NEVER guess a writer schema). */
+  def byId(id: Int): Schema
+
+  /** Latest registered schema for a subject, if any. */
+  def latest(subject: String): Option[(Int, Schema)]
+}
+
+/** File-backed registry: ids are allocated sequentially and persisted
+  * as `<dir>/<id>.avsc` plus a `<dir>/subjects/<subject>` file listing
+  * its version ids in order — a directory IS the registry, so two
+  * processes sharing the dir share the registry (the single-node
+  * stand-in for the registry service). All operations synchronize on
+  * the instance; ids are deterministic given registration order. */
+final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
+  private val root: Path = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p.resolve("subjects"))
+    p
+  }
+
+  private def schemaPath(id: Int): Path = root.resolve(s"$id.avsc")
+  private def subjectPath(subject: String): Path =
+    root.resolve("subjects").resolve(subject)
+
+  private def subjectIds(subject: String): Seq[Int] = {
+    val p = subjectPath(subject)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(_.toInt)
+  }
+
+  override def register(subject: String, schema: Schema): Int =
+    synchronized {
+      val canon = schema.toString // canonical-enough: parsed form
+      val existing = subjectIds(subject)
+        .find(id => byId(id).toString == canon)
+      existing.getOrElse {
+        val id = 1 + Files.list(root).iterator().asScala
+          .count(p => p.getFileName.toString.endsWith(".avsc"))
+        Files.writeString(schemaPath(id), canon)
+        val line = s"$id\n"
+        if (Files.exists(subjectPath(subject)))
+          Files.writeString(subjectPath(subject),
+            Files.readString(subjectPath(subject)) + line)
+        else Files.writeString(subjectPath(subject), line)
+        id
+      }
+    }
+
+  override def byId(id: Int): Schema = {
+    val p = schemaPath(id)
+    require(Files.exists(p),
+      s"schema registry: unknown schema id $id (registry dir $dir) — " +
+        "refusing to guess a writer schema")
+    new Schema.Parser().parse(Files.readString(p))
+  }
+
+  override def latest(subject: String): Option[(Int, Schema)] =
+    subjectIds(subject).lastOption.map(id => id -> byId(id))
+}
+
+object ConfluentWire {
+  val Magic: Byte = 0x00
+
+  /** Frame an Avro binary payload with the Confluent wire header. */
+  def frame(schemaId: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(5 + payload.length)
+    out.put(Magic).putInt(schemaId).put(payload)
+    out.array()
+  }
+
+  /** Split a framed message into (schema id, payload); loud on a
+    * non-Avro frame (wrong magic byte = someone published JSON or a
+    * different serializer onto the topic — the DLQ class, never a
+    * silent mis-decode). */
+  def unframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5 && bytes(0) == Magic,
+      s"confluent wire: bad frame (len ${bytes.length}, " +
+        s"magic ${if (bytes.isEmpty) "none" else bytes(0).toString}) — " +
+        "not an Avro-serialized message")
+    val buf = ByteBuffer.wrap(bytes)
+    buf.get()
+    val id = buf.getInt()
+    (id, bytes.drop(5))
+  }
+
+  /** Encode a record with its writer schema and frame it under the
+    * registry-assigned id (the producer half). */
+  def encode(registry: SchemaRegistryClient, subject: String,
+      record: GenericRecord): Array[Byte] = {
+    val id = registry.register(subject, record.getSchema)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](record.getSchema)
+      .write(record, enc)
+    enc.flush()
+    frame(id, out.toByteArray)
+  }
+
+  /** Decode a framed message: writer schema from the registry BY ID,
+    * resolved against the consumer's `reader` schema (Avro schema
+    * resolution fills added-field defaults, follows aliases) — the
+    * mixed-version-topic consumer half. */
+  def decode(registry: SchemaRegistryClient, reader: Schema,
+      bytes: Array[Byte]): GenericRecord = {
+    val (id, payload) = unframe(bytes)
+    val writer = registry.byId(id)
+    val dec = DecoderFactory.get().binaryDecoder(payload, null)
+    new GenericDatumReader[GenericRecord](writer, reader)
+      .read(null, dec)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.avro.generic.GenericData
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AvroOrder
+import graft.streaming.{ConfluentWire, FileSchemaRegistry}
+
+/** The schema-registry seam (reference: the Confluent registry behind
+  * `avro_order_consumer.py`'s AvroConsumer): file-backed client with
+  * the Confluent wire framing (magic 0x00 + int32 schema id + Avro
+  * binary). The consumer contract under test: a topic carrying MIXED
+  * writer versions decodes under ONE reader schema via registry
+  * lookup + Avro schema resolution; unknown ids and foreign frames
+  * fail loudly, never mis-decode.
+  */
+class SchemaRegistrySpec extends AnyFunSuite {
+
+  private def v1Record(id: String, product: String, price: Float,
+      ts: Long) = {
+    val r = new GenericData.Record(AvroOrder.schema)
+    r.put("orderId", id); r.put("product", product)
+    r.put("price", price); r.put("timestamp", ts)
+    r
+  }
+
+  private def v2Record(id: String, product: String, price: Double,
+      ts: Long, ccy: String) = {
+    val r = new GenericData.Record(AvroOrder.schemaV2)
+    r.put("orderId", id); r.put("product", product)
+    r.put("price", price); r.put("timestamp", ts)
+    r.put("currency", ccy)
+    r
+  }
+
+  test("registration is idempotent per schema; versions get distinct ids") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry").toString
+    val reg = new FileSchemaRegistry(dir)
+    val id1 = reg.register("orders-value", AvroOrder.schema)
+    val id1b = reg.register("orders-value", AvroOrder.schema)
+    val id2 = reg.register("orders-value", AvroOrder.schemaV2)
+    assert(id1 == id1b, "re-registering the same schema must reuse its id")
+    assert(id1 != id2, "an evolved schema must get its own id")
+    assert(reg.latest("orders-value").map(_._1).contains(id2))
+    assert(reg.byId(id1).getField("price").schema().getType.getName == "float")
+    assert(reg.byId(id2).getField("currency") != null)
+  }
+
+  test("mixed-version topic decodes under one reader via registry lookup") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry").toString
+    val reg = new FileSchemaRegistry(dir)
+    val base = 1704067200000L
+    val wire = Seq(
+      ConfluentWire.encode(reg, "orders-value",
+        v1Record("ORD-1", "Laptop", 999.99f, base)),
+      ConfluentWire.encode(reg, "orders-value",
+        v2Record("ORD-2", "Mouse", 25.50, base + 1000, "EUR")),
+      ConfluentWire.encode(reg, "orders-value",
+        v1Record("ORD-3", "Monitor", 349.99f, base + 2000)))
+
+    val decoded = wire.map(ConfluentWire.decode(reg, AvroOrder.schemaV2, _))
+    // v1 payloads resolve under the v2 reader: float price promotes to
+    // double, the added currency field takes its default.
+    assert(decoded.map(_.get("orderId").toString) ==
+      Seq("ORD-1", "ORD-2", "ORD-3"))
+    assert(decoded(0).get("price") == 999.99f.toDouble)
+    assert(decoded(0).get("currency").toString == "USD")
+    assert(decoded(1).get("currency").toString == "EUR")
+    assert(decoded(2).get("currency").toString == "USD")
+    // The wire carries two distinct writer ids for the three messages.
+    val ids = wire.map(b => ConfluentWire.unframe(b)._1).toSet
+    assert(ids.size == 2)
+  }
+
+  test("unknown id and foreign frames fail loudly, never mis-decode") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry").toString
+    val reg = new FileSchemaRegistry(dir)
+    reg.register("orders-value", AvroOrder.schema)
+    val framedUnknown = ConfluentWire.frame(999,
+      Array[Byte](1, 2, 3))
+    val e1 = intercept[IllegalArgumentException] {
+      ConfluentWire.decode(reg, AvroOrder.schemaV2, framedUnknown)
+    }
+    assert(e1.getMessage.contains("unknown schema id 999"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConfluentWire.unframe("{\"json\":true}".getBytes("UTF-8"))
+    }
+    assert(e2.getMessage.contains("bad frame"))
+  }
+
+  test("two clients sharing a registry dir share ids (the service stand-in)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry").toString
+    val a = new FileSchemaRegistry(dir)
+    val b = new FileSchemaRegistry(dir)
+    val id = a.register("orders-value", AvroOrder.schema)
+    assert(b.byId(id).toString == AvroOrder.schema.toString)
+    assert(b.register("orders-value", AvroOrder.schema) == id)
+  }
+}
