@@ -40,6 +40,58 @@ object StreamQueries {
         sum(col("payload_bytes").cast("long")).as("sum_payload_bytes"))
   }
 
+  /** Per-JVM file registry holding the two order schema versions —
+    * corpus-independent, so plain lazy (not corpus-fingerprinted). */
+  private lazy val confluentRegistry: (String, Int, Int) = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-confluent-registry")
+      .toFile.getAbsolutePath
+    val reg = new graft.streaming.FileSchemaRegistry(d)
+    (d, reg.register("orders-value", AvroOrder.schema),
+      reg.register("orders-value", AvroOrder.schemaV2))
+  }
+
+  /** MIXED-SCHEMA-VERSION TOPIC through the registry, inside ONE plan:
+    * even event_ids are published under the v1 writer (float price),
+    * odd under the v2 writer (double price + currency), each framed
+    * with its registry id (Confluent wire format) — then EVERY message
+    * is decoded by the single [[graft.functions.FromConfluentOrder]]
+    * consumer expression, which looks the writer up BY ID and resolves
+    * to the v2 reader. The aggregate hash-matching a plain-SQL replay
+    * (branching on the writer version for the float→double promotion)
+    * proves the registry+resolution path is exact end to end. The
+    * is_v1 audit column is produce-side; the decode path sees only
+    * wire bytes. */
+  def confluentRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (regDir, v1Id, v2Id) = confluentRegistry
+    val orderId =
+      "concat('ORD-', lpad(cast(event_id as string), 7, '0'))"
+    val v1Struct = expr(s"named_struct('orderId', $orderId," +
+      " 'product', event_type, 'price', cast(value as float)," +
+      " 'timestamp', ts div 1000000)")
+    val v2Struct = expr(s"named_struct('orderId', $orderId," +
+      " 'product', event_type, 'price', cast(value as double)," +
+      " 'timestamp', ts div 1000000," +
+      " 'currency', CASE WHEN event_id % 3 = 0 THEN 'EUR'" +
+      " ELSE 'USD' END)")
+    Tables.events(spark, dir)
+      .select(
+        when(col("event_id") % 2 === 0,
+          graft.functions.ToConfluentOrderV1(v1Struct, v1Id))
+          .otherwise(graft.functions.ToConfluentOrderV2(v2Struct, v2Id))
+          .as("wire"),
+        (col("event_id") % 2 === 0).as("is_v1"))
+      .select(graft.functions.FromConfluentOrder(col("wire"), regDir)
+        .as("o"), col("is_v1"))
+      .groupBy(col("o.product").as("product"),
+        col("o.currency").as("currency"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(when(col("is_v1"), 1L).otherwise(0L)).as("n_v1"),
+        sum(when(col("is_v1"), 0L).otherwise(1L)).as("n_v2"),
+        sum(round(col("o.price") * 100, 0).cast("long"))
+          .as("sum_price_cents"))
+  }
+
   /** Schema evolution: the SAME v1 binary payloads decoded under the v2
     * reader schema (price float→double promotion, `currency` from its
     * default) — the consumer-upgrades-first path a schema registry
@@ -164,6 +216,7 @@ object StreamQueries {
     "q_watermark_audit" -> watermarkAudit,
     "q_avro_roundtrip" -> avroRoundtrip,
     "q_avro_evolution" -> avroEvolution,
+    "q_confluent_roundtrip" -> confluentRoundtrip,
     "q_windowed_stats" -> windowedStats,
     "q_tiered_windows" -> tieredWindows,
     "q_hopping_stats" -> hoppingStats)
@@ -204,6 +257,25 @@ object StreamQueries {
         |       max(epoch_ns(ts) // 1000000) AS max_ts_ms,
         |       CAST(sum(CAST(11 + 1 + length(event_type) + 1 + 4 + 6 AS BIGINT)) AS BIGINT) AS sum_payload_bytes
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_confluent_roundtrip" ->
+      """WITH src AS (
+        |  SELECT event_type AS product,
+        |         CASE WHEN event_id % 2 = 0 THEN 'USD'
+        |              WHEN event_id % 3 = 0 THEN 'EUR'
+        |              ELSE 'USD' END AS currency,
+        |         CASE WHEN event_id % 2 = 0
+        |           THEN CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE)
+        |             * 100, 0) AS BIGINT)
+        |           ELSE CAST(round(CAST(value AS DOUBLE) * 100, 0)
+        |             AS BIGINT) END AS cents,
+        |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_v1
+        |  FROM events)
+        |SELECT product, currency,
+        |       CAST(count(*) AS BIGINT) AS order_count,
+        |       CAST(sum(is_v1) AS BIGINT) AS n_v1,
+        |       CAST(count(*) - sum(is_v1) AS BIGINT) AS n_v2,
+        |       CAST(sum(cents) AS BIGINT) AS sum_price_cents
+        |FROM src GROUP BY 1, 2""".stripMargin,
     "q_avro_evolution" ->
       """SELECT event_type AS product,
         |       'USD' AS currency,

@@ -135,4 +135,31 @@ class CodegenParitySpec extends AnyFunSuite with BeforeAndAfterAll {
           "from_avro_order(avro_bytes) AS back",
           "try_from_avro_order(CAST('garbage' AS BINARY)) AS corrupt"))
   }
+
+  test("Confluent framed encode/registry decode parity") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-parity-registry").toFile.getAbsolutePath
+    val reg = new graft.streaming.FileSchemaRegistry(d)
+    val v1 = reg.register("orders-value", graft.functions.AvroOrder.schema)
+    val v2 = reg.register("orders-value",
+      graft.functions.AvroOrder.schemaV2)
+    assertParity("ConfluentOrderCodec")(
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") < 200)
+        .select(
+          when(col("o_orderkey") % 2 === 0,
+            graft.functions.ToConfluentOrderV1(expr(
+              "named_struct('orderId', CAST(o_orderkey AS STRING)," +
+                "'product', o_orderpriority," +
+                "'price', CAST(o_totalprice AS FLOAT)," +
+                "'timestamp', unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+            ), v1))
+            .otherwise(graft.functions.ToConfluentOrderV2(expr(
+              "named_struct('orderId', CAST(o_orderkey AS STRING)," +
+                "'product', o_orderpriority," +
+                "'price', CAST(o_totalprice AS DOUBLE)," +
+                "'timestamp', unix_micros(CAST(o_orderdate AS TIMESTAMP))," +
+                "'currency', 'EUR')"), v2)).as("wire"))
+        .select(md5(col("wire")).as("digest"),
+          graft.functions.FromConfluentOrder(col("wire"), d).as("back")))
+  }
 }
