@@ -41,7 +41,10 @@ object Indexes {
   def fingerprint(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return "absent"
-    val stream = java.nio.file.Files.walk(root, 3)
+    // Unbounded walk: a depth cap would silently exclude files nested
+    // deeper (e.g. multi-column-partitioned parquet) from the
+    // fingerprint — the exact staleness bug this mechanism closes.
+    val stream = java.nio.file.Files.walk(root)
     val listing =
       try {
         import scala.jdk.CollectionConverters._

@@ -2164,8 +2164,10 @@ object Stats {
         .as("ties_xy"))
       .select(col("n_pairs"), col("concordant"), col("discordant"),
         col("ties_x"), col("ties_y"), col("ties_xy"),
-        expr("CAST((concordant - discordant) * 1000000" +
-          " div n_pairs AS BIGINT)").as("tau_a_ppm"))
+        expr("CAST(CASE WHEN concordant >= discordant" +
+          " THEN (concordant - discordant) * 1000000 div n_pairs" +
+          " ELSE -((discordant - concordant) * 1000000 div n_pairs)" +
+          " END AS BIGINT)").as("tau_a_ppm"))
   }
 
   /** ROLLING 7-day MEDIAN of daily revenue — the robust trendline
@@ -2370,8 +2372,10 @@ object Stats {
         |           AS BIGINT) AS ties_xy
         |  FROM pairs)
         |SELECT n_pairs, concordant, discordant, ties_x, ties_y, ties_xy,
-        |       CAST((concordant - discordant) * 1000000 // n_pairs
-        |         AS BIGINT) AS tau_a_ppm
+        |       CAST(CASE WHEN concordant >= discordant
+        |         THEN (concordant - discordant) * 1000000 // n_pairs
+        |         ELSE -((discordant - concordant) * 1000000 // n_pairs)
+        |         END AS BIGINT) AS tau_a_ppm
         |FROM agg""".stripMargin,
     "q_screen_bonferroni" ->
       """WITH per AS (

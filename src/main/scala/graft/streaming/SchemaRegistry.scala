@@ -50,8 +50,12 @@ trait SchemaRegistryClient {
   * as `<dir>/<id>.avsc` plus a `<dir>/subjects/<subject>` file listing
   * its version ids in order — a directory IS the registry, so two
   * processes sharing the dir share the registry (the single-node
-  * stand-in for the registry service). All operations synchronize on
-  * the instance; ids are deterministic given registration order. */
+  * stand-in for the registry service). Id allocation is atomic
+  * cross-process (`CREATE_NEW` claim loop, see [[claimNextId]]);
+  * subject version lists additionally synchronize on the instance,
+  * so concurrent registrations NEVER collide on an id (distinct
+  * subjects registering concurrently from different processes may
+  * interleave id order, which the Confluent contract permits). */
 final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
   private val root: Path = {
     val p = Paths.get(dir)
@@ -70,15 +74,52 @@ final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
       .filter(_.nonEmpty).map(_.toInt)
   }
 
+  /** Highest id with an `<id>.avsc` on disk (0 if none); the stream
+    * is closed eagerly — `Files.list` leaks an fd per call otherwise. */
+  private def maxId(): Int = {
+    val stream = Files.list(root)
+    try {
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".avsc"))
+        .map(_.stripSuffix(".avsc").toInt)
+        .foldLeft(0)(math.max)
+    } finally stream.close()
+  }
+
+  /** Atomically claim the next free id CROSS-PROCESS: `CREATE_NEW`
+    * either wins the id or throws `FileAlreadyExistsException` (a
+    * concurrent registrant claimed it first), in which case we retry
+    * at the next id. Two instances sharing the dir can therefore never
+    * allocate the same id and overwrite each other's writer schema —
+    * the silent-mis-decode failure a registry exists to prevent. The
+    * claimed file is created empty and filled immediately after;
+    * [[byId]] on a just-claimed-not-yet-written id would read an empty
+    * schema, so claim+write happens before the id is published in the
+    * subject's version list (readers discover ids via that list or via
+    * frames already encoded with them). */
+  private def claimNextId(canon: String): Int = {
+    var id = maxId() + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createFile(schemaPath(id)) // CREATE_NEW semantics: atomic
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => id += 1
+      }
+    }
+    Files.writeString(schemaPath(id), canon)
+    id
+  }
+
   override def register(subject: String, schema: Schema): Int =
     synchronized {
       val canon = schema.toString // canonical-enough: parsed form
       val existing = subjectIds(subject)
         .find(id => byId(id).toString == canon)
       existing.getOrElse {
-        val id = 1 + Files.list(root).iterator().asScala
-          .count(p => p.getFileName.toString.endsWith(".avsc"))
-        Files.writeString(schemaPath(id), canon)
+        val id = claimNextId(canon)
         val line = s"$id\n"
         if (Files.exists(subjectPath(subject)))
           Files.writeString(subjectPath(subject),

@@ -73,12 +73,12 @@ class BenchGuardSpec extends AnyFunSuite {
     // The r11/r12 incidents are detectable from the artifact alone: a
     // committed map smaller than the registry means a subset run
     // leaked through. Guard the repo state itself, not just the code.
-    // Lower bound = the round-12 full-registry count: the registry only
+    // Lower bound = the round-13 full-registry count: the registry only
     // grows, so any committed map below it means a subset run leaked
     // through (mid-round the map may lag new registrations until the
     // round-close full run, hence >= not ==).
     val onDisk = Bench.benchMapSize(committed)
-    assert(onDisk >= 343 && onDisk <= SparkEntry.queries.size,
+    assert(onDisk >= 361 && onDisk <= SparkEntry.queries.size,
       s"committed bench_queries.json has $onDisk entries (registry: " +
         s"${SparkEntry.queries.size}) — a subset run overwrote the " +
         "baseline")

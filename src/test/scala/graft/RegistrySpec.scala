@@ -80,6 +80,20 @@ class RegistrySpec extends AnyFunSuite {
         "verbatim in its ledger tally — update the prose with the constant")
   }
 
+  /** Round-13 verdict №5 (third drift of the same class): SURVEY prose
+    * said "32 suites" while HEAD ran 33. Unlike the query ledger there
+    * is no registry object to pin a suite count against, so the rule is
+    * ABSENCE: numeric test-suite tallies may not appear in SURVEY prose
+    * at all — `sbt test` output is the authority. */
+  test("SURVEY prose carries no hand-maintained suite count") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val hits = """\d+\s+suites""".r.findAllIn(survey).toSeq
+    assert(hits.isEmpty,
+      s"numeric suite tallies in SURVEY.md drift (r11, r12, r13): $hits" +
+        " — state 'all suites green' without a number")
+  }
+
   test("no duplicate query names across operator modules") {
     // Map ++ silently keeps the last binding; a name collision between
     // modules would shadow an operator and its oracle without any
