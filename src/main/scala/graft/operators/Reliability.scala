@@ -150,6 +150,92 @@ object Reliability {
       .withColumn("cumulative_jittered_s", sum("delay_jittered_s").over(w))
   }
 
+  // ---------------------------------------------------------------------
+  // Retry EXECUTION model (retry_handler.py:84-141 execute_with_retry).
+  // The schedule above says WHEN each re-attempt would run; the executor
+  // model says WHAT HAPPENS: which attempt (if any) succeeds, where the
+  // record terminally routes, and with what TRUE attempt count. The
+  // reference's transient failure is `random.random() < 0.05`
+  // (avro_order_consumer.py:107-108) resolving independently per attempt;
+  // here the recovery attempt is md5-derived from the record id — same
+  // determinism trade as the schedule's jitter, so batch SQL, the
+  // streaming executor ([[graft.streaming.OrderStream.RetryExecProcessor]])
+  // and the DuckDB oracle all replay the identical outcome.
+  // ---------------------------------------------------------------------
+
+  /** Attempt index (1-based retry number) at which re-processing a
+    * retryable failure succeeds: uniform over 1..5, so ~60% recover
+    * within the reference's 3 retries and ~40% exhaust to the DLQ. */
+  def recoverAttemptCol(id: Column): Column =
+    (lit(1) +
+      conv(substring(md5(concat(id.cast("string"), lit(":recover"))),
+        1, 8), 16, 10).cast("long") % 5).cast("int")
+
+  /** Scala mirror of [[recoverAttemptCol]] — the streaming retry executor
+    * and its spec compute the same value per record without a plan. */
+  def recoverAttempt(id: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:recover".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    (1L + java.lang.Long.parseLong(hex, 16) % 5L).toInt
+  }
+
+  /** Scala mirror of `q_retry_schedule`'s `delay_jittered_s` for one
+    * (record id, attempt): min(1.0 * 2^attempt, 10.0) seconds, ±20%
+    * jitter md5-derived from (id, attempt), rounded to 6 dp exactly like
+    * Spark's `round` (HALF_UP) — the streaming executor arms its timers
+    * with THIS, so its fire instants are the schedule's instants. */
+  def backoffDelayS(id: String, attempt: Int): Double = {
+    val base = math.min(1.0 * math.pow(2.0, attempt), 10.0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:$attempt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val frac = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    BigDecimal(base * (0.8 + 0.4 * frac))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Terminal outcome of `execute_with_retry` per failed record: the
+    * route (recovered → main, exhausted/permanent → dlq), the TRUE
+    * retry count (retries actually executed: the succeeding attempt
+    * index, 3 on exhaustion, 0 for an immediately-permanent error — the
+    * reference stamps a constant 3 on every PermanentError DLQ message,
+    * avro_order_consumer.py:192, which over-reports unretried
+    * failures), and the total scheduled wait those retries spent
+    * (jitter-exact sum of the `q_retry_schedule` delays executed).
+    * Pure projection — no explode, no shuffle: the three per-attempt
+    * jitters are independent md5 columns and the wait is a CASE over
+    * their prefix sums, so this survives any corpus size at scan cost. */
+  def retryOutcomes(spark: SparkSession, dir: String): DataFrame = {
+    def jitter(attempt: Int): Column = {
+      val frac = expr("CAST(conv(substr(md5(concat_ws(':', event_id, " +
+        s"$attempt)), 1, 8), 16, 10) AS BIGINT)").cast("double") /
+        lit(4294967296.0)
+      round(least(lit(1.0) * pow(lit(2.0), lit(attempt)), lit(10.0)) *
+        (lit(0.8) + lit(0.4) * frac), 6)
+    }
+    validateEvents(spark, dir)
+      .filter(!col("is_valid"))
+      .withColumn("recover_attempt",
+        when(col("error_class") === "RetryableError",
+          recoverAttemptCol(col("event_id"))))
+      .withColumn("route",
+        when(col("error_class") === "PermanentError", "dlq")
+          .when(col("recover_attempt") <= 3, "main")
+          .otherwise("dlq"))
+      .withColumn("retry_count",
+        when(col("error_class") === "PermanentError", 0)
+          .when(col("recover_attempt") <= 3, col("recover_attempt"))
+          .otherwise(3).cast("int"))
+      .withColumn("total_wait_s",
+        when(col("retry_count") === 0, lit(0.0))
+          .when(col("retry_count") === 1, jitter(0))
+          .when(col("retry_count") === 2, jitter(0) + jitter(1))
+          .otherwise(jitter(0) + jitter(1) + jitter(2)))
+      .select("event_id", "product", "error_class", "recover_attempt",
+        "route", "retry_count", "total_wait_s")
+  }
+
   /** Error-text classification (retry_handler.py:150-185): retryable iff
     * the lowercased message contains one of the known transient patterns;
     * default permanent.
@@ -170,6 +256,7 @@ object Reliability {
     "q_dlq_stats_by_type" -> dlqStatsByType,
     "q_dlq_stats_by_product" -> dlqStatsByProduct,
     "q_retry_schedule" -> retrySchedule,
+    "q_retry_outcomes" -> retryOutcomes,
     "q_error_classification" -> errorClassification)
 
   private val validateSql =
@@ -227,6 +314,41 @@ object Reliability {
          |       sum(delay_jittered_s) OVER w AS cumulative_jittered_s
          |FROM j
          |WINDOW w AS (PARTITION BY event_id ORDER BY attempt)""".stripMargin,
+    "q_retry_outcomes" ->
+      s"""WITH v AS ($validateSql),
+         |r AS (
+         |  SELECT event_id, product, error_class,
+         |         CASE WHEN error_class = 'RetryableError'
+         |              THEN CAST(1 + CAST(('0x' || substr(md5(
+         |                     CAST(event_id AS VARCHAR) || ':recover'),
+         |                     1, 8)) AS BIGINT) % 5 AS INTEGER)
+         |         END AS recover_attempt
+         |  FROM v WHERE NOT is_valid),
+         |j AS (
+         |  SELECT *,
+         |    round(least(1.0 * pow(2.0, 0), 10.0) * (0.8 + 0.4 *
+         |      (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':0'),
+         |       1, 8)) AS BIGINT) / 4294967296.0)), 6) AS j0,
+         |    round(least(1.0 * pow(2.0, 1), 10.0) * (0.8 + 0.4 *
+         |      (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':1'),
+         |       1, 8)) AS BIGINT) / 4294967296.0)), 6) AS j1,
+         |    round(least(1.0 * pow(2.0, 2), 10.0) * (0.8 + 0.4 *
+         |      (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':2'),
+         |       1, 8)) AS BIGINT) / 4294967296.0)), 6) AS j2
+         |  FROM r)
+         |SELECT event_id, product, error_class, recover_attempt,
+         |       CASE WHEN error_class = 'PermanentError' THEN 'dlq'
+         |            WHEN recover_attempt <= 3 THEN 'main'
+         |            ELSE 'dlq' END AS route,
+         |       CAST(CASE WHEN error_class = 'PermanentError' THEN 0
+         |                 WHEN recover_attempt <= 3 THEN recover_attempt
+         |                 ELSE 3 END AS INTEGER) AS retry_count,
+         |       CASE WHEN error_class = 'PermanentError'
+         |              THEN CAST(0.0 AS DOUBLE)
+         |            WHEN recover_attempt = 1 THEN j0
+         |            WHEN recover_attempt = 2 THEN j0 + j1
+         |            ELSE j0 + j1 + j2 END AS total_wait_s
+         |FROM j""".stripMargin,
     "q_error_classification" ->
       s"""WITH m AS (
          |  SELECT event_id,

@@ -623,24 +623,221 @@ object OrderStream {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // RETRY EXECUTOR — the reference's `execute_with_retry`
+  // (retry_handler.py:84-141) as an EXECUTED streaming behavior: a
+  // transformWithState processor holds each retryably-failed record in
+  // pending-retry state, a processing-time TIMER fires at the exact
+  // `q_retry_schedule` backoff instant (1·2^attempt s capped at 10 s,
+  // ±20% md5 jitter — Reliability.backoffDelayS), the attempt re-runs,
+  // and the record terminally emits to main (recovered, TRUE retry
+  // count) or DLQ (exhausted after `maxRetries`, or immediately for a
+  // PermanentError, retry_handler.py:120-123). Whether a re-attempt
+  // succeeds is the md5-deterministic `Reliability.recoverAttempt` —
+  // the determinized stand-in for the reference's per-attempt
+  // `random.random() < 0.05` (avro_order_consumer.py:107-108) — so the
+  // batch decision table (`q_retry_outcomes`), this executor, and the
+  // DuckDB oracle all replay the identical outcome.
+  // ---------------------------------------------------------------------
+
+  /** A consumed record entering the retry executor. `succeedsOnAttempt`
+    * is the 1-based retry index at which re-processing succeeds (the
+    * reference logs it as "attempt N+1"); <= 0 means it never does. */
+  case class RetryEvent(eventId: String, product: String, price: Double,
+      errorClass: String, errorMessage: String, succeedsOnAttempt: Int)
+
+  /** Pending-retry state: attempts executed so far and the scheduled
+    * instant of the next one. */
+  case class PendingRetry(product: String, price: Double,
+      errorMessage: String, attemptsDone: Int, succeedsOnAttempt: Int,
+      deadlineMs: Long)
+
+  /** Terminal emission per consumed record: route ("main"/"dlq") with
+    * the TRUE retry count — the succeeding retry's index, `maxRetries`
+    * on exhaustion, 0 for first-try success or an unretried permanent
+    * failure (the reference's DLQ message stamps a constant 3 on every
+    * PermanentError, avro_order_consumer.py:192, over-reporting
+    * unretried ones — this executor reports what actually ran).
+    * `scheduled_ms`/`emitted_ms` expose the timer contract: the final
+    * attempt's scheduled instant and the batch time that executed it. */
+  case class RetryOutcome(event_id: String, product: String, price: Double,
+      route: String, retry_count: Int, error_type: String,
+      error_message: String, scheduled_ms: Long, emitted_ms: Long)
+
+  /** The retry loop as state + timers. One live timer per key; state is
+    * dropped the moment the record routes, so steady-state store size is
+    * only the in-flight retry population — at 100 TB/day that is the
+    * transient-failure rate times the backoff horizon, not the corpus. */
+  class RetryExecProcessor(
+      maxRetries: Int = 3,
+      delayMsFn: (String, Int) => Long = RetryExecProcessor.scheduleMs)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, RetryEvent, RetryOutcome] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[PendingRetry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PendingRetry]("pending",
+        org.apache.spark.sql.Encoders.product[PendingRetry], TTLConfig.NONE)
+
+    override def handleInputRows(
+        eventId: String, rows: Iterator[RetryEvent],
+        timers: TimerValues): Iterator[RetryOutcome] = {
+      val now = timers.getCurrentProcessingTimeInMs()
+      rows.toSeq.flatMap { e =>
+        e.errorClass match {
+          case "PermanentError" =>
+            // Never retried (retry_handler.py:120-123): straight to DLQ
+            // with the TRUE count of retries executed — zero.
+            Some(RetryOutcome(eventId, e.product, e.price, "dlq", 0,
+              "PermanentError", e.errorMessage, now, now))
+          case "RetryableError" =>
+            // The initial attempt already failed retryably; arm the
+            // retry-1 timer at the schedule's instant and hold the
+            // record in pending state.
+            val deadline = now + delayMsFn(eventId, 0)
+            st.update(PendingRetry(e.product, e.price, e.errorMessage,
+              0, e.succeedsOnAttempt, deadline))
+            getHandle.registerTimer(deadline)
+            None
+          case _ =>
+            Some(RetryOutcome(eventId, e.product, e.price, "main", 0,
+              null, null, now, now))
+        }
+      }.iterator
+    }
+
+    override def handleExpiredTimer(
+        eventId: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[RetryOutcome] =
+      if (!st.exists()) Iterator.empty
+      else {
+        val p = st.get()
+        val now = timers.getCurrentProcessingTimeInMs()
+        val attempt = p.attemptsDone + 1 // this retry's 1-based index
+        if (p.succeedsOnAttempt >= 1 && attempt >= p.succeedsOnAttempt) {
+          st.clear()
+          Iterator.single(RetryOutcome(eventId, p.product, p.price,
+            "main", attempt, null, null, p.deadlineMs, now))
+        } else if (attempt >= maxRetries) {
+          // Max retries exceeded -> PermanentError (retry_handler.py:141).
+          st.clear()
+          Iterator.single(RetryOutcome(eventId, p.product, p.price,
+            "dlq", maxRetries, "PermanentError",
+            s"Max retries exceeded for Order $eventId", p.deadlineMs, now))
+        } else {
+          val deadline = now + delayMsFn(eventId, attempt)
+          st.update(PendingRetry(p.product, p.price, p.errorMessage,
+            attempt, p.succeedsOnAttempt, deadline))
+          getHandle.registerTimer(deadline)
+          Iterator.empty
+        }
+      }
+  }
+
+  object RetryExecProcessor {
+    /** Default timer schedule = `q_retry_schedule`'s jittered delays in
+      * milliseconds (spec pins parity against the DataFrame). */
+    val scheduleMs: (String, Int) => Long = (id, attempt) =>
+      math.round(
+        graft.operators.Reliability.backoffDelayS(id, attempt) * 1000)
+  }
+
+  /** Orders → retry-executor input: validation verdict (reference's
+    * canonical messages) + the md5-deterministic recovery attempt. */
+  def asRetryEvents(orders: DataFrame): Dataset[RetryEvent] = {
+    import orders.sparkSession.implicits._
+    validate(orders).select(
+      col("orderId").as("eventId"),
+      col("product"),
+      col("price"),
+      coalesce(col("error_class"), lit("Valid")).as("errorClass"),
+      when(col("error_class") === "PermanentError",
+        concat(lit("Invalid price: "), col("price").cast("string")))
+        .when(col("error_class") === "RetryableError",
+          lit("Simulated temporary processing failure"))
+        .as("errorMessage"),
+      when(col("error_class") === "RetryableError",
+        graft.operators.Reliability.recoverAttemptCol(col("orderId")))
+        .otherwise(lit(0)).as("succeedsOnAttempt"))
+      .as[RetryEvent]
+  }
+
+  /** Run the retry executor over a stream of consumed records. */
+  def retryExecutorTws(
+      events: Dataset[RetryEvent],
+      maxRetries: Int = 3,
+      delayMsFn: (String, Int) => Long = RetryExecProcessor.scheduleMs)
+      : Dataset[RetryOutcome] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventId)
+      .transformWithState(new RetryExecProcessor(maxRetries, delayMsFn),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** The reference's full DLQ message envelope
+    * (avro_order_consumer.py:117-134 `dead_letter_message`) from a
+    * retry-executor outcome: original topic/partition/offset/key/value
+    * (partition and offset re-derived from the producer's ORD-%07d key
+    * the way `dlqRoute` does), error type + message, the TRUE retry
+    * count, failure timestamp, consumer group — one JSON string per
+    * failed record, field order exactly the reference dict's, ready for
+    * the DLQ JSON sink (SURVEY row 14f). */
+  def dlqEnvelope(outcomes: Dataset[RetryOutcome],
+      topic: String = "orders",
+      consumerGroup: String = "order-processor-group"): DataFrame = {
+    val num = regexp_replace(col("event_id"), "[^0-9]", "").cast("long")
+    outcomes.toDF().filter(col("route") === "dlq").select(
+      col("event_id").as("key"),
+      to_json(struct(
+        lit(topic).as("original_topic"),
+        pmod(num, lit(8)).as("original_partition"),
+        num.as("original_offset"),
+        col("event_id").as("original_key"),
+        struct(col("event_id").as("orderId"), col("product"),
+          col("price")).as("original_value"),
+        col("error_message"),
+        col("error_type"),
+        col("retry_count"),
+        col("emitted_ms").as("failed_at"),
+        lit(consumerGroup).as("consumer_group"))).as("value"))
+  }
+
   /** DLQ split sink (avro_order_consumer.py:123-155): per micro-batch,
-    * valid records go to the main sink, failures to the DLQ sink with
-    * provenance columns. Use with `stream.writeStream.foreachBatch(
-    * dlqSplit(main, dlq))`.
+    * records route exactly as the retry executor terminally would —
+    * valid straight to main; retryable failures that RECOVER within 3
+    * retries (md5-deterministic `Reliability.recoverAttempt`, the
+    * executor's own model) to main with their TRUE retry count;
+    * exhausted retryables to the DLQ with retry_count=3; permanent
+    * failures to the DLQ unretried (retry_count=0). Use with
+    * `stream.writeStream.foreachBatch(dlqSplit(main, dlq))`; the
+    * timer-driven face of the same loop is [[retryExecutorTws]].
     */
   def dlqSplit(
       mainSink: (DataFrame, Long) => Unit,
       dlqSink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      val validated = validate(batch).cache()
+      val validated = validate(batch)
+        .withColumn("recover_attempt",
+          when(col("error_class") === "RetryableError",
+            graft.operators.Reliability.recoverAttemptCol(col("orderId"))))
+        .withColumn("retry_count",
+          when(col("is_valid"), 0)
+            .when(col("recover_attempt") <= 3, col("recover_attempt"))
+            .when(col("error_class") === "RetryableError", 3)
+            .otherwise(0))
+        .cache()
       try {
-        mainSink(validated.filter(col("is_valid")).drop("error_class", "is_valid"), batchId)
+        mainSink(
+          validated.filter(col("is_valid") || col("recover_attempt") <= 3)
+            .drop("error_class", "is_valid", "recover_attempt"),
+          batchId)
         dlqSink(
-          validated.filter(!col("is_valid"))
+          validated.filter(!col("is_valid") &&
+            (col("recover_attempt").isNull || col("recover_attempt") > 3))
             .withColumn("original_topic", lit("orders"))
-            .withColumn("retry_count",
-              when(col("error_class") === "RetryableError", 3).otherwise(0))
-            .withColumn("consumer_group", lit("order-processor-group")),
+            .withColumn("consumer_group", lit("order-processor-group"))
+            .drop("recover_attempt"),
           batchId)
       } finally validated.unpersist()
   }

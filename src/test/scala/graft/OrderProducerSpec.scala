@@ -85,13 +85,20 @@ class OrderProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val validBack = spark.read.json(valid.getAbsolutePath)
     val dlqBack = spark.read.json(dlq.getAbsolutePath)
-    assert(validBack.count() == 198)
-    assert(dlqBack.count() == 2)
+    // ORD-0013 is retryable and recovers on retry 1
+    // (Reliability.recoverAttempt), so the executor-faithful split
+    // routes it to MAIN with its TRUE retry count; only the permanent
+    // ORD-0007 reaches the DLQ, unretried.
+    assert(graft.operators.Reliability.recoverAttempt("ORD-0013") == 1)
+    assert(validBack.count() == 199)
+    assert(dlqBack.count() == 1)
+    val recovered = validBack.filter(col("orderId") === "ORD-0013").collect()
+    assert(recovered.length == 1 &&
+      recovered.head.getAs[Long]("retry_count") == 1L)
     val byId = dlqBack.collect()
       .map(r => r.getAs[String]("orderId") -> r).toMap
     assert(byId("ORD-0007").getAs[String]("error_class") == "PermanentError")
-    assert(byId("ORD-0013").getAs[String]("error_class") == "RetryableError")
-    assert(byId("ORD-0013").getAs[Long]("retry_count") == 3L)
+    assert(byId("ORD-0007").getAs[Long]("retry_count") == 0L)
     assert(dlqBack.columns.contains("original_topic") &&
       dlqBack.columns.contains("consumer_group"))
   }

@@ -394,19 +394,30 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    var validCount = -1L
+    var mainRows: Seq[org.apache.spark.sql.Row] = Nil
     var dlqRows: Seq[org.apache.spark.sql.Row] = Nil
 
+    // ORD-0000009 is retryable and RECOVERS on retry 2
+    // (Reliability.recoverAttempt), so it must route to MAIN with its
+    // TRUE retry count; ORD-0000005's recovery attempt is 4 > 3, so it
+    // exhausts to the DLQ.
+    assert(graft.operators.Reliability.recoverAttempt("ORD-0000009") == 2)
+    assert(graft.operators.Reliability.recoverAttempt("ORD-0000005") == 4)
+    val base = 1704067200000L
     val input = MemoryStream[OrderEvent]
-    input.addData(sampleOrders: _*)
+    input.addData(sampleOrders :+
+      OrderEvent("ORD-0000009", "error", 3.0, base + 9000): _*)
     val q = input.toDF().writeStream
       .foreachBatch(OrderStream.dlqSplit(
-        (valid: DataFrame, _: Long) => validCount = valid.count(),
+        (valid: DataFrame, _: Long) => mainRows = valid.collect().toSeq,
         (dlq: DataFrame, _: Long) => dlqRows = dlq.collect().toSeq))
       .start()
     try {
       q.processAllAvailable()
-      assert(validCount == 4)
+      assert(mainRows.size == 5)
+      val mainById = mainRows.map(r => r.getAs[String]("orderId") -> r).toMap
+      assert(mainById("ORD-0000009").getAs[Int]("retry_count") == 2)
+      assert(mainById("ORD-0000001").getAs[Int]("retry_count") == 0)
       assert(dlqRows.size == 2)
       val byId = dlqRows.map(r => r.getAs[String]("orderId") -> r).toMap
       assert(byId("ORD-0000004").getAs[String]("error_class") == "PermanentError")
@@ -415,6 +426,142 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byId("ORD-0000005").getAs[Int]("retry_count") == 3)
       assert(dlqRows.forall(_.getAs[String]("original_topic") == "orders"))
     } finally q.stop()
+  }
+
+  test("retry executor: pending state + timers re-attempt on the schedule, TRUE counts out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import OrderStream.{RetryEvent, RetryOutcome}
+
+    // transformWithState requires the RocksDB store (column families).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    // 100x-compressed schedule: the SAME md5-jittered shape as
+    // q_retry_schedule, scaled to milliseconds so the spec exercises
+    // real timer waits without multi-second sleeps.
+    val fastMs: (String, Int) => Long = (id, a) =>
+      math.max(1L,
+        math.round(graft.operators.Reliability.backoffDelayS(id, a) * 10))
+
+    val t0 = System.currentTimeMillis()
+    val input = MemoryStream[RetryEvent]
+    input.addData(
+      RetryEvent("EVT-OK", "Laptop", 10.0, "Valid", null, 0),
+      RetryEvent("EVT-TRANSIENT", "Mouse", 5.0, "RetryableError",
+        "Simulated temporary processing failure", 1),
+      RetryEvent("EVT-EXHAUST", "error", 7.0, "RetryableError",
+        "Simulated temporary processing failure", -1),
+      RetryEvent("EVT-PERM", "Monitor", -1.0, "PermanentError",
+        "Invalid price: -1.0", 0))
+    val q = OrderStream
+      .retryExecutorTws(input.toDS(), maxRetries = 3, delayMsFn = fastMs)
+      .writeStream.format("memory").queryName("retry_exec_test")
+      .outputMode("append").start()
+    try {
+      // ProcessingTime TimeMode keeps scheduling micro-batches for
+      // timer sweeps, so processAllAvailable never settles — poll the
+      // sink until all four records have terminally routed (timers
+      // fire as batches observe processing time passing the deadlines).
+      val names = Set("EVT-OK", "EVT-TRANSIENT", "EVT-EXHAUST", "EVT-PERM")
+      def routed(): Map[String, RetryOutcome] =
+        spark.table("retry_exec_test").as[RetryOutcome].collect()
+          .filter(o => names(o.event_id)).map(o => o.event_id -> o).toMap
+      val deadline = System.currentTimeMillis() + 60000
+      while (routed().size < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = routed()
+      assert(rows.keySet == names, s"not all records routed: ${rows.keySet}")
+      assert(rows("EVT-OK").route == "main" && rows("EVT-OK").retry_count == 0)
+      // Transient: initial attempt failed, retry 1 SUCCEEDS (the
+      // reference's "Retry succeeded on attempt 2") -> TRUE count 1.
+      assert(rows("EVT-TRANSIENT").route == "main")
+      assert(rows("EVT-TRANSIENT").retry_count == 1)
+      // Persistent: exhausts all 3 retries -> DLQ, TRUE count 3, the
+      // reference's wrap message (retry_handler.py:141).
+      assert(rows("EVT-EXHAUST").route == "dlq")
+      assert(rows("EVT-EXHAUST").retry_count == 3)
+      assert(rows("EVT-EXHAUST").error_type == "PermanentError")
+      assert(rows("EVT-EXHAUST").error_message ==
+        "Max retries exceeded for Order EVT-EXHAUST")
+      // Permanent: never retried (retry_handler.py:120-123) -> count 0.
+      assert(rows("EVT-PERM").route == "dlq" && rows("EVT-PERM").retry_count == 0)
+      // Emissions respect the schedule: every timer-driven emission
+      // executed at-or-after its scheduled instant, and the exhausted
+      // record's terminal attempt was scheduled no earlier than the sum
+      // of its three backoff delays after arrival.
+      rows.values.foreach(o => assert(o.emitted_ms >= o.scheduled_ms,
+        s"timer fired before its deadline: $o"))
+      val totalDelay = (0 to 2).map(a => fastMs("EVT-EXHAUST", a)).sum
+      assert(rows("EVT-EXHAUST").scheduled_ms >= t0 + totalDelay)
+      assert(rows("EVT-TRANSIENT").scheduled_ms >= t0 + fastMs("EVT-TRANSIENT", 0))
+    } finally {
+      q.stop()
+      spark.conf.unset(key)
+    }
+  }
+
+  test("retry executor default timers ARE the q_retry_schedule instants") {
+    // Parity pin: the executor's default delay function reproduces the
+    // registered q_retry_schedule's delay_jittered_s exactly (to the
+    // millisecond after the shared 6-dp rounding) for real corpus rows.
+    val sched = graft.operators.Reliability
+      .retrySchedule(spark, "/root/testdata/sf0.001")
+      .select("event_id", "attempt", "delay_jittered_s")
+      .limit(200).collect()
+    assert(sched.nonEmpty)
+    sched.foreach { r =>
+      val ms = OrderStream.RetryExecProcessor.scheduleMs(
+        r.getLong(0).toString, r.getInt(1))
+      assert(ms == math.round(r.getDouble(2) * 1000),
+        s"schedule parity broke at event ${r.getLong(0)} attempt ${r.getInt(1)}")
+    }
+  }
+
+  test("DLQ envelope matches the reference message shape byte-for-byte") {
+    import spark.implicits._
+    // Hand-built oracle message: the reference's dead_letter_message
+    // dict (avro_order_consumer.py:117-134), serialized compactly with
+    // its exact field order.
+    val outcome = OrderStream.RetryOutcome("ORD-0000004", "Monitor", -5.0,
+      "dlq", 0, "PermanentError", "Invalid price: -5.0",
+      1704067200000L, 1704067200000L)
+    val env = OrderStream.dlqEnvelope(Seq(outcome).toDS())
+    val row = env.collect().head
+    assert(row.getString(0) == "ORD-0000004")
+    val expected =
+      """{"original_topic":"orders","original_partition":4,""" +
+        """"original_offset":4,"original_key":"ORD-0000004",""" +
+        """"original_value":{"orderId":"ORD-0000004","product":"Monitor",""" +
+        """"price":-5.0},"error_message":"Invalid price: -5.0",""" +
+        """"error_type":"PermanentError","retry_count":0,""" +
+        """"failed_at":1704067200000,""" +
+        """"consumer_group":"order-processor-group"}"""
+    assert(row.getString(1) == expected)
+    // Round-trip through the DLQ JSON sink (SURVEY row 14f): the JSON
+    // parses back with every provenance field intact.
+    val back = spark.read.json(env.select("value").as[String])
+    val b = back.collect().head
+    assert(b.getAs[String]("original_key") == "ORD-0000004")
+    assert(b.getAs[Long]("original_offset") == 4L)
+    assert(b.getAs[Long]("retry_count") == 0L)
+    assert(b.getAs[String]("error_type") == "PermanentError")
+    assert(b.getAs[String]("consumer_group") == "order-processor-group")
+    assert(b.getAs[org.apache.spark.sql.Row]("original_value")
+      .getAs[Double]("price") == -5.0)
+    // And the executor's exhausted outcome wraps identically: envelope
+    // from a retry-executor terminal row carries the TRUE count.
+    val exhausted = OrderStream.RetryOutcome("ORD-0000005", "error", 10.0,
+      "dlq", 3, "PermanentError", "Max retries exceeded for Order ORD-0000005",
+      1704067205000L, 1704067205100L)
+    val env2 = spark.read.json(
+      OrderStream.dlqEnvelope(Seq(exhausted).toDS()).select("value").as[String])
+      .collect().head
+    assert(env2.getAs[Long]("retry_count") == 3L)
+    assert(env2.getAs[String]("error_message") ==
+      "Max retries exceeded for Order ORD-0000005")
+    assert(env2.getAs[Long]("failed_at") == 1704067205100L)
   }
 
   test("dedupOrders drops redelivered orderIds across micro-batches") {
