@@ -92,6 +92,97 @@ object StreamQueries {
           .as("sum_price_cents"))
   }
 
+  /** DLQ-message schema, two registered versions: v2 promotes
+    * retry_count int→long and adds consumer_group with a default — the
+    * evolution pair the generic codec must resolve. */
+  private[graft] val dlqSchemaV1Json =
+    """{"type":"record","name":"DlqMessage","namespace":"graft",
+      |"fields":[
+      |  {"name":"original_key","type":"string"},
+      |  {"name":"error_type","type":"string"},
+      |  {"name":"retry_count","type":"int"},
+      |  {"name":"failed_at","type":"long"}]}""".stripMargin
+  private[graft] val dlqSchemaV2Json =
+    """{"type":"record","name":"DlqMessage","namespace":"graft",
+      |"fields":[
+      |  {"name":"original_key","type":"string"},
+      |  {"name":"error_type","type":"string"},
+      |  {"name":"retry_count","type":"long"},
+      |  {"name":"failed_at","type":"long"},
+      |  {"name":"consumer_group","type":"string",
+      |   "default":"order-processor-group"}]}""".stripMargin
+
+  /** Per-JVM file registry holding the two DLQ message versions under
+    * their own subject — a SECOND record type in the same registry
+    * seam, proving nothing in the codec is Order-shaped. */
+  private lazy val dlqRegistry: (String, Int, Int) = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-confluent-dlq-registry")
+      .toFile.getAbsolutePath
+    val reg = new graft.streaming.FileSchemaRegistry(d)
+    val parser = new org.apache.avro.Schema.Parser()
+    (d, reg.register("orders-dlq-value", parser.parse(dlqSchemaV1Json)),
+      reg.register("orders-dlq-value",
+        new org.apache.avro.Schema.Parser().parse(dlqSchemaV2Json)))
+  }
+
+  /** A SECOND record type (the reference's DLQ message,
+    * avro_order_consumer.py:117-134) mixed-version round-tripped
+    * through the GENERIC schema-parameterized codec
+    * ([[graft.functions.ToConfluentAvro]]/[[FromConfluentAvro]] —
+    * no Order-specific code anywhere on this path): even event_ids
+    * publish under the v1 writer (retry_count int, no consumer_group),
+    * odd under v2 (retry_count long, explicit consumer_group, every
+    * third a replay group), and ONE consumer expression decodes all of
+    * them under the v2 reader — int→long promotion for v1 payloads,
+    * consumer_group filled from its schema default. retry_count is the
+    * TRUE executed-retry count (the `q_retry_outcomes` model), so the
+    * codec demo rides the retry executor's real output shape. */
+  def confluentDlq(spark: SparkSession, dir: String): DataFrame = {
+    val (regDir, v1Id, v2Id) = dlqRegistry
+    val failed = Tables.events(spark, dir)
+      .filter(col("event_type").isNull || col("value") <= 0 ||
+        col("event_type") === "error")
+      .select(
+        col("event_id"),
+        concat(lit("ORD-"), lpad(col("event_id").cast("string"), 7, "0"))
+          .as("original_key"),
+        when(col("event_type").isNull, "MissingField")
+          .when(col("value") <= 0, "InvalidPrice")
+          .otherwise("ProcessingError").as("error_type"),
+        when(col("event_type").isNull || col("value") <= 0, 0)
+          .otherwise(least(
+            graft.operators.Reliability.recoverAttemptCol(col("event_id")),
+            lit(3))).cast("int").as("retry_count"),
+        expr("ts div 1000000").as("failed_at"))
+    val v1Struct = struct(
+      col("original_key"), col("error_type"),
+      col("retry_count").as("retry_count"),
+      col("failed_at"))
+    val v2Struct = struct(
+      col("original_key"), col("error_type"),
+      col("retry_count").cast("long").as("retry_count"),
+      col("failed_at"),
+      when(col("event_id") % 3 === 0, "dlq-replay-group")
+        .otherwise("order-processor-group").as("consumer_group"))
+    failed
+      .select(
+        when(col("event_id") % 2 === 0,
+          graft.functions.ToConfluentAvro(v1Struct, regDir, v1Id))
+          .otherwise(
+            graft.functions.ToConfluentAvro(v2Struct, regDir, v2Id))
+          .as("wire"),
+        (col("event_id") % 2 === 0).as("is_v1"))
+      .select(graft.functions.FromConfluentAvro(
+        col("wire"), regDir, dlqSchemaV2Json).as("m"), col("is_v1"))
+      .groupBy(col("m.error_type").as("error_type"),
+        col("m.consumer_group").as("consumer_group"))
+      .agg(count(lit(1)).as("n_messages"),
+        sum(when(col("is_v1"), 1L).otherwise(0L)).as("n_v1"),
+        sum(col("m.retry_count")).as("sum_retry_count"),
+        max(col("m.failed_at")).as("max_failed_at_ms"))
+  }
+
   /** Schema evolution: the SAME v1 binary payloads decoded under the v2
     * reader schema (price float→double promotion, `currency` from its
     * default) — the consumer-upgrades-first path a schema registry
@@ -217,6 +308,7 @@ object StreamQueries {
     "q_avro_roundtrip" -> avroRoundtrip,
     "q_avro_evolution" -> avroEvolution,
     "q_confluent_roundtrip" -> confluentRoundtrip,
+    "q_confluent_dlq" -> confluentDlq,
     "q_windowed_stats" -> windowedStats,
     "q_tiered_windows" -> tieredWindows,
     "q_hopping_stats" -> hoppingStats)
@@ -276,6 +368,29 @@ object StreamQueries {
         |       CAST(count(*) - sum(is_v1) AS BIGINT) AS n_v2,
         |       CAST(sum(cents) AS BIGINT) AS sum_price_cents
         |FROM src GROUP BY 1, 2""".stripMargin,
+    "q_confluent_dlq" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_type IS NULL THEN 'MissingField'
+        |              WHEN value <= 0 THEN 'InvalidPrice'
+        |              ELSE 'ProcessingError' END AS error_type,
+        |         CASE WHEN event_type IS NULL OR value <= 0 THEN 0
+        |              ELSE least(CAST(1 + CAST(('0x' || substr(md5(
+        |                CAST(event_id AS VARCHAR) || ':recover'), 1, 8))
+        |                AS BIGINT) % 5 AS INTEGER), 3) END AS retry_count,
+        |         epoch_ns(ts) // 1000000 AS failed_at,
+        |         CASE WHEN event_id % 2 = 0 THEN 'order-processor-group'
+        |              WHEN event_id % 3 = 0 THEN 'dlq-replay-group'
+        |              ELSE 'order-processor-group' END AS consumer_group,
+        |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_v1
+        |  FROM events
+        |  WHERE event_type IS NULL OR value <= 0 OR event_type = 'error')
+        |SELECT error_type, consumer_group,
+        |       CAST(count(*) AS BIGINT) AS n_messages,
+        |       CAST(sum(is_v1) AS BIGINT) AS n_v1,
+        |       CAST(sum(retry_count) AS BIGINT) AS sum_retry_count,
+        |       CAST(max(failed_at) AS BIGINT) AS max_failed_at_ms
+        |FROM f GROUP BY 1, 2""".stripMargin,
     "q_avro_evolution" ->
       """SELECT event_type AS product,
         |       'USD' AS currency,

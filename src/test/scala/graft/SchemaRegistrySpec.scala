@@ -100,4 +100,36 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(b.byId(id).toString == AvroOrder.schema.toString)
     assert(b.register("orders-value", AvroOrder.schema) == id)
   }
+
+  test("concurrent registrants never collide on an id (atomic claim loop)") {
+    // Two INSTANCES (the cross-process stand-in: per-instance
+    // `synchronized` cannot serialize them) registering distinct
+    // schemas concurrently must claim distinct ids — an id collision
+    // would overwrite a writer schema and silently mis-decode, the
+    // exact failure the registry exists to prevent.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry-race").toString
+    def schemaN(i: Int) = new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"R$i","fields":[
+         |  {"name":"x","type":"long"}]}""".stripMargin)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val ids =
+      try Await.result(Future.sequence((1 to 16).toList.map(i => Future {
+        val reg = new FileSchemaRegistry(dir) // fresh instance per thread
+        i -> reg.register(s"subject-$i", schemaN(i))
+      })), 60.seconds)
+      finally pool.shutdown()
+    assert(ids.map(_._2).distinct.size == 16,
+      s"id collision across concurrent registrants: $ids")
+    // and every id resolves to the schema its registrant wrote
+    val check = new FileSchemaRegistry(dir)
+    ids.foreach { case (i, id) =>
+      assert(check.byId(id).getName == s"R$i",
+        s"id $id served the wrong writer schema")
+    }
+  }
 }
