@@ -1866,6 +1866,47 @@ object Similarity {
          |       coalesce(dom.dominator, e.vec_id) AS keeper
          |FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.vec_id""".stripMargin,
     "q_ann_topk" -> topkSql,
+    // The LAST formerly-rows-only query: full DuckDB replay of the
+    // hyperplane LSH — 736 md5-deterministic planes (planeComponent:
+    // 48-bit hash / 2^47 - 1), 92 bands x 8 sign bits, >=2-band
+    // candidate rule, exact-cosine verify at 0.45 — so banding itself
+    // is hash-checked, not just spec recall-bounded. Plane weights are
+    // materialized once per plane as a 64-list (47k md5 calls total,
+    // not 23M) and each (vector, plane) dot is a single sequential
+    // list_sum, matching the codegen kernel's accumulation order.
+    "q_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT t.p, CAST(t.p // ${LshBandBits} AS BIGINT) AS band_idx,
+         |         CAST(t.p % ${LshBandBits} AS INT) AS bit,
+         |         list_transform(range(0, 64), k ->
+         |           CAST(('0x' || substr(md5(CAST(t.p AS VARCHAR) || '_' ||
+         |             CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+         |             / 140737488355328.0 - 1.0) AS w
+         |  FROM range(0, ${LshNumBands * LshBandBits}) t(p)),
+         |bits AS (
+         |  SELECT e.vec_id, p.band_idx,
+         |         CASE WHEN list_sum(list_transform(range(1, 65), k ->
+         |                CAST(e.embedding[k] AS DOUBLE) * p.w[k])) > 0
+         |              THEN CAST(1 AS BIGINT) << p.bit
+         |              ELSE CAST(0 AS BIGINT) END AS bitval
+         |  FROM embeddings e CROSS JOIN planes p),
+         |bands AS (
+         |  SELECT vec_id, band_idx, CAST(sum(bitval) AS BIGINT) AS band_val
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT x.vec_id AS vec_i, y.vec_id AS vec_j
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.vec_id < y.vec_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${LshMinMatchingBands})
+         |SELECT vec_i, vec_j, cos_sim
+         |FROM (
+         |  SELECT c.vec_i, c.vec_j, round($cosineSql, 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings a ON c.vec_i = a.vec_id
+         |  JOIN embeddings b ON c.vec_j = b.vec_id) v
+         |WHERE cos_sim >= 0.45""".stripMargin,
     "q_recall_sweep" ->
       s"""WITH ex0 AS ($topkSql),
          |ap0 AS ($ivfSql),

@@ -18,10 +18,14 @@ class RegistrySpec extends AnyFunSuite {
       s"oracles without a matching query (key typo?): $orphans")
   }
 
-  test("rows-only set is exactly the documented one") {
+  test("every registered query is oracle-backed (rows-only set is empty)") {
+    // Round 14 closed the last rows-only query (q_ann_lsh now replays
+    // its 736 hyperplanes in DuckDB); from here on every registered
+    // query ships hash-checked, and any regression to a weaker
+    // rows-only check must be a deliberate edit HERE.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_ann_lsh"),
-      s"undocumented rows-only queries: ${rowsOnly - "q_ann_lsh"}")
+    assert(rowsOnly == Set.empty[String],
+      s"queries without a DuckDB oracle: $rowsOnly")
   }
 
   /** SURVEY §13/§14 quotes this exact number; round 10 shipped a
