@@ -227,17 +227,21 @@ object Analytics {
     * full-outer hash join on the key with a pure-projection
     * classifier; at scale both sides are snapshot scans and the join
     * shuffles on the key, no ordering needed. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = Tables.customer(spark, dir)
+  private def customerV1(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .select(col("c_custkey").cast("long").as("k"),
         expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"),
         col("c_mktsegment").as("seg"))
-    val v2 = v1.filter(col("k") % 11 =!= 5)
+
+  private def customerV2(v1: DataFrame): DataFrame =
+    v1.filter(col("k") % 11 =!= 5)
       .select(col("k"),
         when(col("k") % 7 === 3, col("cents") + 1000)
           .otherwise(col("cents")).as("cents"), col("seg"))
       .unionByName(v1.filter(col("k") % 13 === 2)
         .select((col("k") + 1000000L).as("k"), col("cents"), col("seg")))
+
+  private def diffSnapshots(v1: DataFrame, v2: DataFrame): DataFrame =
     v1.as("a").join(v2.as("b"), col("a.k") === col("b.k"), "full_outer")
       .select(
         when(col("a.k").isNull, "inserted")
@@ -254,6 +258,46 @@ object Analytics {
       .groupBy("status")
       .agg(count(lit(1)).as("n"), sum("bal_chg").as("n_balance_changed"),
         sum("seg_chg").as("n_segment_changed"))
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = customerV1(spark, dir)
+    diffSnapshots(v1, customerV2(v1))
+  }
+
+  /** Per-corpus snapshot catalog of the customer dimension: versions 1
+    * and 2 (the [[snapshotDiff]] derivation) PUBLISHED as parquet under
+    * a versioned root ([[graft.sources.SnapshotCatalog]]), built once
+    * per corpus fingerprint like every persisted index. */
+  private val snapCatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def customerSnapshotRoot(spark: SparkSession,
+      dir: String): String =
+    graft.Indexes.corpusCached(snapCatalogCache, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snapshots").toFile.getAbsolutePath
+      val v1 = customerV1(spark, dir)
+      graft.sources.SnapshotCatalog.publish(v1, root)
+      graft.sources.SnapshotCatalog.publish(customerV2(v1), root)
+      root
+    }
+
+  /** TIME TRAVEL — the read face of the snapshot surface: the SAME diff
+    * as [[snapshotDiff]], but both versions come from the snapshot
+    * CATALOG (as-of-version reads resolving version numbers to sealed,
+    * fingerprint-verified parquet snapshots) instead of in-plan
+    * derivation. Hash-matching q_snapshot_diff's oracle proves the
+    * catalog round-trip (publish → resolve → scan) byte-preserves the
+    * dimension; the version-resolution contract itself (unknown
+    * version, mutated snapshot, in-flight publish all refuse loudly)
+    * is pinned in SnapshotCatalogSpec. At 100 TB this seam is the
+    * table-format snapshot log; reads cost one meta file + one listing
+    * before the scan. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = customerSnapshotRoot(spark, dir)
+    diffSnapshots(
+      graft.sources.SnapshotCatalog.readAsOf(spark, root, 1),
+      graft.sources.SnapshotCatalog.readAsOf(spark, root, 2))
   }
 
   /** First-order Markov transition matrix of user behaviour: for each
@@ -1181,6 +1225,7 @@ object Analytics {
     "q_scd2_ranges" -> scd2Ranges,
     "q_scd2_asof" -> scd2Asof,
     "q_snapshot_diff" -> snapshotDiff,
+    "q_time_travel" -> timeTravel,
     "q_event_transitions" -> eventTransitions,
     "q_unpivot_metrics" -> unpivotMetrics,
     "q_csv_roundtrip" -> csvRoundtrip,
@@ -1256,6 +1301,37 @@ object Analytics {
        |$roundCtes
        |$finals""".stripMargin
   }
+
+  /** Shared by q_snapshot_diff and q_time_travel: the catalog read must
+    * return byte-identical results to the in-plan derivation. */
+  private val snapshotDiffSql =
+    """WITH v1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+      |         c_mktsegment AS seg
+      |  FROM customer),
+      |v2 AS (
+      |  SELECT k, CASE WHEN k % 7 = 3 THEN cents + 1000
+      |            ELSE cents END AS cents, seg
+      |  FROM v1 WHERE k % 11 <> 5
+      |  UNION ALL
+      |  SELECT k + 1000000, cents, seg FROM v1 WHERE k % 13 = 2),
+      |d AS (
+      |  SELECT CASE WHEN a.k IS NULL THEN 'inserted'
+      |              WHEN b.k IS NULL THEN 'deleted'
+      |              WHEN a.cents <> b.cents OR a.seg <> b.seg
+      |                THEN 'updated'
+      |              ELSE 'unchanged' END AS status,
+      |         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+      |              AND a.cents <> b.cents THEN 1 ELSE 0 END
+      |           AS bal_chg,
+      |         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+      |              AND a.seg <> b.seg THEN 1 ELSE 0 END AS seg_chg
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(bal_chg) AS BIGINT) AS n_balance_changed,
+      |       CAST(sum(seg_chg) AS BIGINT) AS n_segment_changed
+      |FROM d GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_boost_rounds" -> boostSql(BoostRounds),
@@ -1635,34 +1711,10 @@ object Analytics {
         |WHERE r.valid_from_s <= t.asof_s
         |  AND (r.valid_to_s IS NULL OR r.valid_to_s > t.asof_s)"""
         .stripMargin,
-    "q_snapshot_diff" ->
-      """WITH v1 AS (
-        |  SELECT CAST(c_custkey AS BIGINT) AS k,
-        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
-        |         c_mktsegment AS seg
-        |  FROM customer),
-        |v2 AS (
-        |  SELECT k, CASE WHEN k % 7 = 3 THEN cents + 1000
-        |            ELSE cents END AS cents, seg
-        |  FROM v1 WHERE k % 11 <> 5
-        |  UNION ALL
-        |  SELECT k + 1000000, cents, seg FROM v1 WHERE k % 13 = 2),
-        |d AS (
-        |  SELECT CASE WHEN a.k IS NULL THEN 'inserted'
-        |              WHEN b.k IS NULL THEN 'deleted'
-        |              WHEN a.cents <> b.cents OR a.seg <> b.seg
-        |                THEN 'updated'
-        |              ELSE 'unchanged' END AS status,
-        |         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
-        |              AND a.cents <> b.cents THEN 1 ELSE 0 END
-        |           AS bal_chg,
-        |         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
-        |              AND a.seg <> b.seg THEN 1 ELSE 0 END AS seg_chg
-        |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
-        |SELECT status, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(bal_chg) AS BIGINT) AS n_balance_changed,
-        |       CAST(sum(seg_chg) AS BIGINT) AS n_segment_changed
-        |FROM d GROUP BY 1""".stripMargin,
+    "q_snapshot_diff" -> snapshotDiffSql,
+    // Same oracle text: time travel must return byte-identical results
+    // through the catalog round-trip.
+    "q_time_travel" -> snapshotDiffSql,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TIME-TRAVEL READ SEAM — the versioned-snapshot catalog the engine's
+  * change-capture surface was missing a READ side for: snapshot diff,
+  * CDC apply, IVM and compaction planning all reason about versions,
+  * but until now the two versions were derived in-plan. This catalog
+  * persists each published version as parquet under
+  * `<root>/v<version>/` plus a `<root>/_versions/<version>.meta` file
+  * recording the snapshot dir's content fingerprint
+  * ([[graft.Indexes.fingerprint]]), and `readAsOf` resolves a version
+  * number to its dir — REFUSING loudly if the dir's current
+  * fingerprint no longer matches the one recorded at publish time
+  * (a mutated snapshot served silently is the staleness bug the
+  * fingerprint mechanism exists to prevent).
+  *
+  * This is the filesystem stand-in for a table format's snapshot log
+  * (the role Iceberg/Delta metadata plays at 100 TB): version ids are
+  * allocated with the same atomic CREATE_NEW claim loop as the schema
+  * registry, so concurrent publishers never collide, and a read is
+  * one meta-file read + one directory listing before the parquet scan
+  * — no data touched until the scan itself.
+  */
+object SnapshotCatalog {
+
+  private def metaDir(root: String) = Paths.get(root, "_versions")
+  private def metaPath(root: String, v: Int) =
+    metaDir(root).resolve(s"$v.meta")
+
+  /** The snapshot directory a version number names. */
+  def snapshotDir(root: String, v: Int): String =
+    Paths.get(root, s"v$v").toString
+
+  /** Published versions, ascending. */
+  def versions(root: String): Seq[Int] = {
+    val d = metaDir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".meta"))
+      .map(_.stripSuffix(".meta").toInt)
+      .toSeq.sorted
+    finally stream.close()
+  }
+
+  def latest(root: String): Option[Int] = versions(root).lastOption
+
+  /** Publish `df` as the next snapshot version: claim the version id
+    * atomically (CREATE_NEW on the meta file — concurrent publishers
+    * retry at the next id, never overwrite), write the parquet, then
+    * seal the meta with the written dir's content fingerprint. A meta
+    * whose fingerprint is still empty marks an in-flight or aborted
+    * publish; [[readAsOf]] refuses it. */
+  def publish(df: DataFrame, root: String): Int = {
+    Files.createDirectories(metaDir(root))
+    var v = versions(root).lastOption.getOrElse(0) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createFile(metaPath(root, v)) // atomic claim
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    val dir = snapshotDir(root, v)
+    df.write.mode("overwrite").parquet(dir)
+    Files.writeString(metaPath(root, v), graft.Indexes.fingerprint(dir))
+    v
+  }
+
+  /** Read the snapshot a version number names, verifying the dir's
+    * CURRENT content fingerprint against the one sealed at publish
+    * time — a mutated/partial snapshot refuses instead of serving. */
+  def readAsOf(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val meta = metaPath(root, v)
+    require(Files.exists(meta),
+      s"snapshot catalog: unknown version $v under $root " +
+        s"(published: ${versions(root).mkString(", ")})")
+    val sealedFp = Files.readString(meta)
+    require(sealedFp.nonEmpty,
+      s"snapshot catalog: version $v under $root is an in-flight or " +
+        "aborted publish (empty meta) — refusing to read")
+    val dir = snapshotDir(root, v)
+    val current = graft.Indexes.fingerprint(dir)
+    require(current == sealedFp,
+      s"snapshot catalog: version $v under $root changed on disk since " +
+        s"publish (sealed $sealedFp, current $current) — refusing to " +
+        "serve a mutated snapshot")
+    spark.read.parquet(dir)
+  }
+}
