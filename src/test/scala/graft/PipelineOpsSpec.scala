@@ -143,12 +143,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ivf = Similarity.annIvf(spark, sf)
     val got = ivf.collect()
       .map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
-    // probed cells per query, from the operator's own output
+    // probed cells per query, from the operator's own output (cells are
+    // TRAINED k-means clusters since round 14, so membership comes from
+    // the index's own assignments, not the label column)
     val cells = ivf.select("query_id", "cell").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cellOf = spark.read
+      .parquet(s"${Similarity.ivfIndexPath(spark, sf)}/assignments")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // expected: brute-force rank over vectors in those cells only
     val e = Tables.embeddings(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, cellOf(r.getLong(0))))
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) {
