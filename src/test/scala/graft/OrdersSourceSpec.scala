@@ -422,17 +422,24 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q.processAllAvailable() finally q.stop()
 
     // Exact accounting: every generated id lands exactly once, on
-    // exactly one side of the split.
+    // exactly one side of the split. Since round 14 dlqSplit routes
+    // like the retry executor: retryable failures whose deterministic
+    // recovery attempt is within 3 retries RECOVER to main; only
+    // exhausted retryables and permanents reach the DLQ.
     val badPermanent = (0L until 1000L).filter(_ % 97 == 13).toSet
     val badRetryable = (0L until 1000L).filter(_ % 97 == 50).toSet
+    val exhausted = badRetryable.filter(id =>
+      graft.operators.Reliability.recoverAttempt(f"ORD-$id%07d") > 3)
+    assert(exhausted.nonEmpty && exhausted != badRetryable,
+      "poison set must exercise BOTH recovery and exhaustion")
     val dlqSeq = dlq.asScala.toSeq
     assert(mainRows.get() + dlqSeq.size == 1000L,
       s"split must partition the stream: ${mainRows.get()} + ${dlqSeq.size}")
-    assert(dlqSeq.map(_._1).toSet == badPermanent ++ badRetryable)
+    assert(dlqSeq.map(_._1).toSet == badPermanent ++ exhausted)
     assert(dlqSeq.collect { case (id, "PermanentError", rc, _) => (id, rc) }
       .toMap == badPermanent.map(_ -> 0).toMap)
     assert(dlqSeq.collect { case (id, "RetryableError", rc, _) => (id, rc) }
-      .toMap == badRetryable.map(_ -> 3).toMap)
+      .toMap == exhausted.map(_ -> 3).toMap)
     assert(dlqSeq.forall(_._4 == "orders"), "DLQ provenance must ride along")
     // And the main side went through the sink's real commit protocol:
     // one batch-write commit per micro-batch, none aborted.
