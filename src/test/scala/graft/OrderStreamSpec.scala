@@ -502,6 +502,104 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retry executor: pending retries and their timers SURVIVE a restart") {
+    import spark.implicits._
+    import OrderStream.{RetryEvent, RetryOutcome}
+    // The durability claim a static schedule can never make: a record
+    // mid-retry (state + armed timer, nothing emitted yet) must come
+    // back after a crash/restart and still route with its TRUE count.
+    // Run 1 consumes the input and is STOPPED before the first timer
+    // deadline (delays are seconds-scale to make that window wide);
+    // the first deadline then passes while the query is DOWN; run 2
+    // recovers the checkpoint and the restored timer fires. (NOT
+    // AvailableNow: in ProcessingTime time-mode the engine keeps
+    // scheduling timer-sweep batches, so AvailableNow never
+    // terminates — the stop is explicit, like the crash it models.)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-retry-recovery")
+    val (src, sink, chk) = (root.resolve("src"), root.resolve("sink"),
+      root.resolve("chk"))
+    java.nio.file.Files.createDirectories(src)
+    // First deadline 4s out: wide enough that batch-0 commit + the
+    // poll that observes it always beat it.
+    val slowMs: (String, Int) => Long = (_, a) => 4000L + 500L * a
+
+    def startQuery() = {
+      val events = spark.readStream
+        .schema("eventId STRING, product STRING, price DOUBLE," +
+          " errorClass STRING, errorMessage STRING, succeedsOnAttempt INT")
+        .json(src.toString).as[RetryEvent]
+      OrderStream.retryExecutorTws(events, 3, slowMs)
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", chk.toString)
+        // bound the timer-sweep batch rate (each empty batch writes a
+        // zero-row parquet part)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"))
+        .start()
+    }
+    val outSchema = "event_id STRING, product STRING, price DOUBLE," +
+      " route STRING, retry_count INT, error_type STRING," +
+      " error_message STRING, scheduled_ms LONG, emitted_ms LONG"
+    def outcomes(): Map[String, RetryOutcome] = {
+      val files = sink.toFile.listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet")))
+        Map.empty
+      else
+        try spark.read.schema(outSchema).parquet(sink.toString)
+          .as[RetryOutcome].collect().map(o => o.event_id -> o).toMap
+        catch { // a part file mid-write on a poll tick: try again later
+          case _: org.apache.spark.sql.AnalysisException => Map.empty
+        }
+    }
+
+    java.nio.file.Files.writeString(src.resolve("b1.json"), Seq(
+      """{"eventId":"EVT-OK","product":"Laptop","price":10.0,"errorClass":"Valid","errorMessage":null,"succeedsOnAttempt":0}""",
+      """{"eventId":"EVT-PERM","product":"Monitor","price":-1.0,"errorClass":"PermanentError","errorMessage":"Invalid price: -1.0","succeedsOnAttempt":0}""",
+      """{"eventId":"EVT-TRANSIENT","product":"Mouse","price":5.0,"errorClass":"RetryableError","errorMessage":"Simulated temporary processing failure","succeedsOnAttempt":1}""",
+      """{"eventId":"EVT-EXHAUST","product":"error","price":7.0,"errorClass":"RetryableError","errorMessage":"Simulated temporary processing failure","succeedsOnAttempt":-1}""")
+      .mkString("\n"))
+    try {
+      val q1 = startQuery()
+      // wait for batch 0's immediate routes to COMMIT, then "crash"
+      // well before the 4 s first deadline
+      val commitBy = System.currentTimeMillis() + 30000
+      while (outcomes().size < 2 && System.currentTimeMillis() < commitBy)
+        Thread.sleep(100)
+      q1.stop()
+      // run 1 emitted ONLY the immediate routes; the two retryables sit
+      // in pending state with armed timers, provably un-emitted.
+      val afterRun1 = outcomes()
+      assert(afterRun1.keySet == Set("EVT-OK", "EVT-PERM"),
+        s"run 1 must stop with retries pending, got ${afterRun1.keySet}")
+      // the first retry deadline passes while the query is DOWN
+      Thread.sleep(5000)
+      val q2 = startQuery()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (outcomes().size < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally q2.stop()
+      val all = outcomes()
+      assert(all.keySet ==
+        Set("EVT-OK", "EVT-PERM", "EVT-TRANSIENT", "EVT-EXHAUST"))
+      // exactly once across the restart: four rows total, no replays
+      assert(spark.read.schema(outSchema).parquet(sink.toString)
+        .count() == 4)
+      // ...and the recovered records routed with their TRUE counts
+      assert(all("EVT-TRANSIENT").route == "main" &&
+        all("EVT-TRANSIENT").retry_count == 1)
+      assert(all("EVT-EXHAUST").route == "dlq" &&
+        all("EVT-EXHAUST").retry_count == 3)
+      assert(all("EVT-EXHAUST").error_message ==
+        "Max retries exceeded for Order EVT-EXHAUST")
+      all.values.foreach(o => assert(o.emitted_ms >= o.scheduled_ms))
+    } finally spark.conf.unset(key)
+  }
+
   test("retry executor default timers ARE the q_retry_schedule instants") {
     // Parity pin: the executor's default delay function reproduces the
     // registered q_retry_schedule's delay_jittered_s exactly (to the
