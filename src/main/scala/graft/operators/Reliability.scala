@@ -236,6 +236,73 @@ object Reliability {
         "route", "retry_count", "total_wait_s")
   }
 
+  /** DLQ MONITOR (dead_letter_queue_consumer.py:56-95): the consumer
+    * that reads the DLQ topic's JSON messages, PARSES each envelope,
+    * and aggregates failures by error type and product from the parsed
+    * fields — here as one plan that BUILDS the full reference envelope
+    * (`to_json`, the exact field order `dlqEnvelope` pins byte-exact in
+    * spec), parses it back (`from_json` with a strict schema — a
+    * malformed envelope would surface as nulls and fail the oracle),
+    * and aggregates ONLY from the parsed struct. Routing and TRUE retry
+    * counts come from the executor decision table ([[retryOutcomes]]'
+    * model), so the monitor sees what the retry loop actually shipped:
+    * permanents unretried plus exhausted retryables with count 3 —
+    * recovered records never reach the DLQ. The whole encode→parse→agg
+    * chain is projections plus one hash aggregate; at 100 TB the DLQ
+    * topic is a tiny fraction of traffic and this is a streaming
+    * foreachBatch over it. */
+  def dlqMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val recover = recoverAttemptCol(col("event_id"))
+    val failed = Tables.events(spark, dir)
+      .filter(col("event_type").isNull || col("value") <= 0 ||
+        col("event_type") === "error")
+      .withColumn("error_class",
+        when(col("event_type").isNull || col("value") <= 0,
+          "PermanentError").otherwise("RetryableError"))
+      // executor-faithful routing: recovered retryables never land here
+      .filter(col("error_class") === "PermanentError" || recover > 3)
+      .select(
+        col("event_id"),
+        when(col("event_type").isNull, "MissingField")
+          .when(col("value") <= 0, "InvalidPrice")
+          .otherwise("ProcessingError").as("error_type"),
+        when(col("error_class") === "PermanentError", 0)
+          .otherwise(3).cast("int").as("retry_count"),
+        col("event_type").as("product"),
+        col("value").as("price"),
+        expr("ts div 1000000").as("failed_at"),
+        messageFor(col("event_id") % 10).as("error_message"))
+    val envelope = failed.select(to_json(struct(
+      lit("orders").as("original_topic"),
+      (col("event_id") % 8).as("original_partition"),
+      col("event_id").as("original_offset"),
+      col("event_id").cast("string").as("original_key"),
+      struct(
+        concat(lit("ORD-"), lpad(col("event_id").cast("string"), 7, "0"))
+          .as("orderId"),
+        col("product"), col("price")).as("original_value"),
+      col("error_message"),
+      col("error_type"),
+      col("retry_count"),
+      col("failed_at"),
+      lit("order-processor-group").as("consumer_group"))).as("value"))
+    val schema = "original_topic STRING, original_partition BIGINT," +
+      " original_offset BIGINT, original_key STRING," +
+      " original_value STRUCT<orderId: STRING, product: STRING," +
+      " price: DOUBLE>, error_message STRING, error_type STRING," +
+      " retry_count INT, failed_at BIGINT, consumer_group STRING"
+    envelope
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema)).as("m"))
+      .groupBy(col("m.error_type").as("error_type"),
+        coalesce(col("m.original_value.product"), lit("UNKNOWN"))
+          .as("product"))
+      .agg(count(lit(1)).as("n_messages"),
+        sum(col("m.retry_count").cast("long")).as("total_retries"),
+        max(col("m.failed_at")).as("last_failure_ms"),
+        min(col("m.original_offset")).as("first_offset"))
+  }
+
   /** Error-text classification (retry_handler.py:150-185): retryable iff
     * the lowercased message contains one of the known transient patterns;
     * default permanent.
@@ -257,6 +324,7 @@ object Reliability {
     "q_dlq_stats_by_product" -> dlqStatsByProduct,
     "q_retry_schedule" -> retrySchedule,
     "q_retry_outcomes" -> retryOutcomes,
+    "q_dlq_monitor" -> dlqMonitor,
     "q_error_classification" -> errorClassification)
 
   private val validateSql =
@@ -349,6 +417,31 @@ object Reliability {
          |            WHEN recover_attempt = 2 THEN j0 + j1
          |            ELSE j0 + j1 + j2 END AS total_wait_s
          |FROM j""".stripMargin,
+    // Replays the monitor's aggregates from the base columns: the
+    // Spark side must go THROUGH to_json -> from_json, so any envelope
+    // field the parse loses or distorts hash-mismatches here.
+    "q_dlq_monitor" ->
+      s"""WITH f AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_type IS NULL THEN 'MissingField'
+         |              WHEN value <= 0 THEN 'InvalidPrice'
+         |              ELSE 'ProcessingError' END AS error_type,
+         |         CASE WHEN event_type IS NULL OR value <= 0 THEN 0
+         |              ELSE 3 END AS retry_count,
+         |         coalesce(event_type, 'UNKNOWN') AS product,
+         |         epoch_ns(ts) // 1000000 AS failed_at
+         |  FROM events
+         |  WHERE (event_type IS NULL OR value <= 0 OR event_type = 'error')
+         |    AND (event_type IS NULL OR value <= 0
+         |         OR CAST(1 + CAST(('0x' || substr(md5(
+         |              CAST(event_id AS VARCHAR) || ':recover'), 1, 8))
+         |              AS BIGINT) % 5 AS INTEGER) > 3))
+         |SELECT error_type, product,
+         |       CAST(count(*) AS BIGINT) AS n_messages,
+         |       CAST(sum(retry_count) AS BIGINT) AS total_retries,
+         |       CAST(max(failed_at) AS BIGINT) AS last_failure_ms,
+         |       CAST(min(event_id) AS BIGINT) AS first_offset
+         |FROM f GROUP BY 1, 2""".stripMargin,
     "q_error_classification" ->
       s"""WITH m AS (
          |  SELECT event_id,
