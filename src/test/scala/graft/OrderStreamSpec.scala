@@ -579,16 +579,23 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Thread.sleep(5000)
       val q2 = startQuery()
       try {
+        // A restarted query with no new data may never construct a
+        // batch (no lastExecution to report shouldRunAnotherBatch), so
+        // nudge the source once, as a live topic would — the tick batch
+        // establishes execution and the recovered timers fire on the
+        // sweeps that follow.
+        java.nio.file.Files.writeString(src.resolve("b2.json"),
+          """{"eventId":"EVT-TICK","product":"x","price":1.0,"errorClass":"Valid","errorMessage":null,"succeedsOnAttempt":0}""")
         val deadline = System.currentTimeMillis() + 60000
-        while (outcomes().size < 4 && System.currentTimeMillis() < deadline)
+        while (outcomes().size < 5 && System.currentTimeMillis() < deadline)
           Thread.sleep(100)
       } finally q2.stop()
-      val all = outcomes()
+      val all = outcomes() - "EVT-TICK"
       assert(all.keySet ==
         Set("EVT-OK", "EVT-PERM", "EVT-TRANSIENT", "EVT-EXHAUST"))
-      // exactly once across the restart: four rows total, no replays
+      // exactly once across the restart: one row per record, no replays
       assert(spark.read.schema(outSchema).parquet(sink.toString)
-        .count() == 4)
+        .count() == 5)
       // ...and the recovered records routed with their TRUE counts
       assert(all("EVT-TRANSIENT").route == "main" &&
         all("EVT-TRANSIENT").retry_count == 1)
