@@ -97,5 +97,6 @@ object Indexes {
     operators.Dedup.rankedIndexPath(spark, dir)
     operators.Dedup.docSetsPath(spark, dir)
     operators.GraphOps.purchaseGraphPath(spark, dir)
+    operators.Analytics.customerSnapshotRoot(spark, dir)
   }
 }

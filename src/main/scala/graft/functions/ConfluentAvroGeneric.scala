@@ -128,6 +128,8 @@ object ConfluentAvroBridge {
         case Schema.Type.BYTES => ByteBuffer.wrap(arr.getBinary(j))
         case Schema.Type.RECORD =>
           rowToRecord(elem, arr.getStruct(j, elem.getFields.size))
+        case Schema.Type.ARRAY =>
+          arrayToAvro(elem, arr.getArray(j))
         case t => throw new IllegalArgumentException(
           s"confluent avro bridge: unsupported array element type $t")
       })
@@ -253,9 +255,13 @@ case class FromConfluentAvro(child: Expression, registryDir: String,
   @transient private lazy val readerSchema =
     new Schema.Parser().parse(readerSchemaJson)
 
-  override def dataType: DataType =
-    ConfluentAvroBridge.sparkType(
-      new Schema.Parser().parse(readerSchemaJson))
+  // Catalyst calls dataType many times per planning pass — derive it
+  // once from the cached reader schema (recomputed lazily after
+  // deserialization on an executor), never by re-parsing the JSON.
+  @transient private lazy val sparkDataType =
+    ConfluentAvroBridge.sparkType(readerSchema)
+
+  override def dataType: DataType = sparkDataType
 
   def decode(bytes: Array[Byte]): InternalRow = {
     val (id, payload) = ConfluentWire.unframe(bytes)

@@ -63,21 +63,33 @@ object Reliability {
     retryablePatterns
       .map(p => s"lower($expr) LIKE '%$p%'").mkString("(", " OR ", ")")
 
+  /** THE validation predicate and error mappings, defined once: adds
+    * the verdict columns to any projection of the events table that
+    * still carries `event_type` and `value`. Every consumer (the
+    * validation query, the DLQ monitor, the Confluent DLQ codec demo)
+    * builds on this — a change to the validation semantics cannot
+    * silently diverge hand-synced copies. */
+  private[graft] def withVerdict(events: DataFrame): DataFrame =
+    events
+      .withColumn("is_valid",
+        col("value") > 0 && col("event_type").isNotNull &&
+          col("event_type") =!= "error")
+      .withColumn("error_type",
+        when(col("event_type").isNull, "MissingField")
+          .when(col("value") <= 0, "InvalidPrice")
+          .when(col("event_type") === "error", "ProcessingError"))
+      .withColumn("error_class",
+        when(col("event_type").isNull || col("value") <= 0,
+          "PermanentError")
+          .when(col("event_type") === "error", "RetryableError"))
+
   /** Per-event validation verdict (avro_order_consumer.py:95-121). */
   def validateEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    withVerdict(Tables.events(spark, dir)).select(
       col("event_id"),
       col("event_type").as("product"),
       col("value").as("price"),
-      (col("value") > 0 && col("event_type").isNotNull &&
-        col("event_type") =!= "error").as("is_valid"),
-      when(col("event_type").isNull, "MissingField")
-        .when(col("value") <= 0, "InvalidPrice")
-        .when(col("event_type") === "error", "ProcessingError")
-        .as("error_type"),
-      when(col("event_type").isNull || col("value") <= 0, "PermanentError")
-        .when(col("event_type") === "error", "RetryableError")
-        .as("error_class"))
+      col("is_valid"), col("error_type"), col("error_class"))
 
   /** DLQ record construction with provenance, mirroring the dead-letter
     * message shape (avro_order_consumer.py:128-143). Synthetic partition =
@@ -253,19 +265,13 @@ object Reliability {
     * foreachBatch over it. */
   def dlqMonitor(spark: SparkSession, dir: String): DataFrame = {
     val recover = recoverAttemptCol(col("event_id"))
-    val failed = Tables.events(spark, dir)
-      .filter(col("event_type").isNull || col("value") <= 0 ||
-        col("event_type") === "error")
-      .withColumn("error_class",
-        when(col("event_type").isNull || col("value") <= 0,
-          "PermanentError").otherwise("RetryableError"))
+    val failed = withVerdict(Tables.events(spark, dir))
+      .filter(!col("is_valid"))
       // executor-faithful routing: recovered retryables never land here
       .filter(col("error_class") === "PermanentError" || recover > 3)
       .select(
         col("event_id"),
-        when(col("event_type").isNull, "MissingField")
-          .when(col("value") <= 0, "InvalidPrice")
-          .otherwise("ProcessingError").as("error_type"),
+        col("error_type"),
         when(col("error_class") === "PermanentError", 0)
           .otherwise(3).cast("int").as("retry_count"),
         col("event_type").as("product"),

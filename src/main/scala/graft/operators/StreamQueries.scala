@@ -140,17 +140,14 @@ object StreamQueries {
     * codec demo rides the retry executor's real output shape. */
   def confluentDlq(spark: SparkSession, dir: String): DataFrame = {
     val (regDir, v1Id, v2Id) = dlqRegistry
-    val failed = Tables.events(spark, dir)
-      .filter(col("event_type").isNull || col("value") <= 0 ||
-        col("event_type") === "error")
+    val failed = Reliability.withVerdict(Tables.events(spark, dir))
+      .filter(!col("is_valid"))
       .select(
         col("event_id"),
         concat(lit("ORD-"), lpad(col("event_id").cast("string"), 7, "0"))
           .as("original_key"),
-        when(col("event_type").isNull, "MissingField")
-          .when(col("value") <= 0, "InvalidPrice")
-          .otherwise("ProcessingError").as("error_type"),
-        when(col("event_type").isNull || col("value") <= 0, 0)
+        col("error_type"),
+        when(col("error_class") === "PermanentError", 0)
           .otherwise(least(
             graft.operators.Reliability.recoverAttemptCol(col("event_id")),
             lit(3))).cast("int").as("retry_count"),

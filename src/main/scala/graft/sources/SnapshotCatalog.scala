@@ -36,8 +36,9 @@ object SnapshotCatalog {
   def snapshotDir(root: String, v: Int): String =
     Paths.get(root, s"v$v").toString
 
-  /** Published versions, ascending. */
-  def versions(root: String): Seq[Int] = {
+  /** Every claimed version id, sealed or not — the id allocator must
+    * see in-flight claims so it never re-claims one. */
+  private def allClaims(root: String): Seq[Int] = {
     val d = metaDir(root)
     if (!Files.isDirectory(d)) return Seq.empty
     val stream = Files.list(d)
@@ -49,6 +50,13 @@ object SnapshotCatalog {
     finally stream.close()
   }
 
+  /** SEALED versions only, ascending — an in-flight or aborted publish
+    * (empty meta) is invisible to readers, so `latest` never names a
+    * version [[readAsOf]] is guaranteed to refuse. */
+  def versions(root: String): Seq[Int] =
+    allClaims(root).filter(v =>
+      Files.readString(metaPath(root, v)).nonEmpty)
+
   def latest(root: String): Option[Int] = versions(root).lastOption
 
   /** Publish `df` as the next snapshot version: claim the version id
@@ -59,7 +67,7 @@ object SnapshotCatalog {
     * publish; [[readAsOf]] refuses it. */
   def publish(df: DataFrame, root: String): Int = {
     Files.createDirectories(metaDir(root))
-    var v = versions(root).lastOption.getOrElse(0) + 1
+    var v = allClaims(root).lastOption.getOrElse(0) + 1
     var claimed = false
     while (!claimed) {
       try {
@@ -82,7 +90,7 @@ object SnapshotCatalog {
     val meta = metaPath(root, v)
     require(Files.exists(meta),
       s"snapshot catalog: unknown version $v under $root " +
-        s"(published: ${versions(root).mkString(", ")})")
+        s"(claimed: ${allClaims(root).mkString(", ")})")
     val sealedFp = Files.readString(meta)
     require(sealedFp.nonEmpty,
       s"snapshot catalog: version $v under $root is an in-flight or " +

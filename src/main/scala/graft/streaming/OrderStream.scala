@@ -685,6 +685,13 @@ object OrderStream {
       val now = timers.getCurrentProcessingTimeInMs()
       rows.toSeq.flatMap { e =>
         e.errorClass match {
+          case _ if st.exists() =>
+            // At-least-once redelivery while a retry is PENDING:
+            // ignore the duplicate. Overwriting would reset
+            // attemptsDone to 0 and arm a second timer — re-attempts
+            // would then run off-schedule and the terminal count would
+            // under-report what actually executed.
+            None
           case "PermanentError" =>
             // Never retried (retry_handler.py:120-123): straight to DLQ
             // with the TRUE count of retries executed — zero.
@@ -699,9 +706,17 @@ object OrderStream {
               0, e.succeedsOnAttempt, deadline))
             getHandle.registerTimer(deadline)
             None
-          case _ =>
+          case "Valid" =>
             Some(RetryOutcome(eventId, e.product, e.price, "main", 0,
               null, null, now, now))
+          case other =>
+            // An unmapped class is a producer bug — refuse loudly
+            // (the unknown-schema-id / bad-magic-byte discipline),
+            // never silently ship a failed record as a success.
+            throw new IllegalArgumentException(
+              s"retry executor: unknown errorClass '$other' for " +
+                s"record $eventId — expected Valid, RetryableError " +
+                "or PermanentError")
         }
       }.iterator
     }
@@ -786,7 +801,15 @@ object OrderStream {
   def dlqEnvelope(outcomes: Dataset[RetryOutcome],
       topic: String = "orders",
       consumerGroup: String = "order-processor-group"): DataFrame = {
-    val num = regexp_replace(col("event_id"), "[^0-9]", "").cast("long")
+    // Provenance must NEVER be null (to_json drops null fields and the
+    // "full envelope, exact field order" contract silently breaks):
+    // digit-bearing keys (the producer's ORD-%07d) re-derive the
+    // partition/offset the way dlqRoute does; keys with no digits fall
+    // back to a deterministic hash of the key.
+    val num = coalesce(
+      nullif(regexp_replace(col("event_id"), "[^0-9]", ""), lit(""))
+        .cast("long"),
+      pmod(abs(xxhash64(col("event_id"))), lit(100000000L)))
     outcomes.toDF().filter(col("route") === "dlq").select(
       col("event_id").as("key"),
       to_json(struct(

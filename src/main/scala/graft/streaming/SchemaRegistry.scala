@@ -113,8 +113,30 @@ final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
     id
   }
 
+  /** The whole register operation (dedup lookup → id claim → subject
+    * append) runs under a REGISTRY-WIDE lock: a JVM-wide per-dir
+    * monitor (two instances in one JVM must not race each other into
+    * `FileLock`'s OverlappingFileLockException) plus an OS `FileLock`
+    * on `<dir>/.lock` for cross-process exclusion — otherwise the
+    * subject version list is a read-modify-write that loses concurrent
+    * registrations, and two processes registering the SAME schema can
+    * mint two ids (breaking the Confluent idempotency contract). The
+    * CREATE_NEW id claim stays as a belt-and-braces invariant for any
+    * writer that bypasses the lock. */
+  private def withRegistryLock[A](body: => A): A =
+    FileSchemaRegistry.monitorFor(root.toString).synchronized {
+      val lockPath = root.resolve(".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
   override def register(subject: String, schema: Schema): Int =
-    synchronized {
+    withRegistryLock {
       val canon = schema.toString // canonical-enough: parsed form
       val existing = subjectIds(subject)
         .find(id => byId(id).toString == canon)
@@ -139,6 +161,16 @@ final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
 
   override def latest(subject: String): Option[(Int, Schema)] =
     subjectIds(subject).lastOption.map(id => id -> byId(id))
+}
+
+object FileSchemaRegistry {
+  /** One monitor per registry dir, JVM-wide: serializes instances of
+    * the same registry inside one JVM before the cross-process
+    * `FileLock` is taken (overlapping JVM-internal FileLocks throw). */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(dir: String): Object =
+    monitors.computeIfAbsent(dir, _ => new Object)
 }
 
 object ConfluentWire {

@@ -607,6 +607,51 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(key)
   }
 
+  test("retry executor ignores at-least-once redelivery while a retry is pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import OrderStream.{RetryEvent, RetryOutcome}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Flat 600 ms per retry: a duplicate that RESET pending state and
+    // armed a second timer would let the two timers leapfrog and reach
+    // exhaustion well before 3 x 600 ms of schedule had elapsed — the
+    // lower bound below is the observable discipline.
+    val flatMs: (String, Int) => Long = (_, _) => 600L
+    val t0 = System.currentTimeMillis()
+    val input = MemoryStream[RetryEvent]
+    val dup = RetryEvent("EVT-DUP", "error", 7.0, "RetryableError",
+      "Simulated temporary processing failure", -1)
+    input.addData(dup)
+    val q = OrderStream
+      .retryExecutorTws(input.toDS(), maxRetries = 3, delayMsFn = flatMs)
+      .writeStream.format("memory").queryName("retry_dup_test")
+      .outputMode("append").start()
+    try {
+      // redeliver while the first retry is pending
+      Thread.sleep(250)
+      input.addData(dup)
+      def rows() = spark.table("retry_dup_test").as[RetryOutcome]
+        .collect().filter(_.event_id == "EVT-DUP")
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val out = rows()
+      // exactly ONE terminal emission, with the true exhausted count...
+      assert(out.length == 1, s"duplicate must not double-emit: ${out.toSeq}")
+      assert(out.head.route == "dlq" && out.head.retry_count == 3)
+      // ...and the three re-attempts respected the 600 ms cadence from
+      // the ORIGINAL arrival (a state reset + second timer would land
+      // the terminal attempt well under 1800 ms)
+      assert(out.head.scheduled_ms >= t0 + 1740,
+        s"re-attempts ran off-schedule after redelivery: ${out.head}")
+    } finally {
+      q.stop()
+      spark.conf.unset(key)
+    }
+  }
+
   test("retry executor default timers ARE the q_retry_schedule instants") {
     // Parity pin: the executor's default delay function reproduces the
     // registered q_retry_schedule's delay_jittered_s exactly (to the

@@ -50,7 +50,7 @@ class SnapshotCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       SnapshotCatalog.readAsOf(spark, root, 7)
     }
     assert(e.getMessage.contains("unknown version 7"))
-    assert(e.getMessage.contains("published: 1"))
+    assert(e.getMessage.contains("claimed: 1"))
   }
 
   test("a snapshot mutated after publish refuses instead of serving") {
@@ -78,6 +78,14 @@ class SnapshotCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       SnapshotCatalog.readAsOf(spark, root, 2)
     }
     assert(e.getMessage.contains("in-flight or aborted publish"))
+    // readers never SEE the unsealed claim: versions()/latest() list
+    // only sealed snapshots, so latest() cannot name a version readAsOf
+    // would refuse...
+    assert(SnapshotCatalog.versions(root) == Seq(1))
+    assert(SnapshotCatalog.latest(root).contains(1))
+    // ...the id allocator still sees it, so the next publish skips id 2
+    import spark.implicits._
+    assert(SnapshotCatalog.publish(Seq((9L, "z")).toDF("k", "v"), root) == 3)
     // and the sealed version still serves
     assert(SnapshotCatalog.readAsOf(spark, root, 1).count() == 1)
   }
