@@ -61,6 +61,39 @@ object Indexes {
       .map("%02x".format(_)).mkString
   }
 
+  /** CONTENT fingerprint (r14 advice — the SnapshotCatalog seal): the
+    * sorted (relative path, md5-of-bytes) listing of every regular
+    * file, md5'd. Unlike [[fingerprint]] this reads every byte, so it
+    * is immune to both failure modes of the size/mtime listing: an
+    * in-place byte mutation preserving size within mtime granularity
+    * now CHANGES the fingerprint, and a content-identical restore/copy
+    * with fresh mtimes now PRESERVES it. Cost is one full read of the
+    * dir — right for a publish-time seal (the publisher just wrote
+    * those bytes; at 100 TB the table format computes per-file
+    * checksums DURING the write and stores them in the manifest, which
+    * is what this stands in for), wrong for the per-lookup cache key,
+    * which keeps the cheap listing. */
+  def contentFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return "absent"
+    val stream = java.nio.file.Files.walk(root)
+    val listing =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val h = md.digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+            s"${root.relativize(p)}:$h"
+          }.toSeq.sorted
+      } finally stream.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(listing.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Staleness-aware cache key for a corpus dir; see [[fingerprint]]. */
   def cacheKey(dir: String): String = dir + "#" + fingerprint(dir)
 

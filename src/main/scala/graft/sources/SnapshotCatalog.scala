@@ -50,12 +50,21 @@ object SnapshotCatalog {
     finally stream.close()
   }
 
-  /** SEALED versions only, ascending — an in-flight or aborted publish
-    * (empty meta) is invisible to readers, so `latest` never names a
-    * version [[readAsOf]] is guaranteed to refuse. */
+  /** Marker a retired version's meta is atomically rewritten to: the
+    * claim file STAYS (the id allocator must never re-mint an expired
+    * id — a reader holding the old number would silently read NEW data
+    * under it) but readers refuse it by name. */
+  private val Expired = "EXPIRED"
+
+  /** SEALED, still-retained versions only, ascending — an in-flight or
+    * aborted publish (empty meta) and an expired version are invisible
+    * to readers, so `latest` never names a version [[readAsOf]] is
+    * guaranteed to refuse. */
   def versions(root: String): Seq[Int] =
-    allClaims(root).filter(v =>
-      Files.readString(metaPath(root, v)).nonEmpty)
+    allClaims(root).filter { v =>
+      val m = Files.readString(metaPath(root, v))
+      m.nonEmpty && m != Expired
+    }
 
   def latest(root: String): Option[Int] = versions(root).lastOption
 
@@ -79,7 +88,13 @@ object SnapshotCatalog {
     }
     val dir = snapshotDir(root, v)
     df.write.mode("overwrite").parquet(dir)
-    Files.writeString(metaPath(root, v), graft.Indexes.fingerprint(dir))
+    // CONTENT hash seal (r14 advice): the size/mtime listing let an
+    // in-place byte mutation within mtime granularity pass and falsely
+    // refused a content-identical restore with fresh mtimes. The
+    // publisher just wrote these bytes, so the extra read is the
+    // publish-time checksum a table-format manifest records anyway.
+    Files.writeString(metaPath(root, v),
+      graft.Indexes.contentFingerprint(dir))
     v
   }
 
@@ -95,12 +110,54 @@ object SnapshotCatalog {
     require(sealedFp.nonEmpty,
       s"snapshot catalog: version $v under $root is an in-flight or " +
         "aborted publish (empty meta) — refusing to read")
+    require(sealedFp != Expired,
+      s"snapshot catalog: version $v under $root is EXPIRED " +
+        s"(retained: ${versions(root).mkString(", ")}) — refusing to read")
     val dir = snapshotDir(root, v)
-    val current = graft.Indexes.fingerprint(dir)
+    val current = graft.Indexes.contentFingerprint(dir)
     require(current == sealedFp,
       s"snapshot catalog: version $v under $root changed on disk since " +
         s"publish (sealed $sealedFp, current $current) — refusing to " +
         "serve a mutated snapshot")
     spark.read.parquet(dir)
+  }
+
+  /** SNAPSHOT RETENTION — the third lakehouse maintenance face beside
+    * CDC-apply and compaction planning: retire every sealed version
+    * except the newest `keepLast`, reclaiming their data dirs. Order
+    * matters for the concurrent-reader contract: the meta is first
+    * atomically rewritten to the [[Expired]] tombstone (temp file +
+    * ATOMIC_MOVE — a reader resolving the meta sees either the intact
+    * seal or the tombstone refusal, never a torn file), THEN the data
+    * dir is removed; a reader that resolved the seal just before the
+    * tombstone landed either finishes its scan (dir not yet gone) or
+    * fails loudly on missing files — never silently reads wrong data.
+    * The claim file itself stays forever so the id allocator can never
+    * re-mint an expired id. Returns the expired version ids. */
+  def expire(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"snapshot catalog: keepLast must be >= 1")
+    val sealedVs = versions(root)
+    val toExpire = sealedVs.dropRight(keepLast)
+    toExpire.foreach { v =>
+      val meta = metaPath(root, v)
+      val tmp = Files.createTempFile(metaDir(root), s".$v.", ".tmp")
+      Files.writeString(tmp, Expired)
+      Files.move(tmp, meta,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteTree(Paths.get(snapshotDir(root, v)))
+    }
+    toExpire
+  }
+
+  /** Recursive delete (children before parents); shared by [[expire]]
+    * and the superseded-snapshot-root cleanup in Analytics. */
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    val stream = Files.walk(p)
+    try
+      stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally stream.close()
   }
 }

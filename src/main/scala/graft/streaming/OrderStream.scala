@@ -670,14 +670,28 @@ object OrderStream {
     * transient-failure rate times the backoff horizon, not the corpus. */
   class RetryExecProcessor(
       maxRetries: Int = 3,
-      delayMsFn: (String, Int) => Long = RetryExecProcessor.scheduleMs)
+      delayMsFn: (String, Int) => Long = RetryExecProcessor.scheduleMs,
+      tombstoneTtl: java.time.Duration = java.time.Duration.ofHours(1))
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, RetryEvent, RetryOutcome] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var st: ValueState[PendingRetry] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var routed: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[PendingRetry]("pending",
         org.apache.spark.sql.Encoders.product[PendingRetry], TTLConfig.NONE)
+      // Routed TOMBSTONE (r14 advice): the pending-state guard below
+      // only covers redelivery while a retry is in flight — a duplicate
+      // arriving AFTER the record terminally routed (pending cleared)
+      // would re-enter the full loop and emit a second terminal
+      // outcome, double-counting in append sinks. A small per-key
+      // tombstone with a TTL suppresses post-terminal redeliveries for
+      // the at-least-once redelivery horizon; TTL bounds steady-state
+      // store size to the routed population within that horizon (not
+      // the corpus), which is what RocksDB holds at 100 TB/day.
+      routed = getHandle.getValueState[Boolean]("routed",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(tombstoneTtl))
+    }
 
     override def handleInputRows(
         eventId: String, rows: Iterator[RetryEvent],
@@ -685,6 +699,11 @@ object OrderStream {
       val now = timers.getCurrentProcessingTimeInMs()
       rows.toSeq.flatMap { e =>
         e.errorClass match {
+          case _ if routed.exists() =>
+            // At-least-once redelivery AFTER terminal routing: the
+            // outcome already shipped; emitting again would double-count
+            // downstream. Suppress until the tombstone's TTL lapses.
+            None
           case _ if st.exists() =>
             // At-least-once redelivery while a retry is PENDING:
             // ignore the duplicate. Overwriting would reset
@@ -695,6 +714,7 @@ object OrderStream {
           case "PermanentError" =>
             // Never retried (retry_handler.py:120-123): straight to DLQ
             // with the TRUE count of retries executed — zero.
+            routed.update(true)
             Some(RetryOutcome(eventId, e.product, e.price, "dlq", 0,
               "PermanentError", e.errorMessage, now, now))
           case "RetryableError" =>
@@ -707,6 +727,7 @@ object OrderStream {
             getHandle.registerTimer(deadline)
             None
           case "Valid" =>
+            routed.update(true)
             Some(RetryOutcome(eventId, e.product, e.price, "main", 0,
               null, null, now, now))
           case other =>
@@ -731,11 +752,13 @@ object OrderStream {
         val attempt = p.attemptsDone + 1 // this retry's 1-based index
         if (p.succeedsOnAttempt >= 1 && attempt >= p.succeedsOnAttempt) {
           st.clear()
+          routed.update(true)
           Iterator.single(RetryOutcome(eventId, p.product, p.price,
             "main", attempt, null, null, p.deadlineMs, now))
         } else if (attempt >= maxRetries) {
           // Max retries exceeded -> PermanentError (retry_handler.py:141).
           st.clear()
+          routed.update(true)
           Iterator.single(RetryOutcome(eventId, p.product, p.price,
             "dlq", maxRetries, "PermanentError",
             s"Max retries exceeded for Order $eventId", p.deadlineMs, now))
@@ -781,11 +804,13 @@ object OrderStream {
   def retryExecutorTws(
       events: Dataset[RetryEvent],
       maxRetries: Int = 3,
-      delayMsFn: (String, Int) => Long = RetryExecProcessor.scheduleMs)
+      delayMsFn: (String, Int) => Long = RetryExecProcessor.scheduleMs,
+      tombstoneTtl: java.time.Duration = java.time.Duration.ofHours(1))
       : Dataset[RetryOutcome] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventId)
-      .transformWithState(new RetryExecProcessor(maxRetries, delayMsFn),
+      .transformWithState(
+        new RetryExecProcessor(maxRetries, delayMsFn, tombstoneTtl),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

@@ -135,6 +135,23 @@ final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
       } finally ch.close()
     }
 
+  /** Rewrite a subject's version list ATOMICALLY: readers
+    * (`subjectIds` → `latest`/`byId` chains) take no lock, so a
+    * truncate-then-write (`Files.writeString` on the live path) would
+    * expose an empty or partial list mid-registration to a
+    * cross-process reader — it would resolve no/stale latest version.
+    * Temp file in the same directory + ATOMIC_MOVE means a reader
+    * always sees either the old complete list or the new complete
+    * list, never a torn one. */
+  private def writeSubjectList(subject: String, content: String): Unit = {
+    val target = subjectPath(subject)
+    val tmp = Files.createTempFile(target.getParent, s".$subject.", ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   override def register(subject: String, schema: Schema): Int =
     withRegistryLock {
       val canon = schema.toString // canonical-enough: parsed form
@@ -142,11 +159,11 @@ final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
         .find(id => byId(id).toString == canon)
       existing.getOrElse {
         val id = claimNextId(canon)
-        val line = s"$id\n"
-        if (Files.exists(subjectPath(subject)))
-          Files.writeString(subjectPath(subject),
-            Files.readString(subjectPath(subject)) + line)
-        else Files.writeString(subjectPath(subject), line)
+        val prior =
+          if (Files.exists(subjectPath(subject)))
+            Files.readString(subjectPath(subject))
+          else ""
+        writeSubjectList(subject, prior + s"$id\n")
         id
       }
     }

@@ -652,6 +652,61 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retry executor suppresses redelivery AFTER terminal routing " +
+      "(routed tombstone), until its TTL lapses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import OrderStream.{RetryEvent, RetryOutcome}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // r14 advice: the pending-state guard only covered the in-flight
+    // window — a duplicate AFTER terminal routing (state cleared)
+    // re-entered the loop and double-emitted. The routed tombstone
+    // suppresses it for its TTL; after the TTL lapses the key is
+    // forgotten (bounded state) and a redelivery is treated as new —
+    // the same horizon semantic dedupOrders pins for watermark eviction.
+    val perm = RetryEvent("EVT-PERM-DUP", "Monitor", -1.0,
+      "PermanentError", "Invalid price: -1.0", 0)
+    val ok = RetryEvent("EVT-OK-DUP", "Laptop", 10.0, "Valid", null, 0)
+    val input = MemoryStream[RetryEvent]
+    input.addData(perm, ok)
+    val q = OrderStream
+      .retryExecutorTws(input.toDS(), maxRetries = 3,
+        delayMsFn = (_, _) => 50L,
+        tombstoneTtl = java.time.Duration.ofSeconds(2))
+      .writeStream.format("memory").queryName("retry_tomb_test")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("retry_tomb_test").as[RetryOutcome]
+        .collect().toSeq
+      val d1 = System.currentTimeMillis() + 60000
+      while (rows().size < 2 && System.currentTimeMillis() < d1)
+        Thread.sleep(100)
+      assert(rows().size == 2)
+      // redeliver both WELL within the 2 s tombstone TTL: suppressed
+      input.addData(perm, ok)
+      Thread.sleep(1000) // several micro-batches process the duplicates
+      assert(rows().size == 2,
+        s"post-terminal redelivery double-emitted: ${rows()}")
+      // after the TTL lapses the tombstone is gone — a redelivery
+      // re-enters the loop (state stays bounded; downstream horizon-
+      // scale dedup is dedupOrders' job)
+      Thread.sleep(2500)
+      input.addData(perm)
+      val d2 = System.currentTimeMillis() + 60000
+      while (rows().size < 3 && System.currentTimeMillis() < d2)
+        Thread.sleep(100)
+      val late = rows()
+      assert(late.size == 3, s"TTL-lapsed redelivery must re-emit: $late")
+      assert(late.count(o =>
+        o.event_id == "EVT-PERM-DUP" && o.route == "dlq") == 2)
+    } finally {
+      q.stop()
+      spark.conf.unset(key)
+    }
+  }
+
   test("retry executor default timers ARE the q_retry_schedule instants") {
     // Parity pin: the executor's default delay function reproduces the
     // registered q_retry_schedule's delay_jittered_s exactly (to the

@@ -98,6 +98,20 @@ class RegistrySpec extends AnyFunSuite {
         " — state 'all suites green' without a number")
   }
 
+  /** Round-14 verdict: §17 prose said "364/364 hash-checked" after the
+    * 365th query landed — the fourth drift of the hand-maintained-count
+    * class. Same cure as suite counts: absolute `N/N hash-checked`
+    * registry tallies may not appear in SURVEY prose; the count lives
+    * only in the spec-pinned `SurveyLedgerCount`. */
+  test("SURVEY prose carries no hand-maintained hash-checked tally") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val hits = """\d+/\d+\s+hash-checked""".r.findAllIn(survey).toSeq
+    assert(hits.isEmpty,
+      s"absolute registry tallies in SURVEY.md drift (r14): $hits" +
+        " — say 'fully hash-checked'; the number lives in SurveyLedgerCount")
+  }
+
   test("no duplicate query names across operator modules") {
     // Map ++ silently keeps the last binding; a name collision between
     // modules would shadow an operator and its oracle without any
