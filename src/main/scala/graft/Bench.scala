@@ -63,6 +63,79 @@ object Bench {
     else (base, None)
   }
 
+  /** Per-query medians of an existing bench map (empty if absent):
+    * feeds the adaptive-reps rule below. */
+  private[graft] def parseBenchTimes(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))
+      parseFlatMap(txt, "queries").map { case (k, v) => k -> v.head }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Parse a flat `"<field>":{"name":1.0,…}` or
+    * `"<field>":{"name":[1.0,2.0],…}` object out of a bench JSON line —
+    * the only two shapes this main writes. */
+  private[graft] def parseFlatMap(json: String,
+      field: String): Map[String, Seq[Double]] = {
+    val obj = ("\"" + field + """":\{(.*?)\}(?=,"|\}$|$)""").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(return Map.empty)
+    """"([A-Za-z0-9_]+)":(\[[^\]]*\]|-?[0-9.]+)""".r
+      .findAllMatchIn(obj).map { m =>
+        val vals = m.group(2).stripPrefix("[").stripSuffix("]")
+          .split(",").filter(_.nonEmpty).map(_.trim.toDouble).toSeq
+        m.group(1) -> vals
+      }.toMap
+  }
+
+  /** One query's timings in a bench artifact: the reported median plus
+    * the [lo,hi] NOISE BAND across that run's reps. Old maps without a
+    * bands field degrade to a zero-width band at the median. */
+  private[graft] case class BenchEntry(median: Double, lo: Double, hi: Double)
+
+  private[graft] def parseBenchEntries(json: String): Map[String, BenchEntry] = {
+    val medians = parseFlatMap(json, "queries")
+      .collect { case (k, Seq(v)) if v >= 0 => k -> v }
+    val bands = parseFlatMap(json, "bands")
+    medians.map { case (k, m) =>
+      bands.get(k) match {
+        case Some(Seq(lo, hi)) => k -> BenchEntry(m, lo, hi)
+        case _ => k -> BenchEntry(m, m, m)
+      }
+    }
+  }
+
+  /** BAND-AWARE round-over-round compare (r14 verdict №2): 29 sub-second
+    * queries swung >1.3× between same-code runs, and every round burned
+    * a §6 canary→isolated→bisect cycle re-attributing noise. A move is
+    * only a MOVER when the two runs' noise bands are DISJOINT beyond
+    * `margin` — new.lo > old.hi·margin is a regression, new.hi <
+    * old.lo/margin an improvement; overlapping bands are by construction
+    * the same measurement. Queries present on one side only are new or
+    * removed, not movers. */
+  private[graft] def moversOutsideBand(
+      old: Map[String, BenchEntry], nw: Map[String, BenchEntry],
+      margin: Double = 1.25): Seq[(String, String)] =
+    (old.keySet & nw.keySet).toSeq.sorted.flatMap { k =>
+      val (o, n) = (old(k), nw(k))
+      if (n.lo > o.hi * margin)
+        Some(k -> f"regressed: old band [${o.lo}%.3f,${o.hi}%.3f] vs new [${n.lo}%.3f,${n.hi}%.3f]")
+      else if (n.hi < o.lo / margin)
+        Some(k -> f"improved: old band [${o.lo}%.3f,${o.hi}%.3f] vs new [${n.lo}%.3f,${n.hi}%.3f]")
+      else None
+    }
+
+  /** Reps for one query: an explicit SPARK_GRAFT_BENCH_REPS wins
+    * everywhere (the §6 isolated-REPS protocol depends on that);
+    * otherwise sub-second-committed (or not-yet-committed) queries get
+    * median-of-5 — the noise class — and second-plus queries keep the
+    * cheap default. Pure so BenchGuardSpec pins it. */
+  private[graft] def adaptiveReps(committedSec: Option[Double],
+      explicitReps: Option[Int], default: Int = 2): Int =
+    explicitReps.getOrElse {
+      if (committedSec.forall(t => t >= 0 && t < 1.0)) math.max(default, 5)
+      else default
+    }
+
   /** Headline set: every operator family, weighted toward the heavy
     * scan/join/shuffle paths that dominate at scale. */
   val headline: Seq[String] = Seq(
@@ -307,23 +380,42 @@ object Bench {
     // and REPS>1 takes the per-query MEDIAN of independent timings —
     // the band across full runs is what the round-over-round compare
     // reads, so it must be narrower than the effects being judged.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
-      .map(_.trim.toInt).getOrElse(2).max(1)
+    //
+    // ADAPTIVE REPS (r14 verdict №2): sub-second queries are where
+    // same-code runs swing >1.3× (29 of them did between the two r14
+    // runs), so when REPS is not explicitly set, any query whose
+    // COMMITTED time is <1 s (or that has no committed time yet) is
+    // measured with median-of-5 instead of the default 2; second-plus
+    // queries keep the cheap default — their signal-to-noise is already
+    // fine and 5 reps would triple the wall cost where it buys nothing.
+    // An explicit SPARK_GRAFT_BENCH_REPS wins everywhere (the §6
+    // isolated-REPS protocol depends on that).
+    val repsExplicit = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .map(_.trim.toInt.max(1))
+    val reps = repsExplicit.getOrElse(2)
+    val committedTimes = parseBenchTimes(committedBenchPath)
+    def repsFor(name: String): Int =
+      adaptiveReps(committedTimes.get(name), repsExplicit, reps)
     val doGc = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
 
     // A failed query records -1 (a sentinel the driver can see — never a
     // bogus sub-second "timing") and is excluded from the headline total.
     // Every timed measurement also records its RUN POSITION (0-based
-    // index in the run order), so late-run drift is attributable.
+    // index in the run order), so late-run drift is attributable, and
+    // its NOISE BAND [min,max] across the reps, so the round-over-round
+    // compare can tell a code move from measurement noise (see
+    // moversOutsideBand).
     val runPos = new java.util.concurrent.atomic.AtomicInteger(0)
     val positions = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val bandsOut =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     def timeOne(name: String): (String, Double) = {
       val fn = SparkEntry.queries(name)
       if (doWarm)
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       positions(name) = runPos.getAndIncrement()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to repsFor(name)).map { _ =>
         if (doGc) System.gc()
         val t0 = System.nanoTime()
         try {
@@ -336,6 +428,7 @@ object Bench {
       }
       val t = if (times.exists(_ < 0)) -1.0
         else times.sorted.apply((times.size - 1) / 2) // lower median
+      if (t >= 0) bandsOut(name) = (times.min, times.max)
       name -> t
     }
 
@@ -352,7 +445,7 @@ object Bench {
     val canaryName = "q1_pricing_summary"
     def canaryRun(): Double = {
       val fn = SparkEntry.queries(canaryName)
-      val times = (1 to reps).map { _ =>
+      val times = (1 to repsFor(canaryName)).map { _ =>
         if (doGc) System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -417,6 +510,9 @@ object Bench {
     }.mkString("[", ",", "]")
     val posJson = positions
       .map { case (k, i) => "\"" + k + s"\":$i" }.mkString("{", ",", "}")
+    val bandsJson = bandsOut
+      .map { case (k, (lo, hi)) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }
+      .mkString("{", ",", "}")
     val canaryJson =
       f"""{"query":"$canaryName","start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f}"""
     val (outPath, guardMsg) = resolveBenchOut(
@@ -427,7 +523,23 @@ object Bench {
       existingCount = benchMapSize(committedBenchPath))
     guardMsg.foreach(m => System.err.println(s"[bench] $m"))
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    // BAND COMPARE against the committed baseline BEFORE it is
+    // overwritten: only disjoint-band moves print — by construction the
+    // round-close diff carries zero unattributed noise movers (r14
+    // verdict №2; the old protocol burned an isolated-REPS cycle per
+    // sub-second swing).
+    try {
+      val oldEntries = parseBenchEntries(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(committedBenchPath)))
+      val newEntries = parseBenchEntries(fullJson)
+      val movers = moversOutsideBand(oldEntries, newEntries)
+      if (movers.isEmpty)
+        System.err.println("[bench] band compare vs committed map: no movers"
+          + " outside noise bands")
+      else movers.foreach { case (q, why) =>
+        System.err.println(s"[bench] MOVER $q $why") }
+    } catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -69,6 +69,67 @@ class BenchGuardSpec extends AnyFunSuite {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("adaptive reps: sub-second and new queries get median-of-5; " +
+      "second-plus keep the default; explicit REPS wins everywhere") {
+    // r14 verdict №2: the noise class is committed-time <1 s.
+    assert(Bench.adaptiveReps(Some(0.4), None) == 5)
+    assert(Bench.adaptiveReps(None, None) == 5) // new query: no baseline
+    assert(Bench.adaptiveReps(Some(1.9), None) == 2)
+    assert(Bench.adaptiveReps(Some(-1.0), None) == 2) // failed last round
+    // explicit SPARK_GRAFT_BENCH_REPS overrides both directions (the §6
+    // isolated-REPS protocol sets 7 on second-plus queries too)
+    assert(Bench.adaptiveReps(Some(0.4), Some(7)) == 7)
+    assert(Bench.adaptiveReps(Some(2.5), Some(7)) == 7)
+    assert(Bench.adaptiveReps(Some(0.4), Some(1)) == 1)
+    // a default raised above 5 is never lowered for the noise class
+    assert(Bench.adaptiveReps(Some(0.4), None, default = 6) == 6)
+  }
+
+  private val mapWithBands =
+    """{"metric":"total","value":3.0,"unit":"sec","queries":{"q_a":0.400,"q_b":2.000,"q_c":-1.000},"bands":{"q_a":[0.350,0.520],"q_b":[1.900,2.110]},"positions":{"q_a":0,"q_b":1},"reps":2}"""
+
+  test("parseBenchEntries reads medians plus noise bands; failed " +
+      "queries and band-less maps degrade safely") {
+    val e = Bench.parseBenchEntries(mapWithBands)
+    assert(e("q_a") == Bench.BenchEntry(0.4, 0.35, 0.52))
+    assert(e("q_b") == Bench.BenchEntry(2.0, 1.9, 2.11))
+    assert(!e.contains("q_c")) // -1 sentinel is not a timing
+    // pre-band maps (r14 and earlier): zero-width band at the median
+    val old = Bench.parseBenchEntries(
+      """{"queries":{"q_a":0.400,"q_b":2.000},"positions":{"q_a":0}}""")
+    assert(old("q_a") == Bench.BenchEntry(0.4, 0.4, 0.4))
+  }
+
+  test("band compare flags ONLY disjoint-band moves beyond the margin") {
+    import Bench.BenchEntry
+    val old = Map(
+      "q_noise" -> BenchEntry(0.5, 0.32, 0.86), // the r14 swing class
+      "q_reg" -> BenchEntry(0.5, 0.45, 0.55),
+      "q_imp" -> BenchEntry(2.0, 1.9, 2.1),
+      "q_edge" -> BenchEntry(0.5, 0.45, 0.55),
+      "q_gone" -> BenchEntry(1.0, 0.9, 1.1))
+    val nw = Map(
+      "q_noise" -> BenchEntry(0.84, 0.80, 0.85), // inside old band: noise
+      "q_reg" -> BenchEntry(1.4, 1.30, 1.50), // disjoint, >1.25x: real
+      "q_imp" -> BenchEntry(0.9, 0.85, 0.95), // disjoint improvement
+      "q_edge" -> BenchEntry(0.62, 0.60, 0.64), // above band, within margin
+      "q_new" -> BenchEntry(0.3, 0.28, 0.32)) // new query: not a mover
+    val movers = Bench.moversOutsideBand(old, nw).toMap
+    assert(movers.keySet == Set("q_reg", "q_imp"),
+      s"wrong mover set: $movers")
+    assert(movers("q_reg").startsWith("regressed"))
+    assert(movers("q_imp").startsWith("improved"))
+  }
+
+  test("benchMapSize still counts the flat queries map when bands follow") {
+    val tmp = java.nio.file.Files.createTempFile("graft-bench-band", ".json")
+    java.nio.file.Files.writeString(tmp, mapWithBands)
+    assert(Bench.benchMapSize(tmp.toString) == 3)
+    assert(Bench.parseBenchTimes(tmp.toString) ==
+      Map("q_a" -> 0.4, "q_b" -> 2.0, "q_c" -> -1.0))
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("the committed baseline at HEAD is the full registry, not a subset") {
     // The r11/r12 incidents are detectable from the artifact alone: a
     // committed map smaller than the registry means a subset run
