@@ -494,6 +494,8 @@ object Bench {
         + " the headlined monthly aggregate read from the view"),
       "q_mv_rewrite_filtered" -> ("plan-rewrite demonstration: the"
         + " filter-over-view containment case, view scan + pushed filter"),
+      "q_mv_rewrite_join" -> ("plan-rewrite demonstration: the"
+        + " join-over-view containment case, dim joins over the view scan"),
       "q_approx_distinct_users" -> ("5-row HLL aggregate; headline"
         + " covers HLL via q_heavy_hitters-family scans"),
       "q_param_sql" -> "SQL-surface variant of a headlined query shape",

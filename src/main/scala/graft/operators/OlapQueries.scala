@@ -591,14 +591,20 @@ object OlapQueries {
     graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
     graft.plans.MvCatalog
       .deregisterOthers(s"quarterly_revenue_rollup:$dir#", rollName)
+    installMvRule(spark)
+    quarterlyRevenueDef(spark, dir)
+  }
+
+  /** Install [[graft.plans.MvRewrite]] into the session's extra
+    * optimizer rules, idempotently (the end-of-analysis injection point
+    * rides GraftExtensions at session build and needs no install). */
+  private[graft] def installMvRule(spark: SparkSession): Unit =
     OlapQueries.synchronized {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.MvRewrite))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
     }
-    quarterlyRevenueDef(spark, dir)
-  }
 
   /** FILTER-OVER-VIEW rewrite — the first containment step past exact
     * match (the Calcite filter-on-view case, and the one dashboards
@@ -640,6 +646,67 @@ object OlapQueries {
   def mvRollupYear(spark: SparkSession, dir: String): DataFrame = {
     mvRewrite(spark, dir) // build + register + install, all idempotent
     yearlyRevenueDef(spark, dir)
+  }
+
+  /** Defining query of the nation-revenue view (the join-over-view
+    * containment case): per-customer-nation order count + exact revenue
+    * cents. Shape deliberately unique under the session-global
+    * MvCatalog — the nearby shareOfParent aggregate on the same key
+    * carries no count column, so the canons can never collide. */
+  private[graft] def nationRevenueDef(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+
+  /** Corpus dir → materialized nation-revenue parquet, built at most
+    * once per JVM ([[graft.Indexes]] discipline). */
+  private val mvNationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** JOIN-OVER-VIEW REWRITE — containment step 4 (r14 verdict №6), the
+    * next most common BI restatement after roll-up: the defining
+    * aggregate JOINED TO DIMS (revenue-by-nation view joined to nation
+    * and region for their names). The end-of-analysis injection point
+    * sees the pristine Aggregate SUBTREE under the joins, the
+    * structural match substitutes the view read for it, and the joins
+    * above survive over the view scan — fact and customer scans gone,
+    * the dim joins broadcast against a |nations|-row left side. At
+    * 100 TB this is every "metrics view ⋈ dimension labels" dashboard
+    * query served from the KB-sized summary. A restatement whose
+    * aggregate is FINER than the view (join key not in the view
+    * output) matches nothing and keeps its fact plan — MvRewriteSpec
+    * pins both directions plus row parity. */
+  def mvRewriteJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Indexes.corpusCached(mvNationCache, dir) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-mv-nation").toFile.getAbsolutePath
+      nationRevenueDef(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    }
+    val mvName = s"nation_revenue:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.registerIfAbsent(mvName) {
+      val defDf = nationRevenueDef(spark, dir)
+      val canons = Seq(defDf.queryExecution.analyzed,
+        defDf.queryExecution.optimizedPlan)
+      (canons, () => spark.read.parquet(path).queryExecution.analyzed)
+    }
+    graft.plans.MvCatalog.deregisterOthers(s"nation_revenue:$dir#", mvName)
+    installMvRule(spark)
+    nationRevenueDef(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("n_orders"), col("total_cents"))
   }
 
   /** Semi join: customers having at least one order above a threshold. */
@@ -1216,6 +1283,7 @@ object OlapQueries {
     "q_mv_rewrite" -> mvRewrite,
     "q_mv_rewrite_filtered" -> mvRewriteFiltered,
     "q_mv_rollup_year" -> mvRollupYear,
+    "q_mv_rewrite_join" -> mvRewriteJoin,
     "q_customers_high_value" -> customersWithHighValueOrders,
     "q_customers_without_orders" -> customersWithoutOrders,
     "q_rollup_flag_status" -> rollupFlagStatus,
@@ -1742,6 +1810,16 @@ object OlapQueries {
         |FROM orders GROUP BY 1
         |HAVING ((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1)
         |         >= 8""".stripMargin,
+    "q_mv_rewrite_join" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_customers_high_value" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

@@ -128,6 +128,63 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("join-over-view: dim joins survive over the view scan; finer " +
+      "restatement (join key not in view output) keeps its fact plan") {
+    import org.apache.spark.sql.functions._
+    // Expected rows computed with the catalog EMPTY (fact-table plan).
+    val direct = OlapQueries.nationRevenueDef(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("n_orders"), col("total_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val rewritten = OlapQueries.mvRewriteJoin(spark, sfDir)
+    try {
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-mv-nation"),
+        s"joined restatement must scan the view parquet:\n$plan")
+      assert(!plan.contains("orders.parquet") &&
+        !plan.contains("customer.parquet"),
+        s"joined restatement must NOT scan fact or customer:\n$plan")
+      // the dim joins must SURVIVE the substitution (they sit above the
+      // matched Aggregate subtree, over the |nations|-row view read)
+      assert(plan.contains("nation.parquet") && plan.contains("region.parquet"),
+        s"dim scans must remain above the view read:\n$plan")
+      val got = rewritten.collect().map(_.toString).sorted.toSeq
+      assert(got == direct,
+        "view-backed join must reproduce the fact-path rows exactly")
+
+      // NEAR-MISS: a FINER aggregate (per-custkey) joined to the same
+      // dims — the join grain (custkey) is not in the view's output, so
+      // no catalog entry matches and the fact plan stays.
+      val finer = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+        .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val fPlan = finer.queryExecution.executedPlan.toString
+      assert(!fPlan.contains("graft-mv-nation") &&
+        fPlan.contains("orders.parquet"),
+        s"finer-grained joined restatement must keep its fact plan:\n$fPlan")
+    } finally {
+      MvCatalog.deregisterPrefix(s"nation_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue:$sfDir")
+      MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$sfDir")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
+
   test("re-registration is check-then-skip: second call still rewrites") {
     try {
       // First call registers; the rule is now live, so a second call
