@@ -18,22 +18,29 @@ import graft.Tables
   */
 object OrderAnalytics {
 
-  /** Per-product count/sum/avg/min/max (price_aggregator.py:40-56, 60-86).
-    * One hash aggregate; partials combine map-side so the shuffle carries
-    * only |products| rows per task regardless of input size.
-    */
-  def priceStatsByProduct(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type").as("product"))
+  /** THE PriceAggregator aggregate, defined once over any (product,
+    * price) frame: per-product count/sum/avg/min/max
+    * (price_aggregator.py:40-56, 60-86). One hash aggregate; partials
+    * combine map-side so the shuffle carries only |products| rows per
+    * task regardless of input size. Shared by the registered batch face
+    * below and the streaming topology's main-route aggregate, so the
+    * two aggregators cannot drift. */
+  def priceStats(productPrice: DataFrame): DataFrame =
+    productPrice
+      .groupBy(col("product"))
       .agg(
         count(lit(1)).as("order_count"),
-        round(sum("value"), 2).as("price_sum"),
+        round(sum("price"), 2).as("price_sum"),
         // exact cents summed, ONE float division: bit-identical across
         // engines (a rounded floating avg can straddle a boundary)
-        (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+        (sum(round(col("price") * 100, 0).cast("long")).cast("double")
           / 100.0 / count(lit(1))).as("price_avg"),
-        min("value").as("price_min"),
-        max("value").as("price_max"))
+        min("price").as("price_min"),
+        max("price").as("price_max"))
+
+  def priceStatsByProduct(spark: SparkSession, dir: String): DataFrame =
+    priceStats(Tables.events(spark, dir)
+      .select(col("event_type").as("product"), col("value").as("price")))
 
   /** Overall totals (price_aggregator.py:100-115). Single global agg:
     * partial-aggregated to one row per task, then one final reduce.

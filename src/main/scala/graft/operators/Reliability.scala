@@ -292,12 +292,21 @@ object Reliability {
       col("retry_count"),
       col("failed_at"),
       lit("order-processor-group").as("consumer_group"))).as("value"))
+    dlqMonitorOver(envelope)
+  }
+
+  /** The monitor's parse→aggregate half over ANY frame of DLQ envelope
+    * JSON strings (column `value`) — shared by the batch face above
+    * (which builds its envelopes in-plan) and the streaming topology
+    * (which reads the envelopes its DLQ file sink actually shipped), so
+    * the two monitors cannot drift. */
+  def dlqMonitorOver(envelopes: DataFrame): DataFrame = {
     val schema = "original_topic STRING, original_partition BIGINT," +
       " original_offset BIGINT, original_key STRING," +
       " original_value STRUCT<orderId: STRING, product: STRING," +
       " price: DOUBLE>, error_message STRING, error_type STRING," +
       " retry_count INT, failed_at BIGINT, consumer_group STRING"
-    envelope
+    envelopes
       .select(from_json(col("value"),
         org.apache.spark.sql.types.StructType.fromDDL(schema)).as("m"))
       .groupBy(col("m.error_type").as("error_type"),

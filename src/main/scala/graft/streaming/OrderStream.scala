@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -642,15 +642,20 @@ object OrderStream {
 
   /** A consumed record entering the retry executor. `succeedsOnAttempt`
     * is the 1-based retry index at which re-processing succeeds (the
-    * reference logs it as "attempt N+1"); <= 0 means it never does. */
+    * reference logs it as "attempt N+1"); <= 0 means it never does.
+    * `eventMs` is the record's MESSAGE timestamp (the reference's
+    * `kafka_message.timestamp()`, avro_order_consumer.py:132) — it
+    * rides through the executor so the DLQ envelope's `failed_at` is
+    * the failed MESSAGE's time, as the reference stamps it. */
   case class RetryEvent(eventId: String, product: String, price: Double,
-      errorClass: String, errorMessage: String, succeedsOnAttempt: Int)
+      errorClass: String, errorMessage: String, succeedsOnAttempt: Int,
+      eventMs: Long)
 
   /** Pending-retry state: attempts executed so far and the scheduled
     * instant of the next one. */
   case class PendingRetry(product: String, price: Double,
       errorMessage: String, attemptsDone: Int, succeedsOnAttempt: Int,
-      deadlineMs: Long)
+      deadlineMs: Long, eventMs: Long)
 
   /** Terminal emission per consumed record: route ("main"/"dlq") with
     * the TRUE retry count — the succeeding retry's index, `maxRetries`
@@ -659,10 +664,12 @@ object OrderStream {
     * PermanentError, avro_order_consumer.py:192, over-reporting
     * unretried ones — this executor reports what actually ran).
     * `scheduled_ms`/`emitted_ms` expose the timer contract: the final
-    * attempt's scheduled instant and the batch time that executed it. */
+    * attempt's scheduled instant and the batch time that executed it;
+    * `event_ms` carries the record's message timestamp through. */
   case class RetryOutcome(event_id: String, product: String, price: Double,
       route: String, retry_count: Int, error_type: String,
-      error_message: String, scheduled_ms: Long, emitted_ms: Long)
+      error_message: String, scheduled_ms: Long, emitted_ms: Long,
+      event_ms: Long)
 
   /** The retry loop as state + timers. One live timer per key; state is
     * dropped the moment the record routes, so steady-state store size is
@@ -716,20 +723,20 @@ object OrderStream {
             // with the TRUE count of retries executed — zero.
             routed.update(true)
             Some(RetryOutcome(eventId, e.product, e.price, "dlq", 0,
-              "PermanentError", e.errorMessage, now, now))
+              "PermanentError", e.errorMessage, now, now, e.eventMs))
           case "RetryableError" =>
             // The initial attempt already failed retryably; arm the
             // retry-1 timer at the schedule's instant and hold the
             // record in pending state.
             val deadline = now + delayMsFn(eventId, 0)
             st.update(PendingRetry(e.product, e.price, e.errorMessage,
-              0, e.succeedsOnAttempt, deadline))
+              0, e.succeedsOnAttempt, deadline, e.eventMs))
             getHandle.registerTimer(deadline)
             None
           case "Valid" =>
             routed.update(true)
             Some(RetryOutcome(eventId, e.product, e.price, "main", 0,
-              null, null, now, now))
+              null, null, now, now, e.eventMs))
           case other =>
             // An unmapped class is a producer bug — refuse loudly
             // (the unknown-schema-id / bad-magic-byte discipline),
@@ -754,18 +761,19 @@ object OrderStream {
           st.clear()
           routed.update(true)
           Iterator.single(RetryOutcome(eventId, p.product, p.price,
-            "main", attempt, null, null, p.deadlineMs, now))
+            "main", attempt, null, null, p.deadlineMs, now, p.eventMs))
         } else if (attempt >= maxRetries) {
           // Max retries exceeded -> PermanentError (retry_handler.py:141).
           st.clear()
           routed.update(true)
           Iterator.single(RetryOutcome(eventId, p.product, p.price,
             "dlq", maxRetries, "PermanentError",
-            s"Max retries exceeded for Order $eventId", p.deadlineMs, now))
+            s"Max retries exceeded for Order $eventId", p.deadlineMs, now,
+            p.eventMs))
         } else {
           val deadline = now + delayMsFn(eventId, attempt)
           st.update(PendingRetry(p.product, p.price, p.errorMessage,
-            attempt, p.succeedsOnAttempt, deadline))
+            attempt, p.succeedsOnAttempt, deadline, p.eventMs))
           getHandle.registerTimer(deadline)
           Iterator.empty
         }
@@ -796,7 +804,8 @@ object OrderStream {
         .as("errorMessage"),
       when(col("error_class") === "RetryableError",
         graft.operators.Reliability.recoverAttemptCol(col("orderId")))
-        .otherwise(lit(0)).as("succeedsOnAttempt"))
+        .otherwise(lit(0)).as("succeedsOnAttempt"),
+      col("eventTimeMs").cast("long").as("eventMs"))
       .as[RetryEvent]
   }
 
@@ -823,9 +832,17 @@ object OrderStream {
     * count, failure timestamp, consumer group — one JSON string per
     * failed record, field order exactly the reference dict's, ready for
     * the DLQ JSON sink (SURVEY row 14f). */
+  /** `errorType` defaults to the executor's exception-class name (the
+    * reference's `type(processing_error).__name__`); a caller wiring the
+    * envelope into the DLQ-monitor face can pass the finer verdict
+    * taxonomy (`Reliability.withVerdict`'s error_type) instead.
+    * `failed_at` is the failed MESSAGE's timestamp (`event_ms` — the
+    * reference stamps `kafka_message.timestamp()`,
+    * avro_order_consumer.py:132, not the wall clock of the send). */
   def dlqEnvelope(outcomes: Dataset[RetryOutcome],
       topic: String = "orders",
-      consumerGroup: String = "order-processor-group"): DataFrame = {
+      consumerGroup: String = "order-processor-group",
+      errorType: Column = col("error_type")): DataFrame = {
     // Provenance must NEVER be null (to_json drops null fields and the
     // "full envelope, exact field order" contract silently breaks):
     // digit-bearing keys (the producer's ORD-%07d) re-derive the
@@ -845,9 +862,9 @@ object OrderStream {
         struct(col("event_id").as("orderId"), col("product"),
           col("price")).as("original_value"),
         col("error_message"),
-        col("error_type"),
+        errorType.as("error_type"),
         col("retry_count"),
-        col("emitted_ms").as("failed_at"),
+        col("event_ms").as("failed_at"),
         lit(consumerGroup).as("consumer_group"))).as("value"))
   }
 

@@ -448,13 +448,14 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t0 = System.currentTimeMillis()
     val input = MemoryStream[RetryEvent]
     input.addData(
-      RetryEvent("EVT-OK", "Laptop", 10.0, "Valid", null, 0),
+      RetryEvent("EVT-OK", "Laptop", 10.0, "Valid", null, 0,
+        1704067200000L),
       RetryEvent("EVT-TRANSIENT", "Mouse", 5.0, "RetryableError",
-        "Simulated temporary processing failure", 1),
+        "Simulated temporary processing failure", 1, 1704067200500L),
       RetryEvent("EVT-EXHAUST", "error", 7.0, "RetryableError",
-        "Simulated temporary processing failure", -1),
+        "Simulated temporary processing failure", -1, 1704067201000L),
       RetryEvent("EVT-PERM", "Monitor", -1.0, "PermanentError",
-        "Invalid price: -1.0", 0))
+        "Invalid price: -1.0", 0, 1704067201500L))
     val q = OrderStream
       .retryExecutorTws(input.toDS(), maxRetries = 3, delayMsFn = fastMs)
       .writeStream.format("memory").queryName("retry_exec_test")
@@ -515,9 +516,19 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // AvailableNow: in ProcessingTime time-mode the engine keeps
     // scheduling timer-sweep batches, so AvailableNow never
     // terminates — the stop is explicit, like the crash it models.)
+    //
+    // STATE-STORE PROVIDER (r14 verdict №4): this durability test runs
+    // on RocksDBStateStoreProvider — not the default HDFS-backed store —
+    // which is both REQUIRED by transformWithState (multiple column
+    // families) and the provider the in-flight retry population lives
+    // on at 100 TB. The recovered-timer-fires-after-restart claim below
+    // is therefore proven against RocksDB state, asserted explicitly so
+    // the provider can never silently revert to a default.
     val key = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    assert(spark.conf.get(key).contains("RocksDBStateStoreProvider"),
+      "retry restart durability must be proven on RocksDB state")
     val root = java.nio.file.Files.createTempDirectory("graft-retry-recovery")
     val (src, sink, chk) = (root.resolve("src"), root.resolve("sink"),
       root.resolve("chk"))
@@ -529,7 +540,8 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     def startQuery() = {
       val events = spark.readStream
         .schema("eventId STRING, product STRING, price DOUBLE," +
-          " errorClass STRING, errorMessage STRING, succeedsOnAttempt INT")
+          " errorClass STRING, errorMessage STRING, succeedsOnAttempt INT," +
+          " eventMs LONG")
         .json(src.toString).as[RetryEvent]
       OrderStream.retryExecutorTws(events, 3, slowMs)
         .writeStream.format("parquet")
@@ -543,7 +555,8 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val outSchema = "event_id STRING, product STRING, price DOUBLE," +
       " route STRING, retry_count INT, error_type STRING," +
-      " error_message STRING, scheduled_ms LONG, emitted_ms LONG"
+      " error_message STRING, scheduled_ms LONG, emitted_ms LONG," +
+      " event_ms LONG"
     def outcomes(): Map[String, RetryOutcome] = {
       val files = sink.toFile.listFiles()
       if (files == null || !files.exists(_.getName.endsWith(".parquet")))
@@ -557,10 +570,10 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     java.nio.file.Files.writeString(src.resolve("b1.json"), Seq(
-      """{"eventId":"EVT-OK","product":"Laptop","price":10.0,"errorClass":"Valid","errorMessage":null,"succeedsOnAttempt":0}""",
-      """{"eventId":"EVT-PERM","product":"Monitor","price":-1.0,"errorClass":"PermanentError","errorMessage":"Invalid price: -1.0","succeedsOnAttempt":0}""",
-      """{"eventId":"EVT-TRANSIENT","product":"Mouse","price":5.0,"errorClass":"RetryableError","errorMessage":"Simulated temporary processing failure","succeedsOnAttempt":1}""",
-      """{"eventId":"EVT-EXHAUST","product":"error","price":7.0,"errorClass":"RetryableError","errorMessage":"Simulated temporary processing failure","succeedsOnAttempt":-1}""")
+      """{"eventId":"EVT-OK","product":"Laptop","price":10.0,"errorClass":"Valid","errorMessage":null,"succeedsOnAttempt":0,"eventMs":1704067200000}""",
+      """{"eventId":"EVT-PERM","product":"Monitor","price":-1.0,"errorClass":"PermanentError","errorMessage":"Invalid price: -1.0","succeedsOnAttempt":0,"eventMs":1704067200000}""",
+      """{"eventId":"EVT-TRANSIENT","product":"Mouse","price":5.0,"errorClass":"RetryableError","errorMessage":"Simulated temporary processing failure","succeedsOnAttempt":1,"eventMs":1704067200500}""",
+      """{"eventId":"EVT-EXHAUST","product":"error","price":7.0,"errorClass":"RetryableError","errorMessage":"Simulated temporary processing failure","succeedsOnAttempt":-1,"eventMs":1704067201000}""")
       .mkString("\n"))
     try {
       val q1 = startQuery()
@@ -585,7 +598,7 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         // establishes execution and the recovered timers fire on the
         // sweeps that follow.
         java.nio.file.Files.writeString(src.resolve("b2.json"),
-          """{"eventId":"EVT-TICK","product":"x","price":1.0,"errorClass":"Valid","errorMessage":null,"succeedsOnAttempt":0}""")
+          """{"eventId":"EVT-TICK","product":"x","price":1.0,"errorClass":"Valid","errorMessage":null,"succeedsOnAttempt":0,"eventMs":1704067200000}""")
         val deadline = System.currentTimeMillis() + 60000
         while (outcomes().size < 5 && System.currentTimeMillis() < deadline)
           Thread.sleep(100)
@@ -622,7 +635,7 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t0 = System.currentTimeMillis()
     val input = MemoryStream[RetryEvent]
     val dup = RetryEvent("EVT-DUP", "error", 7.0, "RetryableError",
-      "Simulated temporary processing failure", -1)
+      "Simulated temporary processing failure", -1, 1704067200000L)
     input.addData(dup)
     val q = OrderStream
       .retryExecutorTws(input.toDS(), maxRetries = 3, delayMsFn = flatMs)
@@ -667,8 +680,9 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // forgotten (bounded state) and a redelivery is treated as new —
     // the same horizon semantic dedupOrders pins for watermark eviction.
     val perm = RetryEvent("EVT-PERM-DUP", "Monitor", -1.0,
-      "PermanentError", "Invalid price: -1.0", 0)
-    val ok = RetryEvent("EVT-OK-DUP", "Laptop", 10.0, "Valid", null, 0)
+      "PermanentError", "Invalid price: -1.0", 0, 1704067200000L)
+    val ok = RetryEvent("EVT-OK-DUP", "Laptop", 10.0, "Valid", null, 0,
+      1704067200000L)
     val input = MemoryStream[RetryEvent]
     input.addData(perm, ok)
     val q = OrderStream
@@ -731,7 +745,7 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // its exact field order.
     val outcome = OrderStream.RetryOutcome("ORD-0000004", "Monitor", -5.0,
       "dlq", 0, "PermanentError", "Invalid price: -5.0",
-      1704067200000L, 1704067200000L)
+      1704067200000L, 1704067200250L, 1704067200000L)
     val env = OrderStream.dlqEnvelope(Seq(outcome).toDS())
     val row = env.collect().head
     assert(row.getString(0) == "ORD-0000004")
@@ -759,14 +773,14 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // from a retry-executor terminal row carries the TRUE count.
     val exhausted = OrderStream.RetryOutcome("ORD-0000005", "error", 10.0,
       "dlq", 3, "PermanentError", "Max retries exceeded for Order ORD-0000005",
-      1704067205000L, 1704067205100L)
+      1704067205000L, 1704067205100L, 1704067205000L)
     val env2 = spark.read.json(
       OrderStream.dlqEnvelope(Seq(exhausted).toDS()).select("value").as[String])
       .collect().head
     assert(env2.getAs[Long]("retry_count") == 3L)
     assert(env2.getAs[String]("error_message") ==
       "Max retries exceeded for Order ORD-0000005")
-    assert(env2.getAs[Long]("failed_at") == 1704067205100L)
+    assert(env2.getAs[Long]("failed_at") == 1704067205000L)
   }
 
   test("dedupOrders drops redelivered orderIds across micro-batches") {

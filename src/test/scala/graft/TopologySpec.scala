@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{OrderAnalytics, Reliability}
+import graft.streaming.OrderStream
+
+/** THE REFERENCE'S FULL TOPOLOGY AS ONE RUNNING STREAMING JOB (r14
+  * verdict №1) — every stage the repo spec'd separately, wired into one
+  * graph the way `avro_order_consumer.py:60-155` wires it:
+  *
+  *   replayable source ("topic") → Confluent-FRAMED mixed-version bytes
+  *   (producer leg) → `FromConfluentAvro` decode under the v2 reader →
+  *   validate → `asRetryEvents` → `RetryExecProcessor` (state + timers,
+  *   RocksDB) → exactly-once outcome sink → [main running-stats agg |
+  *   `dlqEnvelope` JSON sink → `dlqMonitor`]
+  *
+  * run THROUGH A CHECKPOINT RESTART mid-retry, with exact ledger
+  * accounting, and its two terminal faces equal to the registered batch
+  * faces: the main aggregate equals the PriceAggregator aggregate
+  * (`OrderAnalytics.priceStats` — the q_price_stats_by_product
+  * function) over the decision table's main route, and the DLQ monitor
+  * aggregate equals `q_dlq_monitor` row for row. The input is the real
+  * sf0.001 events table, so parity is against the same corpus the
+  * oracles hash-check.
+  */
+class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession =
+    GraftSession.create("topology-spec", cores = "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Order-wire schema pair: v2 adds `source` with a default — the
+    * LOSSLESS evolution face (an added-default field), so decoded
+    * prices stay bit-identical to the batch faces. */
+  private val wireV1 =
+    """{"type":"record","name":"OrderWire","namespace":"graft",
+      |"fields":[
+      |  {"name":"event_id","type":"long"},
+      |  {"name":"product","type":["null","string"],"default":null},
+      |  {"name":"price","type":"double"},
+      |  {"name":"ts_ms","type":"long"}]}""".stripMargin
+  private val wireV2 =
+    """{"type":"record","name":"OrderWire","namespace":"graft",
+      |"fields":[
+      |  {"name":"event_id","type":"long"},
+      |  {"name":"product","type":["null","string"],"default":null},
+      |  {"name":"price","type":"double"},
+      |  {"name":"ts_ms","type":"long"},
+      |  {"name":"source","type":"string","default":"orders-topic"}]}"""
+      .stripMargin
+
+  test("end-to-end: framed mixed-version decode → retry executor → " +
+      "sinks survive a restart; outputs equal the batch faces") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-topology")
+    val (srcDir, outDir, dlqDir) = (root.resolve("src"),
+      root.resolve("outcomes"), root.resolve("dlq"))
+    val (chkA, chkB) = (root.resolve("chkA"), root.resolve("chkB"))
+    java.nio.file.Files.createDirectories(srcDir)
+
+    // Registry with both wire versions under one subject.
+    val regDir = root.resolve("registry").toFile.getAbsolutePath
+    val reg = new graft.streaming.FileSchemaRegistry(regDir)
+    val parser = new org.apache.avro.Schema.Parser()
+    val v1Id = reg.register("orders-value", parser.parse(wireV1))
+    val v2Id = reg.register("orders-value",
+      new org.apache.avro.Schema.Parser().parse(wireV2))
+    assert(v1Id != v2Id)
+
+    // ---- the "topic": the sf0.001 events table staged as 4 json files
+    // (4 micro-batches via maxFilesPerTrigger=1), replayable for the
+    // checkpoint restart exactly like a Kafka topic's retained log.
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .repartition(4)
+      .write.mode("overwrite").json(srcDir.toString)
+    val nEvents = Tables.events(spark, sfDir).count()
+
+    // ---- batch truths (the decision table the executor must replay)
+    val verdict = Reliability.withVerdict(Tables.events(spark, sfDir))
+      .withColumn("recover",
+        Reliability.recoverAttemptCol(col("event_id")))
+    val nImmediate = verdict
+      .filter(col("is_valid") || col("error_class") === "PermanentError")
+      .count()
+    assert(nImmediate < nEvents, "corpus must carry retryable failures")
+
+    // ---- the one streaming job (query A): decode → validate → retry
+    // executor → exactly-once parquet outcome sink. Flat seconds-scale
+    // delays (not the compressed jittered shape) keep EVERY retryable
+    // pending across the stop, like the restart-durability spec: the
+    // first deadline (8 s) comfortably outlasts the 4 input batches +
+    // the stop poll, so run 1 can never emit a retry outcome early.
+    val slowMs: (String, Int) => Long = (_, a) => 8000L + 500L * a
+    def startTopology() = {
+      val raw = spark.readStream
+        .schema("event_id LONG, event_type STRING, value DOUBLE, ts LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(srcDir.toString)
+      // producer leg: even ids framed under the v1 writer, odd under v2
+      // — a mixed-version topic, exactly what a registry is for.
+      val v1Struct = struct(col("event_id"),
+        col("event_type").as("product"), col("value").as("price"),
+        expr("ts div 1000000").as("ts_ms"))
+      val v2Struct = struct(col("event_id"),
+        col("event_type").as("product"), col("value").as("price"),
+        expr("ts div 1000000").as("ts_ms"),
+        lit("orders-topic-v2").as("source"))
+      val wire = raw.select(
+        when(col("event_id") % 2 === 0,
+          graft.functions.ToConfluentAvro(v1Struct, regDir, v1Id))
+          .otherwise(graft.functions.ToConfluentAvro(v2Struct, regDir, v2Id))
+          .as("wire"))
+      // consumer leg: ONE reader expression decodes both versions (v1
+      // payloads get `source` filled from the v2 default).
+      val orders = wire
+        .select(graft.functions.FromConfluentAvro(
+          col("wire"), regDir, wireV2).as("o"))
+        .select(col("o.event_id").cast("string").as("orderId"),
+          col("o.product").as("product"), col("o.price").as("price"),
+          col("o.ts_ms").as("eventTimeMs"), col("o.source").as("source"))
+      OrderStream.retryExecutorTws(
+          OrderStream.asRetryEvents(orders.drop("source")), 3, slowMs)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", chkA.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"))
+        .start()
+    }
+    val outSchema = "event_id STRING, product STRING, price DOUBLE," +
+      " route STRING, retry_count INT, error_type STRING," +
+      " error_message STRING, scheduled_ms LONG, emitted_ms LONG," +
+      " event_ms LONG"
+    def outcomes(): DataFrame =
+      spark.read.schema(outSchema).parquet(outDir.toString)
+    def outCount(): Long =
+      try outcomes().count()
+      catch { case _: Throwable => 0L }
+
+    // decode-leg proof, batch, same expressions: v1 frames resolve the
+    // added field from the READER default, v2 frames keep their value.
+    val probe = spark.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE, ts LONG")
+      .json(srcDir.toString).limit(50)
+      .select(col("event_id"),
+        when(col("event_id") % 2 === 0,
+          graft.functions.ToConfluentAvro(struct(col("event_id"),
+            col("event_type").as("product"), col("value").as("price"),
+            expr("ts div 1000000").as("ts_ms")), regDir, v1Id))
+          .otherwise(graft.functions.ToConfluentAvro(struct(col("event_id"),
+            col("event_type").as("product"), col("value").as("price"),
+            expr("ts div 1000000").as("ts_ms"),
+            lit("orders-topic-v2").as("source")), regDir, v2Id))
+          .as("wire"))
+      .select(col("event_id"), graft.functions.FromConfluentAvro(
+        col("wire"), regDir, wireV2).as("o"))
+    assert(probe.filter(col("event_id") % 2 === 0)
+      .filter(col("o.source") =!= "orders-topic").count() == 0,
+      "v1 payloads must fill `source` from the v2 reader default")
+    assert(probe.filter(col("event_id") % 2 === 1)
+      .filter(col("o.source") =!= "orders-topic-v2").count() == 0)
+
+    try {
+      // ---- run 1: consume the whole topic, then CRASH with every
+      // retryable mid-retry (pending state + armed timer, first
+      // deadline 4 s out — nothing retryable emitted yet).
+      val q1 = startTopology()
+      val commitBy = System.currentTimeMillis() + 60000
+      while (outCount() < nImmediate &&
+          System.currentTimeMillis() < commitBy)
+        Thread.sleep(100)
+      q1.stop()
+      assert(outCount() == nImmediate,
+        s"run 1 must stop with ONLY immediate routes committed: " +
+          s"${outCount()} vs $nImmediate")
+      // deadlines pass while the job is DOWN
+      Thread.sleep(5000)
+      // ---- run 2: recover the checkpoint; restored timers fire and
+      // every pending retryable terminally routes. One tick record
+      // nudges the restarted query into constructing batches.
+      java.nio.file.Files.writeString(srcDir.resolve("tick.json"),
+        """{"event_id":9999999,"event_type":"Laptop","value":1.0,"ts":1704067200000000000}""")
+      val q2 = startTopology()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (outCount() < nEvents + 1 &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+      } finally q2.stop()
+
+      val out = outcomes().filter(col("event_id") =!= "9999999").cache()
+      try {
+        // ---- exact ledger accounting across the restart: every event
+        // terminally routed exactly once, no replays, no losses.
+        assert(out.count() == nEvents,
+          s"expected $nEvents terminal outcomes, got ${out.count()}")
+        assert(out.groupBy("event_id").count().filter(col("count") > 1)
+          .count() == 0, "an event routed twice across the restart")
+
+        // ---- decision-table parity: the executed routes and TRUE
+        // retry counts equal q_retry_outcomes row for row.
+        val expectedFailed = Reliability.retryOutcomes(spark, sfDir)
+          .select(col("event_id").cast("string").as("event_id"),
+            col("route").as("e_route"),
+            col("retry_count").as("e_count"))
+        val mismatches = out.join(expectedFailed, Seq("event_id"))
+          .filter(col("route") =!= col("e_route") ||
+            col("retry_count") =!= col("e_count"))
+        assert(mismatches.count() == 0,
+          s"executed outcomes diverge from q_retry_outcomes: " +
+            s"${mismatches.take(5).mkString("; ")}")
+
+        // ---- main-aggregate parity: the PriceAggregator aggregate
+        // (q_price_stats_by_product's function) over the topology's
+        // main route equals the same aggregate over the batch decision
+        // table's main route (valid + recovered retryables).
+        val mainBatch = verdict
+          .filter(col("is_valid") ||
+            (col("error_class") === "RetryableError" && col("recover") <= 3))
+          .select(col("event_type").as("product"), col("value").as("price"))
+        val gotMain = OrderAnalytics.priceStats(
+          out.filter(col("route") === "main")
+            .select(col("product"), col("price")))
+          .collect().map(_.toString).sorted.toSeq
+        val wantMain = OrderAnalytics.priceStats(mainBatch)
+          .collect().map(_.toString).sorted.toSeq
+        assert(gotMain == wantMain,
+          s"main aggregate diverged from the batch face:\n got " +
+            s"$gotMain\nwant $wantMain")
+
+        // ---- DLQ leg (query B): envelope the topology's dlq route
+        // through the JSON file sink, exactly-once, with the verdict
+        // error-type taxonomy the monitor face groups by.
+        val dlqStream = spark.readStream.schema(outSchema)
+          .parquet(outDir.toString)
+          .filter(col("event_id") =!= "9999999")
+          .as[OrderStream.RetryOutcome]
+        val qB = OrderStream.dlqEnvelope(dlqStream,
+            errorType = when(col("product").isNull, "MissingField")
+              .when(col("price") <= 0, "InvalidPrice")
+              .otherwise("ProcessingError"))
+          .select("value")
+          .writeStream.format("text")
+          .option("path", dlqDir.toString)
+          .option("checkpointLocation", chkB.toString)
+          .start()
+        try qB.processAllAvailable() finally qB.stop()
+
+        // ---- monitor parity: the SAME parse→aggregate code
+        // (dlqMonitorOver) over the envelopes the sink actually shipped
+        // equals the registered q_dlq_monitor batch face, row for row,
+        // every column — counts, true retry totals, last failure time
+        // (message time), first offset.
+        val gotMonitor = Reliability.dlqMonitorOver(
+            spark.read.text(dlqDir.toString))
+          .collect().map(_.toString).sorted.toSeq
+        val wantMonitor = Reliability.dlqMonitor(spark, sfDir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(gotMonitor.nonEmpty)
+        assert(gotMonitor == wantMonitor,
+          s"DLQ monitor diverged from q_dlq_monitor:\n got " +
+            s"$gotMonitor\nwant $wantMonitor")
+      } finally out.unpersist()
+    } finally spark.conf.unset(key)
+  }
+}
