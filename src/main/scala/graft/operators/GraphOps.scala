@@ -717,15 +717,22 @@ object GraphOps {
        |    GROUP BY 1) i USING (node))""".stripMargin
 
   /** One unrolled peel round e{r-1} → e{r} (same HAVING-≥k degree
-    * filters and double semi-join as the Spark loop). */
+    * filters and double semi-join as the Spark loop). Each edge CTE is
+    * `AS MATERIALIZED` (DuckDB-only syntax — the oracle never runs in
+    * Spark): every e_r is referenced three times (both degree filters
+    * plus the next round / the final tally), and DuckDB inlining the
+    * chain instead re-derives e_{r-1} per reference — exponential work
+    * that spilled >46 GB of temp and never finished at sf0.1. With
+    * materialization each round computes once and the sweep completes
+    * in seconds at every SF. */
   private def peelRoundSql(r: Int): String =
     s"""cd$r AS (SELECT c FROM e${r - 1} GROUP BY c HAVING count(*) >= $KcoreK),
        |pd$r AS (SELECT p FROM e${r - 1} GROUP BY p HAVING count(*) >= $KcoreK),
-       |e$r AS (SELECT e${r - 1}.* FROM e${r - 1}
+       |e$r AS MATERIALIZED (SELECT e${r - 1}.* FROM e${r - 1}
        |        JOIN cd$r USING (c) JOIN pd$r USING (p))""".stripMargin
 
   private lazy val kcoreSql: String =
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |""".stripMargin +

@@ -55,18 +55,22 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "orders1000"),
-      Identifier.of(namespace, "sink"))
+      Identifier.of(namespace, "sink"), Identifier.of(namespace, "bytes_sink"))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(catalogName +: namespace)
 
   override def tableExists(ident: Identifier): Boolean =
-    isSink(ident) || rowsOf(ident).isDefined
+    isSink(ident) || isBytesSink(ident) || rowsOf(ident).isDefined
 
   private def isSink(ident: Identifier): Boolean =
     ident.namespace.isEmpty && ident.name.equalsIgnoreCase("sink")
 
+  private def isBytesSink(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bytes_sink")
+
   override def loadTable(ident: Identifier): Table =
     if (isSink(ident)) new GraftSinkTable
+    else if (isBytesSink(ident)) new GraftBytesSinkTable
     else rowsOf(ident) match {
       case Some(n) => new OrdersTable(n, parts = 8)
       case None => throw new NoSuchTableException(ident)

@@ -108,6 +108,131 @@ private class GraftSinkWriterFactory extends DataWriterFactory {
 
 private case class GraftSinkCommit(rows: Long) extends WriterCommitMessage
 
+/** BYTE-TRANSPORT face of the sink: a `(key STRING, value BINARY)`
+  * table — the Kafka-producer shape the reference's DLQ producer writes
+  * (`avro_order_consumer.py:136-140` produce(topic, key, value)). The
+  * difference from [[GraftSinkTable]]'s metrics blackhole: writers
+  * STAGE the payload bytes they receive and ship them inside their
+  * `WriterCommitMessage`; only the job/epoch-level `commit` PUBLISHES
+  * them — so bytes from an aborted task or an uncommitted epoch are
+  * never observable, which is the transactional-producer contract
+  * (Kafka EOS, staged-files + manifest) this seam stands in for. At
+  * real scale the staged bytes live in the transport and the commit
+  * message carries a manifest; here the published ledger IS the
+  * manifest, so a spec can re-read exactly the committed bytes and
+  * prove the Confluent wire format survived the two-phase commit. */
+class GraftBytesSinkTable extends org.apache.spark.sql.connector.catalog.Table
+    with SupportsWrite {
+  override def name(): String = "graft.bytes_sink"
+  override def schema(): StructType = GraftBytesSinkTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftBytesBatchWrite
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftBytesStreamingWrite
+      }
+    }
+}
+
+object GraftBytesSinkTable {
+  val Schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+}
+
+/** Stages (key, payload) pairs per task; the commit message is the
+  * staged batch. Payload arrays are copied out of the row (Spark reuses
+  * row buffers across `write` calls). */
+private class GraftBytesWriter extends DataWriter[InternalRow] {
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+  override def write(record: InternalRow): Unit = {
+    val key = if (record.isNullAt(0)) null else record.getUTF8String(0).toString
+    staged += ((key, record.getBinary(1).clone()))
+  }
+  override def commit(): WriterCommitMessage =
+    GraftBytesCommit(staged.toArray)
+  override def abort(): Unit = staged.clear()
+  override def close(): Unit = ()
+}
+
+private class GraftBytesStreamingWrite
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] = new GraftBytesWriter
+    }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftBytesSinkRegistry.publishEpoch(epochId,
+      messages.collect { case m: GraftBytesCommit => m }.flatMap(_.payloads))
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftBytesSinkRegistry.aborts.incrementAndGet()
+}
+
+private class GraftBytesBatchWrite extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int,
+          taskId: Long): DataWriter[InternalRow] = new GraftBytesWriter
+    }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftBytesSinkRegistry.publishBatch(
+      messages.collect { case m: GraftBytesCommit => m }.flatMap(_.payloads))
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftBytesSinkRegistry.aborts.incrementAndGet()
+}
+
+private case class GraftBytesCommit(payloads: Array[(String, Array[Byte])])
+  extends WriterCommitMessage
+
+/** The published manifest: epoch → committed payloads. Idempotent per
+  * epoch — a replayed epoch commit (checkpoint recovery re-running a
+  * finished micro-batch) leaves the ledger untouched. */
+object GraftBytesSinkRegistry {
+  val epochPayloads = new java.util.concurrent.ConcurrentHashMap[
+    Long, Array[(String, Array[Byte])]]()
+  val batchPayloads = new java.util.concurrent.ConcurrentLinkedQueue[
+    Array[(String, Array[Byte])]]()
+  val replayedEpochs = new java.util.concurrent.atomic.AtomicLong(0)
+  val aborts = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def publishEpoch(epochId: Long,
+      payloads: Array[(String, Array[Byte])]): Unit =
+    if (epochPayloads.putIfAbsent(epochId, payloads) != null)
+      replayedEpochs.incrementAndGet()
+
+  def publishBatch(payloads: Array[(String, Array[Byte])]): Unit = {
+    batchPayloads.add(payloads); ()
+  }
+
+  /** Every committed payload, in epoch order — what a downstream
+    * consumer of the transport reads. */
+  def committed(): Seq[(String, Array[Byte])] = {
+    import scala.jdk.CollectionConverters._
+    epochPayloads.asScala.toSeq.sortBy(_._1).flatMap(_._2) ++
+      batchPayloads.asScala.toSeq.flatten
+  }
+
+  def reset(): Unit = {
+    epochPayloads.clear(); batchPayloads.clear()
+    replayedEpochs.set(0); aborts.set(0)
+  }
+}
+
 /** Driver-side accounting the job-level commit writes into — what a
   * real sink's commit() would atomically publish (a manifest, an
   * offset vector, a transaction). */

@@ -448,6 +448,90 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.GraftSinkRegistry.aborts.get() == 0L)
   }
 
+  test("Confluent wire survives the streaming DSv2 sink's two-phase " +
+      "epoch commit: byte-identical re-decode, replayed epochs idempotent") {
+    // r14 verdict №8 — the Kafka-fidelity story short of the jar: the
+    // producer shape (key STRING, value BINARY Confluent frame) shipped
+    // through a TRANSACTIONAL streaming sink (bytes staged per task,
+    // published only at the epoch commit), then re-read downstream and
+    // decoded — the wire format must survive the two-phase commit
+    // byte for byte.
+    import graft.sources.GraftBytesSinkRegistry
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    GraftBytesSinkRegistry.reset()
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft-wire-sink-registry").toFile.getAbsolutePath
+    val wireJson =
+      """{"type":"record","name":"OrderWire","namespace":"graft",
+        |"fields":[
+        |  {"name":"order_id","type":"long"},
+        |  {"name":"product","type":"string"},
+        |  {"name":"price_cents","type":"long"}]}""".stripMargin
+    val wireId = new graft.streaming.FileSchemaRegistry(regDir)
+      .register("orders-value", new org.apache.avro.Schema.Parser()
+        .parse(wireJson))
+    def framed(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit("ORD-"), lpad(col("order_id").cast("string"), 7, "0"))
+        .as("key"),
+      graft.functions.ToConfluentAvro(
+        struct(col("order_id"), col("product"), col("price_cents")),
+        regDir, wireId).as("value"))
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wire-sink").toFile.getAbsolutePath
+    val q = framed(spark.readStream.format("graft.sources.OrdersSource")
+        .option("rows", "1000").option("parts", "4")
+        .option("rowsPerBatch", "250").load())
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.bytes_sink")
+    try {
+      (1 to 20).takeWhile { _ =>
+        q.processAllAvailable()
+        GraftBytesSinkRegistry.committed().size < 1000
+      }
+    } finally q.stop()
+
+    // committed manifest: 4 epochs, every payload exactly once
+    assert(GraftBytesSinkRegistry.epochPayloads.size() == 4,
+      s"expected 4 committed epochs")
+    val committed = GraftBytesSinkRegistry.committed()
+    assert(committed.size == 1000)
+    assert(GraftBytesSinkRegistry.replayedEpochs.get() == 0L)
+    assert(GraftBytesSinkRegistry.aborts.get() == 0L)
+
+    // BYTE-IDENTICAL across the commit: re-encode the same ids batch-side
+    // with the same expression; every committed frame must match its key's
+    // expected bytes exactly (magic byte, id, Avro payload — all of it).
+    val expected = framed(read(1000, 4)).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(committed.map(_._1).toSet == expected.keySet)
+    committed.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, expected(k)),
+        s"wire bytes for $k changed through the epoch commit") }
+
+    // ...and the downstream CONSUMER decodes the committed bytes back to
+    // the source rows through the registry (unframe → writer schema by
+    // id → Avro decode).
+    import spark.implicits._
+    val decoded = committed.map(_._2).toDF("value")
+      .select(graft.functions.FromConfluentAvro(
+        col("value"), regDir, wireJson).as("o"))
+      .select("o.order_id", "o.product", "o.price_cents")
+    val want = read(1000, 4).select("order_id", "product", "price_cents")
+    assert(decoded.except(want).isEmpty && want.except(decoded).isEmpty,
+      "decoded committed payloads must equal the source rows")
+
+    // Epoch replay (checkpoint recovery re-delivering a finished epoch's
+    // commit): the published manifest is untouched, the replay counted.
+    val before = GraftBytesSinkRegistry.epochPayloads.get(0L)
+    GraftBytesSinkRegistry.publishEpoch(0L,
+      Array(("DUP", Array[Byte](1, 2, 3))))
+    assert(GraftBytesSinkRegistry.epochPayloads.get(0L) eq before,
+      "replayed epoch must not replace committed payloads")
+    assert(GraftBytesSinkRegistry.replayedEpochs.get() == 1L)
+    assert(GraftBytesSinkRegistry.committed().size == 1000)
+  }
+
   test("DISTINCT aggregates decline pushdown and stay correct") {
     val df = read(10000, 4)
       .groupBy("product").agg(countDistinct("price_cents").as("n"))
