@@ -124,6 +124,20 @@ object Bench {
       else None
     }
 
+  /** Scale factor a bench map was measured at (the `"sf"` field this
+    * main writes), for refusing cross-SF band compares. */
+  private[graft] def parseSfField(json: String): Option[String] =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** The regression class [[moversOutsideBand]] cannot see: a query
+    * that was committed GREEN and recorded the -1 FAILURE sentinel this
+    * run (parseBenchEntries drops sentinels, so it silently leaves the
+    * compared keyset — the worst mover must not be the invisible one). */
+  private[graft] def failedMovers(committed: Map[String, Double],
+      ran: Seq[(String, Double)]): Seq[String] =
+    ran.collect { case (name, t) if t < 0 &&
+      committed.get(name).exists(_ >= 0) => name }.sorted
+
   /** Reps for one query: an explicit SPARK_GRAFT_BENCH_REPS wins
     * everywhere (the §6 isolated-REPS protocol depends on that);
     * otherwise sub-second-committed (or not-yet-committed) queries get
@@ -525,22 +539,36 @@ object Bench {
       existingCount = benchMapSize(committedBenchPath))
     guardMsg.foreach(m => System.err.println(s"[bench] $m"))
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"reps_noise_class":${repsExplicit.getOrElse(math.max(reps, 5))},"sf":"$sfDir"}"""
     // BAND COMPARE against the committed baseline BEFORE it is
     // overwritten: only disjoint-band moves print — by construction the
     // round-close diff carries zero unattributed noise movers (r14
     // verdict №2; the old protocol burned an isolated-REPS cycle per
-    // sub-second swing).
+    // sub-second swing). Committed-green queries that FAILED this run
+    // print unconditionally (the sentinel class the band parse drops).
+    // A map measured at a DIFFERENT scale factor is not comparable —
+    // every shared query would print as a spurious mover — so the
+    // compare refuses loudly instead.
     try {
-      val oldEntries = parseBenchEntries(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(committedBenchPath)))
-      val newEntries = parseBenchEntries(fullJson)
-      val movers = moversOutsideBand(oldEntries, newEntries)
-      if (movers.isEmpty)
-        System.err.println("[bench] band compare vs committed map: no movers"
-          + " outside noise bands")
-      else movers.foreach { case (q, why) =>
-        System.err.println(s"[bench] MOVER $q $why") }
+      val committedJson = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(committedBenchPath))
+      failedMovers(committedTimes, results ++ extraResults).foreach(q =>
+        System.err.println(s"[bench] MOVER $q FAILED this run " +
+          f"(committed ${committedTimes(q)}%.3f s)"))
+      val committedSf = parseSfField(committedJson)
+      if (committedSf.exists(_ != sfDir))
+        System.err.println(s"[bench] band compare SKIPPED: committed map " +
+          s"was measured at ${committedSf.get}, this run at $sfDir — " +
+          "cross-SF ratios are not movers")
+      else {
+        val movers = moversOutsideBand(
+          parseBenchEntries(committedJson), parseBenchEntries(fullJson))
+        if (movers.isEmpty)
+          System.err.println("[bench] band compare vs committed map: no"
+            + " movers outside noise bands")
+        else movers.foreach { case (q, why) =>
+          System.err.println(s"[bench] MOVER $q $why") }
+      }
     } catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
     catch { case e: Throwable =>

@@ -106,15 +106,36 @@ object Indexes {
 
   /** The build-once-per-corpus idiom every persisted index uses: serve
     * from the cache while the corpus is unchanged, rebuild when its
-    * fingerprint moves, drop the superseded entry. */
+    * fingerprint moves, drop the superseded entry. `onEvict` runs for
+    * each superseded entry's VALUE as it is dropped — the hook caches
+    * of on-disk artifacts (view parquet, snapshot roots) use to delete
+    * the orphaned tree instead of leaking it (r14 advice; a reader
+    * still holding a lazy plan over an evicted artifact fails LOUDLY on
+    * missing files rather than silently serving the stale corpus). */
   def corpusCached[V](
       cache: java.util.concurrent.ConcurrentHashMap[String, V],
-      dir: String)(build: => V): V = {
+      dir: String)(build: => V,
+      onEvict: V => Unit = (_: V) => ()): V = {
     val key = cacheKey(dir)
     val v = cache.computeIfAbsent(key, _ => build)
-    dropStale(cache, dir, key)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(dir + "#") && e.getKey != key) {
+        onEvict(e.getValue)
+        it.remove()
+      }
+    }
     v
   }
+
+  /** [[corpusCached]] whose cached value IS a temp-dir path: superseded
+    * corpus versions get their directory trees deleted on eviction. */
+  def corpusCachedDir(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      dir: String)(build: => String): String =
+    corpusCached(cache, dir)(build,
+      p => sources.SnapshotCatalog.deleteTree(java.nio.file.Paths.get(p)))
 
   def prebuild(spark: SparkSession, dir: String): Unit = {
     operators.TextAnalysis.tokenIndexPath(spark, dir)

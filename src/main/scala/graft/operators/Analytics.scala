@@ -271,32 +271,19 @@ object Analytics {
   private val snapCatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** Superseded corpus versions (r14 advice): `corpusCachedDir` deletes
+    * the evicted root's parquet tree along with its cache entry, so a
+    * JVM cycling corpus versions never leaks /tmp/graft-snapshots*. */
   private[graft] def customerSnapshotRoot(spark: SparkSession,
-      dir: String): String = {
-    val key = graft.Indexes.cacheKey(dir)
-    val root = snapCatalogCache.computeIfAbsent(key, _ => {
+      dir: String): String =
+    graft.Indexes.corpusCachedDir(snapCatalogCache, dir) {
       val r = java.nio.file.Files
         .createTempDirectory("graft-snapshots").toFile.getAbsolutePath
       val v1 = customerV1(spark, dir)
       graft.sources.SnapshotCatalog.publish(v1, r)
       graft.sources.SnapshotCatalog.publish(customerV2(v1), r)
       r
-    })
-    // Superseded corpus versions (r14 advice): dropping only the cache
-    // ENTRY leaked the parquet trees under /tmp/graft-snapshots* in a
-    // long-lived JVM cycling corpus versions — delete the evicted
-    // root's directory tree along with its entry.
-    val it = snapCatalogCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.startsWith(dir + "#") && e.getKey != key) {
-        graft.sources.SnapshotCatalog.deleteTree(
-          java.nio.file.Paths.get(e.getValue))
-        it.remove()
-      }
     }
-    root
-  }
 
   /** TIME TRAVEL — the read face of the snapshot surface: the SAME diff
     * as [[snapshotDiff]], but both versions come from the snapshot

@@ -534,7 +534,10 @@ object OlapQueries {
     * MAINTAIN, this shows queries USE it with no client-side rewrite.
     */
   def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Indexes.corpusCached(mvQuarterlyCache, dir) {
+    // corpusCachedDir: a superseded corpus version's view parquet is
+    // tree-deleted on eviction (same leak class as the snapshot roots,
+    // r14 advice); its MvCatalog entries are retired right below.
+    val path = graft.Indexes.corpusCachedDir(mvQuarterlyCache, dir) {
       val p = java.nio.file.Files
         .createTempDirectory("graft-mv-quarterly").toFile.getAbsolutePath
       quarterlyRevenueDef(spark, dir).write.mode("overwrite").parquet(p)
@@ -683,7 +686,7 @@ object OlapQueries {
     * output) matches nothing and keeps its fact plan — MvRewriteSpec
     * pins both directions plus row parity. */
   def mvRewriteJoin(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Indexes.corpusCached(mvNationCache, dir) {
+    val path = graft.Indexes.corpusCachedDir(mvNationCache, dir) {
       val p = java.nio.file.Files
         .createTempDirectory("graft-mv-nation").toFile.getAbsolutePath
       nationRevenueDef(spark, dir).write.mode("overwrite").parquet(p)

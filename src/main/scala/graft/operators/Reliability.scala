@@ -69,15 +69,23 @@ object Reliability {
     * validation query, the DLQ monitor, the Confluent DLQ codec demo)
     * builds on this — a change to the validation semantics cannot
     * silently diverge hand-synced copies. */
+  /** The verdict error-TYPE taxonomy as a reusable rule over any
+    * (product, price) pair — defined once so the DLQ monitor's batch
+    * face and the streaming topology's envelope leg classify
+    * identically (null-field check first, like the reference's field
+    * validation order, avro_order_consumer.py:99-103). */
+  private[graft] def errorTypeFor(product: Column, price: Column): Column =
+    when(product.isNull, "MissingField")
+      .when(price <= 0, "InvalidPrice")
+      .when(product === "error", "ProcessingError")
+
   private[graft] def withVerdict(events: DataFrame): DataFrame =
     events
       .withColumn("is_valid",
         col("value") > 0 && col("event_type").isNotNull &&
           col("event_type") =!= "error")
       .withColumn("error_type",
-        when(col("event_type").isNull, "MissingField")
-          .when(col("value") <= 0, "InvalidPrice")
-          .when(col("event_type") === "error", "ProcessingError"))
+        errorTypeFor(col("event_type"), col("value")))
       .withColumn("error_class",
         when(col("event_type").isNull || col("value") <= 0,
           "PermanentError")

@@ -136,7 +136,11 @@ class GraftBytesSinkTable extends org.apache.spark.sql.connector.catalog.Table
         override def toBatch: BatchWrite = new GraftBytesBatchWrite
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new GraftBytesStreamingWrite
+          // Epoch ids are per-QUERY counters: two queries (or a fresh-
+          // checkpoint re-run) both commit an epoch 0, so the idempotent
+          // publish must key on (queryId, epoch) or the second query's
+          // genuinely-committed bytes would be dropped as "replays".
+          new GraftBytesStreamingWrite(info.queryId())
       }
     }
 }
@@ -165,7 +169,7 @@ private class GraftBytesWriter extends DataWriter[InternalRow] {
   override def close(): Unit = ()
 }
 
-private class GraftBytesStreamingWrite
+private class GraftBytesStreamingWrite(queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -175,7 +179,7 @@ private class GraftBytesStreamingWrite
     }
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftBytesSinkRegistry.publishEpoch(epochId,
+    GraftBytesSinkRegistry.publishEpoch(queryId, epochId,
       messages.collect { case m: GraftBytesCommit => m }.flatMap(_.payloads))
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -199,28 +203,30 @@ private class GraftBytesBatchWrite extends BatchWrite {
 private case class GraftBytesCommit(payloads: Array[(String, Array[Byte])])
   extends WriterCommitMessage
 
-/** The published manifest: epoch → committed payloads. Idempotent per
-  * epoch — a replayed epoch commit (checkpoint recovery re-running a
-  * finished micro-batch) leaves the ledger untouched. */
+/** The published manifest: (queryId, epoch) → committed payloads.
+  * Idempotent per epoch WITHIN a query — a replayed epoch commit
+  * (checkpoint recovery re-running a finished micro-batch) leaves the
+  * ledger untouched; a DIFFERENT query's epoch 0 is a distinct key, so
+  * concurrent writers never shadow each other's commits. */
 object GraftBytesSinkRegistry {
   val epochPayloads = new java.util.concurrent.ConcurrentHashMap[
-    Long, Array[(String, Array[Byte])]]()
+    (String, Long), Array[(String, Array[Byte])]]()
   val batchPayloads = new java.util.concurrent.ConcurrentLinkedQueue[
     Array[(String, Array[Byte])]]()
   val replayedEpochs = new java.util.concurrent.atomic.AtomicLong(0)
   val aborts = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def publishEpoch(epochId: Long,
+  def publishEpoch(queryId: String, epochId: Long,
       payloads: Array[(String, Array[Byte])]): Unit =
-    if (epochPayloads.putIfAbsent(epochId, payloads) != null)
+    if (epochPayloads.putIfAbsent((queryId, epochId), payloads) != null)
       replayedEpochs.incrementAndGet()
 
   def publishBatch(payloads: Array[(String, Array[Byte])]): Unit = {
     batchPayloads.add(payloads); ()
   }
 
-  /** Every committed payload, in epoch order — what a downstream
-    * consumer of the transport reads. */
+  /** Every committed payload, in (query, epoch) order — what a
+    * downstream consumer of the transport reads. */
   def committed(): Seq[(String, Array[Byte])] = {
     import scala.jdk.CollectionConverters._
     epochPayloads.asScala.toSeq.sortBy(_._1).flatMap(_._2) ++

@@ -151,13 +151,28 @@ object SnapshotCatalog {
   }
 
   /** Recursive delete (children before parents); shared by [[expire]]
-    * and the superseded-snapshot-root cleanup in Analytics. */
+    * and the superseded-artifact cleanup in Indexes.corpusCachedDir.
+    * Tolerates a CONCURRENT deleter (two threads evicting the same
+    * stale cache entry): a file vanishing mid-walk is the other
+    * deleter finishing our job, not an error — `deleteIfExists` covers
+    * the delete side, and the walk itself retries once on the
+    * vanished-entry exceptions before giving up silently (cleanup is
+    * best-effort by contract; the artifact is already unreachable). */
   private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
-    if (!Files.exists(p)) return
-    val stream = Files.walk(p)
-    try
-      stream.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally stream.close()
+    def once(): Unit = {
+      if (!Files.exists(p)) return
+      val stream = Files.walk(p)
+      try
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
+    try once()
+    catch {
+      case _: java.io.UncheckedIOException |
+          _: java.nio.file.NoSuchFileException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        try once() catch { case _: Throwable => () }
+    }
   }
 }

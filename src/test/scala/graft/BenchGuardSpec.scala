@@ -121,6 +121,24 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(movers("q_imp").startsWith("improved"))
   }
 
+  test("failed queries that were committed-green are always movers; " +
+      "cross-SF compares are detectable from the sf field") {
+    // The band parse drops -1 sentinels, so a green→FAILED regression
+    // would silently leave the compared keyset — failedMovers is the
+    // net for exactly that class.
+    val committed = Map("q_a" -> 0.4, "q_b" -> 2.0, "q_dead" -> -1.0)
+    val ran = Seq("q_a" -> -1.0, "q_b" -> 2.1, "q_dead" -> -1.0,
+      "q_new" -> -1.0)
+    // q_a regressed to failure: flagged. q_dead was already failed and
+    // q_new has no baseline: not movers.
+    assert(Bench.failedMovers(committed, ran) == Seq("q_a"))
+    // sf field round-trips so the compare can refuse cross-SF ratios
+    assert(Bench.parseSfField(mapWithBands).isEmpty)
+    assert(Bench.parseSfField(
+      """{"queries":{"q_a":1.0},"failed":0,"reps":2,"sf":"/root/testdata/sf0.1"}""")
+      .contains("/root/testdata/sf0.1"))
+  }
+
   test("benchMapSize still counts the flat queries map when bands follow") {
     val tmp = java.nio.file.Files.createTempFile("graft-bench-band", ".json")
     java.nio.file.Files.writeString(tmp, mapWithBands)

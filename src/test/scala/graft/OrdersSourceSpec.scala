@@ -523,13 +523,22 @@ class OrdersSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // Epoch replay (checkpoint recovery re-delivering a finished epoch's
     // commit): the published manifest is untouched, the replay counted.
-    val before = GraftBytesSinkRegistry.epochPayloads.get(0L)
-    GraftBytesSinkRegistry.publishEpoch(0L,
+    val someKey = GraftBytesSinkRegistry.epochPayloads.keys()
+      .asScala.next()
+    val before = GraftBytesSinkRegistry.epochPayloads.get(someKey)
+    GraftBytesSinkRegistry.publishEpoch(someKey._1, someKey._2,
       Array(("DUP", Array[Byte](1, 2, 3))))
-    assert(GraftBytesSinkRegistry.epochPayloads.get(0L) eq before,
+    assert(GraftBytesSinkRegistry.epochPayloads.get(someKey) eq before,
       "replayed epoch must not replace committed payloads")
     assert(GraftBytesSinkRegistry.replayedEpochs.get() == 1L)
     assert(GraftBytesSinkRegistry.committed().size == 1000)
+    // A DIFFERENT query committing the same epoch NUMBER is a distinct
+    // key, not a replay — concurrent writers never shadow each other.
+    GraftBytesSinkRegistry.publishEpoch("other-query", someKey._2,
+      Array(("OTHER", Array[Byte](9))))
+    assert(GraftBytesSinkRegistry.replayedEpochs.get() == 1L,
+      "another query's epoch must not count as a replay")
+    assert(GraftBytesSinkRegistry.committed().size == 1001)
   }
 
   test("DISTINCT aggregates decline pushdown and stay correct") {

@@ -79,6 +79,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(unledgered.isEmpty,
       s"queries registered but absent from every §2 query CELL: " +
         s"$unledgered — add a §2 row (and oracle note) in the same commit")
+    // Round-15 self-review: the topology row shipped as a SECOND "14h"
+    // — row ids must be unique or cross-references go ambiguous.
+    val ids = cellSplit.map(_._2.apply(1).trim).filter(_.nonEmpty)
+    val dupIds = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dupIds.isEmpty, s"duplicate §2 row ids: $dupIds")
     assert(survey.contains(s"SurveyLedgerCount = $SurveyLedgerCount"),
       s"SURVEY.md must quote `SurveyLedgerCount = $SurveyLedgerCount` " +
         "verbatim in its ledger tally — update the prose with the constant")

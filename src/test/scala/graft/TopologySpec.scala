@@ -247,9 +247,8 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
           .filter(col("event_id") =!= "9999999")
           .as[OrderStream.RetryOutcome]
         val qB = OrderStream.dlqEnvelope(dlqStream,
-            errorType = when(col("product").isNull, "MissingField")
-              .when(col("price") <= 0, "InvalidPrice")
-              .otherwise("ProcessingError"))
+            errorType = Reliability.errorTypeFor(
+              col("product"), col("price")))
           .select("value")
           .writeStream.format("text")
           .option("path", dlqDir.toString)
