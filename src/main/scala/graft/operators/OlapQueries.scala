@@ -553,7 +553,19 @@ object OlapQueries {
     // lock, so parallel suites can't race past a separate check. The
     // canons captured on the first call stay valid for the life of the
     // JVM (the defining shape is a pure function of the corpus dir).
+    //
+    // RETIREMENT ORDER (r15): superseded fingerprints' entries must be
+    // deregistered BEFORE the new canons are derived — the live rule
+    // would otherwise match the new defining plan against the OLD
+    // entry and substitute the OLD view read mid-derivation, whose
+    // parquet corpusCachedDir has just tree-deleted (loud
+    // PATH_NOT_FOUND; before the eviction deletion it silently stored
+    // view-scan-shaped canons instead of the aggregate's).
     val mvName = s"quarterly_revenue:${graft.Indexes.cacheKey(dir)}"
+    val rollName = s"quarterly_revenue_rollup:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
+    graft.plans.MvCatalog
+      .deregisterOthers(s"quarterly_revenue_rollup:$dir#", rollName)
     graft.plans.MvCatalog.registerIfAbsent(mvName) {
       val defDf = quarterlyRevenueDef(spark, dir)
       // Canonical forms captured BEFORE registration: computing
@@ -575,7 +587,6 @@ object OlapQueries {
     // any containment reasoning at match time — a non-decomposable
     // yearly aggregate (exact median) matches nothing and keeps its
     // fact plan (MvRewriteSpec pins both).
-    val rollName = s"quarterly_revenue_rollup:${graft.Indexes.cacheKey(dir)}"
     graft.plans.MvCatalog.registerIfAbsent(rollName) {
       val yDef = yearlyRevenueDef(spark, dir)
       val canons = Seq(yDef.queryExecution.analyzed,
@@ -588,12 +599,6 @@ object OlapQueries {
           sum("total_cents").as("total_cents"))
       (canons, () => rollup().queryExecution.analyzed)
     }
-    // Corpus changed under the same path → new fingerprint, new view
-    // parquet, new entries; retire the superseded ones so the old view
-    // can never answer a restatement of the new corpus.
-    graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
-    graft.plans.MvCatalog
-      .deregisterOthers(s"quarterly_revenue_rollup:$dir#", rollName)
     installMvRule(spark)
     quarterlyRevenueDef(spark, dir)
   }
@@ -692,14 +697,16 @@ object OlapQueries {
       nationRevenueDef(spark, dir).write.mode("overwrite").parquet(p)
       p
     }
+    // Retire superseded fingerprints BEFORE deriving the new canons —
+    // see the retirement-order note in [[mvRewrite]].
     val mvName = s"nation_revenue:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.deregisterOthers(s"nation_revenue:$dir#", mvName)
     graft.plans.MvCatalog.registerIfAbsent(mvName) {
       val defDf = nationRevenueDef(spark, dir)
       val canons = Seq(defDf.queryExecution.analyzed,
         defDf.queryExecution.optimizedPlan)
       (canons, () => spark.read.parquet(path).queryExecution.analyzed)
     }
-    graft.plans.MvCatalog.deregisterOthers(s"nation_revenue:$dir#", mvName)
     installMvRule(spark)
     nationRevenueDef(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)

@@ -117,10 +117,24 @@ class IndexFreshnessSpec extends AnyFunSuite with BeforeAndAfterAll {
         java.nio.file.Paths.get("/root/testdata/sf0.01/orders.parquet"),
         d.resolve("orders.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      operators.OlapQueries.mvRewrite(spark, dir)
+      val second = operators.OlapQueries.mvRewrite(spark, dir)
       val k2 = s"quarterly_revenue:${Indexes.cacheKey(dir)}"
       assert(k2 != k1 && MvCatalog.contains(k2) && !MvCatalog.contains(k1),
         "superseded view entry must be deregistered on corpus change")
+      // r15: the superseded entry retires BEFORE the new canons derive
+      // (and its view parquet is tree-deleted on eviction) — the second
+      // restatement must be answered from the REBUILT view over the new
+      // corpus, not throw on the deleted old path or silently store
+      // rewritten canons.
+      val plan2 = second.queryExecution.executedPlan.toString
+      assert(plan2.contains("graft-mv-quarterly") &&
+        !plan2.contains("orders.parquet"),
+        s"post-change restatement must be served from the new view:\n$plan2")
+      assert(second.count() ==
+        spark.read.parquet(dir + "/orders.parquet")
+          .selectExpr("(year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1 AS qtr")
+          .distinct().count(),
+        "rebuilt view must reflect the NEW corpus")
     } finally {
       MvCatalog.deregisterPrefix(s"quarterly_revenue:$dir")
       MvCatalog.deregisterPrefix(s"quarterly_revenue_rollup:$dir")
