@@ -307,21 +307,36 @@ object Reliability {
     * JSON strings (column `value`) — shared by the batch face above
     * (which builds its envelopes in-plan) and the streaming topology
     * (which reads the envelopes its DLQ file sink actually shipped), so
-    * the two monitors cannot drift. */
+    * the two monitors cannot drift. Reference-faithful tolerance
+    * (dead_letter_queue_consumer.py:66-70, 125-126): a MALFORMED
+    * envelope is skipped, never aggregated under a null group (the
+    * reference logs the JSONDecodeError and polls on), and missing
+    * fields take the reference's `.get` defaults — error_type
+    * 'UNKNOWN', retry_count 0. The batch face's in-plan envelopes are
+    * always well-formed and complete, so none of this changes its
+    * oracle; it is the DIRTY-topic contract for real feeds. */
   def dlqMonitorOver(envelopes: DataFrame): DataFrame = {
+    // PERMISSIVE from_json turns malformed JSON into a row of nulls —
+    // indistinguishable from a valid empty envelope — so the corrupt
+    // original is captured in a dedicated column and filtered on.
     val schema = "original_topic STRING, original_partition BIGINT," +
       " original_offset BIGINT, original_key STRING," +
       " original_value STRUCT<orderId: STRING, product: STRING," +
       " price: DOUBLE>, error_message STRING, error_type STRING," +
-      " retry_count INT, failed_at BIGINT, consumer_group STRING"
+      " retry_count INT, failed_at BIGINT, consumer_group STRING," +
+      " _corrupt STRING"
     envelopes
       .select(from_json(col("value"),
-        org.apache.spark.sql.types.StructType.fromDDL(schema)).as("m"))
-      .groupBy(col("m.error_type").as("error_type"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("m"))
+      .filter(col("m").isNotNull && col("m._corrupt").isNull)
+      .groupBy(coalesce(col("m.error_type"), lit("UNKNOWN")).as("error_type"),
         coalesce(col("m.original_value.product"), lit("UNKNOWN"))
           .as("product"))
       .agg(count(lit(1)).as("n_messages"),
-        sum(col("m.retry_count").cast("long")).as("total_retries"),
+        sum(coalesce(col("m.retry_count"), lit(0)).cast("long"))
+          .as("total_retries"),
         max(col("m.failed_at")).as("last_failure_ms"),
         min(col("m.original_offset")).as("first_offset"))
   }

@@ -783,6 +783,36 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(env2.getAs[Long]("failed_at") == 1704067205000L)
   }
 
+  test("DLQ monitor tolerates a dirty topic: malformed envelopes " +
+      "skipped, missing fields take the reference defaults") {
+    import spark.implicits._
+    // dead_letter_queue_consumer.py:125-126 skips a JSONDecodeError and
+    // polls on; :66-70 defaults missing fields (error_type 'UNKNOWN',
+    // retry_count 0). The monitor's parse→aggregate half must do the
+    // same — a dirty topic must never crash the monitor or pollute its
+    // groups with a null key.
+    val good =
+      """{"original_topic":"orders","original_partition":1,""" +
+        """"original_offset":11,"original_key":"11","original_value":""" +
+        """{"orderId":"ORD-0000011","product":"Mouse","price":5.0},""" +
+        """"error_message":"x","error_type":"ProcessingError",""" +
+        """"retry_count":3,"failed_at":1704067200000,""" +
+        """"consumer_group":"order-processor-group"}"""
+    val missingFields = // valid JSON, error_type/retry_count absent
+      """{"original_topic":"orders","original_offset":12,""" +
+        """"original_key":"12","original_value":{"product":"Mouse"},""" +
+        """"failed_at":1704067201000}"""
+    val malformed = """{"original_topic": "orders", "origi"""
+    val out = graft.operators.Reliability.dlqMonitorOver(
+        Seq(good, missingFields, malformed).toDF("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_.toString).toSeq
+    assert(out == Seq(
+      ("ProcessingError", "Mouse", 1L, 3L),
+      ("UNKNOWN", "Mouse", 1L, 0L)),
+      s"dirty-topic monitor aggregated wrong: $out")
+  }
+
   test("dedupOrders drops redelivered orderIds across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
