@@ -539,7 +539,7 @@ object Bench {
       existingCount = benchMapSize(committedBenchPath))
     guardMsg.foreach(m => System.err.println(s"[bench] $m"))
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"reps_noise_class":${repsExplicit.getOrElse(math.max(reps, 5))},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"reps_noise_class":${adaptiveReps(Some(0.5), repsExplicit, reps)},"sf":"$sfDir"}"""
     // BAND COMPARE against the committed baseline BEFORE it is
     // overwritten: only disjoint-band moves print — by construction the
     // round-close diff carries zero unattributed noise movers (r14

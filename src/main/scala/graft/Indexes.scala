@@ -97,13 +97,6 @@ object Indexes {
   /** Staleness-aware cache key for a corpus dir; see [[fingerprint]]. */
   def cacheKey(dir: String): String = dir + "#" + fingerprint(dir)
 
-  /** Drop cache entries for OTHER fingerprints of the same dir (call
-    * after a computeIfAbsent on the current key): keeps one live
-    * artifact per (cache, dir) as a corpus evolves in one JVM. */
-  def dropStale[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
-      dir: String, keep: String): Unit =
-    cache.keySet.removeIf(k => k.startsWith(dir + "#") && k != keep)
-
   /** The build-once-per-corpus idiom every persisted index uses: serve
     * from the cache while the corpus is unchanged, rebuild when its
     * fingerprint moves, drop the superseded entry. `onEvict` runs for

@@ -317,7 +317,7 @@ object GraphOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def purchaseGraphPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(purchaseGraphCache, dir) {
+    graft.Indexes.corpusCachedDir(purchaseGraphCache, dir) {
       val path = java.nio.file.Files
         .createTempDirectory("graft-purchase-graph").toFile.getAbsolutePath
       Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")

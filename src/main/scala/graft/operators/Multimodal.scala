@@ -185,7 +185,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def binaryIngest(spark: SparkSession, dir: String, nDocs: Int = 20): DataFrame = {
-    val out = graft.Indexes.corpusCached(binStageCache, dir) {
+    val out = graft.Indexes.corpusCachedDir(binStageCache, dir) {
       java.nio.file.Files.createTempDirectory("graft-binfiles")
         .toFile.getAbsolutePath
     }

@@ -534,9 +534,23 @@ object OlapQueries {
     * MAINTAIN, this shows queries USE it with no client-side rewrite.
     */
   def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    // RETIREMENT ORDER, part 1 (r15 second-pass review — the bug
+    // predates the round): superseded fingerprints' entries must be
+    // deregistered BEFORE the view REBUILD below, not just before the
+    // canon derivation. Canonicalized matching is path-based, so with
+    // the rule live the old entry matches the new corpus's defining
+    // plan, and the materialization write itself would be rewritten to
+    // scan the OLD view parquet — silently copying the old corpus's
+    // aggregates into the "new" view. The names use the NEW
+    // fingerprint, computed before anything is built.
+    val mvName = s"quarterly_revenue:${graft.Indexes.cacheKey(dir)}"
+    val rollName = s"quarterly_revenue_rollup:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
+    graft.plans.MvCatalog
+      .deregisterOthers(s"quarterly_revenue_rollup:$dir#", rollName)
     // corpusCachedDir: a superseded corpus version's view parquet is
     // tree-deleted on eviction (same leak class as the snapshot roots,
-    // r14 advice); its MvCatalog entries are retired right below.
+    // r14 advice); its MvCatalog entries were retired right above.
     val path = graft.Indexes.corpusCachedDir(mvQuarterlyCache, dir) {
       val p = java.nio.file.Files
         .createTempDirectory("graft-mv-quarterly").toFile.getAbsolutePath
@@ -554,18 +568,11 @@ object OlapQueries {
     // canons captured on the first call stay valid for the life of the
     // JVM (the defining shape is a pure function of the corpus dir).
     //
-    // RETIREMENT ORDER (r15): superseded fingerprints' entries must be
-    // deregistered BEFORE the new canons are derived — the live rule
-    // would otherwise match the new defining plan against the OLD
-    // entry and substitute the OLD view read mid-derivation, whose
-    // parquet corpusCachedDir has just tree-deleted (loud
-    // PATH_NOT_FOUND; before the eviction deletion it silently stored
-    // view-scan-shaped canons instead of the aggregate's).
-    val mvName = s"quarterly_revenue:${graft.Indexes.cacheKey(dir)}"
-    val rollName = s"quarterly_revenue_rollup:${graft.Indexes.cacheKey(dir)}"
-    graft.plans.MvCatalog.deregisterOthers(s"quarterly_revenue:$dir#", mvName)
-    graft.plans.MvCatalog
-      .deregisterOthers(s"quarterly_revenue_rollup:$dir#", rollName)
+    // RETIREMENT ORDER, part 2 (r15): the same reasoning covers the
+    // canon derivation below — with a stale entry live, the derivation
+    // would capture a view-scan-shaped canon (or, now that eviction
+    // tree-deletes, throw PATH_NOT_FOUND on the old parquet). Both
+    // windows are closed by the deregisterOthers calls ABOVE the build.
     graft.plans.MvCatalog.registerIfAbsent(mvName) {
       val defDf = quarterlyRevenueDef(spark, dir)
       // Canonical forms captured BEFORE registration: computing
@@ -691,16 +698,16 @@ object OlapQueries {
     * output) matches nothing and keeps its fact plan — MvRewriteSpec
     * pins both directions plus row parity. */
   def mvRewriteJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Retire superseded fingerprints BEFORE the view rebuild AND the
+    // canon derivation — see the retirement-order notes in [[mvRewrite]].
+    val mvName = s"nation_revenue:${graft.Indexes.cacheKey(dir)}"
+    graft.plans.MvCatalog.deregisterOthers(s"nation_revenue:$dir#", mvName)
     val path = graft.Indexes.corpusCachedDir(mvNationCache, dir) {
       val p = java.nio.file.Files
         .createTempDirectory("graft-mv-nation").toFile.getAbsolutePath
       nationRevenueDef(spark, dir).write.mode("overwrite").parquet(p)
       p
     }
-    // Retire superseded fingerprints BEFORE deriving the new canons —
-    // see the retirement-order note in [[mvRewrite]].
-    val mvName = s"nation_revenue:${graft.Indexes.cacheKey(dir)}"
-    graft.plans.MvCatalog.deregisterOthers(s"nation_revenue:$dir#", mvName)
     graft.plans.MvCatalog.registerIfAbsent(mvName) {
       val defDf = nationRevenueDef(spark, dir)
       val canons = Seq(defDf.queryExecution.analyzed,

@@ -534,7 +534,7 @@ object Profiling {
     * (otherwise the first timed q_auc_purchase / q_calibration run pays
     * the one-time parquet build inside its measurement). */
   private[graft] def scoreCumPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(scoreCumCache, dir) {
+    graft.Indexes.corpusCachedDir(scoreCumCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-score-cum").toFile.getAbsolutePath
       val grouped = Tables.events(spark, dir)
@@ -753,7 +753,7 @@ object Profiling {
     * plus 26 probes of the tiny histogram. Same fresh-tempdir
     * lifecycle as the other corpus indexes. */
   private[graft] def priceHistPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(priceHistCache, dir) {
+    graft.Indexes.corpusCachedDir(priceHistCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-price-hist").toFile.getAbsolutePath
       Tables.orders(spark, dir)

@@ -127,7 +127,11 @@ object Ranking {
     * fresh-tempdir lifecycle as TextAnalysis.vocabIndexPath. */
   private[graft] def bigramIndexPaths(
       spark: SparkSession, dir: String): (String, String) =
-    graft.Indexes.corpusCached(bigramIndexCache, dir) {
+    graft.Indexes.corpusCached(bigramIndexCache, dir)(onEvict = {
+      case (b, f) =>
+        graft.sources.SnapshotCatalog.deleteTree(java.nio.file.Paths.get(b))
+        graft.sources.SnapshotCatalog.deleteTree(java.nio.file.Paths.get(f))
+    }, build = {
       graft.functions.ShinglesAll.register(spark)
       val bi = Tables.documents(spark, dir)
         .select(explode(expr("shingles_all(text, 2)")).as("xy"))
@@ -141,7 +145,7 @@ object Ranking {
         .groupBy("x").agg(count(lit(1)).as("cx1"))
         .write.mode("overwrite").parquet(fOut)
       (bOut, fOut)
-    }
+    })
 
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val (bPath, fPath) = bigramIndexPaths(spark, dir)
@@ -186,7 +190,7 @@ object Ranking {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def dsirRatioPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(dsirRatioCache, dir) {
+    graft.Indexes.corpusCachedDir(dsirRatioCache, dir) {
       val words = Tables.documents(spark, dir)
         .select(col("lang"),
           explode(split(lower(col("text")), "\\s+")).as("w"))

@@ -635,7 +635,7 @@ object Similarity {
   /** Force the build-once PQ code table for `dir` and return its path
     * (explicit index-build entry point; see [[Indexes.prebuild]]). */
   private[graft] def pqCodesPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(pqCodesCache, dir) {
+    graft.Indexes.corpusCachedDir(pqCodesCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-pq-codes").toFile.getAbsolutePath
       pqCodesFrom(pqDistances(spark, dir)).write.mode("overwrite").parquet(out)
@@ -1145,7 +1145,7 @@ object Similarity {
   /** Force the build-once IVF index for `dir` and return its path
     * (explicit index-build entry point; see [[Indexes.prebuild]]). */
   private[graft] def ivfIndexPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(ivfIndexCache, dir) {
+    graft.Indexes.corpusCachedDir(ivfIndexCache, dir) {
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivf-ix").toFile.getAbsolutePath
       buildIvfIndex(spark, dir, path)

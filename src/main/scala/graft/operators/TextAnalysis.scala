@@ -671,7 +671,7 @@ object TextAnalysis {
     * the explicit index-build entry point ([[Indexes.prebuild]] calls it
     * so benchmarked serve paths never pay the build). */
   private[graft] def tokenIndexPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(tokenIndexCache, dir) {
+    graft.Indexes.corpusCachedDir(tokenIndexCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-token-ix").toFile.getAbsolutePath
       persistedTokenIndex(spark, dir, out)
@@ -688,7 +688,7 @@ object TextAnalysis {
     * [[docRarityFrom]]. Same fresh-tempdir-per-(JVM, dir) lifecycle as
     * [[tokenIndexPath]]. */
   private[graft] def vocabIndexPath(spark: SparkSession, dir: String): String =
-    graft.Indexes.corpusCached(vocabIndexCache, dir) {
+    graft.Indexes.corpusCachedDir(vocabIndexCache, dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-vocab-ix").toFile.getAbsolutePath
       Tables.documents(spark, dir)
@@ -787,8 +787,8 @@ object TextAnalysis {
 
   private def trainedMerges(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
-    val path = bpeMergeCache.computeIfAbsent(
-      s"${graft.Indexes.cacheKey(dir)}|$rounds", _ => {
+    val key = s"${graft.Indexes.cacheKey(dir)}|$rounds"
+    val path = bpeMergeCache.computeIfAbsent(key, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-bpe-merges").toFile.getAbsolutePath
       bpeTrain(spark, dir, rounds).zipWithIndex.map { case (best, i) =>
@@ -799,6 +799,21 @@ object TextAnalysis {
         .coalesce(1).write.mode("overwrite").parquet(out)
       out
     })
+    // Superseded-fingerprint eviction with tree deletion (r15 — this
+    // cache's `|rounds`-suffixed key scheme kept it outside
+    // corpusCachedDir): a corpus changing under the same path retires
+    // the old fingerprint's trained merges for the same round count,
+    // entry AND parquet.
+    val it = bpeMergeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(dir + "#") &&
+          e.getKey.endsWith(s"|$rounds") && e.getKey != key) {
+        graft.sources.SnapshotCatalog.deleteTree(
+          java.nio.file.Paths.get(e.getValue))
+        it.remove()
+      }
+    }
     spark.read.parquet(path)
   }
 

@@ -169,10 +169,13 @@ object SnapshotCatalog {
     }
     try once()
     catch {
-      case _: java.io.UncheckedIOException |
-          _: java.nio.file.NoSuchFileException |
-          _: java.nio.file.DirectoryNotEmptyException =>
-        try once() catch { case _: Throwable => () }
+      // Any non-fatal failure (vanished entries from a concurrent
+      // deleter, AccessDenied on an undeletable file, transient IO):
+      // retry once, then give up — cleanup must never crash the serving
+      // query whose artifact built fine. Fatal errors still propagate.
+      case scala.util.control.NonFatal(_) =>
+        try once()
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

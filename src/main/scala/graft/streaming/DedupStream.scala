@@ -36,7 +36,11 @@ object DedupStream {
 
   private[graft] def historyIndexPaths(spark: SparkSession,
       dir: String): (String, String) =
-    graft.Indexes.corpusCached(historyIxCache, dir) {
+    graft.Indexes.corpusCached(historyIxCache, dir)(onEvict = {
+      case (b, s) =>
+        graft.sources.SnapshotCatalog.deleteTree(java.nio.file.Paths.get(b))
+        graft.sources.SnapshotCatalog.deleteTree(java.nio.file.Paths.get(s))
+    }, build = {
       val bands = java.nio.file.Files
         .createTempDirectory("graft-hist-bands").toFile.getAbsolutePath
       val sets = java.nio.file.Files
@@ -46,7 +50,7 @@ object DedupStream {
       Dedup.bandTableOf(histEx).write.mode("overwrite").parquet(bands)
       Dedup.docSetsOf(histEx).write.mode("overwrite").parquet(sets)
       (bands, sets)
-    }
+    })
 
   /** foreachBatch splitter: route each micro-batch's fresh docs to
     * `newSink` and near-dups of the history index to `dupSink`, each
