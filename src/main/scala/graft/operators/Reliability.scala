@@ -325,11 +325,16 @@ object Reliability {
       " price: DOUBLE>, error_message STRING, error_type STRING," +
       " retry_count INT, failed_at BIGINT, consumer_group STRING," +
       " _corrupt STRING"
+    // OptimizerBarrier pins the parse at this Project: without it,
+    // project-collapse inlines `from_json` into the corrupt-filter
+    // predicate AND every group/agg expression — the SAME string parsed
+    // ~7 times per row (measured 4-6× on q_dlq_monitor when the
+    // `_corrupt` filter landed). Barriered, each envelope parses once.
     envelopes
-      .select(from_json(col("value"),
+      .select(graft.functions.OptimizerBarrier(from_json(col("value"),
         org.apache.spark.sql.types.StructType.fromDDL(schema),
         Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt")).as("m"))
+          "columnNameOfCorruptRecord" -> "_corrupt"))).as("m"))
       .filter(col("m").isNotNull && col("m._corrupt").isNull)
       .groupBy(coalesce(col("m.error_type"), lit("UNKNOWN")).as("error_type"),
         coalesce(col("m.original_value.product"), lit("UNKNOWN"))
