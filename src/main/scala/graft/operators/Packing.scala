@@ -429,6 +429,66 @@ object Packing {
           .as("dev_ppm"))
   }
 
+  /** Shard-id domain for [[reshardMoves]]'s packed HRW keys: owners of
+    * both widths live in one `% 16` residue so the packed
+    * `hash·16 + shard` key decodes with a single modulus. */
+  private[graft] val ReshardSlots = 16L
+
+  /** The per-(doc, shard) HRW key — 48-bit md5 of `doc_id:shard`,
+    * packed as `hash·16 + shard` (fits a long: 2⁵² max) so the argmax
+    * over shards is a plain `greatest` and ties are impossible by
+    * construction (distinct shard low bits). Emitted as engine SQL
+    * text so Spark and the DuckDB oracle evaluate the identical
+    * function. */
+  private def hrwKeySql(s: Int, spark: Boolean): String =
+    if (spark)
+      s"CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':$s')), 1, 12)," +
+        s" 16, 10) AS BIGINT) * $ReshardSlots + $s"
+    else
+      s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$s'), 1, 12))" +
+        s" AS BIGINT) * $ReshardSlots + $s"
+
+  /** CONSISTENT-HASHING RESHARD PLAN (rendezvous / highest-random-
+    * weight hashing, Thaler & Ravishankar '96): the movement matrix a
+    * 100 TB corpus store consults before growing its shard count
+    * `oldW` → `newW`. Each doc's owner is the argmax over shards of a
+    * deterministic per-(doc, shard) hash, so growing the pool is
+    * MONOTONE — a doc either keeps its owner or moves to one of the
+    * ADDED shards (expected moved fraction 1 − oldW/newW, the
+    * theoretical minimum for balanced placement) — while naive
+    * `hash % W` placement remaps ~2/3 of the corpus for the same 8→12
+    * growth. The query emits BOTH schemes' (old, new) matrices from
+    * one scan so the plan quantifies exactly how many bytes each
+    * strategy would move; `ReshardSpec` pins the monotonicity
+    * invariant and the two movement fractions.
+    *
+    * Scale shape: owners are pure per-row projections (2·newW
+    * codegen'd md5s, zero joins, zero explode of the shard domain
+    * over the corpus); the only shuffle is the final map-side-combined
+    * aggregate to ≤ 2·oldW·newW matrix rows. */
+  def reshardMoves(spark: SparkSession, dir: String,
+      oldW: Int = 8, newW: Int = 12): DataFrame = {
+    def owner(w: Int) =
+      expr((0 until w).map(hrwKeySql(_, spark = true))
+        .mkString("greatest(", ", ", s") % $ReshardSlots"))
+    val h0 = expr(
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        owner(oldW).as("hrw_old"), owner(newW).as("hrw_new"),
+        (h0 % oldW).as("mod_old"), (h0 % newW).as("mod_new"))
+      .select(col("doc_id"), explode(array(
+        struct(lit("hrw").as("scheme"), col("hrw_old").as("old_shard"),
+          col("hrw_new").as("new_shard")),
+        struct(lit("mod").as("scheme"), col("mod_old").as("old_shard"),
+          col("mod_new").as("new_shard")))).as("x"))
+      .select(col("doc_id"), col("x.scheme"), col("x.old_shard"),
+        col("x.new_shard"))
+      .groupBy("scheme", "old_shard", "new_shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("doc_lo"), max("doc_id").as("doc_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_loader_manifest" -> ((s, d) => loaderManifest(s, d)),
     "q_span_corrupt" -> spanCorruptPlan,
@@ -438,6 +498,7 @@ object Packing {
     "q_seq_materialize" -> ((s, d) => seqMaterialize(s, d)),
     "q_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "q_curriculum_order" -> ((s, d) => curriculumOrder(s, d)),
+    "q_reshard_moves" -> ((s, d) => reshardMoves(s, d)),
     "q_budget_trim" -> ((s, d) => budgetTrim(s, d)),
     "q_batch_plan" -> ((s, d) => inferenceBatchPlan(s, d)))
 
@@ -634,6 +695,24 @@ object Packing {
          |       (cum_before + n_tokens - 1) // ${SeqLen}
          |         - cum_before // ${SeqLen} + 1 AS n_seqs
          |FROM c""".stripMargin,
+    "q_reshard_moves" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         greatest(${(0 until 8).map(hrwKeySql(_, spark = false))
+                     .mkString(", ")}) % $ReshardSlots AS hrw_old,
+         |         greatest(${(0 until 12).map(hrwKeySql(_, spark = false))
+                     .mkString(", ")}) % $ReshardSlots AS hrw_new,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+         |           AS BIGINT) AS h0
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, 'hrw' AS scheme,
+         |         hrw_old AS old_shard, hrw_new AS new_shard FROM h
+         |  UNION ALL
+         |  SELECT doc_id, 'mod', h0 % 8, h0 % 12 FROM h)
+         |SELECT scheme, old_shard, new_shard, count(*) AS n_docs,
+         |       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+         |FROM u GROUP BY 1, 2, 3""".stripMargin,
     "q_shard_plan" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -554,6 +554,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 2L, 0), (3L, 1L, 1)))
   }
 
+  test("HRW reshard is monotone and moves ~1−W/W′; mod-hash moves ~2/3") {
+    val m = Packing.reshardMoves(spark, sf).collect()
+    def rows(scheme: String) = m.filter(_.getAs[String]("scheme") == scheme)
+    // Domain sanity: old owners < 8, new owners < 12, both schemes.
+    m.foreach { r =>
+      assert(r.getAs[Long]("old_shard") < 8 && r.getAs[Long]("new_shard") < 12)
+    }
+    // HRW monotonicity (the property that makes it a reshard PLAN, not
+    // a reshuffle): a doc that moves can only move to an ADDED shard —
+    // zero matrix mass between two RETAINED shards.
+    rows("hrw").filter(r =>
+      r.getAs[Long]("old_shard") != r.getAs[Long]("new_shard")).foreach { r =>
+      assert(r.getAs[Long]("new_shard") >= 8,
+        s"HRW moved ${r.getAs[Long]("n_docs")} docs between retained " +
+          s"shards ${r.getAs[Long]("old_shard")}→${r.getAs[Long]("new_shard")}")
+    }
+    def movedFrac(scheme: String): Double = {
+      val rs = rows(scheme)
+      val total = rs.map(_.getAs[Long]("n_docs")).sum.toDouble
+      rs.filter(r => r.getAs[Long]("old_shard") != r.getAs[Long]("new_shard"))
+        .map(_.getAs[Long]("n_docs")).sum / total
+    }
+    // Expected moved fractions: HRW 1 − 8/12 = 1/3 (the minimum for
+    // balanced placement), mod-hash 2/3 (only residues equal mod
+    // lcm(8,12)=24 below 8 stay) — wide binomial bands at 500 docs.
+    val hrw = movedFrac("hrw"); val mod = movedFrac("mod")
+    assert(hrw > 0.25 && hrw < 0.42, s"HRW moved fraction $hrw")
+    assert(mod > 0.55 && mod < 0.78, s"mod moved fraction $mod")
+    // All 12 grown shards own something (balance at n=500).
+    assert(rows("hrw").map(_.getAs[Long]("new_shard")).distinct.length == 12)
+  }
+
   test("mix allocation: exact apportionment sums to the budget") {
     // Hamilton's method invariants: Σ alloc = budget exactly, every
     // source within 1 unit of its real-valued proportional share.
