@@ -99,6 +99,110 @@ object Profiling {
           .as("sample_median_cents"))
   }
 
+  /** Per-(group, shard) retained-row capacity of the level-sampling
+    * quantile sketch ([[quantileSketchOf]]). */
+  private[graft] val QSketchK = 128L
+
+  /** Shard count the quantile-sketch query merges over — 8, the top
+    * 3 bits of the 32-bit digest slice (disjoint from the
+    * trailing-zero level bits). */
+  private[graft] val QSketchShards = 8
+
+  /** Trailing-zero count of a 32-bit value as engine SQL text —
+    * Σ_{j=1..32} [h ≡ 0 mod 2ʲ] (h = 0 ⇒ 32): pure integer terms,
+    * evaluated identically by Spark and the DuckDB oracle. */
+  private[graft] def tzSql(h: String): String =
+    (1 to 32).map(j => s"CAST($h % ${1L << j} = 0 AS INT)")
+      .mkString("(", " + ", ")")
+
+  /** LEVEL-SAMPLING QUANTILE SKETCH over (grp, event_id, cents) rows —
+    * the mergeable, DETERMINISTIC quantile path (cf. the KLL lineage,
+    * Karnin-Lang-Liberty FOCS'16; this is the classic level-sampling
+    * ancestor those papers randomize): each row draws level
+    * ℓ = trailing zeros of a 32-bit md5 hash (P[ℓ ≥ t] = 2⁻ᵗ); a shard
+    * retains rows with ℓ ≥ t_s for the smallest t_s keeping ≤ k rows,
+    * each representing 2^t_s originals; merging shards is
+    * max-of-thresholds + refilter — associative, commutative, and a
+    * pure function of the input SET, so unlike `percentile_approx`'s
+    * engine-private sketch the estimate itself is hash-checkable and
+    * the DuckDB oracle replays it digit-exactly. Estimated q-quantile =
+    * the retained value whose cumulative weight first reaches
+    * ⌈q·n_est⌉. Scale shape: per-(grp, shard) sketch state is a
+    * 33-bucket level histogram + ≤ k rows regardless of input size;
+    * every window here runs over sketch-sized data (a 100 TB run keeps
+    * the per-shard retained rows from the same pass that builds the
+    * histogram — this batch face re-derives them from the base table,
+    * algebraically identical since {ℓ ≥ t*} ⊆ {ℓ ≥ t_s}). */
+  private[graft] def quantileSketchOf(e: DataFrame,
+      k: Long = QSketchK): DataFrame = {
+    // h32 sits behind the optimizer barrier: the 32-term tz sum
+    // references it 32×, and projection collapse would otherwise
+    // inline the digest into every term — 32 digests per row instead
+    // of one (measured 4 s of the original 5.3 s at sf0.1). The shard
+    // comes from h32's TOP 3 bits — disjoint from the trailing-zero
+    // level, so one digest slice serves both independently.
+    val hashed = e.select(col("grp"),
+      graft.functions.OptimizerBarrier(
+        expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT)")).as("h32"),
+      col("cents"), col("event_id"))
+      .withColumn("shard", expr(s"h32 div ${1L << 29}"))
+      .withColumn("tz", expr(tzSql("h32")).cast("long"))
+    // Per-shard threshold: smallest t with |{ℓ ≥ t}| ≤ k, from the
+    // 33-bucket level histogram (suffix counts over present levels).
+    val lvl = hashed.groupBy("grp", "shard", "tz").agg(count(lit(1)).as("c"))
+    val sfx = lvl.withColumn("suffix", sum("c").over(
+      Window.partitionBy("grp", "shard").orderBy(col("tz").desc)))
+    val ts = sfx.groupBy("grp", "shard")
+      .agg(coalesce(max(when(col("suffix") > k, col("tz"))) + lit(1L),
+        lit(0L)).as("t_s"))
+    // Merge: t* = max over shards; retained rows carry weight 2^t*.
+    val tstar = ts.groupBy("grp").agg(max("t_s").cast("long").as("t_star"))
+    val ret = hashed.join(broadcast(tstar), "grp")
+      .filter(col("tz") >= col("t_star"))
+    // Sketch-sized from here on (≤ k·shards rows per group). Every rk
+    // row already carries its group's t_star and n_ret, so the
+    // quantile selector needs no params table and no join: explode the
+    // three q's over the sketch rows and keep the row whose position
+    // is the ceil-rank target — one narrow stage instead of a
+    // distinct + cross + equi-join chain (5.3 s → ~1.5 s at sf0.1).
+    val rk = ret.select(col("grp"), col("cents"), col("t_star"),
+      row_number().over(Window.partitionBy("grp")
+        .orderBy("cents", "h32", "event_id")).cast("long").as("pos"),
+      count(lit(1)).over(Window.partitionBy("grp")).as("n_ret"))
+    rk.withColumn("q_pct", explode(array(lit(25L), lit(50L), lit(75L))))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(t_star AS INT))"))
+      .withColumn("n_est", col("n_ret") * col("w"))
+      .withColumn("pos_t",
+        expr("((q_pct * n_est + 99) div 100 + w - 1) div w"))
+      .filter(col("pos") === col("pos_t"))
+      .select(col("grp"), col("q_pct"), col("t_star"),
+        col("n_ret").as("n_retained"), col("n_est"),
+        col("cents").as("est_cents"))
+  }
+
+  /** The registered face of [[quantileSketchOf]] — per-event-type
+    * estimated p25/p50/p75 of value cents via 8 merged per-shard
+    * sketches, melted to one row per (type, q), with the HONESTY
+    * columns a production run would skip: the estimate's exact rank in
+    * the full data and its rank error in ppm (all exact-integer — no
+    * floating quantile interpolation to diverge between engines). */
+  def quantileSketchTable(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type").as("grp"), col("event_id"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val est = quantileSketchOf(ev)
+    ev.join(broadcast(est), "grp")
+      .groupBy("grp", "q_pct", "t_star", "n_retained", "n_est", "est_cents")
+      .agg(count(lit(1)).as("exact_n"),
+        sum(when(col("cents") <= col("est_cents"), 1L).otherwise(0L))
+          .as("exact_rank"))
+      .select(col("grp").as("event_type"), col("q_pct"), col("t_star"),
+        col("n_retained"), col("n_est"), col("est_cents"), col("exact_rank"),
+        expr("abs(exact_rank * 1000000 div exact_n - q_pct * 10000)")
+          .as("err_ppm"))
+  }
+
   /** Single-pass column profile of the customer table: null count and
     * distinct count per column, melted to one row per column with
     * `stack`. Spark scans the table once for all five columns; the
@@ -1389,6 +1493,7 @@ object Profiling {
     "q_pseudonym_export" -> ((s, d) => pseudonymExport(s, d)),
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
+    "q_quantile_sketch" -> ((s, d) => quantileSketchTable(s, d)),
     "q_fd_report" -> fdReport,
     "q_join_cardinality" -> joinCardinality,
     "q_f2_sketch" -> ((s, d) => f2SketchEstimate(s, d)),
@@ -1673,6 +1778,65 @@ object Profiling {
         |       CAST(row_number() OVER (ORDER BY revenue_cents DESC, pseud)
         |            AS INT) AS rk
         |FROM a""".stripMargin,
+    // Replays the level-sampling sketch end to end: same 32-bit md5
+    // hashes, same trailing-zero levels, per-shard thresholds from the
+    // suffix-count histogram, max-merge, and the ceil-rank estimate —
+    // the estimator itself is hash-checked (q_kmv_sketch discipline).
+    "q_quantile_sketch" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS grp, event_id,
+         |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |           AS BIGINT) AS h32,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM events),
+         |t AS (
+         |  SELECT grp, event_id, h32, cents,
+         |         h32 // ${1L << 29} AS shard,
+         |         CAST(${tzSql("h32")} AS BIGINT) AS tz
+         |  FROM e),
+         |lvl AS (SELECT grp, shard, tz, count(*) AS c FROM t GROUP BY 1, 2, 3),
+         |sfx AS (
+         |  SELECT grp, shard, tz,
+         |         sum(c) OVER (PARTITION BY grp, shard ORDER BY tz DESC)
+         |           AS suffix
+         |  FROM lvl),
+         |ts AS (
+         |  SELECT grp, shard,
+         |         coalesce(max(CASE WHEN suffix > $QSketchK THEN tz END) + 1,
+         |           0) AS t_s
+         |  FROM sfx GROUP BY 1, 2),
+         |tstar AS (SELECT grp, CAST(max(t_s) AS BIGINT) AS t_star
+         |          FROM ts GROUP BY 1),
+         |ret AS (
+         |  SELECT t.grp, t.cents, t.h32, t.event_id, s.t_star
+         |  FROM t JOIN tstar s ON t.grp = s.grp AND t.tz >= s.t_star),
+         |rk AS (
+         |  SELECT grp, cents, t_star,
+         |         row_number() OVER (PARTITION BY grp
+         |           ORDER BY cents, h32, event_id) AS pos,
+         |         count(*) OVER (PARTITION BY grp) AS n_ret
+         |  FROM ret),
+         |params AS (
+         |  SELECT grp, t_star, n_ret, CAST(q.q_pct AS BIGINT) AS q_pct,
+         |         (CAST(1 AS BIGINT) << CAST(t_star AS INT)) AS w,
+         |         n_ret * (CAST(1 AS BIGINT) << CAST(t_star AS INT)) AS n_est
+         |  FROM (SELECT DISTINCT grp, t_star, n_ret FROM rk)
+         |  CROSS JOIN (SELECT unnest([25, 50, 75]) AS q_pct) q),
+         |est AS (
+         |  SELECT p.grp, p.q_pct, p.t_star, p.n_ret AS n_retained, p.n_est,
+         |         r.cents AS est_cents
+         |  FROM params p JOIN rk r
+         |    ON r.grp = p.grp
+         |   AND r.pos = ((p.q_pct * p.n_est + 99) // 100 + p.w - 1) // p.w)
+         |SELECT est.grp AS event_type, est.q_pct, est.t_star, est.n_retained,
+         |       est.n_est, est.est_cents,
+         |       CAST(sum(CASE WHEN e.cents <= est.est_cents THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS exact_rank,
+         |       abs(CAST(sum(CASE WHEN e.cents <= est.est_cents THEN 1 ELSE 0
+         |             END) AS BIGINT) * 1000000 // count(*)
+         |           - est.q_pct * 10000) AS err_ppm
+         |FROM e JOIN est ON e.grp = est.grp
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // Replays the sketch exactly: bottom-k of the same 48-bit
     // md5-derived hashes via rank windows (the sketch is a pure
     // function of the item set, so merge order can't diverge it).

@@ -199,6 +199,50 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("level-sampling quantile sketch: bounded rank error at 50k rows") {
+    import spark.implicits._
+    // Uniform cents 1..50k, unique ids — deterministic md5 levels, so
+    // the whole run is reproducible and the bounds can be tight-ish.
+    val n = 50000L
+    val df = spark.range(1, n + 1)
+      .select(lit("g").as("grp"), col("id").as("event_id"),
+        col("id").as("cents"))
+    val est = graft.operators.Profiling.quantileSketchOf(df).collect()
+    assert(est.length == 3)
+    est.foreach { r =>
+      val q = r.getAs[Long]("q_pct"); val v = r.getAs[Long]("est_cents")
+      val nEst = r.getAs[Long]("n_est")
+      // cents == rank here, so the exact rank error is |v/n − q/100|.
+      val errPpm = math.abs(v * 1000000L / n - q * 10000L)
+      assert(errPpm <= 60000L, s"q$q est $v err $errPpm ppm")
+      assert(math.abs(nEst - n) <= n / 10, s"n_est $nEst vs $n")
+      // Sketch really compressed: threshold > 0, ≪ n rows retained.
+      assert(r.getAs[Long]("t_star") >= 4 &&
+        r.getAs[Long]("n_retained") <= 8 * 128 * 2)
+    }
+  }
+
+  test("quantile sketch degenerates to the exact ceil-rank quantile " +
+    "when everything fits (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf).select(
+      col("event_type").as("grp"), col("event_id"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val est = graft.operators.Profiling.quantileSketchOf(ev).collect()
+    val byGrp = ev.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sorted).toMap
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("t_star") == 0L) // ≤128/shard ⇒ no sampling
+      val vals = byGrp(r.getAs[String]("grp"))
+      val q = r.getAs[Long]("q_pct")
+      val target = ((q * vals.length + 99) / 100).toInt // ceil rank
+      assert(r.getAs[Long]("est_cents") == vals(target - 1),
+        s"${r.getAs[String]("grp")} q$q")
+    }
+  }
+
   test("verified heavy hitters equal the exact groupBy answer") {
     val sf = "/root/testdata/sf0.01"
     val viaSketch = graft.operators.Profiling.heavyEventTypes(spark, sf)
