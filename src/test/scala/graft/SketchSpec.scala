@@ -243,6 +243,82 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile sketch Aggregator ≡ batch thresholds under any " +
+    "partitioning, through a 3-batch stream, and up to the estimates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val k = 128
+    // 40k rows / 2 groups so per-(grp, shard) counts force real trims;
+    // h32/shard/level derived by the SAME formulas as the batch SQL.
+    val ev = spark.range(1, 40001).select(
+      concat(lit("g"), col("id") % 2).as("grp"), col("id").as("event_id"),
+      (col("id") % 9973).as("cents"))
+    val rows = ev.select(col("grp"), col("event_id"), col("cents"),
+      expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)" +
+        " AS BIGINT)").as("h32"))
+      .withColumn("shard", expr(s"h32 div ${1L << 29}"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map { case (g, id, c, h, s) => (g, s, c, h, id) }
+
+    // Independent Scala reference: smallest t with |{ℓ ≥ t}| ≤ k.
+    def lvl(h: Long) = graft.functions.QuantileSketch.level(h)
+    val ref = rows.groupBy(t => (t._1, t._2)).view.mapValues { items =>
+      val t = Iterator.from(0)
+        .find(t => items.count(it => lvl(it._4) >= t) <= k).get
+      (t, items.filter(it => lvl(it._4) >= t)
+        .map(it => (it._3, it._4, it._5)).sorted)
+    }.toMap
+
+    val qa = graft.functions.QuantileSketch.agg(k)
+    def sketchOf(ds: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long)]) =
+      ds.groupByKey(t => (t._1, t._2)).mapValues(t => (t._3, t._4, t._5))
+        .agg(qa.toColumn).collect()
+        .map { case (key, sk) => key -> (sk._1, sk._2) }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = sketchOf(rows.toDS().repartition(parts))
+      assert(got == ref, s"parts=$parts")
+    }
+    // Trims really fired (state stayed O(k), not O(n)).
+    assert(ref.values.forall(v => v._1 >= 3 && v._2.length <= k))
+
+    // The same aggregator as streaming state across 3 micro-batches.
+    val input = MemoryStream[(String, Long, Long, Long, Long)]
+    val q = input.toDS().groupByKey(t => (t._1, t._2))
+      .mapValues(t => (t._3, t._4, t._5)).agg(qa.toColumn)
+      .toDF("key", "sketch")
+      .writeStream.format("memory").queryName("qsketch_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("qsketch_stream")
+        .as[((String, Long), (Int, Seq[(Long, Long, Long)]))]
+        .collect().toMap
+      assert(streamed == ref)
+    } finally q.stop()
+
+    // Merged estimates off the sketches equal the batch SQL face.
+    val est = ref.toSeq.groupBy(_._1._1).map { case (g, shards) =>
+      val tStar = shards.map(_._2._1).max
+      val retained = shards.flatMap(_._2._2)
+        .filter(it => lvl(it._2) >= tStar).sorted
+      val w = 1L << tStar; val nEst = retained.length * w
+      g -> Seq(25L, 50L, 75L).map { qp =>
+        val pos = ((qp * nEst + 99) / 100 + w - 1) / w
+        (qp, tStar.toLong, retained.length.toLong, nEst,
+          retained((pos - 1).toInt)._1)
+      }
+    }
+    val batch = graft.operators.Profiling.quantileSketchOf(ev).collect()
+      .groupBy(_.getAs[String]("grp")).view.mapValues(_.map(r =>
+        (r.getAs[Long]("q_pct"), r.getAs[Long]("t_star"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_est"),
+          r.getAs[Long]("est_cents"))).sortBy(_._1).toSeq).toMap
+    assert(est == batch)
+  }
+
   test("verified heavy hitters equal the exact groupBy answer") {
     val sf = "/root/testdata/sf0.01"
     val viaSketch = graft.operators.Profiling.heavyEventTypes(spark, sf)
