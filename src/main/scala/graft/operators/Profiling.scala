@@ -963,12 +963,17 @@ object Profiling {
     val sketch = ev.agg(cms(col("user_id").cast("string")).as("sketch"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+    // One barrier'd digest per row — the d row-slices and the two uses
+    // of `est` would otherwise inline the same md5 2·depth times into
+    // the projection (caught by the PlanRegressionSpec digest guard).
     val est = (0 until depth).map { d =>
       element_at(col("sketch"),
-        (expr(s"CAST(conv(substr(md5(CAST(user_id AS STRING)), ${1 + 8 * d}, 8), 16, 10) AS BIGINT)")
+        (expr(s"CAST(conv(substr(m, ${1 + 8 * d}, 8), 16, 10) AS BIGINT)")
           % width + d * width + 1).cast("int"))
     }.reduce(least(_, _))
     top.crossJoin(broadcast(sketch))
+      .withColumn("m", graft.functions.OptimizerBarrier(
+        expr("md5(CAST(user_id AS STRING))")))
       .select(col("user_id"), col("exact_cnt"), est.as("est_cnt"),
         (est - col("exact_cnt")).as("overcount"))
   }

@@ -199,6 +199,33 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no plan node evaluates the same digest more than 4 times") {
+    // The q_quantile_sketch lesson (r15): a 32-term expression over a
+    // projected md5 alias gets the digest INLINED into every term by
+    // projection collapse / predicate pushdown — 32 digests per row
+    // instead of one, 4 s of a 5.3 s query at sf0.1. The cure is the
+    // OptimizerBarrier on the alias; this guard catches the class
+    // registry-wide: within any single optimized-plan node, the same
+    // canonicalized md5 call may appear at most 4 times (distinct
+    // inputs — e.g. reshard's 12 per-shard hashes — are fine; it is
+    // REPETITION of one digest that signals collapse gone wrong).
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val worst = plan.collect { case node =>
+        val counts = node.expressions
+          .flatMap(_.collect {
+            case e if e.prettyName == "md5" => e.canonicalized
+          })
+          .groupBy(identity).view.mapValues(_.size)
+        if (counts.isEmpty) 0 else counts.values.max
+      }
+      val max = if (worst.isEmpty) 0 else worst.max
+      assert(max <= 4,
+        s"$name: one plan node evaluates the same md5 $max times — " +
+          "pin the alias behind OptimizerBarrier (see quantileSketchOf)")
+    }
+  }
+
   test("entity resolution: candidates come from a blocking-key hash join") {
     // The ER scale contract: the pair space is generated by an
     // EQUI-join on the blocking key (never a nested-loop over n²
