@@ -161,6 +161,76 @@ object Multimodal {
         sum(when(col("size_ok"), 1L).otherwise(0L)).as("n_size_ok"),
         sum(when(!col("size_ok"), 1L).otherwise(0L)).as("n_mismatched"))
 
+  /** Pixels in the perceptual hash's downsample grid (48 so the hash
+    * fits the sign-safe 4×12-bit chunk scheme the simhash join uses). */
+  private[graft] val PhashPixels = 48
+
+  /** PERCEPTUAL-HASH NEAR-DUP for media — the content-level sibling of
+    * [[mediaDedup]]'s exact byte dedup: re-encoded copies of an asset
+    * (same picture, different bytes — a mirror's recompressed jpeg)
+    * hash to NEARBY values instead of equal ones, so near-dup needs a
+    * similarity join, not a digest groupBy. This is aHash (average
+    * hash), the classic perceptual scheme: downsample the decoded
+    * asset to [[PhashPixels]] luminance samples, threshold each
+    * against the mean, pack the bits. Decode here is the stub
+    * discipline of [[decodeStub]]: the "luminance samples" are strided
+    * character codepoints of the payload (char-addressed like
+    * [[frameSample]], so the DuckDB oracle agrees on any encoding) —
+    * swap in a real codec and the hash, banding, join and verify are
+    * unchanged. Re-encoded copies are planted deterministically (every
+    * 11th asset re-ingested with its first character case-flipped —
+    * one sample and the mean move slightly), and pairs come from the
+    * proven pigeonhole shape: 4×12-bit chunk equi-join (3 bit flips
+    * touch ≤ 3 chunks ⇒ recall exactly 1 for hamming ≤ 3), exact
+    * popcount verify on candidates only — the all-pairs SQL is a true
+    * oracle while Spark never materializes n² pairs.
+    *
+    * Scale shape: hashing is one codegen'd projection (the sample
+    * array sits behind the optimizer barrier — its elements feed both
+    * the mean and the 48 threshold bits, and inlining would explode
+    * the substr count); candidates are a bucketed equi-join on
+    * (chunk_idx, chunk_val); the verify is integer popcount per
+    * candidate. */
+  def mediaPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val reenc = docs.filter(col("media_id") % 11 === 0)
+      .select((col("media_id") + 1000000000L).as("media_id"),
+        concat(upper(expr("substr(text, 1, 1)")),
+          expr("substr(text, 2)")).as("text"))
+    val px = (0 until PhashPixels).map(i =>
+      expr(s"ascii(substr(text, CAST(1 + ($i * n) div $PhashPixels AS INT), 1))"))
+    val ahash = (0 until PhashPixels).map { i =>
+      when(expr(s"element_at(px, ${i + 1}) * $PhashPixels") > col("s"),
+        lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val hashed = docs.unionByName(reenc)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("px",
+        graft.functions.OptimizerBarrier(array(px: _*)))
+      .withColumn("s", expr("aggregate(px, 0, (acc, x) -> acc + x)"))
+      .select(col("media_id"), ahash.as("ahash"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        expr(s"(ahash >> ${12 * c}) & 4095").as("chunk_val"))
+    }
+    val exploded = hashed
+      .select(col("media_id"), col("ahash"),
+        explode(array(chunks: _*)).as("chunk"))
+      .select(col("media_id"), col("ahash"),
+        col("chunk.chunk_idx"), col("chunk.chunk_val"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_i"),
+        col("b.media_id").as("media_j"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   /** `binaryFile` SOURCE ingest (§2.4): land per-document files on disk
     * (the object-store staging layout a media pipeline reads — one blob
     * per asset), ingest them with Spark's built-in `binaryFile` source,
@@ -253,9 +323,36 @@ object Multimodal {
     "q_media_integrity" -> mediaIntegrity,
     "q_media_dedup" -> mediaDedup,
     "q_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
+    "q_media_phash" -> ((s, d) => mediaPhashPairs(s, d)),
     "q_frame_sample" -> frameSample)
 
+  /** The aHash derivation as DuckDB SQL — same strided samples, same
+    * mean threshold, same bit packing as [[mediaPhashPairs]]. */
+  private def phashSql: String = {
+    val pxList = (0 until PhashPixels).map(i =>
+      s"ascii(substr(text, 1 + ($i * length(text)) // $PhashPixels, 1))")
+      .mkString("[", ", ", "]")
+    val bits = (0 until PhashPixels).map(i =>
+      s"(CASE WHEN px[${i + 1}] * $PhashPixels > list_sum(px)" +
+        s" THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, upper(substr(text, 1, 1)) || substr(text, 2)
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |p AS (SELECT media_id, $pxList AS px FROM m),
+       |h AS (SELECT media_id, $bits AS ahash FROM p)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Brute-force all-pairs is a TRUE oracle: pigeonhole banding has
+    // recall exactly 1 at hamming ≤ 3 (same argument as simhash).
+    "q_media_phash" ->
+      s"""$phashSql
+         |SELECT a.media_id AS media_i, b.media_id AS media_j,
+         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
     "q_vad_segments" ->
       """WITH a AS (
         |  SELECT doc_id AS media_id, text AS txt

@@ -554,6 +554,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 2L, 0), (3L, 1L, 1)))
   }
 
+  test("media pHash banding finds EXACTLY the hamming≤3 pairs (recall 1)") {
+    // Independent Scala replay of the aHash (strided codepoint samples,
+    // mean threshold, 48-bit pack) → brute-force all-pairs reference;
+    // the banded join must match it exactly — pigeonhole recall is 1,
+    // and the verify filter kills every coincidental bucket-mate.
+    val P = 48
+    def ahash(text: String): Long = {
+      val n = text.length.toLong
+      val px = (0 until P).map(i => text.charAt((i * n / P).toInt).toInt)
+      val s = px.sum
+      (0 until P).map(i => if (px(i) * P > s) 1L << i else 0L).sum
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val assets = docs ++ docs.collect { case (id, t) if id % 11 == 0 =>
+      (id + 1000000000L) -> (t.take(1).toUpperCase + t.drop(1))
+    }
+    val hs = assets.map { case (id, t) => id -> ahash(t) }
+    val expected = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d)).toSet
+    val got = Multimodal.mediaPhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // planted re-encodes really land in radius
+    // Near-dup ≠ exact dup: at least one found pair differs in bytes.
+    assert(expected.exists(_._3 > 0))
+  }
+
   test("HRW reshard is monotone and moves ~1−W/W′; mod-hash moves ~2/3") {
     val m = Packing.reshardMoves(spark, sf).collect()
     def rows(scheme: String) = m.filter(_.getAs[String]("scheme") == scheme)
