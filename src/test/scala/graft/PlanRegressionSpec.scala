@@ -209,19 +209,24 @@ class PlanRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // canonicalized md5 call may appear at most 4 times (distinct
     // inputs — e.g. reshard's 12 per-shard hashes — are fine; it is
     // REPETITION of one digest that signals collapse gone wrong).
+    val expensive = Set("md5", "sha1", "sha2", "levenshtein",
+      "aggregate", "transform", "array_sort", "regexp_replace")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf).queryExecution.optimizedPlan
       val worst = plan.collect { case node =>
         val counts = node.expressions
           .flatMap(_.collect {
-            case e if e.prettyName == "md5" => e.canonicalized
+            case e if expensive(e.prettyName) => (e.prettyName, e.canonicalized)
           })
           .groupBy(identity).view.mapValues(_.size)
-        if (counts.isEmpty) 0 else counts.values.max
+        if (counts.isEmpty) ("", 0) else counts.maxBy(_._2) match {
+          case ((fn2, _), n) => (fn2, n)
+        }
       }
-      val max = if (worst.isEmpty) 0 else worst.max
+      val (fname, max) =
+        if (worst.isEmpty) ("", 0) else worst.maxBy(_._2)
       assert(max <= 4,
-        s"$name: one plan node evaluates the same md5 $max times — " +
+        s"$name: one plan node evaluates the same $fname $max times — " +
           "pin the alias behind OptimizerBarrier (see quantileSketchOf)")
     }
   }
