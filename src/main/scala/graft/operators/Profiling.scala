@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,12 @@ object Profiling {
     * trailing-zero level bits). */
   private[graft] val QSketchShards = 8
 
+  /** Capacity for [[sketchRollup]] — small enough that the GLOBAL
+    * grain's re-trim fires at every test SF (500 docs / 8 shards
+    * already exceeds 8 per shard), so the merge algebra is
+    * hash-checked, not just the build. */
+  private[graft] val QSketchRollupK = 8L
+
   /** Trailing-zero count of a 32-bit value as engine SQL text —
     * Σ_{j=1..32} [h ≡ 0 mod 2ʲ] (h = 0 ⇒ 32): pure integer terms,
     * evaluated identically by Spark and the DuckDB oracle. */
@@ -133,7 +139,23 @@ object Profiling {
     * the per-shard retained rows from the same pass that builds the
     * histogram — this batch face re-derives them from the base table,
     * algebraically identical since {ℓ ≥ t*} ⊆ {ℓ ≥ t_s}). */
-  private[graft] def quantileSketchOf(e: DataFrame,
+  /** Per-group merged threshold from (grp, shard, tz) rows: per-shard
+    * smallest t with |{ℓ ≥ t}| ≤ k (from the 33-bucket level
+    * histogram's suffix counts), max'd over shards. */
+  private def thresholdsOf(rows: DataFrame, k: Long): DataFrame = {
+    val lvl = rows.groupBy("grp", "shard", "tz").agg(count(lit(1)).as("c"))
+    val sfx = lvl.withColumn("suffix", sum("c").over(
+      Window.partitionBy("grp", "shard").orderBy(col("tz").desc)))
+    sfx.groupBy("grp", "shard")
+      .agg(coalesce(max(when(col("suffix") > k, col("tz"))) + lit(1L),
+        lit(0L)).as("t_s"))
+      .groupBy("grp").agg(max("t_s").cast("long").as("t_star"))
+  }
+
+  /** Build the per-group sketch: the retained rows {ℓ ≥ t*} with their
+    * threshold — the persisted artifact a 100 TB run keeps. Columns:
+    * (grp, cents, h32, event_id, shard, tz, t_star). */
+  private[graft] def sketchRetained(e: DataFrame,
       k: Long = QSketchK): DataFrame = {
     // h32 sits behind the optimizer barrier: the 32-term tz sum
     // references it 32×, and projection collapse would otherwise
@@ -148,24 +170,38 @@ object Profiling {
       col("cents"), col("event_id"))
       .withColumn("shard", expr(s"h32 div ${1L << 29}"))
       .withColumn("tz", expr(tzSql("h32")).cast("long"))
-    // Per-shard threshold: smallest t with |{ℓ ≥ t}| ≤ k, from the
-    // 33-bucket level histogram (suffix counts over present levels).
-    val lvl = hashed.groupBy("grp", "shard", "tz").agg(count(lit(1)).as("c"))
-    val sfx = lvl.withColumn("suffix", sum("c").over(
-      Window.partitionBy("grp", "shard").orderBy(col("tz").desc)))
-    val ts = sfx.groupBy("grp", "shard")
-      .agg(coalesce(max(when(col("suffix") > k, col("tz"))) + lit(1L),
-        lit(0L)).as("t_s"))
-    // Merge: t* = max over shards; retained rows carry weight 2^t*.
-    val tstar = ts.groupBy("grp").agg(max("t_s").cast("long").as("t_star"))
-    val ret = hashed.join(broadcast(tstar), "grp")
+    hashed.join(broadcast(thresholdsOf(hashed, k)), "grp")
       .filter(col("tz") >= col("t_star"))
-    // Sketch-sized from here on (≤ k·shards rows per group). Every rk
-    // row already carries its group's t_star and n_ret, so the
-    // quantile selector needs no params table and no join: explode the
-    // three q's over the sketch rows and keep the row whose position
-    // is the ceil-rank target — one narrow stage instead of a
-    // distinct + cross + equi-join chain (5.3 s → ~1.5 s at sf0.1).
+  }
+
+  /** MERGE sketches to a coarser grain WITHOUT rescanning the data —
+    * the roll-up algebra: relabel by the coarser grain, floor the
+    * threshold at the max of the children's (discarded rows cannot
+    * come back), then re-trim per shard if the union still exceeds k.
+    * Because every child kept ALL its rows with ℓ ≥ floor, the merged
+    * retained set is EXACTLY the from-scratch sketch of the coarser
+    * grain at the merged threshold — merging loses nothing but the
+    * chance of a lower t. Input/output shape = [[sketchRetained]]'s. */
+  private[graft] def sketchRemerge(ret: DataFrame, grain: Column,
+      k: Long = QSketchK): DataFrame = {
+    val rel = ret.select(grain.as("grp"), col("cents"), col("h32"),
+      col("event_id"), col("shard"), col("tz"), col("t_star").as("t_child"))
+    val floor = rel.groupBy("grp").agg(max("t_child").as("t_floor"))
+    val floored = rel.join(broadcast(floor), "grp")
+      .filter(col("tz") >= col("t_floor"))
+    floored.join(broadcast(thresholdsOf(floored, k)), "grp")
+      .withColumn("t_star", greatest(col("t_star"), col("t_floor")))
+      .filter(col("tz") >= col("t_star"))
+      .select("grp", "cents", "h32", "event_id", "shard", "tz", "t_star")
+  }
+
+  /** Ceil-rank quantile estimates (p25/p50/p75) off a retained-rows
+    * sketch. Sketch-sized input (≤ k·shards rows per group); every row
+    * carries its group's t_star and n_ret, so the selector is an
+    * explode + filter — one narrow stage, no params table, no join
+    * (the original distinct + cross + equi-join chain cost 5.3 s at
+    * sf0.1; this shape is ~1.5 s). */
+  private[graft] def sketchEstimates(ret: DataFrame): DataFrame = {
     val rk = ret.select(col("grp"), col("cents"), col("t_star"),
       row_number().over(Window.partitionBy("grp")
         .orderBy("cents", "h32", "event_id")).cast("long").as("pos"),
@@ -180,6 +216,10 @@ object Profiling {
         col("n_ret").as("n_retained"), col("n_est"),
         col("cents").as("est_cents"))
   }
+
+  private[graft] def quantileSketchOf(e: DataFrame,
+      k: Long = QSketchK): DataFrame =
+    sketchEstimates(sketchRetained(e, k))
 
   /** The registered face of [[quantileSketchOf]] — per-event-type
     * estimated p25/p50/p75 of value cents via 8 merged per-shard
@@ -201,6 +241,93 @@ object Profiling {
         col("n_retained"), col("n_est"), col("est_cents"), col("exact_rank"),
         expr("abs(exact_rank * 1000000 div exact_n - q_pct * 10000)")
           .as("err_ppm"))
+  }
+
+  /** Threshold CTE chain over `in` (needs grp, shard, tz) → CTE `out`
+    * with (grp, t_star) — the DuckDB mirror of [[thresholdsOf]]. */
+  private def thCteSql(in: String, out: String,
+      k: Long = QSketchK): String =
+    s"""${out}_l AS (
+       |  SELECT grp, shard, tz, count(*) AS c FROM $in GROUP BY 1, 2, 3),
+       |${out}_s AS (
+       |  SELECT grp, shard, tz,
+       |         sum(c) OVER (PARTITION BY grp, shard ORDER BY tz DESC)
+       |           AS suffix
+       |  FROM ${out}_l),
+       |$out AS (
+       |  SELECT grp, CAST(max(t_s) AS BIGINT) AS t_star FROM (
+       |    SELECT grp, shard,
+       |           coalesce(max(CASE WHEN suffix > $k THEN tz END) + 1,
+       |             0) AS t_s
+       |    FROM ${out}_s GROUP BY 1, 2) ts_sub GROUP BY 1)""".stripMargin
+
+  /** Roll-up CTE chain: retained rows of `in` relabelled by
+    * `grainExpr`, threshold-floored at the children's max, re-trimmed
+    * per shard → CTE `pfx` — the DuckDB mirror of [[sketchRemerge]]. */
+  private def remergeCteSql(in: String, grainExpr: String, pfx: String,
+      k: Long = QSketchK): String =
+    s"""${pfx}_m AS (
+       |  SELECT $grainExpr AS grp, cents, h32, event_id, shard, tz,
+       |         t_star AS t_child
+       |  FROM $in),
+       |${pfx}_fl AS (
+       |  SELECT grp, max(t_child) AS t_floor FROM ${pfx}_m GROUP BY 1),
+       |${pfx}_f AS (
+       |  SELECT m.grp, cents, h32, event_id, shard, tz, t_floor
+       |  FROM ${pfx}_m m JOIN ${pfx}_fl fl ON m.grp = fl.grp
+       |  WHERE tz >= t_floor),
+       |${thCteSql(s"${pfx}_f", s"${pfx}_th", k)},
+       |$pfx AS (
+       |  SELECT f.grp, cents, h32, event_id, shard, tz,
+       |         greatest(th.t_star, t_floor) AS t_star
+       |  FROM ${pfx}_f f JOIN ${pfx}_th th ON f.grp = th.grp
+       |  WHERE tz >= greatest(th.t_star, t_floor))""".stripMargin
+
+  /** Estimate SELECT over a retained CTE — the DuckDB mirror of
+    * [[sketchEstimates]], labelled with the grain level. */
+  private def estSelectSql(in: String, label: String): String =
+    s"""SELECT '$label' AS level, grp AS grain, q.q_pct, t_star,
+       |       n_ret AS n_retained, n_ret * w AS n_est, cents AS est_tokens
+       |FROM (
+       |  SELECT grp, cents, t_star,
+       |         row_number() OVER (PARTITION BY grp
+       |           ORDER BY cents, h32, event_id) AS pos,
+       |         count(*) OVER (PARTITION BY grp) AS n_ret,
+       |         (CAST(1 AS BIGINT) << CAST(t_star AS INT)) AS w
+       |  FROM $in) rk
+       |CROSS JOIN (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q_pct) q
+       |WHERE pos = ((q_pct * n_ret * w + 99) // 100 + w - 1) // w""".stripMargin
+
+  /** HIERARCHICAL SKETCH ROLL-UP — the grouping-sets-of-sketches
+    * pattern that makes sketching pay at 100 TB: the corpus is scanned
+    * ONCE to build token-count quantile sketches at the finest grain
+    * (source, lang); the source grain and the global grain are then
+    * derived by MERGING the sketch rows ([[sketchRemerge]]: threshold
+    * floor + per-shard re-trim), never by rescanning. The registered
+    * face emits p25/p50/p75 estimates at all three grains with
+    * k = [[QSketchRollupK]] — sized so at EVERY test SF the fine
+    * sketches fit untrimmed (t* = 0) while the global grain genuinely
+    * re-trims (t* > 0): the merge path, not just the build path, is
+    * what the oracle hash-checks. The fine sketch
+    * is localCheckpointed: it is the ≤ k·shards·|grains|-row artifact
+    * the three grain chains share (and what a production run persists
+    * next to the corpus). */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      concat(col("source"), lit(":"), col("lang")).as("grp"),
+      col("doc_id").as("event_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("cents"))
+    val fine = sketchRetained(docs, QSketchRollupK).localCheckpoint()
+    val fineE = sketchEstimates(fine).withColumn("level", lit("source:lang"))
+    val srcE = sketchEstimates(
+      sketchRemerge(fine, expr("split(grp, ':')[0]"), QSketchRollupK))
+      .withColumn("level", lit("source"))
+    val allE = sketchEstimates(sketchRemerge(fine, lit("ALL"), QSketchRollupK))
+      .withColumn("level", lit("all"))
+    fineE.unionByName(srcE).unionByName(allE)
+      .select(col("level"), col("grp").as("grain"), col("q_pct"),
+        col("t_star"), col("n_retained"), col("n_est"),
+        col("est_cents").as("est_tokens"))
   }
 
   /** Single-pass column profile of the customer table: null count and
@@ -1499,6 +1626,7 @@ object Profiling {
     "q_crosstab_assoc" -> crosstabAssoc,
     "q_kmv_sketch" -> ((s, d) => kmvSketchTable(s, d)),
     "q_quantile_sketch" -> ((s, d) => quantileSketchTable(s, d)),
+    "q_sketch_rollup" -> ((s, d) => sketchRollup(s, d)),
     "q_fd_report" -> fdReport,
     "q_join_cardinality" -> joinCardinality,
     "q_f2_sketch" -> ((s, d) => f2SketchEstimate(s, d)),
@@ -1783,6 +1911,36 @@ object Profiling {
         |       CAST(row_number() OVER (ORDER BY revenue_cents DESC, pseud)
         |            AS INT) AS rk
         |FROM a""".stripMargin,
+    // Replays the roll-up: fine sketches (same hashes/levels/
+    // thresholds as q_quantile_sketch), then the MERGE algebra —
+    // threshold floor + per-shard re-trim — for the source and global
+    // grains, estimates at each grain.
+    "q_sketch_rollup" ->
+      s"""WITH d AS (
+         |  SELECT source || ':' || lang AS grp, doc_id AS event_id,
+         |         CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+         |           AS BIGINT) AS cents
+         |  FROM documents),
+         |tt0 AS (
+         |  SELECT grp, event_id, cents,
+         |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |           AS BIGINT) AS h32
+         |  FROM d),
+         |tt AS (
+         |  SELECT grp, event_id, cents, h32, h32 // ${1L << 29} AS shard,
+         |         CAST(${tzSql("h32")} AS BIGINT) AS tz
+         |  FROM tt0),
+         |${thCteSql("tt", "th0", QSketchRollupK)},
+         |r0 AS (
+         |  SELECT tt.grp, cents, h32, event_id, shard, tz, th0.t_star
+         |  FROM tt JOIN th0 ON tt.grp = th0.grp WHERE tz >= t_star),
+         |${remergeCteSql("r0", "split_part(grp, ':', 1)", "r1", QSketchRollupK)},
+         |${remergeCteSql("r0", "'ALL'", "r2", QSketchRollupK)}
+         |${estSelectSql("r0", "source:lang")}
+         |UNION ALL
+         |${estSelectSql("r1", "source")}
+         |UNION ALL
+         |${estSelectSql("r2", "all")}""".stripMargin,
     // Replays the level-sampling sketch end to end: same 32-bit md5
     // hashes, same trailing-zero levels, per-shard thresholds from the
     // suffix-count histogram, max-merge, and the ceil-rank estimate —

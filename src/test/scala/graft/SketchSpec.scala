@@ -319,6 +319,34 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est == batch)
   }
 
+  test("sketch roll-up merge ≡ the from-scratch sketch of the coarse grain") {
+    // The identity the roll-up rests on: rows with ℓ ≥ t* all survive
+    // every child filter, so merging children and re-trimming yields
+    // EXACTLY the sketch a from-scratch build of the coarse grain
+    // produces (when the merged threshold needs no extra floor — here
+    // the children fit untrimmed, so the floor is 0).
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val k = 8L
+    val docs = Tables.documents(spark, sf).select(
+      concat(col("source"), lit(":"), col("lang")).as("grp"),
+      col("doc_id").as("event_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("cents"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "cents", "h32", "event_id", "t_star").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val fine = graft.operators.Profiling.sketchRetained(docs, k)
+    assert(fine.agg(max("t_star")).collect()(0).getLong(0) == 0L,
+      "precondition: children fit untrimmed at this SF")
+    val merged = rows(graft.operators.Profiling
+      .sketchRemerge(fine, lit("ALL"), k))
+    val scratch = rows(graft.operators.Profiling
+      .sketchRetained(docs.withColumn("grp", lit("ALL")), k))
+    assert(merged == scratch && merged.nonEmpty)
+    assert(merged.head._5 > 0, "the coarse grain really re-trimmed")
+  }
+
   test("verified heavy hitters equal the exact groupBy answer") {
     val sf = "/root/testdata/sf0.01"
     val viaSketch = graft.operators.Profiling.heavyEventTypes(spark, sf)
