@@ -31,6 +31,13 @@ case class OptimizerBarrier(child: Expression) extends UnaryExpression {
 
   override lazy val deterministic: Boolean = false
 
+  /** A foldable child would still be constant-folded/propagated THROUGH
+    * the barrier (foldable defaults to children's), un-pinning it —
+    * e.g. a barrier'd literal grain label would be stripped from window
+    * partitionSpecs by FoldablePropagation. A barrier pins; it must
+    * also pin constants. */
+  override def foldable: Boolean = false
+
   override def dataType: DataType = child.dataType
 
   override def nullable: Boolean = child.nullable

@@ -322,7 +322,14 @@ object Profiling {
     val srcE = sketchEstimates(
       sketchRemerge(fine, expr("split(grp, ':')[0]"), QSketchRollupK))
       .withColumn("level", lit("source"))
-    val allE = sketchEstimates(sketchRemerge(fine, lit("ALL"), QSketchRollupK))
+    // The global label sits behind the barrier so FoldablePropagation
+    // cannot inline it and strip `grp` from the estimate windows'
+    // partitionSpec (they would read as unpartitioned-over-unbounded to
+    // the PlanRegressionSpec window guard; the input is really the
+    // ≤ k·shards-row sketch, but keeping the partition key is free and
+    // keeps the guard strict).
+    val allE = sketchEstimates(sketchRemerge(fine,
+      graft.functions.OptimizerBarrier(lit("ALL")), QSketchRollupK))
       .withColumn("level", lit("all"))
     fineE.unionByName(srcE).unionByName(allE)
       .select(col("level"), col("grp").as("grain"), col("q_pct"),
