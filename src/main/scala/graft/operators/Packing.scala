@@ -468,6 +468,9 @@ object Packing {
     * aggregate to ≤ 2·oldW·newW matrix rows. */
   def reshardMoves(spark: SparkSession, dir: String,
       oldW: Int = 8, newW: Int = 12): DataFrame = {
+    require(oldW > 0 && oldW <= newW && newW <= ReshardSlots,
+      s"shard widths must satisfy 0 < oldW ≤ newW ≤ $ReshardSlots " +
+        "(the packed-key low bits hold the shard id)")
     def owner(w: Int) =
       expr((0 until w).map(hrwKeySql(_, spark = true))
         .mkString("greatest(", ", ", s") % $ReshardSlots"))
