@@ -471,8 +471,11 @@ object Packing {
     require(oldW > 0 && oldW <= newW && newW <= ReshardSlots,
       s"shard widths must satisfy 0 < oldW ≤ newW ≤ $ReshardSlots " +
         "(the packed-key low bits hold the shard id)")
+    // Spark's greatest() rejects a single argument — a 1-shard pool's
+    // owner is its only key.
     def owner(w: Int) =
-      expr((0 until w).map(hrwKeySql(_, spark = true))
+      if (w == 1) expr(s"(${hrwKeySql(0, spark = true)}) % $ReshardSlots")
+      else expr((0 until w).map(hrwKeySql(_, spark = true))
         .mkString("greatest(", ", ", s") % $ReshardSlots"))
     val h0 = expr(
       "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")

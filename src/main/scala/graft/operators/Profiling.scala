@@ -108,6 +108,12 @@ object Profiling {
     * trailing-zero level bits). */
   private[graft] val QSketchShards = 8
 
+  /** The divisor that extracts the shard from h32 (`h32 div` this =
+    * the top-bits shard id) — ONE definition shared by the Spark
+    * builder and both DuckDB oracle strings, so the three sites cannot
+    * silently desynchronize. */
+  private[graft] val QSketchShardDiv: Long = (1L << 32) / QSketchShards
+
   /** Capacity for [[sketchRollup]] — small enough that the GLOBAL
     * grain's re-trim fires at every test SF (500 docs / 8 shards
     * already exceeds 8 per shard), so the merge algebra is
@@ -168,7 +174,7 @@ object Profiling {
         expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)" +
           " AS BIGINT)")).as("h32"),
       col("cents"), col("event_id"))
-      .withColumn("shard", expr(s"h32 div ${1L << 29}"))
+      .withColumn("shard", expr(s"h32 div $QSketchShardDiv"))
       .withColumn("tz", expr(tzSql("h32")).cast("long"))
     hashed.join(broadcast(thresholdsOf(hashed, k)), "grp")
       .filter(col("tz") >= col("t_star"))
@@ -1934,7 +1940,7 @@ object Profiling {
          |           AS BIGINT) AS h32
          |  FROM d),
          |tt AS (
-         |  SELECT grp, event_id, cents, h32, h32 // ${1L << 29} AS shard,
+         |  SELECT grp, event_id, cents, h32, h32 // $QSketchShardDiv AS shard,
          |         CAST(${tzSql("h32")} AS BIGINT) AS tz
          |  FROM tt0),
          |${thCteSql("tt", "th0", QSketchRollupK)},
@@ -1961,7 +1967,7 @@ object Profiling {
          |  FROM events),
          |t AS (
          |  SELECT grp, event_id, h32, cents,
-         |         h32 // ${1L << 29} AS shard,
+         |         h32 // $QSketchShardDiv AS shard,
          |         CAST(${tzSql("h32")} AS BIGINT) AS tz
          |  FROM e),
          |lvl AS (SELECT grp, shard, tz, count(*) AS c FROM t GROUP BY 1, 2, 3),

@@ -561,8 +561,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the verify filter kills every coincidental bucket-mate.
     val P = 48
     def ahash(text: String): Long = {
-      val n = text.length.toLong
-      val px = (0 until P).map(i => text.charAt((i * n / P).toInt).toInt)
+      // CODEPOINT-addressed like Spark's length()/substr()/ascii() (a
+      // charAt replay would diverge on non-BMP text).
+      val cps = text.codePoints().toArray
+      val n = cps.length.toLong
+      val px = (0 until P).map(i => cps((i * n / P).toInt))
       val s = px.sum
       (0 until P).map(i => if (px(i) * P > s) 1L << i else 0L).sum
     }
@@ -615,6 +618,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mod > 0.55 && mod < 0.78, s"mod moved fraction $mod")
     // All 12 grown shards own something (balance at n=500).
     assert(rows("hrw").map(_.getAs[Long]("new_shard")).distinct.length == 12)
+    // Degenerate 1-shard pool analyzes and places everything on shard 0
+    // (greatest() rejects one argument — the w=1 path is special-cased).
+    val one = Packing.reshardMoves(spark, sf, oldW = 1, newW = 2)
+      .filter(org.apache.spark.sql.functions.col("scheme") === "hrw").collect()
+    assert(one.nonEmpty && one.forall(_.getAs[Long]("old_shard") == 0L))
   }
 
   test("mix allocation: exact apportionment sums to the budget") {
