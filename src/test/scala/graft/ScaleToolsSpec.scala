@@ -587,4 +587,29 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(o.getLong(3) == r.getLong(3))
     }
   }
+
+  test("quantile sketch at 1M rows: state stays O(k·shards), error < 5%") {
+    // The 100 TB claim measured two orders of magnitude above the test
+    // corpus: at 1M rows per group the sketch must still retain at most
+    // ~2·k rows per (group, shard) (the threshold halves survivors each
+    // step, so retained ∈ (k·shards/2, k·shards]), and the ceil-rank
+    // estimate must keep its O(1/√retained) accuracy. All deterministic
+    // — md5 levels — so the bounds are pinned, not flaky.
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val df = spark.range(1, n + 1).select(lit("g").as("grp"),
+      col("id").as("event_id"), col("id").as("cents"))
+    val est = graft.operators.Profiling.quantileSketchOf(df).collect()
+    assert(est.length == 3)
+    est.foreach { r =>
+      val q = r.getAs[Long]("q_pct")
+      val errPpm = math.abs(
+        r.getAs[Long]("est_cents") * 1000000L / n - q * 10000L)
+      assert(errPpm <= 50000L, s"q$q err $errPpm ppm")
+      assert(r.getAs[Long]("t_star") >= 9, "threshold really climbed")
+      assert(r.getAs[Long]("n_retained") <= 8 * 128 * 2,
+        s"state grew past O(k·shards): ${r.getAs[Long]("n_retained")}")
+      assert(math.abs(r.getAs[Long]("n_est") - n) <= n / 10)
+    }
+  }
 }
