@@ -319,6 +319,66 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est == batch)
   }
 
+  test("quantile sketch inside a watermarked windowed streaming agg " +
+    "matches the batch windows") {
+    // The production monitoring shape: per-(hour, group) value-quantile
+    // sketches as ordinary mergeable agg state in an APPEND-mode
+    // watermarked windowed aggregation — each window's sketch is final
+    // when the watermark closes it, and equals the batch sketch of the
+    // same window's rows (set-function property again).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    val qa = udaf(graft.functions.QuantileSketch.agg(k),
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val base = 1700000000000L
+    // (grp, eventMs, cents, h32, rowId): 3 hours × 2 groups × 400 rows.
+    val rows = for (h <- 0 until 3; g <- Seq("a", "b"); i <- 0 until 400)
+      yield (g, base + h * 3600000L + i * 1000L,
+        (i * 37 % 1009).toLong,
+        // independent deterministic hash per row
+        java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$g:$h:$i").substring(0, 8), 16),
+        (h * 1000 + i).toLong)
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("grp"))
+      .agg(qa(col("cents"), col("h32"), col("rid")).as("sketch"))
+      .select(col("window.start").cast("long").as("w"), col("grp"),
+        col("sketch"))
+    val input = MemoryStream[(String, Long, Long, Long, Long)]
+    val q = windowed(input.toDF()
+        .toDF("grp", "ms", "cents", "h32", "rid"))
+      .writeStream.format("memory").queryName("qsketch_windowed")
+      .outputMode("append").start()
+    try {
+      // Two batches inside the window span, then a far-future batch to
+      // advance the watermark past every window.
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(("a", base + 100L * 3600000L, 1L, 1L, 99999L))
+      q.processAllAvailable()
+      val got = spark.table("qsketch_windowed")
+        .as[(Long, String, (Int, Seq[(Long, Long, Long)]))]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expect = windowed(rows.toDF("grp", "ms", "cents", "h32", "rid"))
+        .as[(Long, String, (Int, Seq[(Long, Long, Long)]))]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      // All six in-span windows closed and match batch exactly.
+      assert(expect.size == 6 && expect.forall { case (key, v) =>
+        got.get(key).contains(v)
+      })
+      // The trims really fired inside streaming state (400 rows ≫ k).
+      assert(expect.values.forall(v => v._1 > 0 && v._2.length <= 2 * k))
+    } finally q.stop()
+  }
+
   test("sketch roll-up merge ≡ the from-scratch sketch of the coarse grain") {
     // The identity the roll-up rests on: rows with ℓ ≥ t* all survive
     // every child filter, so merging children and re-trimming yields
