@@ -204,12 +204,15 @@ object Multimodal {
       when(expr(s"element_at(px, ${i + 1}) * $PhashPixels") > col("s"),
         lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+    // (media_id, ahash) is |assets|-row; checkpoint it so the banding
+    // self-join's two sides don't each replay the 48-sample chain.
     val hashed = docs.unionByName(reenc)
       .withColumn("n", length(col("text")).cast("long"))
       .withColumn("px",
         graft.functions.OptimizerBarrier(array(px: _*)))
       .withColumn("s", expr("aggregate(px, 0, (acc, x) -> acc + x)"))
       .select(col("media_id"), ahash.as("ahash"))
+      .localCheckpoint()
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk_idx"),
         expr(s"(ahash >> ${12 * c}) & 4095").as("chunk_val"))
