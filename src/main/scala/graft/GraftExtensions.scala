@@ -116,5 +116,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"cosine_sim(a, b) takes 2 args, got ${other.size}")
         }))
+    // The quantile-sketch family, SQL-visible (r15 verdict №8):
+    // qsketch_level(h32) is the aggregator's level function as a
+    // codegen'd scalar, and qsketch_agg(cents, h32, row_id[, k]) is the
+    // typed Aggregator itself as a SQL aggregate — `GROUP BY grp, shard`
+    // over it builds exactly the persisted per-shard sketch table
+    // (struct<t int, items array<struct<cents, h32, row_id>>>) that
+    // `Profiling.sketchRetained` derives relationally, so a plain-SQL
+    // user can build/merge sketches without any Scala call.
+    ext.injectFunction((
+      new FunctionIdentifier("qsketch_level"),
+      new ExpressionInfo(
+        classOf[graft.functions.QSketchLevel].getName, "qsketch_level"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(h) => graft.functions.QSketchLevel(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              h, org.apache.spark.sql.types.LongType))
+          case other => throw new IllegalArgumentException(
+            s"qsketch_level(h32) takes 1 arg, got ${other.size}")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("qsketch_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.QuantileSketch.type].getName, "qsketch_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case _ if args.size == 3 || args.size == 4 =>
+            val k =
+              if (args.size == 4) args(3).eval().asInstanceOf[Number].intValue()
+              else graft.operators.Profiling.QSketchK.toInt
+            val udf = org.apache.spark.sql.functions.udaf(
+              graft.functions.QuantileSketch.agg(k),
+              org.apache.spark.sql.Encoders.tuple(
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong))
+            org.apache.spark.sql.GraftSqlShim.convertedExpression(
+              udf.apply(args.take(3).map(
+                org.apache.spark.sql.GraftSqlShim.column): _*))
+          case other => throw new IllegalArgumentException(
+            s"qsketch_agg(cents, h32, row_id[, k]) takes 3-4 args, " +
+              s"got ${other.size}")
+        }))
   }
 }

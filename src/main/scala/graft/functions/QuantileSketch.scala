@@ -3,7 +3,10 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** The level-sampling quantile sketch (`Profiling.quantileSketchOf`'s
   * algebra) as a typed `Aggregator` — the PARTIAL-AGGREGATION face the
@@ -27,9 +30,17 @@ import org.apache.spark.sql.expressions.Aggregator
 object QuantileSketch {
 
   /** Level of a 32-bit hash: trailing zeros, with ℓ(0) = 32 — exactly
-    * the batch side's Σ_{j=1..32} [h ≡ 0 mod 2ʲ]. */
-  def level(h32: Long): Int =
-    if (h32 == 0L) 32 else java.lang.Long.numberOfTrailingZeros(h32)
+    * the batch side's Σ_{j=1..32} [h ≡ 0 mod 2ʲ]. The input is MASKED
+    * to its low 32 bits first (r15 advice): a wider hash slipped in
+    * here used to return trailing-zero counts up to 63 while the
+    * relational replay's Σ caps at 32 — after masking the two agree
+    * for EVERY Long (for any h, tz(h & 0xFFFFFFFF) capped at 32 equals
+    * Σ_{j=1..32} [h ≡ 0 mod 2ʲ], since divisibility by 2ʲ for j ≤ 32
+    * only reads the low 32 bits). */
+  def level(h32: Long): Int = {
+    val h = h32 & 0xFFFFFFFFL
+    if (h == 0L) 32 else java.lang.Long.numberOfTrailingZeros(h)
+  }
 
   /** Mutable sketch state: threshold + retained rows (unordered —
     * `finish` sorts). */
@@ -77,4 +88,26 @@ object QuantileSketch {
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[(Int, Seq[(Long, Long, Long)])]()
     }
+}
+
+/** `qsketch_level(h32)` — [[QuantileSketch.level]] as a codegen'd
+  * Catalyst expression, the SQL face of the sketch's level function:
+  * a user partitioning a persisted sketch table, or pre-filtering rows
+  * against a known threshold (`WHERE qsketch_level(h32) >= t`), gets
+  * the EXACT level the aggregator uses instead of hand-copying the
+  * Σ-of-divisibility SQL. Registered via [[graft.GraftExtensions]]
+  * alongside `qsketch_agg`. */
+case class QSketchLevel(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantileSketch.level(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantileSketch.level($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QSketchLevel = copy(child = newChild)
 }

@@ -20,4 +20,15 @@ object GraftSqlShim {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** EAGER column→expression conversion: `ExpressionUtils.expression`
+    * wraps non-trivial column nodes (UDF/UDAF invocations) in a lazy
+    * `ColumnNodeExpression` that only Dataset-API resolution unwraps —
+    * dropped raw into a plan from a SQL function builder it reaches
+    * codegen unresolved and dies. This runs the classic converter
+    * immediately, yielding the real Catalyst expression
+    * (e.g. `ScalaAggregator` for a typed-Aggregator UDAF). */
+  def convertedExpression(
+      c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

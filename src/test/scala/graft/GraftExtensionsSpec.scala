@@ -94,4 +94,56 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  'price', CAST(1.5 AS FLOAT), 'timestamp', 7)) AS bytes""".stripMargin)
     assert(df.collect().head.getAs[Array[Byte]](0).nonEmpty)
   }
+
+  test("qsketch_level and qsketch_agg resolve in plain SQL and match " +
+      "the Scala faces (r15 verdict: SQL-surface the sketch family)") {
+    // Scalar face: SQL qsketch_level ≡ QuantileSketch.level on the
+    // boundary cases — 0 (→32), powers of two, and inputs ABOVE the
+    // 32-bit domain, which after the mask fix agree with the
+    // relational Σ-of-divisibility replay.
+    val lv = spark.sql(
+      """SELECT h, qsketch_level(h) AS l FROM VALUES
+        |  (0L), (1L), (6L), (1024L), (2147483648L),
+        |  (4294967296L), (8589934592L), (4294967300L)
+        |AS t(h)""".stripMargin).collect()
+    lv.foreach { r =>
+      assert(r.getInt(1) == graft.functions.QuantileSketch.level(r.getLong(0)),
+        s"qsketch_level(${r.getLong(0)})")
+    }
+    assert(lv.find(_.getLong(0) == 0L).get.getInt(1) == 32)
+    assert(lv.find(_.getLong(0) == 4294967296L).get.getInt(1) == 32)
+
+    // Aggregate face: SQL GROUP BY over qsketch_agg ≡ the typed
+    // Aggregator run through the Dataset API on identical rows — the
+    // same (t, retained items) per group, k small enough that trims
+    // really fire.
+    import spark.implicits._
+    val rows = (1L to 4000L).map { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h32 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      (if (id % 2 == 0) "g0" else "g1", id % 997L, h32, id)
+    }
+    rows.toDF("grp", "cents", "h32", "row_id")
+      .createOrReplaceTempView("qsk_in")
+    val viaSql = spark.sql(
+      """SELECT grp, qsketch_agg(cents, h32, row_id, 64) AS sk
+        |FROM qsk_in GROUP BY grp""".stripMargin)
+      .collect().map { r =>
+        val sk = r.getStruct(1)
+        r.getString(0) -> (sk.getInt(0),
+          sk.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))))
+      }.toMap
+    val qa = graft.functions.QuantileSketch.agg(64)
+    val viaDs = rows.toDS()
+      .groupByKey(_._1).mapValues(t => (t._2, t._3, t._4))
+      .agg(qa.toColumn).collect()
+      .map { case (g, sk) => g -> sk }.toMap
+    assert(viaSql.keySet == Set("g0", "g1"))
+    assert(viaSql == viaDs,
+      s"SQL qsketch_agg diverged from the typed Aggregator")
+    assert(viaSql.values.forall(_._1 > 0), "k=64 over 2000 rows must trim")
+  }
 }

@@ -257,7 +257,11 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = ev.select(col("grp"), col("event_id"), col("cents"),
       expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)" +
         " AS BIGINT)").as("h32"))
-      .withColumn("shard", expr(s"h32 div ${1L << 29}"))
+      // Shared constant, NOT a re-derived divisor (r15 advice): if
+      // QSketchShards ever changes, this test must track production's
+      // sharding, not silently validate a stale one.
+      .withColumn("shard",
+        expr(s"h32 div ${graft.operators.Profiling.QSketchShardDiv}"))
       .as[(String, Long, Long, Long, Long)].collect().toSeq
       .map { case (g, id, c, h, s) => (g, s, c, h, id) }
 
