@@ -194,8 +194,12 @@ object Multimodal {
   def mediaPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
+    // Planted re-encodes live in a DISJOINT id namespace: doc ids are
+    // non-negative, so `-id - 1` can never collide with a real asset at
+    // ANY corpus size (a fixed `+1e9` offset collides past 1e9 docs —
+    // exactly the 100 TB regime this operator is for).
     val reenc = docs.filter(col("media_id") % 11 === 0)
-      .select((col("media_id") + 1000000000L).as("media_id"),
+      .select((-col("media_id") - 1L).as("media_id"),
         concat(upper(expr("substr(text, 1, 1)")),
           expr("substr(text, 2)")).as("text"))
     val px = (0 until PhashPixels).map(i =>
@@ -213,25 +217,49 @@ object Multimodal {
       .withColumn("s", expr("aggregate(px, 0, (acc, x) -> acc + x)"))
       .select(col("media_id"), ahash.as("ahash"))
       .localCheckpoint()
+    // HASH-EQUAL COLLAPSE (r15 advice): a degenerate corpus (many empty
+    // or byte-identical payloads) hashes whole populations to ONE ahash;
+    // banding over raw assets would then put that population into every
+    // one of its 4 band buckets and the self-join goes quadratic in
+    // INPUT size with no cap. So the banding join only ever sees one row
+    // per DISTINCT hash (the digest-groupBy discipline of mediaDedup):
+    // hamming-0 pairs come from within-group expansion — Σ group² work,
+    // which IS the output size, never an intermediate blowup — and
+    // hamming 1..3 pairs from the distinct-hash banding join expanded
+    // group×group afterward.
+    val groups = hashed.groupBy("ahash")
+      .agg(collect_list(col("media_id")).as("ids"))
+      .localCheckpoint()
+    val zero = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("media_i"), col("ids"))
+      .select(col("media_i"), explode(col("ids")).as("media_j"))
+      .filter(col("media_i") < col("media_j"))
+      .select(col("media_i"), col("media_j"), lit(0).as("hamming"))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk_idx"),
         expr(s"(ahash >> ${12 * c}) & 4095").as("chunk_val"))
     }
-    val exploded = hashed
-      .select(col("media_id"), col("ahash"),
+    val exploded = groups
+      .select(col("ahash"), col("ids"),
         explode(array(chunks: _*)).as("chunk"))
-      .select(col("media_id"), col("ahash"),
+      .select(col("ahash"), col("ids"),
         col("chunk.chunk_idx"), col("chunk.chunk_val"))
-    exploded.as("a")
+    val near = exploded.as("a")
       .join(exploded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_i"),
-        col("b.media_id").as("media_j"),
+          col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
         expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+      .dropDuplicates("ha", "hb")
+      .filter(col("hamming").between(1, 3))
+      .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"))
+      .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
+      .select(least(col("i"), col("j")).as("media_i"),
+        greatest(col("i"), col("j")).as("media_j"), col("hamming"))
+    zero.unionByName(near)
   }
 
   /** `binaryFile` SOURCE ingest (§2.4): land per-document files on disk
@@ -341,7 +369,7 @@ object Multimodal {
     s"""WITH m AS (
        |  SELECT doc_id AS media_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000000, upper(substr(text, 1, 1)) || substr(text, 2)
+       |  SELECT -doc_id - 1, upper(substr(text, 1, 1)) || substr(text, 2)
        |  FROM documents WHERE doc_id % 11 = 0),
        |p AS (SELECT media_id, $pxList AS px FROM m),
        |h AS (SELECT media_id, $bits AS ahash FROM p)""".stripMargin

@@ -573,7 +573,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val assets = docs ++ docs.collect { case (id, t) if id % 11 == 0 =>
-      (id + 1000000000L) -> (t.take(1).toUpperCase + t.drop(1))
+      // Disjoint re-encode namespace: mirrors mediaPhashPairs' -id-1.
+      (-id - 1L) -> (t.take(1).toUpperCase + t.drop(1))
     }
     val hs = assets.map { case (id, t) => id -> ahash(t) }
     val expected = (for {
