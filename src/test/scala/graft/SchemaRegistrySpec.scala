@@ -132,4 +132,54 @@ class SchemaRegistrySpec extends AnyFunSuite {
         s"id $id served the wrong writer schema")
     }
   }
+
+  test("HTTP transport parity: REST client ≡ file client over one " +
+      "registry — same ids, same mixed-version decode (kafka_utils.py:14)") {
+    // The executed transport seam (r15 verdict №3): a loopback server
+    // speaking the Confluent REST subset fronts the SAME registry the
+    // file client reads, and every registry consumer behaves
+    // identically through either client — the one-line
+    // `schema.registry.url` swap, actually run.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry-http").toString
+    val fileClient = new FileSchemaRegistry(dir)
+    val server = new graft.streaming.SchemaRegistryHttpServer(fileClient)
+    try {
+      val http = new graft.streaming.HttpSchemaRegistryClient(server.baseUrl)
+
+      // Registration through HTTP mints the same sequential ids and is
+      // idempotent against registrations made through the file client.
+      val id1 = http.register("orders-value", AvroOrder.schema)
+      assert(http.register("orders-value", AvroOrder.schema) == id1)
+      assert(fileClient.register("orders-value", AvroOrder.schema) == id1,
+        "HTTP and file transports must dedupe to the same id")
+      val id2 = fileClient.register("orders-value", AvroOrder.schemaV2)
+      assert(http.register("orders-value", AvroOrder.schemaV2) == id2)
+      assert(http.latest("orders-value").map(_._1).contains(id2))
+      assert(http.byId(id1).toString == fileClient.byId(id1).toString)
+
+      // Mixed-version wire bytes PRODUCED through one transport DECODE
+      // through the other — the topic-compatibility contract.
+      val base = 1704067200000L
+      val wire = Seq(
+        ConfluentWire.encode(http, "orders-value",
+          v1Record("ORD-1", "Laptop", 999.99f, base)),
+        ConfluentWire.encode(fileClient, "orders-value",
+          v2Record("ORD-2", "Mouse", 25.50, base + 1000, "EUR")))
+      val viaHttp = wire.map(
+        ConfluentWire.decode(http, AvroOrder.schemaV2, _))
+      val viaFile = wire.map(
+        ConfluentWire.decode(fileClient, AvroOrder.schemaV2, _))
+      assert(viaHttp.map(_.toString) == viaFile.map(_.toString))
+      assert(viaHttp(0).get("price") == 999.99f.toDouble)
+      assert(viaHttp(0).get("currency").toString == "USD")
+      assert(viaHttp(1).get("currency").toString == "EUR")
+
+      // Failure faces stay loud over HTTP: unknown id (404 + error
+      // body), unknown subject (None, like the file client).
+      val e = intercept[IllegalArgumentException](http.byId(999))
+      assert(e.getMessage.contains("999"))
+      assert(http.latest("no-such-subject").isEmpty)
+    } finally server.stop()
+  }
 }
