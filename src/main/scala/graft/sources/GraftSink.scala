@@ -165,7 +165,14 @@ private class GraftBytesWriter extends DataWriter[InternalRow] {
   }
   override def commit(): WriterCommitMessage =
     GraftBytesCommit(staged.toArray)
-  override def abort(): Unit = staged.clear()
+  // Task-level abort (a failed/speculative attempt): DROP the staged
+  // bytes — they must never reach the manifest — and count the abort so
+  // the spec can prove the path actually ran (r15 verdict №4).
+  override def abort(): Unit = {
+    staged.clear()
+    GraftBytesSinkRegistry.taskAborts.incrementAndGet()
+    ()
+  }
   override def close(): Unit = ()
 }
 
@@ -215,6 +222,9 @@ object GraftBytesSinkRegistry {
     Array[(String, Array[Byte])]]()
   val replayedEpochs = new java.util.concurrent.atomic.AtomicLong(0)
   val aborts = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Task-attempt aborts ([[GraftBytesWriter.abort]]) — the retried/
+    * failed-attempt count, distinct from job/epoch-level `aborts`. */
+  val taskAborts = new java.util.concurrent.atomic.AtomicLong(0)
 
   def publishEpoch(queryId: String, epochId: Long,
       payloads: Array[(String, Array[Byte])]): Unit =
@@ -235,7 +245,7 @@ object GraftBytesSinkRegistry {
 
   def reset(): Unit = {
     epochPayloads.clear(); batchPayloads.clear()
-    replayedEpochs.set(0); aborts.set(0)
+    replayedEpochs.set(0); aborts.set(0); taskAborts.set(0)
   }
 }
 
