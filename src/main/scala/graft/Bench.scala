@@ -346,7 +346,105 @@ object Bench {
     "q_ivm_retract",
     "q_neyman_alloc")
 
+  /** CONCURRENT-INTERFERENCE MODE (r15 verdict №6): a 100 TB cluster
+    * serves many users at once, and nothing in the serial bench
+    * measures the engine under concurrency. With
+    * `SPARK_GRAFT_BENCH_POOLS=N` (N ≥ 2), the headline set runs across
+    * N fair-scheduler pools — N driver threads pull queries off one
+    * queue, each thread pinned to its own pool so Spark's FAIR
+    * scheduler interleaves their stages — and the artifact records the
+    * aggregate wall time, each query's under-concurrency time, and the
+    * p50/p95 of per-query inflation vs the committed SERIAL baseline.
+    * Writes its own artifact (bench_concurrent.json; never the
+    * committed serial map). The driver never sets the env var, so
+    * round artifacts stay serial and comparable. */
+  private def runConcurrent(pools: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create("graft-bench-pools",
+      extraConf = Map("spark.scheduler.mode" -> "FAIR"))
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    val doWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    try Indexes.prebuild(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] index prebuild failed: ${e.getMessage}")
+    }
+    val selected = headline.filter(SparkEntry.queries.contains)
+    // Serial warmup pass (untimed, smallest SF): absorbs planning +
+    // codegen per shape, same discipline as the serial mode — the
+    // concurrent numbers then measure contention, not compilation.
+    if (doWarm) selected.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    selected.foreach(queue.add)
+    val times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    System.gc()
+    val t0 = System.nanoTime()
+    val workers = (0 until pools).map { i =>
+      new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"pool$i")
+        var n = queue.poll()
+        while (n != null) {
+          val s0 = System.nanoTime()
+          try {
+            SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            times.put(n, (System.nanoTime() - s0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $n FAILED under concurrency: " +
+              e.getMessage)
+            times.put(n, -1.0)
+          }
+          n = queue.poll()
+        }
+      }, s"bench-pool-$i")
+    }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val result = times.asScala.toMap
+    val failed = result.count(_._2 < 0)
+    // Inflation vs the committed SERIAL medians: >1 = slower under
+    // concurrency (contention), <1 = faster (still plausible: idle
+    // cores absorb a query that underfills the machine alone).
+    val committed = parseBenchTimes(committedBenchPath)
+    val ratios = result.toSeq.collect {
+      case (n, t) if t > 0 && committed.get(n).exists(_ > 0) =>
+        t / committed(n)
+    }.sorted
+    def pct(p: Double): Double =
+      if (ratios.isEmpty) -1.0
+      else ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))
+    val serialTotal = selected.flatMap(committed.get).filter(_ > 0).sum
+    val qs = selected.filter(result.contains)
+      .map(n => "\"" + n + f"\":${result(n)}%.3f").mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_concurrent.json")
+    val json =
+      f"""{"metric":"concurrent_wall","value":$wall%.3f,"unit":"sec","pools":$pools,"n":${result.size},"failed":$failed,"serial_committed_total":$serialTotal%.3f,"speedup_vs_serial":${serialTotal / math.max(wall, 1e-9)}%.3f,"inflation_p50":${pct(0.50)}%.3f,"inflation_p95":${pct(0.95)}%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    result.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(f"""{"query":"$k","sec":$v%.3f,"mode":"concurrent"}""") }
+    println(
+      f"""{"metric":"concurrent_wall","value":$wall%.3f,"unit":"sec","pools":$pools,"n":${result.size},"failed":$failed,"serial_committed_total":$serialTotal%.3f,"speedup_vs_serial":${serialTotal / math.max(wall, 1e-9)}%.3f,"inflation_p50":${pct(0.50)}%.3f,"inflation_p95":${pct(0.95)}%.3f,"queries_file":"$outPath"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_POOLS").map(_.trim.toInt) match {
+      case Some(p) if p > 1 => runConcurrent(p); return
+      case _ => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
     spark.sparkContext.setLogLevel("WARN")

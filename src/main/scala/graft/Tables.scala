@@ -70,7 +70,8 @@ object Tables {
   * raised (or left to AQE) on a real cluster.
   */
 object GraftSession {
-  def create(appName: String = "graft", cores: String = "*"): SparkSession = {
+  def create(appName: String = "graft", cores: String = "*",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     // Default to every core on the box (the driver runs local[32]); the
     // env var stays as an override for constrained runs.
     val cpus =
@@ -100,6 +101,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      .config(extraConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
