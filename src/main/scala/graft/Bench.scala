@@ -364,19 +364,22 @@ object Bench {
       extraConf = Map("spark.scheduler.mode" -> "FAIR"))
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).selectExpr("sum(id)").collect()
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
-      "/root/testdata/sf0.001")
-    val doWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
     try Indexes.prebuild(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] index prebuild failed: ${e.getMessage}")
     }
     val selected = headline.filter(SparkEntry.queries.contains)
-    // Serial warmup pass (untimed, smallest SF): absorbs planning +
-    // codegen per shape, same discipline as the serial mode — the
-    // concurrent numbers then measure contention, not compilation.
-    if (doWarm) selected.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir)
+    // Serial warmup pass (untimed) AT THE BENCH SF — not the tiny
+    // warmup corpus the serial mode uses: AQE re-plans per actual data
+    // size, so sf0.001-shaped codegen misses at sf0.1 and four pools
+    // then serialize on janino's global compile lock — the first run of
+    // this mode measured an ~80 s all-pools stall window (p95 inflation
+    // 37×) from exactly that. Warming at sfDir caches the real plans'
+    // generated classes; the concurrent pass then measures steady-state
+    // CONTENTION (scheduler, memory, shuffle), which is the question a
+    // multi-tenant 100 TB cluster actually asks.
+    selected.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
