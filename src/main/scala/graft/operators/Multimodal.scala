@@ -210,13 +210,17 @@ object Multimodal {
     }.reduce(_ + _)
     // (media_id, ahash) is |assets|-row; checkpoint it so the banding
     // self-join's two sides don't each replay the 48-sample chain.
+    // (The r15 pre-collapse shape checkpointed (media_id, ahash) here so
+    // the banding self-join's two sides shared one hash materialization;
+    // the groupBy below now consumes the hash chain exactly ONCE, so the
+    // groups checkpoint inherits that job and an extra checkpoint would
+    // only add a materialization.)
     val hashed = docs.unionByName(reenc)
       .withColumn("n", length(col("text")).cast("long"))
       .withColumn("px",
         graft.functions.OptimizerBarrier(array(px: _*)))
       .withColumn("s", expr("aggregate(px, 0, (acc, x) -> acc + x)"))
       .select(col("media_id"), ahash.as("ahash"))
-      .localCheckpoint()
     // HASH-EQUAL COLLAPSE (r15 advice): a degenerate corpus (many empty
     // or byte-identical payloads) hashes whole populations to ONE ahash;
     // banding over raw assets would then put that population into every
@@ -240,21 +244,28 @@ object Multimodal {
       struct(lit(c).as("chunk_idx"),
         expr(s"(ahash >> ${12 * c}) & 4095").as("chunk_val"))
     }
+    // The banding join stays NARROW (ahash pairs only — band skew makes
+    // candidate pairs plentiful, ~60× the distinct-hash count on this
+    // corpus) and the popcount verify runs IN the join stage, before any
+    // shuffle: the ≤3-hamming survivors are dozens, so the dedup
+    // shuffles dozens of rows and the id lists re-attach afterward via
+    // two joins against the tiny checkpointed groups table — never
+    // dragging arrays through the 100×-bigger candidate stream.
     val exploded = groups
-      .select(col("ahash"), col("ids"),
-        explode(array(chunks: _*)).as("chunk"))
-      .select(col("ahash"), col("ids"),
-        col("chunk.chunk_idx"), col("chunk.chunk_val"))
-    val near = exploded.as("a")
+      .select(col("ahash"), explode(array(chunks: _*)).as("chunk"))
+      .select(col("ahash"), col("chunk.chunk_idx"), col("chunk.chunk_val"))
+    val cand = exploded.as("a")
       .join(exploded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.ahash") < col("b.ahash"))
       .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"),
-        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
         expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
-      .dropDuplicates("ha", "hb")
       .filter(col("hamming").between(1, 3))
+      .dropDuplicates("ha", "hb")
+    val near = cand
+      .join(groups.select(col("ahash").as("ha"), col("ids").as("ids_a")), "ha")
+      .join(groups.select(col("ahash").as("hb"), col("ids").as("ids_b")), "hb")
       .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"))
       .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
       .select(least(col("i"), col("j")).as("media_i"),
