@@ -427,8 +427,7 @@ object Bench {
     val serialTotal = selected.flatMap(committed.get).filter(_ > 0).sum
     val qs = selected.filter(result.contains)
       .map(n => "\"" + n + f"\":${result(n)}%.3f").mkString("{", ",", "}")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_concurrent.json")
+    val outPath = resolveConcurrentOut(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
     val json =
       f"""{"metric":"concurrent_wall","value":$wall%.3f,"unit":"sec","pools":$pools,"n":${result.size},"failed":$failed,"serial_committed_total":$serialTotal%.3f,"speedup_vs_serial":${serialTotal / math.max(wall, 1e-9)}%.3f,"inflation_p50":${pct(0.50)}%.3f,"inflation_p95":${pct(0.95)}%.3f,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
@@ -442,6 +441,23 @@ object Bench {
       f"""{"metric":"concurrent_wall","value":$wall%.3f,"unit":"sec","pools":$pools,"n":${result.size},"failed":$failed,"serial_committed_total":$serialTotal%.3f,"speedup_vs_serial":${serialTotal / math.max(wall, 1e-9)}%.3f,"inflation_p50":${pct(0.50)}%.3f,"inflation_p95":${pct(0.95)}%.3f,"queries_file":"$outPath"}""")
     spark.stop()
   }
+
+  /** Concurrent-mode output path: NEVER the committed serial map — a
+    * pools run's numbers are under-contention latencies, and landing
+    * them where the band compare reads its serial baseline would flag
+    * every query as a regression next round (the r11/r12
+    * overwrite-incident class, concurrent flavor). Pure so
+    * BenchGuardSpec pins it. */
+  private[graft] def resolveConcurrentOut(requested: Option[String]): String =
+    requested match {
+      case Some(p) if p == committedBenchPath =>
+        System.err.println("[bench] REFUSING to write the concurrent " +
+          s"artifact over the committed serial map $committedBenchPath; " +
+          "writing /root/repo/bench_concurrent.json instead")
+        "/root/repo/bench_concurrent.json"
+      case Some(p) => p
+      case None => "/root/repo/bench_concurrent.json"
+    }
 
   def main(args: Array[String]): Unit = {
     sys.env.get("SPARK_GRAFT_BENCH_POOLS").map(_.trim.toInt) match {

@@ -162,4 +162,17 @@ class BenchGuardSpec extends AnyFunSuite {
         s"${SparkEntry.queries.size}) — a subset run overwrote the " +
         "baseline")
   }
+
+  test("concurrent mode can never write the committed serial map") {
+    // A pools run records under-contention latencies; landing them on
+    // the serial baseline would flag every query as a regression on
+    // the next band compare — the overwrite-incident class, concurrent
+    // flavor. Explicit OUT at the committed path is diverted; any
+    // other explicit path is honored; default is the concurrent file.
+    assert(Bench.resolveConcurrentOut(Some(committed))
+      == "/root/repo/bench_concurrent.json")
+    assert(Bench.resolveConcurrentOut(Some("/tmp/x.json")) == "/tmp/x.json")
+    assert(Bench.resolveConcurrentOut(None)
+      == "/root/repo/bench_concurrent.json")
+  }
 }

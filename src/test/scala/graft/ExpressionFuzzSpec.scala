@@ -209,6 +209,71 @@ class ExpressionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThreeWay[Seq[Long]]("LshBands", df, expect, _.getSeq[Long](1))
   }
 
+  test(s"CosineSim / DotConst: $Cases fuzzed float vectors ≡ the exact " +
+      "sequential-fold reference, bit for bit") {
+    import spark.implicits._
+    val Dims = 8
+    val weights = Seq.tabulate(Dims)(k => (k % 7 - 3) / 2.0)
+    val floatGen = Gen.oneOf(
+      Gen.chooseNum(-1e4f, 1e4f),
+      Gen.oneOf(0.0f, -0.0f, 1.0f, -1.0f, Float.MinPositiveValue,
+        Float.MaxValue))
+    val pair = for {
+      na <- Gen.choose(0, 10)
+      nb <- Gen.choose(0, 10)
+      a <- Gen.listOfN(na, floatGen)
+      b <- Gen.listOfN(nb, floatGen)
+    } yield (a.toArray, b.toArray)
+    val cases = samples(pair).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = cases.toDF("id", "a", "b").select(col("id"),
+      graft.functions.CosineSim(col("a"), col("b")).as("cos"),
+      graft.functions.DotConst(col("a"), weights).as("dot"))
+    // Exact replay of the kernels' fold order; NaN (zero-norm or empty
+    // vectors) compares via canonical bits.
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    def dotRef(a: Array[Float]): Double = {
+      val n = math.min(a.length, weights.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i).toDouble * weights(i); i += 1 }
+      acc
+    }
+    val expect = cases.map { case (i, a, b) =>
+      i -> (java.lang.Double.doubleToLongBits(cosRef(a, b)),
+        java.lang.Double.doubleToLongBits(dotRef(a)))
+    }.toMap
+    assertThreeWay[(Long, Long)]("CosineSim/DotConst", df, expect,
+      r => (java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToLongBits(r.getDouble(2))))
+  }
+
+  test(s"L2Sq: $Cases fuzzed long vectors ≡ exact integer distance") {
+    import spark.implicits._
+    // Quantized-code domain (|v| ≤ 2^20): n·d² stays far inside Long.
+    val vGen = Gen.chooseNum(-(1L << 20), 1L << 20)
+    val pair = for {
+      n <- Gen.choose(0, 12)
+      a <- Gen.listOfN(n, vGen)
+      b <- Gen.listOfN(n, vGen)
+    } yield (a, b)
+    val cases = samples(pair).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = cases.toDF("id", "a", "b").select(col("id"),
+      graft.functions.L2Sq(col("a"), col("b")).as("d2"))
+    val expect = cases.map { case (i, a, b) =>
+      i -> a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    }.toMap
+    assertThreeWay[Long]("L2Sq", df, expect, _.getLong(1))
+  }
+
   test(s"QSketchLevel: $Cases fuzzed longs ≡ the relational " +
       "Σ-of-divisibility AND QuantileSketch.level") {
     import spark.implicits._
