@@ -197,9 +197,23 @@ object ConfluentAvroCodec {
   private val readerCache =
     TrieMap.empty[(String, Int, String), GenericDatumReader[GenericRecord]]
 
+  /** Registry TRANSPORT dispatch — the `schema.registry.url` swap,
+    * executed: an `http(s)://` spec resolves through the Confluent REST
+    * client ([[graft.streaming.HttpSchemaRegistryClient]]), anything
+    * else is a shared-directory file registry. Both implement the same
+    * trait, and the per-(spec, id) schema cache above means either
+    * transport is touched once per executor per id — one lookup per
+    * schema version, never per row, exactly the caching a production
+    * Confluent deserializer does. */
+  private[graft] def clientFor(
+      registry: String): graft.streaming.SchemaRegistryClient =
+    if (registry.startsWith("http://") || registry.startsWith("https://"))
+      new graft.streaming.HttpSchemaRegistryClient(registry)
+    else new FileSchemaRegistry(registry)
+
   private[graft] def schemaFor(registryDir: String, id: Int): Schema =
     schemaCache.getOrElseUpdate((registryDir, id),
-      new FileSchemaRegistry(registryDir).byId(id))
+      clientFor(registryDir).byId(id))
 
   private[graft] def readerFor(registryDir: String, writerId: Int,
       reader: Schema): GenericDatumReader[GenericRecord] =

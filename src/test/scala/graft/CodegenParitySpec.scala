@@ -197,6 +197,53 @@ class CodegenParitySpec extends AnyFunSuite with BeforeAndAfterAll {
             graft.operators.StreamQueries.dlqSchemaV2Json).as("back")))
   }
 
+  test("Confluent codec THROUGH the HTTP registry transport: a URL " +
+      "registry spec decodes identically to the shared-dir spec") {
+    // The `schema.registry.url` swap executed INSIDE a query plan: the
+    // same FromConfluentAvro expression, handed an http:// spec,
+    // resolves writer schemas over the loopback REST server and must
+    // decode the identical wire bytes to the identical rows the
+    // file-backed spec produces (plus codegen ≡ interpreted on the
+    // HTTP path itself, via assertParity).
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-parity-http-reg").toFile.getAbsolutePath
+    val reg = new graft.streaming.FileSchemaRegistry(d)
+    val v1 = reg.register("orders-value", graft.functions.AvroOrder.schema)
+    val v2 = reg.register("orders-value", graft.functions.AvroOrder.schemaV2)
+    val server = new graft.streaming.SchemaRegistryHttpServer(reg)
+    try {
+      val url = server.baseUrl
+      def wire = Tables.orders(spark, sfDir).filter(col("o_orderkey") < 120)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0,
+            graft.functions.ToConfluentAvro(expr(
+              "named_struct('orderId', CAST(o_orderkey AS STRING)," +
+                "'product', o_orderpriority," +
+                "'price', CAST(o_totalprice AS FLOAT)," +
+                "'timestamp', unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+            ), d, v1))
+            .otherwise(graft.functions.ToConfluentAvro(expr(
+              "named_struct('orderId', CAST(o_orderkey AS STRING)," +
+                "'product', o_orderpriority," +
+                "'price', CAST(o_totalprice AS DOUBLE)," +
+                "'timestamp', unix_micros(CAST(o_orderdate AS TIMESTAMP))," +
+                "'currency', 'EUR')"), url, v2)) // producer leg over HTTP too
+            .as("wire"))
+      val readerJson = graft.functions.AvroOrder.schemaV2.toString
+      assertParity("ConfluentAvroOverHttp")(wire.select(col("o_orderkey"),
+        graft.functions.FromConfluentAvro(col("wire"), url, readerJson)
+          .as("back")))
+      val viaHttp = wire.select(col("o_orderkey"),
+        graft.functions.FromConfluentAvro(col("wire"), url, readerJson)
+          .as("back")).collect().map(_.toString).sorted.toSeq
+      val viaDir = wire.select(col("o_orderkey"),
+        graft.functions.FromConfluentAvro(col("wire"), d, readerJson)
+          .as("back")).collect().map(_.toString).sorted.toSeq
+      assert(viaHttp.nonEmpty && viaHttp == viaDir,
+        "HTTP-resolved decode diverged from the file-registry decode")
+    } finally server.stop()
+  }
+
   test("generic bridge round-trips nullable, bytes, and array fields exactly") {
     val sch =
       """{"type":"record","name":"Blob","namespace":"graft","fields":[
