@@ -107,9 +107,16 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
     val (chkA, chkB) = (root.resolve("chkA"), root.resolve("chkB"))
     java.nio.file.Files.createDirectories(srcDir)
 
-    // Registry with both wire versions under one subject.
-    val regDir = root.resolve("registry").toFile.getAbsolutePath
-    val reg = new graft.streaming.FileSchemaRegistry(regDir)
+    // Registry with both wire versions under one subject — fronted by
+    // the LIVE HTTP transport: the topology's producer and consumer
+    // legs resolve schemas through `schema.registry.url` exactly like
+    // the reference's AvroConsumer (kafka_utils.py:14), across BOTH
+    // streaming runs and the restart. (The 10k/100k notches keep the
+    // shared-dir transport, so both faces stay exercised.)
+    val regDir0 = root.resolve("registry").toFile.getAbsolutePath
+    val reg = new graft.streaming.FileSchemaRegistry(regDir0)
+    val regServer = new graft.streaming.SchemaRegistryHttpServer(reg)
+    val regDir = regServer.baseUrl
     val parser = new org.apache.avro.Schema.Parser()
     val v1Id = reg.register("orders-value", parser.parse(wireV1))
     val v2Id = reg.register("orders-value",
@@ -278,7 +285,10 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"DLQ monitor diverged from q_dlq_monitor:\n got " +
             s"$gotMonitor\nwant $wantMonitor")
       } finally out.unpersist()
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      regServer.stop()
+    }
   }
 
   test("scale notch: 10k events (sf0.01) through the full chain — " +
