@@ -138,6 +138,55 @@ object Bench {
     ran.collect { case (name, t) if t < 0 &&
       committed.get(name).exists(_ >= 0) => name }.sorted
 
+  /** RUN-LEVEL LOAD DETECTOR (round-16 lesson): a host-contention
+    * window during a full run widens per-query [min,max] bands 2-4×
+    * across UNRELATED queries while the 3-point canary can still read
+    * flat — the round-16 close run landed exactly such a map on the
+    * committed path and it had to be reverted by hand. The detector is
+    * the within-run band width itself: median relative width
+    * (hi−lo)/median over the run's measured queries, compared to the
+    * committed map's. Returns Some(reason) when the new run is ≥
+    * `factor`× noisier than the committed baseline (both maps needing
+    * ≥ `minSample` real multi-rep bands) — callers divert the write.
+    * Pure so BenchGuardSpec pins it. */
+  private[graft] def loadContamination(
+      committed: Map[String, BenchEntry], fresh: Map[String, BenchEntry],
+      factor: Double = 3.0, minSample: Int = 20): Option[String] = {
+    def widths(m: Map[String, BenchEntry]): Seq[Double] =
+      m.values.toSeq.collect {
+        case e if e.median > 0.05 && e.hi > e.lo =>
+          (e.hi - e.lo) / e.median
+      }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val (wc, wf) = (widths(committed), widths(fresh))
+    if (wc.size < minSample || wf.size < minSample) None
+    else {
+      val (mc, mf) = (med(wc), med(wf))
+      if (mc > 0 && mf > factor * mc)
+        Some(f"median within-run band width ${mf * 100}%.0f%% of median " +
+          f"vs the committed map's ${mc * 100}%.0f%% (≥ $factor%.1f×): " +
+          "the run was load-contaminated — bands this wide mean host " +
+          "contention, not code")
+      else None
+    }
+  }
+
+  /** Second contamination face (the round-16 close run's actual
+    * signature): 39 of 370 queries printed as REGRESSED disjoint-band
+    * movers at once, across unrelated operator files. A real code
+    * change regresses the queries it touches; host contention regresses
+    * a broad random sample. ≥ `minCount` regressions AND ≥ `minFrac` of
+    * the compared set → the run is suspect and must not silently become
+    * the baseline. Pure so BenchGuardSpec pins it. */
+  private[graft] def massRegression(regressed: Int, compared: Int,
+      minCount: Int = 15, minFrac: Double = 0.05): Option[String] =
+    if (compared > 0 && regressed >= minCount &&
+        regressed.toDouble / compared >= minFrac)
+      Some(s"$regressed of $compared compared queries regressed beyond " +
+        "their noise bands — a code change regresses what it touches; " +
+        "a broad random sample regressing is host contention")
+    else None
+
   /** Reps for one query: an explicit SPARK_GRAFT_BENCH_REPS wins
     * everywhere (the §6 isolated-REPS protocol depends on that);
     * otherwise sub-second-committed (or not-yet-committed) queries get
@@ -666,6 +715,8 @@ object Bench {
     // A map measured at a DIFFERENT scale factor is not comparable —
     // every shared query would print as a spurious mover — so the
     // compare refuses loudly instead.
+    var regressedMovers = 0
+    var comparedCount = 0
     try {
       val committedJson = java.nio.file.Files.readString(
         java.nio.file.Paths.get(committedBenchPath))
@@ -678,8 +729,11 @@ object Bench {
           s"was measured at ${committedSf.get}, this run at $sfDir — " +
           "cross-SF ratios are not movers")
       else {
-        val movers = moversOutsideBand(
-          parseBenchEntries(committedJson), parseBenchEntries(fullJson))
+        val oldEntries = parseBenchEntries(committedJson)
+        val newEntries = parseBenchEntries(fullJson)
+        comparedCount = (oldEntries.keySet & newEntries.keySet).size
+        val movers = moversOutsideBand(oldEntries, newEntries)
+        regressedMovers = movers.count(_._2.startsWith("regressed"))
         if (movers.isEmpty)
           System.err.println("[bench] band compare vs committed map: no"
             + " movers outside noise bands")
@@ -687,15 +741,40 @@ object Bench {
           System.err.println(s"[bench] MOVER $q $why") }
       }
     } catch { case _: Throwable => () }
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
+    // LOAD-CONTAMINATION GATE ahead of the committed write (round-16
+    // lesson; see loadContamination): a run whose within-run bands are
+    // ≥3× the committed map's median width is host contention and must
+    // not become the baseline — divert, loudly; FORCE overrides for a
+    // deliberate re-baseline on a known-different host.
+    val finalOut = {
+      val contaminated =
+        if (outPath != committedBenchPath ||
+            sys.env.contains("SPARK_GRAFT_BENCH_FORCE")) None
+        else (try loadContamination(
+          parseBenchEntries(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(committedBenchPath))),
+          parseBenchEntries(fullJson))
+        catch { case _: Throwable => None })
+          .orElse(massRegression(regressedMovers, comparedCount))
+      contaminated match {
+        case Some(why) =>
+          System.err.println(s"[bench] REFUSING to overwrite " +
+            s"$committedBenchPath: $why; writing " +
+            "/tmp/bench_queries_contaminated.json instead " +
+            "(SPARK_GRAFT_BENCH_FORCE=1 to re-baseline deliberately)")
+          "/tmp/bench_queries_contaminated.json"
+        case None => outPath
+      }
+    }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(finalOut), fullJson)
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $finalOut: ${e.getMessage}")
     }
     (results ++ extraResults).foreach { case (k, v) =>
       println(f"""{"query":"$k","sec":$v%.3f}""") }
     println(s"""{"canary":$canaryJson}""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"sf":"$sfDir","queries_file":"$outPath"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"sf":"$sfDir","queries_file":"$finalOut"}""")
     spark.stop()
   }
 }

@@ -163,6 +163,46 @@ class BenchGuardSpec extends AnyFunSuite {
         "baseline")
   }
 
+  test("load-contaminated runs are detected by within-run band width, " +
+      "not the canary") {
+    // The round-16 close incident: host contention widened bands 2-4×
+    // across unrelated queries while the 3-point canary read flat, and
+    // the polluted map landed on the committed path. The detector
+    // compares the MEDIAN relative band width run-over-run.
+    def mk(n: Int, width: Double): Map[String, Bench.BenchEntry] =
+      (1 to n).map { i =>
+        val m = 0.2 + i * 0.01
+        s"q$i" -> Bench.BenchEntry(m, m * (1 - width / 2), m * (1 + width / 2))
+      }.toMap
+    val quiet = mk(30, 0.10)        // ~10% bands: a quiet host
+    val polluted = mk(30, 0.80)     // ~80% bands: the contention signature
+    assert(Bench.loadContamination(quiet, polluted).isDefined,
+      "an 8× band-width blowup must be flagged")
+    assert(Bench.loadContamination(quiet, mk(30, 0.15)).isEmpty,
+      "ordinary width drift stays under the 3× gate")
+    assert(Bench.loadContamination(quiet, polluted, minSample = 40).isEmpty,
+      "too few multi-rep bands on either side → no verdict (old maps)")
+    // Zero-width committed bands (pre-band-protocol maps) can't anchor
+    // a ratio — detector abstains rather than flagging everything.
+    val zeroWidth = (1 to 30).map { i =>
+      val m = 0.2 + i * 0.01
+      s"q$i" -> Bench.BenchEntry(m, m, m)
+    }.toMap
+    assert(Bench.loadContamination(zeroWidth, polluted).isEmpty)
+
+    // The incident's OTHER signature — a broad regression sweep: 39 of
+    // 370 compared queries regressed beyond bands at once. A real code
+    // change regresses what it touches; a random tenth of the registry
+    // regressing is the host.
+    assert(Bench.massRegression(39, 370).isDefined,
+      "the round-16 close run's signature must be flagged")
+    assert(Bench.massRegression(4, 370).isEmpty,
+      "a handful of regressions is a normal round diff")
+    assert(Bench.massRegression(16, 1000).isEmpty,
+      "sub-5%-of-registry sweeps stay under the gate")
+    assert(Bench.massRegression(0, 0).isEmpty)
+  }
+
   test("concurrent mode can never write the committed serial map") {
     // A pools run records under-contention latencies; landing them on
     // the serial baseline would flag every query as a regression on
