@@ -143,9 +143,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         args match {
           case _ if args.size == 3 || args.size == 4 =>
+            // k parameterizes the Aggregator INSTANCE, so it must be a
+            // build-time constant — require foldability and a positive
+            // integer up front; eval() on a non-foldable expression
+            // (e.g. a column reference) would otherwise surface as an
+            // opaque NPE during analysis.
+            val usage = "qsketch_agg(cents, h32, row_id[, k]) — k must " +
+              "be a positive integer literal"
             val k =
-              if (args.size == 4) args(3).eval().asInstanceOf[Number].intValue()
-              else graft.operators.Profiling.QSketchK.toInt
+              if (args.size == 4) {
+                if (!args(3).foldable) throw new IllegalArgumentException(
+                  s"$usage (got non-constant k: ${args(3).sql})")
+                args(3).eval() match {
+                  case n: Number if n.intValue() > 0 &&
+                      n.doubleValue() == n.intValue().toDouble => n.intValue()
+                  case bad => throw new IllegalArgumentException(
+                    s"$usage (got k = $bad)")
+                }
+              } else graft.operators.Profiling.QSketchK.toInt
             val udf = org.apache.spark.sql.functions.udaf(
               graft.functions.QuantileSketch.agg(k),
               org.apache.spark.sql.Encoders.tuple(

@@ -191,7 +191,23 @@ object Multimodal {
     * the substr count); candidates are a bucketed equi-join on
     * (chunk_idx, chunk_val); the verify is integer popcount per
     * candidate. */
-  def mediaPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Degenerate-corpus output cap for [[mediaPhashPairs]]' hamming-0
+    * populations: a group of byte-identical payloads above this size
+    * stops emitting Σ group² pairs (the OUTPUT itself is the blowup at
+    * a pathological 100 TB corpus of one repeated asset — 10k identical
+    * payloads is ~50M pair rows) and emits the linear STAR expansion
+    * around the group's min id instead — the same information content
+    * (the transitive closure regenerates every pair; connected-
+    * components consumers see identical clusters) in group_size−1 rows.
+    * 1024 keeps every group at the tested SFs (where groups are single
+    * digits) on the exact all-pairs oracle path. */
+  private[graft] val PhashZeroGroupCap = 1024
+
+  /** The checkpointed (ahash → ids) populations table both pHash faces
+    * read: hash every asset (docs + planted re-encodes) with the aHash
+    * chain and digest-group by the hash — one row per DISTINCT hash, so
+    * everything downstream is bounded by the distinct-hash count. */
+  private def phashGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
     // Planted re-encodes live in a DISJOINT id namespace: doc ids are
@@ -231,15 +247,34 @@ object Multimodal {
     // which IS the output size, never an intermediate blowup — and
     // hamming 1..3 pairs from the distinct-hash banding join expanded
     // group×group afterward.
-    val groups = hashed.groupBy("ahash")
+    hashed.groupBy("ahash")
       .agg(collect_list(col("media_id")).as("ids"))
       .localCheckpoint()
-    val zero = groups
-      .filter(size(col("ids")) > 1)
+  }
+
+  def mediaPhashPairs(spark: SparkSession, dir: String,
+      zeroGroupCap: Int = PhashZeroGroupCap): DataFrame = {
+    val groups = phashGroups(spark, dir)
+    // Hamming-0 pairs: full pair expansion for normal groups (the exact
+    // all-pairs oracle shape), STAR expansion around the min id for
+    // groups above [[PhashZeroGroupCap]] — see the cap's scaladoc; the
+    // quadratic blowup a degenerate corpus would otherwise EMIT (not
+    // just compute) becomes linear, losing nothing a duplicate-cluster
+    // consumer reads (same transitive closure).
+    val multi = groups.filter(size(col("ids")) > 1)
+    val zeroSmall = multi
+      .filter(size(col("ids")) <= zeroGroupCap)
       .select(explode(col("ids")).as("media_i"), col("ids"))
       .select(col("media_i"), explode(col("ids")).as("media_j"))
       .filter(col("media_i") < col("media_j"))
       .select(col("media_i"), col("media_j"), lit(0).as("hamming"))
+    val zeroLarge = multi
+      .filter(size(col("ids")) > zeroGroupCap)
+      .select(array_min(col("ids")).as("media_i"),
+        explode(col("ids")).as("media_j"))
+      .filter(col("media_i") < col("media_j"))
+      .select(col("media_i"), col("media_j"), lit(0).as("hamming"))
+    val zero = zeroSmall.unionByName(zeroLarge)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk_idx"),
         expr(s"(ahash >> ${12 * c}) & 4095").as("chunk_val"))
@@ -263,15 +298,39 @@ object Multimodal {
         expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
       .filter(col("hamming").between(1, 3))
       .dropDuplicates("ha", "hb")
+    // The 1..3-hamming group×group expansion gets the same cap: an
+    // oversized group participates through its min-id REPRESENTATIVE
+    // only (its members already star-link to that id in `zero`, so the
+    // duplicate cluster stays connected), bounding small×LARGE at
+    // |small| rows and LARGE×LARGE at one.
+    val capped = groups.select(col("ahash"),
+      when(size(col("ids")) > zeroGroupCap, array(array_min(col("ids"))))
+        .otherwise(col("ids")).as("ids"))
     val near = cand
-      .join(groups.select(col("ahash").as("ha"), col("ids").as("ids_a")), "ha")
-      .join(groups.select(col("ahash").as("hb"), col("ids").as("ids_b")), "hb")
+      .join(capped.select(col("ahash").as("ha"), col("ids").as("ids_a")), "ha")
+      .join(capped.select(col("ahash").as("hb"), col("ids").as("ids_b")), "hb")
       .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"))
       .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
       .select(least(col("i"), col("j")).as("media_i"),
         greatest(col("i"), col("j")).as("media_j"), col("hamming"))
     zero.unionByName(near)
   }
+
+  /** Group-level face of the hamming-0 populations (the r16-verdict
+    * report shape): one row per hash-equal population of at least
+    * `minGroup` assets — (ahash, group_size, sample_ids) with
+    * `sampleIds` smallest ids as the sample — ALWAYS bounded by the
+    * distinct-hash count regardless of how degenerate the corpus is.
+    * This is the triage view an operator reads FIRST at 100 TB ("which
+    * populations collapsed, how big") before deciding whether to
+    * materialize any pair expansion at all; [[mediaPhashPairs]] remains
+    * the pair face with its own star-expansion cap. */
+  def mediaPhashZeroGroups(spark: SparkSession, dir: String,
+      minGroup: Int = 2, sampleIds: Int = 8): DataFrame =
+    phashGroups(spark, dir)
+      .filter(size(col("ids")) >= minGroup)
+      .select(col("ahash"), size(col("ids")).as("group_size"),
+        slice(array_sort(col("ids")), 1, sampleIds).as("sample_ids"))
 
   /** `binaryFile` SOURCE ingest (§2.4): land per-document files on disk
     * (the object-store staging layout a media pipeline reads — one blob

@@ -44,6 +44,9 @@ trait SchemaRegistryClient {
 
   /** Latest registered schema for a subject, if any. */
   def latest(subject: String): Option[(Int, Schema)]
+
+  /** All registered subject names (Confluent's GET /subjects). */
+  def subjects(): Seq[String]
 }
 
 /** File-backed registry: ids are allocated sequentially and persisted
@@ -178,6 +181,18 @@ final class FileSchemaRegistry(dir: String) extends SchemaRegistryClient {
 
   override def latest(subject: String): Option[(Int, Schema)] =
     subjectIds(subject).lastOption.map(id => id -> byId(id))
+
+  /** Subject names = files in `<dir>/subjects/`, skipping the
+    * in-flight atomic-rename temp files (`.<subject>.*.tmp`). */
+  override def subjects(): Seq[String] = {
+    val dir = root.resolve("subjects")
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith(".") && n.endsWith(".tmp"))
+      .toSeq
+    finally stream.close()
+  }
 }
 
 object FileSchemaRegistry {

@@ -112,7 +112,13 @@ final class SchemaRegistryHttpServer(delegate: SchemaRegistryClient,
 
   server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
     try {
-      val path = ex.getRequestURI.getPath
+      // RAW path: getPath percent-decodes, so decoding the captured
+      // subject again would double-decode ('%2B' → '+' → ' '). Match
+      // on the raw form and URLDecoder.decode exactly once — the
+      // precise inverse of the client's URLEncoder.encode, so any
+      // Kafka-legal OR exotic subject ('+', '%', unicode) round-trips
+      // identically over HTTP and through the file client.
+      val path = ex.getRequestURI.getRawPath
       val SubjectVersions = "/subjects/([^/]+)/versions".r
       val SubjectLatest = "/subjects/([^/]+)/versions/latest".r
       val SchemaById = "/schemas/ids/(\\d+)".r
@@ -123,13 +129,27 @@ final class SchemaRegistryHttpServer(delegate: SchemaRegistryClient,
             StandardCharsets.UTF_8)
           stringField(body, "schema") match {
             case Some(schemaJson) =>
-              val id = delegate.register(subject,
-                new Schema.Parser().parse(schemaJson))
-              respond(ex, 200, s"""{"id":$id}""")
+              // Unparseable Avro is the documented 422 ("invalid
+              // schema"), not a 500 — Confluent's error_code 42201.
+              val parsed =
+                try Right(new Schema.Parser().parse(schemaJson))
+                catch { case e: Exception => // any parse failure = 42201
+                  Left(String.valueOf(e.getMessage)) }
+              parsed match {
+                case Right(schema) =>
+                  val id = delegate.register(subject, schema)
+                  respond(ex, 200, s"""{"id":$id}""")
+                case Left(msg) => respond(ex, 422,
+                  s"""{"error_code":42201,"message":"${escape(s"invalid schema: $msg")}"}""")
+              }
             case None =>
               respond(ex, 422,
                 """{"error_code":42201,"message":"missing schema field"}""")
           }
+        case ("GET", "/subjects") =>
+          val names = delegate.subjects().sorted
+            .map(s => "\"" + escape(s) + "\"").mkString(",")
+          respond(ex, 200, s"[$names]")
         case ("GET", SchemaById(id)) =>
           try {
             val schema = delegate.byId(id.toInt)
@@ -210,10 +230,58 @@ final class HttpSchemaRegistryClient(baseUrl: String)
     val (status, body) = request("POST",
       s"/subjects/${enc(subject)}/versions",
       Some(s"""{"schema":"${escape(schema.toString)}"}"""))
+    // Confluent's documented non-200s carry distinct semantics — map
+    // them to distinct exception types so a caller can react (retry a
+    // 500, surface a 409 to the schema author) instead of one opaque
+    // require failure:
+    //   409 = incompatible with the subject's compatibility level
+    //   422 = invalid/unparseable schema
+    status match {
+      case 200 =>
+        intField(body, "id").getOrElse(throw new IllegalStateException(
+          s"registry response missing id: $body"))
+      case 409 => throw new IllegalStateException(
+        s"schema registry: schema incompatible with subject '$subject' " +
+          s"(409): $body")
+      case 422 => throw new IllegalArgumentException(
+        s"schema registry: invalid schema for subject '$subject' " +
+          s"(422): $body")
+      case other => throw new IllegalStateException(
+        s"schema registry: POST /subjects/$subject/versions → $other $body")
+    }
+  }
+
+  override def subjects(): Seq[String] = {
+    val (status, body) = request("GET", "/subjects", None)
     require(status == 200,
-      s"schema registry: POST /subjects/$subject/versions → $status $body")
-    intField(body, "id").getOrElse(
-      throw new IllegalStateException(s"registry response missing id: $body"))
+      s"schema registry: GET /subjects → $status $body")
+    // Body is a flat JSON array of strings; reuse the escape-aware
+    // string scanner by walking the array elements.
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < body.length) {
+      if (body(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < body.length && body(i) != '"') {
+          if (body(i) == '\\' && i + 1 < body.length) {
+            body(i + 1) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(
+                  body.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case c => sb.append(c); i += 2
+            }
+          } else { sb.append(body(i)); i += 1 }
+        }
+        i += 1
+        out += sb.toString
+      } else i += 1
+    }
+    out.toSeq
   }
 
   override def byId(id: Int): Schema = {

@@ -215,4 +215,53 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.resolveConcurrentOut(None)
       == "/root/repo/bench_concurrent.json")
   }
+
+  test("overwrite guards compare CANONICAL paths, not strings " +
+      "(r16 advice №5)") {
+    // /root/repo/../repo/bench_queries.json IS the committed map; the
+    // r16 string compare let it through both the concurrent diverter
+    // and (inverted) the shrink guard.
+    val alias = "/root/repo/../repo/bench_queries.json"
+    assert(Bench.sameCanonicalPath(alias, committed))
+    assert(Bench.resolveConcurrentOut(Some(alias))
+      == "/root/repo/bench_concurrent.json")
+    val (path, warn) = Bench.resolveBenchOut(requested = Some(alias),
+      onlySet = false, force = false, newCount = 10, existingCount = 370)
+    assert(path == "/tmp/bench_queries_refused.json" && warn.isDefined,
+      "a shrink aimed at a non-canonical alias of the committed map " +
+        "must still be refused")
+    assert(!Bench.sameCanonicalPath("/tmp/x.json", committed))
+  }
+
+  test("SPARK_GRAFT_BENCH_POOLS parses comma lists; garbage is " +
+      "rejected loudly and falls through to serial (r16 advice №4)") {
+    assert(Bench.parsePoolCounts(None) == Seq.empty)
+    assert(Bench.parsePoolCounts(Some("4")) == Seq(4))
+    assert(Bench.parsePoolCounts(Some("4,8")) == Seq(4, 8))
+    assert(Bench.parsePoolCounts(Some(" 4 , 8 ")) == Seq(4, 8))
+    assert(Bench.parsePoolCounts(Some("1")) == Seq.empty,
+      "one pool IS the serial mode")
+    var warned = ""
+    assert(Bench.parsePoolCounts(Some("four"), m => warned = m) == Seq.empty)
+    assert(warned.contains("SPARK_GRAFT_BENCH_POOLS") &&
+      warned.contains("four"),
+      s"the warning must name the env var and the bad value: $warned")
+  }
+
+  test("load telemetry: /proc/loadavg parses here; the artifact field " +
+      "renders start/mid/end; quiet-start threshold (r16 verdict №2)") {
+    // On this (Linux) host the sample must be three non-negative loads.
+    val now = Bench.loadAvgNow()
+    assert(now.size == 3 && now.forall(_ >= 0))
+    val json = Bench.loadAvgJson(Seq(
+      "start" -> Seq(0.5, 0.6, 0.7), "mid" -> Seq(12.0, 8.0, 4.0),
+      "end" -> Seq.empty))
+    assert(json ==
+      """{"start":[0.50,0.60,0.70],"mid":[12.00,8.00,4.00],"end":[]}""")
+    // Self-certification bit: entering 1-min load under the threshold.
+    assert(Bench.loadQuietStart(Seq(0.5, 1.0, 2.0), 4.0))
+    assert(!Bench.loadQuietStart(Seq(4.5, 1.0, 2.0), 4.0))
+    assert(!Bench.loadQuietStart(Seq.empty, 4.0),
+      "missing telemetry must NOT read as certified-quiet")
+  }
 }

@@ -146,4 +146,38 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SQL qsketch_agg diverged from the typed Aggregator")
     assert(viaSql.values.forall(_._1 > 0), "k=64 over 2000 rows must trim")
   }
+
+  test("qsketch_agg rejects a bad k LOUDLY at build time " +
+      "(r16 advice №2): non-constant, non-positive, non-integer") {
+    // k parameterizes the Aggregator instance, so it must be a
+    // positive integer literal; each misuse must surface as an
+    // IllegalArgumentException carrying the usage string, never the
+    // opaque NPE/ClassCastException eval() used to throw.
+    spark.range(4).selectExpr("id AS cents", "id AS h32", "id AS row_id")
+      .createOrReplaceTempView("qsk_badk")
+    def expectBad(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      val all = msgs(e).mkString(" | ")
+      assert(all.contains("qsketch_agg(cents, h32, row_id[, k])"),
+        s"must carry the usage string, got: $all")
+      assert(all.contains(fragment), s"expected '$fragment' in: $all")
+    }
+    expectBad(
+      "SELECT qsketch_agg(cents, h32, row_id, cents) FROM qsk_badk",
+      "non-constant")
+    expectBad(
+      "SELECT qsketch_agg(cents, h32, row_id, 0) FROM qsk_badk", "k = 0")
+    expectBad(
+      "SELECT qsketch_agg(cents, h32, row_id, -5) FROM qsk_badk", "k = -5")
+    expectBad(
+      "SELECT qsketch_agg(cents, h32, row_id, 'lots') FROM qsk_badk",
+      "k = lots")
+    // And the happy path still resolves with a literal k.
+    assert(spark.sql(
+      "SELECT qsketch_agg(cents, h32, row_id, 8) FROM qsk_badk")
+      .collect().length == 1)
+  }
 }

@@ -589,6 +589,55 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.exists(_._3 > 0))
   }
 
+  test("media pHash degenerate corpus: 10k identical payloads emit " +
+    "LINEAR output, not 50M pairs (r16 verdict №5)") {
+    // A pathological 100 TB corpus of one repeated asset hashes an
+    // entire population to ONE ahash; the hamming-0 pair output itself
+    // is then the Σ group² blowup. Above PhashZeroGroupCap the group
+    // emits the min-id STAR expansion (group_size−1 rows, identical
+    // transitive closure) instead — plant exactly that corpus and pin
+    // the bound.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 10000
+    val text = "the same payload re-uploaded ten thousand times over " +
+      "and over by a misconfigured mirror of the corpus staging bucket"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phash-degenerate").toFile.getAbsolutePath
+    spark.range(n.toLong)
+      .select(col("id").as("doc_id"), lit(text).as("text"),
+        lit("en").as("lang"), lit("mirror").as("source"),
+        lit(text.length.toLong).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Population sizes: all n docs share one hash; every 11th doc also
+    // plants a case-flipped re-encode, all sharing a second hash
+    // (910 — under the default 1024 cap, so exercise the cap at 64:
+    // BOTH populations must then star-expand).
+    val nReenc = (0 until n).count(_ % 11 == 0)
+    val pairs =
+      Multimodal.mediaPhashPairs(spark, dir, zeroGroupCap = 64).collect()
+    // Bound: star expansion is (size−1) rows per oversized group, plus
+    // at most one representative pair per near (1..3-hamming) hash
+    // pair. Quadratic would be ~50M; assert comfortably linear.
+    assert(pairs.length >= (n - 1) + (nReenc - 1),
+      s"clusters must stay connected: got ${pairs.length} rows")
+    assert(pairs.length <= n + nReenc + 4,
+      s"degenerate corpus output must be linear, got ${pairs.length} rows")
+    // The star expansion preserves the transitive closure: every asset
+    // id appears in some pair, so connected components re-derive the
+    // full duplicate populations.
+    val touched = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert((0 until n).forall(i => touched.contains(i.toLong)))
+    // Group-level triage face: one row per population, sizes exact,
+    // samples bounded.
+    val groups = Multimodal.mediaPhashZeroGroups(spark, dir).collect()
+    assert(groups.length == 2)
+    assert(groups.map(_.getAs[Int]("group_size")).sorted.toSeq ==
+      Seq(nReenc, n))
+    assert(groups.forall(_.getAs[scala.collection.Seq[Long]]("sample_ids")
+      .size <= 8))
+  }
+
   test("HRW reshard is monotone and moves ~1−W/W′; mod-hash moves ~2/3") {
     val m = Packing.reshardMoves(spark, sf).collect()
     def rows(scheme: String) = m.filter(_.getAs[String]("scheme") == scheme)

@@ -182,4 +182,100 @@ class SchemaRegistrySpec extends AnyFunSuite {
       assert(http.latest("no-such-subject").isEmpty)
     } finally server.stop()
   }
+
+  test("exotic subject names round-trip the HTTP transport exactly " +
+      "once-decoded ('+', '%', space, unicode) — r16 advice №1") {
+    // The r16 server matched on the PERCENT-DECODED path and then
+    // URLDecoder.decode'd again, so 'a+b' registered as 'a b' over HTTP
+    // but as 'a+b' through the file client — a transport-parity break
+    // for any subject containing '+' or '%'. The raw-path + decode-once
+    // fix must make every spelling land on the same registry entry.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry-subj").toString
+    val fileClient = new FileSchemaRegistry(dir)
+    val server = new graft.streaming.SchemaRegistryHttpServer(fileClient)
+    try {
+      val http = new graft.streaming.HttpSchemaRegistryClient(server.baseUrl)
+      // (Non-ASCII subjects are excluded: the FILE backend stores a
+      // subject as a literal filename and a C-locale JVM can't create
+      // it — a backend limit shared by both transports, not a
+      // transport-parity question.)
+      val exotic = Seq("orders+value", "orders%2Bvalue", "orders value")
+      exotic.foreach { subject =>
+        val idHttp = http.register(subject, AvroOrder.schema)
+        assert(fileClient.register(subject, AvroOrder.schema) == idHttp,
+          s"subject '$subject' must name the SAME entry over both " +
+            "transports (double-decode would shift it)")
+        assert(http.latest(subject).map(_._1).contains(idHttp))
+      }
+      // And the names stay distinct from each other: 'orders+value'
+      // must NOT have collapsed onto 'orders value' or 'orders%2Bvalue'.
+      assert(fileClient.subjects().toSet == exotic.toSet)
+      assert(http.subjects().toSet == exotic.toSet,
+        "GET /subjects must list every registered subject, undamaged")
+    } finally server.stop()
+  }
+
+  test("GET /subjects lists registrations from either transport; " +
+      "empty registry lists []") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry-list").toString
+    val fileClient = new FileSchemaRegistry(dir)
+    val server = new graft.streaming.SchemaRegistryHttpServer(fileClient)
+    try {
+      val http = new graft.streaming.HttpSchemaRegistryClient(server.baseUrl)
+      assert(http.subjects().isEmpty)
+      http.register("orders-value", AvroOrder.schema)
+      fileClient.register("payments-value", AvroOrder.schemaV2)
+      assert(http.subjects().sorted ==
+        Seq("orders-value", "payments-value"))
+      assert(fileClient.subjects().sorted == http.subjects().sorted)
+    } finally server.stop()
+  }
+
+  test("registry error faces: unparseable schema → 422 error_code " +
+      "42201; a 409 response surfaces as the incompatible-schema error") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-registry-err").toString
+    val server =
+      new graft.streaming.SchemaRegistryHttpServer(new FileSchemaRegistry(dir))
+    try {
+      // Server side: a syntactically-bad schema is the documented 422,
+      // not a 500 — POST raw JSON the typed client can't produce.
+      val url = new java.net.URI(
+        server.baseUrl + "/subjects/orders-value/versions").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      os.write("""{"schema":"{\"type\":\"not-a-type\"}"}"""
+        .getBytes("UTF-8")); os.close()
+      assert(conn.getResponseCode == 422)
+      val body = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+      assert(body.contains("42201") && body.contains("invalid schema"))
+      conn.disconnect()
+    } finally server.stop()
+
+    // Client side: a 409 (a compatibility-checking registry refusing an
+    // incompatible evolution) maps to the DISTINCT incompatible-schema
+    // error, not the generic require failure — pin via a stub endpoint
+    // that always answers 409 the way Confluent does.
+    val stub = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    stub.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = """{"error_code":409,"message":"Schema being registered is incompatible with an earlier schema"}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(409, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    stub.start()
+    try {
+      val client = new graft.streaming.HttpSchemaRegistryClient(
+        s"http://127.0.0.1:${stub.getAddress.getPort}")
+      val e = intercept[IllegalStateException](
+        client.register("orders-value", AvroOrder.schema))
+      assert(e.getMessage.contains("incompatible"))
+      assert(e.getMessage.contains("409"))
+    } finally stub.stop(0)
+  }
 }

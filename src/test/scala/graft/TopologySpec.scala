@@ -36,64 +36,19 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Order-wire schema pair: v2 adds `source` with a default — the
-    * LOSSLESS evolution face (an added-default field), so decoded
-    * prices stay bit-identical to the batch faces. */
-  private val wireV1 =
-    """{"type":"record","name":"OrderWire","namespace":"graft",
-      |"fields":[
-      |  {"name":"event_id","type":"long"},
-      |  {"name":"product","type":["null","string"],"default":null},
-      |  {"name":"price","type":"double"},
-      |  {"name":"ts_ms","type":"long"}]}""".stripMargin
-  private val wireV2 =
-    """{"type":"record","name":"OrderWire","namespace":"graft",
-      |"fields":[
-      |  {"name":"event_id","type":"long"},
-      |  {"name":"product","type":["null","string"],"default":null},
-      |  {"name":"price","type":"double"},
-      |  {"name":"ts_ms","type":"long"},
-      |  {"name":"source","type":"string","default":"orders-topic"}]}"""
-      .stripMargin
+  // The chain itself is the LIBRARY surface `graft.streaming.Topology`
+  // (shared with the ScaleNotch 10× main) — this spec pins its
+  // semantics at three scales; aliases keep the test bodies readable.
+  private val wireV1 = graft.streaming.Topology.wireV1
+  private val wireV2 = graft.streaming.Topology.wireV2
 
-  /** The topology's source→frame→decode→validate→retry chain, shared by
-    * the restart test and the scale-notch test: staged json "topic" →
-    * mixed-version Confluent frames (even ids v1, odd v2) → one
-    * v2-reader decode → canonical orders → `asRetryEvents` →
-    * `RetryExecProcessor`. */
   private def outcomeStream(srcDir: String, regDir: String, v1Id: Int,
       v2Id: Int, delayMs: (String, Int) => Long)
-      : org.apache.spark.sql.Dataset[OrderStream.RetryOutcome] = {
-    val raw = spark.readStream
-      .schema("event_id LONG, event_type STRING, value DOUBLE, ts LONG")
-      .option("maxFilesPerTrigger", 1)
-      .json(srcDir)
-    val v1Struct = struct(col("event_id"),
-      col("event_type").as("product"), col("value").as("price"),
-      expr("ts div 1000000").as("ts_ms"))
-    val v2Struct = struct(col("event_id"),
-      col("event_type").as("product"), col("value").as("price"),
-      expr("ts div 1000000").as("ts_ms"),
-      lit("orders-topic-v2").as("source"))
-    val wire = raw.select(
-      when(col("event_id") % 2 === 0,
-        graft.functions.ToConfluentAvro(v1Struct, regDir, v1Id))
-        .otherwise(graft.functions.ToConfluentAvro(v2Struct, regDir, v2Id))
-        .as("wire"))
-    val orders = wire
-      .select(graft.functions.FromConfluentAvro(
-        col("wire"), regDir, wireV2).as("o"))
-      .select(col("o.event_id").cast("string").as("orderId"),
-        col("o.product").as("product"), col("o.price").as("price"),
-        col("o.ts_ms").as("eventTimeMs"))
-    OrderStream.retryExecutorTws(
-      OrderStream.asRetryEvents(orders), 3, delayMs)
-  }
+      : org.apache.spark.sql.Dataset[OrderStream.RetryOutcome] =
+    graft.streaming.Topology.outcomeStream(
+      spark, srcDir, regDir, v1Id, v2Id, delayMs)
 
-  private val outSchema = "event_id STRING, product STRING, price DOUBLE," +
-    " route STRING, retry_count INT, error_type STRING," +
-    " error_message STRING, scheduled_ms LONG, emitted_ms LONG," +
-    " event_ms LONG"
+  private val outSchema = graft.streaming.Topology.outSchema
 
   test("end-to-end: framed mixed-version decode → retry executor → " +
       "sinks survive a restart; outputs equal the batch faces") {
@@ -126,10 +81,8 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
     // ---- the "topic": the sf0.001 events table staged as 4 json files
     // (4 micro-batches via maxFilesPerTrigger=1), replayable for the
     // checkpoint restart exactly like a Kafka topic's retained log.
-    Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-      .repartition(4)
-      .write.mode("overwrite").json(srcDir.toString)
+    graft.streaming.Topology.stageTopic(
+      Tables.events(spark, sfDir), srcDir.toString)
     val nEvents = Tables.events(spark, sfDir).count()
 
     // ---- batch truths (the decision table the executor must replay)
@@ -315,10 +268,8 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
       new org.apache.avro.Schema.Parser().parse(wireV1))
     val v2Id = reg.register("orders-value",
       new org.apache.avro.Schema.Parser().parse(wireV2))
-    Tables.events(spark, bigSf)
-      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-      .repartition(4)
-      .write.mode("overwrite").json(srcDir.toString)
+    graft.streaming.Topology.stageTopic(
+      Tables.events(spark, bigSf), srcDir.toString)
     val nEvents = Tables.events(spark, bigSf).count()
 
     // Compressed flat schedule: all 2k retryables' first deadlines land
@@ -404,10 +355,8 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
       new org.apache.avro.Schema.Parser().parse(wireV1))
     val v2Id = reg.register("orders-value",
       new org.apache.avro.Schema.Parser().parse(wireV2))
-    Tables.events(spark, bigSf)
-      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-      .repartition(4)
-      .write.mode("overwrite").json(srcDir.toString)
+    graft.streaming.Topology.stageTopic(
+      Tables.events(spark, bigSf), srcDir.toString)
     val nEvents = Tables.events(spark, bigSf).count()
     val nImmediate = {
       val verdict = Reliability.withVerdict(Tables.events(spark, bigSf))
