@@ -175,8 +175,7 @@ object ScaleNotch {
     val v2Id = reg.register("orders-value",
       new org.apache.avro.Schema.Parser().parse(Topology.wireV2))
 
-    Topology.stageTopic(Tables.events(spark, dir), srcDir.toString,
-      files = 8)
+    Topology.stageTopic(Tables.events(spark, dir), srcDir.toString)
     val nEvents = Tables.events(spark, dir).count()
     val nImmediate = {
       val verdict = graft.operators.Reliability
@@ -350,9 +349,21 @@ object ScaleNotch {
     val batch = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, Map[String, Double]]]
     Seq("x1" -> baseSf, s"x$copies" -> synthDir).foreach { case (tag, dir) =>
-      try Indexes.prebuild(spark, dir)
-      catch { case e: Throwable =>
-        System.err.println(s"[notch] index prebuild($dir): ${e.getMessage}")
+      // Targeted prebuild for just the chains under measurement (the
+      // full Indexes.prebuild also wants orders/lineitem, which the
+      // synth dir deliberately omits); each builder independent so one
+      // miss can't abort the rest.
+      Seq[(String, () => Any)](
+        "tokenIndex" -> (() => operators.TextAnalysis.tokenIndexPath(spark, dir)),
+        "ccLabels" -> (() => operators.Dedup.ccLabels(spark, dir)),
+        "docSets" -> (() => operators.Dedup.docSetsPath(spark, dir)),
+        "rankedIndex" -> (() => operators.Dedup.rankedIndexPath(spark, dir)),
+        "ivfIndex" -> (() => operators.Similarity.ivfIndexPath(spark, dir))
+      ).foreach { case (n, b) =>
+        try { b(); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[notch] prebuild $n($dir): ${e.getMessage}")
+        }
       }
       chain.foreach { q =>
         val m = timeQuery(spark, shuffles, q, dir)
@@ -363,9 +374,9 @@ object ScaleNotch {
 
     // Topology at 1× then at copies× — ingest budget scaled from the
     // measured 1× ingest (floor 90 s; ×2.5 headroom at 10×).
-    val topo1 = runTopology(spark, baseSf, "x1", ingestBudgetMs = 90000L)
+    val topo1 = runTopology(spark, baseSf, "x1", ingestBudgetMs = 150000L)
     System.err.println(s"[notch] topology x1 ${fmt(topo1)}")
-    val budget10 = math.max(180000L,
+    val budget10 = math.max(300000L,
       (topo1("ingest_s") * copies * 2.5 * 1000).toLong)
     val topoN = runTopology(spark, synthDir, s"x$copies", budget10)
     System.err.println(s"[notch] topology x$copies ${fmt(topoN)}")
