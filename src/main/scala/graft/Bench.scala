@@ -510,9 +510,18 @@ object Bench {
     // One timed pass per requested pool count (SPARK_GRAFT_BENCH_POOLS
     // is a comma list, e.g. "4,8"), all sharing the warmed session so
     // the runs differ only in concurrency.
+    // LPT (longest-processing-time-first) queue order, by committed
+    // serial median: the first full-registry run used registry order
+    // and the heavy iterative queries (q_script_median 103 s under
+    // 4 pools) landed LAST, running against idle pools — the classic
+    // makespan tail. Longest-first overlaps them with the small-query
+    // swarm instead; queries with no committed time sort first
+    // (unknown = assume heavy).
+    val ordered = selected.sortBy(n => -committed.getOrElse(n, 3600.0))
+
     val runJsons = poolCounts.map { pools =>
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      selected.foreach(queue.add)
+      ordered.foreach(queue.add)
       val times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       System.gc()
       val t0 = System.nanoTime()
