@@ -145,7 +145,9 @@ object ScaleNotch {
       val sst = ops.flatMap { op =>
         import scala.jdk.CollectionConverters._
         op.customMetrics.asScala.collect {
-          case (k, v) if k.contains("SstFilesSize") => v.longValue()
+          // Spark 4 RocksDB store: "rocksdbSstFileSize" (live SSTs) —
+          // match loosely so pinned/total variants count too.
+          case (k, v) if k.toLowerCase.contains("sstfile") => v.longValue()
         }
       }.sum
       maxSstBytes = math.max(maxSstBytes, sst)
@@ -238,6 +240,18 @@ object ScaleNotch {
         catch { case _: Throwable => -1L }
       val pendingRows = stateVarCount("pending")
       val routedRows = stateVarCount("routed")
+      // On-disk footprint of the stopped checkpoint's state dir — the
+      // durable bytes a restart must rehydrate (SST files + changelog),
+      // the disk-capacity number a deployment sizes checkpoints from.
+      val chkStateBytes: Long =
+        try {
+          val stream = java.nio.file.Files.walk(chk.resolve("state"))
+          try stream.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(p =>
+              try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+            .sum()
+          finally stream.close()
+        } catch { case _: Throwable => -1L }
 
       // deadlines pass while the job is DOWN; restart recovers the
       // armed timers from RocksDB and drains the retry rounds.
@@ -287,7 +301,10 @@ object ScaleNotch {
           (math.round(ledger.maxMemBytes / 1e6 * 10) / 10.0),
         "sst_mb" -> (math.round(ledger.maxSstBytes / 1e6 * 10) / 10.0),
         "statestore_pending_rows" -> pendingRows.toDouble,
-        "statestore_routed_rows" -> routedRows.toDouble)
+        "statestore_routed_rows" -> routedRows.toDouble,
+        "checkpoint_state_mb" ->
+          (if (chkStateBytes < 0) -1.0
+           else math.round(chkStateBytes / 1e6 * 10) / 10.0))
     } finally spark.conf.unset(key)
   }
 
