@@ -683,12 +683,21 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "PermanentError", "Invalid price: -1.0", 0, 1704067200000L)
     val ok = RetryEvent("EVT-OK-DUP", "Laptop", 10.0, "Valid", null, 0,
       1704067200000L)
+    // PHASE 1 — suppression, timing-robust: the original single-query
+    // shape used a 2 s TTL for both phases and a fixed 1 s sleep for
+    // "the duplicate batch has processed" — but a micro-batch at 32
+    // RocksDB partitions can take multi-seconds (a retried commit took
+    // 8 s on this host), letting the tombstones expire BEFORE the
+    // duplicates were even read, which re-emits both and fails the
+    // count. Suppression gets a TTL no realistic batch latency can
+    // cross, and processAllAvailable() replaces the sleep so the
+    // assert runs strictly AFTER the duplicates were processed.
     val input = MemoryStream[RetryEvent]
     input.addData(perm, ok)
     val q = OrderStream
       .retryExecutorTws(input.toDS(), maxRetries = 3,
         delayMsFn = (_, _) => 50L,
-        tombstoneTtl = java.time.Duration.ofSeconds(2))
+        tombstoneTtl = java.time.Duration.ofMinutes(2))
       .writeStream.format("memory").queryName("retry_tomb_test")
       .outputMode("append").start()
     try {
@@ -698,25 +707,53 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       while (rows().size < 2 && System.currentTimeMillis() < d1)
         Thread.sleep(100)
       assert(rows().size == 2)
-      // redeliver both WELL within the 2 s tombstone TTL: suppressed
+      // redeliver both WELL within the tombstone TTL: suppressed —
+      // asserted only after the duplicate rows were OBSERVED READ by
+      // the stream (recentProgress input-row accounting; a fixed sleep
+      // raced the batch, and processAllAvailable doesn't settle under
+      // continuously re-arming TWS timers).
       input.addData(perm, ok)
-      Thread.sleep(1000) // several micro-batches process the duplicates
+      val dIn = System.currentTimeMillis() + 60000
+      def inputRowsSeen(): Long =
+        q.recentProgress.map(_.numInputRows).sum
+      while (inputRowsSeen() < 4 && System.currentTimeMillis() < dIn)
+        Thread.sleep(100)
+      assert(inputRowsSeen() >= 4, "duplicate batch was never read")
       assert(rows().size == 2,
         s"post-terminal redelivery double-emitted: ${rows()}")
-      // after the TTL lapses the tombstone is gone — a redelivery
-      // re-enters the loop (state stays bounded; downstream horizon-
-      // scale dedup is dedupOrders' job)
-      Thread.sleep(2500)
-      input.addData(perm)
+    } finally q.stop()
+    // PHASE 2 — TTL lapse, on its own query with a short TTL: after
+    // the tombstone expires the key is forgotten (bounded state) and a
+    // redelivery is treated as new — the same horizon semantic
+    // dedupOrders pins for watermark eviction. This phase is
+    // latency-INsensitive: any extra batch delay only lands the
+    // redelivery further past the expiry.
+    val input2 = MemoryStream[RetryEvent]
+    input2.addData(perm)
+    val q2 = OrderStream
+      .retryExecutorTws(input2.toDS(), maxRetries = 3,
+        delayMsFn = (_, _) => 50L,
+        tombstoneTtl = java.time.Duration.ofSeconds(2))
+      .writeStream.format("memory").queryName("retry_tomb_lapse")
+      .outputMode("append").start()
+    try {
+      def rows2() = spark.table("retry_tomb_lapse").as[RetryOutcome]
+        .collect().toSeq
       val d2 = System.currentTimeMillis() + 60000
-      while (rows().size < 3 && System.currentTimeMillis() < d2)
+      while (rows2().size < 1 && System.currentTimeMillis() < d2)
         Thread.sleep(100)
-      val late = rows()
-      assert(late.size == 3, s"TTL-lapsed redelivery must re-emit: $late")
+      assert(rows2().size == 1)
+      Thread.sleep(4000) // strictly past the 2 s TTL from terminal routing
+      input2.addData(perm)
+      val d3 = System.currentTimeMillis() + 60000
+      while (rows2().size < 2 && System.currentTimeMillis() < d3)
+        Thread.sleep(100)
+      val late = rows2()
+      assert(late.size == 2, s"TTL-lapsed redelivery must re-emit: $late")
       assert(late.count(o =>
         o.event_id == "EVT-PERM-DUP" && o.route == "dlq") == 2)
     } finally {
-      q.stop()
+      q2.stop()
       spark.conf.unset(key)
     }
   }
