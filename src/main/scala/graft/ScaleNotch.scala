@@ -60,24 +60,33 @@ object ScaleNotch {
     spark.read.parquet(s"$outDir/events.parquet").count()
   }
 
-  /** Documents ×copies: copy i rewrites letters through a rot-i
-    * alphabet `translate` — length-preserving, 1:1 within a copy (two
-    * docs sharing a word still share its image, so every within-copy
-    * near-dup relation survives), disjoint across copies (no word is
-    * its own nontrivial rotation). */
+  /** Documents ×copies: copy i rewrites letters through a distinct
+    * element of the dihedral alphabet group — rotation by i for
+    * i < 26, reflection-then-rotation for 26 ≤ i < 52 — via
+    * `translate`: length-preserving, 1:1 within a copy (two docs
+    * sharing a word still share its image, so every within-copy
+    * near-dup relation survives), and no two copies share a word image
+    * (a 30×-probe with plain rot-(i%26) silently made copies 26-29
+    * byte-identical to 0-3, planting ~20k cross-copy exact dups that
+    * read as super-linear pair growth — a synthesis artifact, hence
+    * the group extension and the hard cap). */
   private[graft] def synthesizeDocuments(spark: SparkSession,
       baseDir: String, outDir: String, copies: Int): Long = {
+    require(copies <= 52,
+      s"documents synthesis supports at most 52 word-disjoint copies " +
+        s"(26 rotations + 26 reflections), got $copies")
     val base = Tables.documents(spark, baseDir)
     val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val abc = "abcdefghijklmnopqrstuvwxyz"
     val all = (0 until copies).map { i =>
-      val r = i % 26
       val text =
-        if (r == 0) col("text")
+        if (i == 0) col("text")
         else {
-          val rot = abc.drop(r) + abc.take(r)
+          val src = if (i < 26) abc else abc.reverse
+          val r = i % 26
+          val img = src.drop(r) + src.take(r)
           translate(col("text"),
-            abc + abc.toUpperCase, rot + rot.toUpperCase)
+            abc + abc.toUpperCase, img + img.toUpperCase)
         }
       base.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
@@ -387,6 +396,23 @@ object ScaleNotch {
         batch(q) = batch.getOrElse(q, Map.empty) + (tag -> m)
         System.err.println(s"[notch] $q@$tag ${fmt(m)}")
       }
+    }
+
+    // SPARK_GRAFT_NOTCH_BATCH_ONLY=1 skips the topology legs — the
+    // fast path for probing batch-chain scaling exponents at more
+    // copy counts than the full notch protocol needs.
+    if (sys.env.contains("SPARK_GRAFT_NOTCH_BATCH_ONLY")) {
+      val batchJsonOnly = batch.map { case (q, scales) =>
+        val r = if (scales("x1")("wall_s") > 0)
+          math.round(scales(s"x$copies")("wall_s") /
+            scales("x1")("wall_s") * 100) / 100.0 else -1.0
+        s""""$q":{"x1":${fmt(scales("x1"))},"x$copies":${
+          fmt(scales(s"x$copies"))},"wall_ratio":$r}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_notch_batch","base_sf":"$baseSf",""" +
+        s""""copies":$copies,"batch":$batchJsonOnly}""")
+      spark.stop()
+      return
     }
 
     // Topology at 1× then at copies× — ingest budget scaled from the

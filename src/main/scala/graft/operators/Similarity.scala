@@ -342,7 +342,16 @@ object Similarity {
       .select("query_id", "qv", "cell")
     val wNn = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    probed
+    // The probed side is ≤ |queries|·probes rows BY CONSTRUCTION — it
+    // must be the broadcast side at ANY corpus size. Left implicit,
+    // Spark instead broadcasts the ASSIGNMENTS side while it fits
+    // under autoBroadcastJoinThreshold and silently flips to a
+    // full-corpus shuffle join the moment it doesn't (measured by the
+    // 30× ScaleNotch probe: 60k vectors ≈ 16 MB crossed the 10 MB
+    // default and the serve wall went 2.5 s → 83 s). broadcast() here
+    // pins the plan that is correct at 100 TB: corpus codes never
+    // shuffle; the tiny probe table ships to them.
+    broadcast(probed)
       .join(assignments.select(col("vec_id"), col("cell").as("vcell"),
         col("embedding")),
         col("vcell") === col("cell") && col("vec_id") =!= col("query_id"))
