@@ -370,8 +370,14 @@ object ScaleNotch {
     // Batch chains at BOTH scales, 1× first (also warms every plan
     // shape so the 10× measurement is steady-state, not codegen).
     // Index prebuild is untimed per-corpus ingest work, as in Bench.
-    val chain = Seq("q_dedup_minhash", "q_dup_clusters",
-      "q_leakage_safe_split", "q_ann_ivf")
+    // SPARK_GRAFT_NOTCH_CHAIN=q_a,q_b overrides the measured chain —
+    // used to sweep additional serve paths for threshold-flip bugs of
+    // the annIvfFrom class without editing code.
+    val chain = sys.env.get("SPARK_GRAFT_NOTCH_CHAIN")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_dedup_minhash", "q_dup_clusters",
+        "q_leakage_safe_split", "q_ann_ivf"))
+      .filter(SparkEntry.queries.contains)
     val batch = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, Map[String, Double]]]
     Seq("x1" -> baseSf, s"x$copies" -> synthDir).foreach { case (tag, dir) =>
