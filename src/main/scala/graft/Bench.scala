@@ -454,6 +454,53 @@ object Bench {
     * Writes its own artifact (bench_concurrent.json; never the
     * committed serial map). The driver never sets the env var, so
     * round artifacts stay serial and comparable. */
+  /** Per-QUERY resource attribution under concurrency (r17 verdict №3:
+    * the 4-pool tail had unexplained outliers — q_strip_spans 1.5 s
+    * serial → 31.8 s — and the artifact carried no mechanism evidence).
+    * Each worker thread tags its current query as the job group; this
+    * listener maps job → stages → task metrics, so every pool run can
+    * report WHERE an inflated query's wall went: executor run time vs
+    * GC vs shuffle-fetch wait vs spill. Attribution is per job group —
+    * a stage shared via exchange reuse lands on whichever query ran it
+    * first, which is the right charge (the other query got it free). */
+  private final class PoolAttribution
+      extends org.apache.spark.scheduler.SparkListener {
+    private val stageQuery =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    // query -> (executorRunMs, gcMs, fetchWaitMs, spilledBytes)
+    val metrics =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val q = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      q.foreach(g => j.stageIds.foreach(s => stageQuery.put(s, g)))
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val q = stageQuery.get(sc.stageInfo.stageId)
+      val m = sc.stageInfo.taskMetrics
+      if (q != null && m != null) {
+        val a = metrics.computeIfAbsent(q, _ => Array.fill(4)(0L))
+        a.synchronized {
+          a(0) += m.executorRunTime
+          a(1) += m.jvmGCTime
+          a(2) += m.shuffleReadMetrics.fetchWaitTime
+          a(3) += m.memoryBytesSpilled + m.diskBytesSpilled
+        }
+      }
+    }
+  }
+
+  /** Telemetry splice for one pool-count run (r17 verdict №7: the
+    * session-level loadavg could not certify the 8-pool run
+    * independently of the 4-pool run before it). Pure so
+    * BenchGuardSpec pins the shape. */
+  private[graft] def concurrentRunJson(core: String,
+      loadJson: String, hotspotsJson: String): String =
+    core.stripSuffix("}") +
+      s""","loadavg":$loadJson,"hotspots":$hotspotsJson}"""
+
   private def runConcurrent(poolCounts: Seq[Int]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadStart = loadAvgNow()
@@ -518,11 +565,15 @@ object Bench {
     // swarm instead; queries with no committed time sort first
     // (unknown = assume heavy).
     val ordered = selected.sortBy(n => -committed.getOrElse(n, 3600.0))
+    val attribution = new PoolAttribution
+    spark.sparkContext.addSparkListener(attribution)
 
     val runJsons = poolCounts.map { pools =>
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       ordered.foreach(queue.add)
       val times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      attribution.metrics.clear() // fresh attribution per pool count
+      val runLoadStart = loadAvgNow() // per-run samples (r17 verdict №7)
       System.gc()
       val t0 = System.nanoTime()
       val workers = (0 until pools).map { i =>
@@ -532,6 +583,10 @@ object Bench {
           while (n != null) {
             val s0 = System.nanoTime()
             try {
+              // Job group = query name: every job (and so stage) this
+              // thread launches is attributed to `n` for the hotspot
+              // breakdown — see PoolAttribution.
+              spark.sparkContext.setJobGroup(n, n, false)
               SparkEntry.queries(n)(spark, sfDir)
                 .write.format("noop").mode("overwrite").save()
               times.put(n, (System.nanoTime() - s0) / 1e9)
@@ -539,7 +594,7 @@ object Bench {
               System.err.println(s"[bench] $n FAILED under concurrency: " +
                 e.getMessage)
               times.put(n, -1.0)
-            }
+            } finally spark.sparkContext.clearJobGroup()
             n = queue.poll()
           }
         }, s"bench-pool-$i")
@@ -547,6 +602,7 @@ object Bench {
       workers.foreach(_.start())
       workers.foreach(_.join())
       val wall = (System.nanoTime() - t0) / 1e9
+      val runLoadEnd = loadAvgNow()
       import scala.jdk.CollectionConverters._
       val result = times.asScala.toMap
       val failed = result.count(_._2 < 0)
@@ -569,7 +625,29 @@ object Bench {
         .map(n => "\"" + n + f"\":${result(n)}%.3f").mkString("{", ",", "}")
       result.toSeq.sortBy(_._1).foreach { case (k, v) =>
         println(f"""{"query":"$k","sec":$v%.3f,"mode":"concurrent","pools":$pools}""") }
-      f"""{"metric":"concurrent_wall","value":$wall%.3f,"unit":"sec","pools":$pools,"n":${result.size},"failed":$failed,"serial_committed_total":$serialTotal%.3f,"speedup_vs_serial":$speedup%.3f,"inflation_p50":${pct(0.50)}%.3f,"inflation_p95":${pct(0.95)}%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      // Hotspot breakdown (r17 verdict №3): the 8 worst inflators with
+      // their attributed task-metric split, so a 20× outlier carries
+      // its own mechanism evidence (GC vs fetch-wait vs spill vs plain
+      // executor time) in the artifact instead of a next-round puzzle.
+      val ratioByQ = result.collect {
+        case (n, t) if t > 0 && committed.get(n).exists(_ > 0) =>
+          n -> t / committed(n)
+      }
+      val hotspots = ratioByQ.toSeq.sortBy(-_._2).take(8).map {
+        case (n, infl) =>
+          val a = Option(attribution.metrics.get(n))
+            .getOrElse(Array.fill(4)(0L))
+          f"""{"query":"$n","inflation":$infl%.2f,"concurrent_s":${
+            result(n)}%.3f,"serial_s":${committed(n)}%.3f,""" +
+            s""""executor_run_ms":${a(0)},"gc_ms":${a(1)},""" +
+            s""""fetch_wait_ms":${a(2)},"spilled_mb":${
+              math.round(a(3) / 1e6)}}"""
+      }.mkString("[", ",", "]")
+      val runLoad = loadAvgJson(Seq(
+        "start" -> runLoadStart, "end" -> runLoadEnd))
+      val core =
+        f"""{"metric":"concurrent_wall","value":$wall%.3f,"unit":"sec","pools":$pools,"n":${result.size},"failed":$failed,"serial_committed_total":$serialTotal%.3f,"speedup_vs_serial":$speedup%.3f,"inflation_p50":${pct(0.50)}%.3f,"inflation_p95":${pct(0.95)}%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      concurrentRunJson(core, runLoad, hotspots)
     }
     val loadEnd = loadAvgNow()
     val loadJson = loadAvgJson(Seq("start" -> loadStart, "end" -> loadEnd))
@@ -578,7 +656,10 @@ object Bench {
     // the telemetry); a multi-count run nests one object per count.
     val artifact =
       if (runJsons.size == 1)
-        runJsons.head.stripSuffix("}") + s""","loadavg":$loadJson}"""
+        // each run object now carries its own "loadavg" (r17 verdict
+        // №7), so the session-level pair gets a distinct key
+        runJsons.head.stripSuffix("}") +
+          s""","session_loadavg":$loadJson}"""
       else
         s"""{"metric":"concurrent_multi","sf":"$sfDir","scope":"${if (scopeAll) "all" else "headline"}","loadavg":$loadJson,"runs":[${runJsons.mkString(",")}]}"""
     try java.nio.file.Files.writeString(

@@ -266,23 +266,44 @@ object ScaleNotch {
       // armed timers from RocksDB and drains the retry rounds.
       val slack = firstFireAt + 2000 - System.currentTimeMillis()
       if (slack > 0) Thread.sleep(slack)
+      // Sentinel id is NEGATIVE (r17 advice): synthesized ids are
+      // stride-multiplied non-negative longs, so a fixed positive
+      // sentinel (e.g. 9999999) can collide at a larger base corpus or
+      // copy count and fail the exactly-once requires with a misleading
+      // "routed twice"; no generator ever emits a negative id.
       java.nio.file.Files.writeString(srcDir.resolve("tick.json"),
-        """{"event_id":9999999,"event_type":"Laptop","value":1.0,"ts":1704067200000000000}""")
+        """{"event_id":-1,"event_type":"Laptop","value":1.0,"ts":1704067200000000000}""")
+      // RESTART-RECOVERY TIME (r17 verdict №5): the operational number
+      // a 100 TB deployment sizes failover from — wall from the restart
+      // call to (a) the first completed post-recovery micro-batch (the
+      // RocksDB rehydrate + timer re-arm cost over the full pending
+      // population) and (b) the full drain of every pending retryable.
+      // (a) is poll-observed at the 500 ms trigger cadence, so it reads
+      // ≤0.5 s high — fine for a number whose interesting failures are
+      // tens of seconds.
+      val tRestart = System.nanoTime()
       val q2 = startTopology()
+      var firstBatchS = -1.0
       try {
         val deadline = System.currentTimeMillis() + 900000
         while (outCount() < nEvents + 1 &&
-            System.currentTimeMillis() < deadline)
+            System.currentTimeMillis() < deadline) {
+          if (firstBatchS < 0 && q2.recentProgress.nonEmpty)
+            firstBatchS = (System.nanoTime() - tRestart) / 1e9
           Thread.sleep(500)
+        }
+        if (firstBatchS < 0 && q2.recentProgress.nonEmpty)
+          firstBatchS = (System.nanoTime() - tRestart) / 1e9
       } finally {
         q2.stop()
         spark.streams.removeListener(ledger)
       }
+      val drainS = (System.nanoTime() - tRestart) / 1e9
       val totalS = (System.nanoTime() - t0) / 1e9
 
       val out = spark.read.schema(Topology.outSchema)
         .parquet(outDir.toString)
-        .filter(col("event_id") =!= "9999999").cache()
+        .filter(col("event_id") =!= "-1").cache()
       try {
         require(out.count() == nEvents,
           s"[$label] expected $nEvents terminal outcomes, got ${out.count()}")
@@ -305,6 +326,9 @@ object ScaleNotch {
         "ingest_s" -> (math.round(ingestS * 10) / 10.0),
         "total_s" -> (math.round(totalS * 10) / 10.0),
         "consume_events_per_s" -> math.round(nEvents / ingestS).toDouble,
+        "restart_first_batch_s" ->
+          (math.round(firstBatchS * 10) / 10.0),
+        "restart_drain_s" -> (math.round(drainS * 10) / 10.0),
         "max_state_rows" -> maxStateRun1.toDouble,
         "state_mem_mb" ->
           (math.round(ledger.maxMemBytes / 1e6 * 10) / 10.0),
@@ -339,6 +363,65 @@ object ScaleNotch {
       "shuffle_read_mb" ->
         (math.round((shuffles.read.get() - r0) / 1e6 * 10) / 10.0))
   }
+
+  // ------------------------------------------------------------ artifact
+
+  private[graft] val notchPath = "/root/repo/SCALE_NOTCH.json"
+
+  /** Merge one run into the committed SCALE_NOTCH.json (r17 verdict
+    * №4: batch-only probe runs used to PRINT their exponents and write
+    * nothing, so only the full-notch families had committed evidence).
+    * Canonical artifact shape:
+    *
+    *   {"metric":"scale_notch","full":<full-run object|null>,
+    *    "probes":[<probe run>, ...]}
+    *
+    * A full run replaces `full` and preserves the probe history; a
+    * batch-only run appends to `probes` and preserves `full`. The
+    * pre-r18 artifact was the bare full-run object — detected by the
+    * absent "probes" key and migrated to `full` untouched. Pure
+    * (text in → text out) so BenchGuardSpec pins every branch; the
+    * splice only ever parses text this same writer produced. */
+  private[graft] def mergeNotch(existing: Option[String],
+      newFull: Option[String], newProbe: Option[String]): String = {
+    val marker = "\"probes\":["
+    val (oldFull, oldInner) =
+      existing.map(_.trim).filter(_.nonEmpty) match {
+        case None => (None, "")
+        case Some(t) =>
+          val p = t.indexOf(marker)
+          if (p < 0) (Some(t), "") // legacy bare full-run object
+          else {
+            val fm = "\"full\":"
+            val f = t.indexOf(fm)
+            val fullStr =
+              if (f < 0) None
+              else Some(t.substring(f + fm.length,
+                t.lastIndexOf("," + marker)).trim).filter(_ != "null")
+            (fullStr, t.substring(p + marker.length,
+              t.lastIndexOf("]")).trim)
+          }
+      }
+    val full = newFull.orElse(oldFull).getOrElse("null")
+    val inner = (Seq(oldInner).filter(_.nonEmpty) ++ newProbe)
+      .mkString(",")
+    s"""{"metric":"scale_notch","full":$full,"probes":[$inner]}"""
+  }
+
+  private def writeNotch(newFull: Option[String],
+      newProbe: Option[String]): Unit =
+    try {
+      val p = java.nio.file.Paths.get(notchPath)
+      val existing =
+        if (java.nio.file.Files.exists(p))
+          Some(java.nio.file.Files.readString(p))
+        else None
+      java.nio.file.Files.writeString(p,
+        mergeNotch(existing, newFull, newProbe))
+    } catch { case e: Throwable =>
+      System.err.println(s"[notch] could not write $notchPath: " +
+        e.getMessage)
+    }
 
   private def fmt(m: Map[String, Double]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -415,6 +498,12 @@ object ScaleNotch {
         s""""$q":{"x1":${fmt(scales("x1"))},"x$copies":${
           fmt(scales(s"x$copies"))},"wall_ratio":$r}"""
       }.mkString("{", ",", "}")
+      val probeJson = s"""{"base_sf":"$baseSf","copies":$copies,""" +
+        s""""chain":[${chain.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""batch":$batchJsonOnly}"""
+      // Probe runs are committed evidence too (r17 verdict №4): append
+      // to the artifact's probe history instead of print-and-forget.
+      writeNotch(None, Some(probeJson))
       println(s"""{"metric":"scale_notch_batch","base_sf":"$baseSf",""" +
         s""""copies":$copies,"batch":$batchJsonOnly}""")
       spark.stop()
@@ -448,12 +537,7 @@ object ScaleNotch {
         s""""synth":{"events":$nEv,"documents":$nDoc,"embeddings":$nEmb,""" +
         f""""wall_s":$synthS%.1f},"topology":$topoJson,""" +
         s""""batch":$batchJson}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/SCALE_NOTCH.json"), json)
-    catch { case e: Throwable =>
-      System.err.println(s"[notch] could not write SCALE_NOTCH.json: " +
-        e.getMessage)
-    }
+    writeNotch(Some(json), None)
     println(json)
     spark.stop()
   }

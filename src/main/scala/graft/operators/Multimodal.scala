@@ -261,19 +261,28 @@ object Multimodal {
     // quadratic blowup a degenerate corpus would otherwise EMIT (not
     // just compute) becomes linear, losing nothing a duplicate-cluster
     // consumer reads (same transitive closure).
+    // No-silent-caps (r17 advice): every row carries a `capped` flag —
+    // true iff the star/representative rewrite engaged for its group —
+    // so a pair-counting consumer sees IN BAND that the output is the
+    // transitive-closure-equivalent star, not the full pair expansion,
+    // instead of silently under-counting. At the tested SFs (single-
+    // digit groups) the flag is uniformly false and the output is the
+    // exact all-pairs oracle shape.
     val multi = groups.filter(size(col("ids")) > 1)
     val zeroSmall = multi
       .filter(size(col("ids")) <= zeroGroupCap)
       .select(explode(col("ids")).as("media_i"), col("ids"))
       .select(col("media_i"), explode(col("ids")).as("media_j"))
       .filter(col("media_i") < col("media_j"))
-      .select(col("media_i"), col("media_j"), lit(0).as("hamming"))
+      .select(col("media_i"), col("media_j"), lit(0).as("hamming"),
+        lit(false).as("capped"))
     val zeroLarge = multi
       .filter(size(col("ids")) > zeroGroupCap)
       .select(array_min(col("ids")).as("media_i"),
         explode(col("ids")).as("media_j"))
       .filter(col("media_i") < col("media_j"))
-      .select(col("media_i"), col("media_j"), lit(0).as("hamming"))
+      .select(col("media_i"), col("media_j"), lit(0).as("hamming"),
+        lit(true).as("capped"))
     val zero = zeroSmall.unionByName(zeroLarge)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk_idx"),
@@ -303,16 +312,22 @@ object Multimodal {
     // only (its members already star-link to that id in `zero`, so the
     // duplicate cluster stays connected), bounding small×LARGE at
     // |small| rows and LARGE×LARGE at one.
-    val capped = groups.select(col("ahash"),
+    val reps = groups.select(col("ahash"),
       when(size(col("ids")) > zeroGroupCap, array(array_min(col("ids"))))
-        .otherwise(col("ids")).as("ids"))
+        .otherwise(col("ids")).as("ids"),
+      (size(col("ids")) > zeroGroupCap).as("was_capped"))
     val near = cand
-      .join(capped.select(col("ahash").as("ha"), col("ids").as("ids_a")), "ha")
-      .join(capped.select(col("ahash").as("hb"), col("ids").as("ids_b")), "hb")
-      .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"))
-      .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
+      .join(reps.select(col("ahash").as("ha"), col("ids").as("ids_a"),
+        col("was_capped").as("ca")), "ha")
+      .join(reps.select(col("ahash").as("hb"), col("ids").as("ids_b"),
+        col("was_capped").as("cb")), "hb")
+      .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"),
+        (col("ca") || col("cb")).as("capped"))
+      .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"),
+        col("capped"))
       .select(least(col("i"), col("j")).as("media_i"),
-        greatest(col("i"), col("j")).as("media_j"), col("hamming"))
+        greatest(col("i"), col("j")).as("media_j"), col("hamming"),
+        col("capped"))
     zero.unionByName(near)
   }
 
@@ -425,6 +440,14 @@ object Multimodal {
     "q_media_dedup" -> mediaDedup,
     "q_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q_media_phash" -> ((s, d) => mediaPhashPairs(s, d)),
+    // The triage face as a hash-checked query (r17 verdict №6): the
+    // sample-id array rides as a canonical comma-joined string so the
+    // oracle compare is dtype-stable (arrays stringify differently
+    // between a parquet read and a DuckDB list).
+    "q_media_phash_zero_groups" -> ((s, d) =>
+      mediaPhashZeroGroups(s, d).select(col("ahash"), col("group_size"),
+        expr("array_join(transform(sample_ids, x -> CAST(x AS STRING)), ',')")
+          .as("sample_ids"))),
     "q_frame_sample" -> frameSample)
 
   /** The aHash derivation as DuckDB SQL — same strided samples, same
@@ -449,11 +472,22 @@ object Multimodal {
     // Brute-force all-pairs is a TRUE oracle: pigeonhole banding has
     // recall exactly 1 at hamming ≤ 3 (same argument as simhash).
     "q_media_phash" ->
+      // `capped` is uniformly false at the tested SFs (groups are
+      // single digits, far under PhashZeroGroupCap); the cap's firing
+      // shape is pinned by PipelineOpsSpec's planted 10k-identical
+      // corpus, where an all-pairs oracle would itself be the blowup.
       s"""$phashSql
          |SELECT a.media_id AS media_i, b.media_id AS media_j,
-         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming,
+         |       FALSE AS capped
          |FROM h a JOIN h b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+    "q_media_phash_zero_groups" ->
+      s"""$phashSql
+         |SELECT ahash, CAST(count(*) AS INT) AS group_size,
+         |       array_to_string(list_sort(list(media_id))[1:8], ',')
+         |         AS sample_ids
+         |FROM h GROUP BY ahash HAVING count(*) >= 2""".stripMargin,
     "q_vad_segments" ->
       """WITH a AS (
         |  SELECT doc_id AS media_id, text AS txt

@@ -256,7 +256,13 @@ final class HttpSchemaRegistryClient(baseUrl: String)
     require(status == 200,
       s"schema registry: GET /subjects → $status $body")
     // Body is a flat JSON array of strings; reuse the escape-aware
-    // string scanner by walking the array elements.
+    // string scanner by walking the array elements. The scanner only
+    // runs on a body that IS an array (r17 advice: a non-array 200 body
+    // would otherwise have every quoted token read as a subject name),
+    // and a truncated \u escape fails loudly instead of throwing a bare
+    // StringIndexOutOfBoundsException.
+    require(body.dropWhile(_.isWhitespace).startsWith("["),
+      s"schema registry: GET /subjects body is not a JSON array: $body")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < body.length) {
@@ -267,6 +273,9 @@ final class HttpSchemaRegistryClient(baseUrl: String)
           if (body(i) == '\\' && i + 1 < body.length) {
             body(i + 1) match {
               case 'u' =>
+                if (i + 6 > body.length)
+                  throw new IllegalStateException(
+                    s"schema registry: truncated \\u escape in /subjects body: $body")
                 sb.append(Integer.parseInt(
                   body.substring(i + 2, i + 6), 16).toChar)
                 i += 6

@@ -264,4 +264,42 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.loadQuietStart(Seq.empty, 4.0),
       "missing telemetry must NOT read as certified-quiet")
   }
+
+  test("concurrent run objects carry their own loadavg + hotspots " +
+      "(r17 verdict №3/№7: per-run self-certification and mechanism " +
+      "evidence, not session-level only)") {
+    val core = """{"metric":"concurrent_wall","value":1.0,"pools":4}"""
+    val out = Bench.concurrentRunJson(core,
+      """{"start":[0.50],"end":[1.00]}""",
+      """[{"query":"q_x","inflation":21.00}]""")
+    assert(out ==
+      """{"metric":"concurrent_wall","value":1.0,"pools":4,""" +
+        """"loadavg":{"start":[0.50],"end":[1.00]},""" +
+        """"hotspots":[{"query":"q_x","inflation":21.00}]}""")
+  }
+
+  test("SCALE_NOTCH merge: legacy bare object migrates to `full`; " +
+      "probes append; a new full run preserves probe history (r17 №4)") {
+    // First-ever probe, no artifact yet.
+    val p1 = ScaleNotch.mergeNotch(None, None, Some("""{"copies":10}"""))
+    assert(p1 ==
+      """{"metric":"scale_notch","full":null,"probes":[{"copies":10}]}""")
+    // Legacy pre-r18 artifact was the bare full-run object: a probe
+    // append must keep it, verbatim, under `full`.
+    val legacy = """{"metric":"scale_notch","copies":10,"batch":{}}"""
+    val p2 = ScaleNotch.mergeNotch(Some(legacy), None,
+      Some("""{"copies":30}"""))
+    assert(p2 == s"""{"metric":"scale_notch","full":$legacy,""" +
+      """"probes":[{"copies":30}]}""")
+    // Second probe appends after the first.
+    val p3 = ScaleNotch.mergeNotch(Some(p2), None, Some("""{"copies":50}"""))
+    assert(p3 == s"""{"metric":"scale_notch","full":$legacy,""" +
+      """"probes":[{"copies":30},{"copies":50}]}""")
+    // A fresh full run replaces `full` and keeps every probe.
+    val p4 = ScaleNotch.mergeNotch(Some(p3), Some("""{"new":1}"""), None)
+    assert(p4 == """{"metric":"scale_notch","full":{"new":1},""" +
+      """"probes":[{"copies":30},{"copies":50}]}""")
+    // No-op merge round-trips byte-identically.
+    assert(ScaleNotch.mergeNotch(Some(p4), None, None) == p4)
+  }
 }

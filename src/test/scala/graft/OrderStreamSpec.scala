@@ -679,6 +679,11 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // suppresses it for its TTL; after the TTL lapses the key is
     // forgotten (bounded state) and a redelivery is treated as new —
     // the same horizon semantic dedupOrders pins for watermark eviction.
+    // r17 advice: BOTH phases run inside one outer try whose finally
+    // unsets the provider key — previously the unset lived only in
+    // phase 2's finally, so a phase-1 assertion failure leaked RocksDB
+    // into every later test on the shared session.
+    try {
     val perm = RetryEvent("EVT-PERM-DUP", "Monitor", -1.0,
       "PermanentError", "Invalid price: -1.0", 0, 1704067200000L)
     val ok = RetryEvent("EVT-OK-DUP", "Laptop", 10.0, "Valid", null, 0,
@@ -752,10 +757,8 @@ class OrderStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(late.size == 2, s"TTL-lapsed redelivery must re-emit: $late")
       assert(late.count(o =>
         o.event_id == "EVT-PERM-DUP" && o.route == "dlq") == 2)
-    } finally {
-      q2.stop()
-      spark.conf.unset(key)
-    }
+    } finally q2.stop()
+    } finally spark.conf.unset(key)
   }
 
   test("retry executor default timers ARE the q_retry_schedule instants") {

@@ -581,9 +581,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i, hi) <- hs; (j, hj) <- hs if i < j
       d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
     } yield (i, j, d)).toSet
-    val got = Multimodal.mediaPhashPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rowsGot = Multimodal.mediaPhashPairs(spark, sf).collect()
+    val got = rowsGot.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expected)
+    // No group at this SF is near the cap: the in-band flag must be
+    // uniformly false (the exact all-pairs shape the oracle hashes).
+    assert(rowsGot.forall(!_.getAs[Boolean]("capped")))
     assert(expected.nonEmpty) // planted re-encodes really land in radius
     // Near-dup ≠ exact dup: at least one found pair differs in bytes.
     assert(expected.exists(_._3 > 0))
@@ -628,6 +631,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full duplicate populations.
     val touched = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert((0 until n).forall(i => touched.contains(i.toLong)))
+    // No-silent-caps (r17 advice): every emitted row from an oversized
+    // population carries capped=true IN BAND — a pair-counting consumer
+    // sees the star rewrite engaged instead of silently under-counting.
+    assert(pairs.forall(_.getAs[Boolean]("capped")),
+      "rows from capped populations must flag capped=true")
     // Group-level triage face: one row per population, sizes exact,
     // samples bounded.
     val groups = Multimodal.mediaPhashZeroGroups(spark, dir).collect()

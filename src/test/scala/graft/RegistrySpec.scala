@@ -33,7 +33,7 @@ class RegistrySpec extends AnyFunSuite {
     * registry. Any query add/remove must update BOTH this constant and
     * the SURVEY ledger in the same commit, or this test goes red.
     */
-  val SurveyLedgerCount = 370
+  val SurveyLedgerCount = 371
 
   test("registry count matches the SURVEY §13 ledger") {
     assert(SparkEntry.queries.size == SurveyLedgerCount,
