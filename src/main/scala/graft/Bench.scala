@@ -234,6 +234,44 @@ object Bench {
         "a broad random sample regressing is host contention")
     else None
 
+  /** MULTI-PASS MERGE (round 18). The round-17/18 close attempts found
+    * the host's contention is not a constant background but RECURRING
+    * STALL WINDOWS sweeping the run: two same-code full runs each
+    * tripped the mass-regression gate with ~40 disjoint-band movers,
+    * but the movers were DIFFERENT queries each time and their run
+    * positions came in contiguous bursts (44 of 68 position gaps ≤ 2 in
+    * the second run — stalled spans, not stalled queries). No single
+    * pass can land clean under that regime, and waiting for a stall-free
+    * 40-minute window is a lottery. The estimator that is robust to
+    * one-sided positive noise is the MIN OF PASS-MEDIANS: repeat the
+    * whole timed sweep P times and, per query, keep the cleanest pass —
+    * a query is only misestimated if a stall hit it in EVERY pass
+    * (p_stall^P, vanishing for P ≥ 3 at the observed ~18% stall
+    * coverage). Each element is (name, median, Some(repLo, repHi)) from
+    * one pass, in run order; the merged band is [min rep anywhere,
+    * cleanest pass's rep max] — the tightest envelope an actually-clean
+    * measurement produced. A query that failed in some passes but ran
+    * green in another keeps the green timing; -1 only when every pass
+    * failed. Pure so BenchGuardSpec pins it. */
+  private[graft] def mergePasses(
+      passes: Seq[Seq[(String, Double, Option[(Double, Double)])]])
+      : Seq[(String, Double, Option[(Double, Double)])] = {
+    require(passes.nonEmpty, "mergePasses needs at least one pass")
+    passes.head.map(_._1).map { n =>
+      val rows = passes.flatMap(_.find(_._1 == n))
+      val ok = rows.filter(_._2 >= 0)
+      if (ok.isEmpty) (n, -1.0, None)
+      else {
+        val best = ok.minBy(_._2)
+        val repLos = ok.flatMap(_._3.map(_._1))
+        val lo = if (repLos.isEmpty) best._2
+          else math.min(repLos.min, best._2)
+        val hi = best._3.map(_._2).getOrElse(best._2)
+        (n, best._2, Some((lo, math.max(hi, best._2))))
+      }
+    }
+  }
+
   /** Reps for one query: an explicit SPARK_GRAFT_BENCH_REPS wins
     * everywhere (the §6 isolated-REPS protocol depends on that);
     * otherwise sub-second-committed (or not-yet-committed) queries get
@@ -794,12 +832,14 @@ object Bench {
     val positions = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val bandsOut =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    def timeOne(name: String): (String, Double) = {
+    def timeOne(name: String): (String, Double, Option[(Double, Double)]) = {
       val fn = SparkEntry.queries(name)
       if (doWarm)
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-      positions(name) = runPos.getAndIncrement()
+      // Run position is the FIRST pass's index — later passes revisit
+      // the same order, so position stays the attribution key it was.
+      if (!positions.contains(name)) positions(name) = runPos.getAndIncrement()
       val times = (1 to repsFor(name)).map { _ =>
         if (doGc) System.gc()
         val t0 = System.nanoTime()
@@ -813,8 +853,7 @@ object Bench {
       }
       val t = if (times.exists(_ < 0)) -1.0
         else times.sorted.apply((times.size - 1) / 2) // lower median
-      if (t >= 0) bandsOut(name) = (times.min, times.max)
-      name -> t
+      (name, t, if (t >= 0) Some((times.min, times.max)) else None)
     }
 
     // CANARY (round-11 verdict №1): BENCH_r11's +32.7% uniform shift was
@@ -848,10 +887,35 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     val canaryStart = canaryRun()
-    val results = selected.map(timeOne)
-    loadSamples("mid") = loadAvgNow()
-    val canaryMid = canaryRun()
-    val extraResults = nonHeadline.map(timeOne)
+    // MULTI-PASS sweep (round 18; see mergePasses): under recurring
+    // host stall windows, P full passes + per-query min-of-medians is
+    // the estimator that lands a clean committed baseline. Default 1 —
+    // identical to the historical single-pass run; the close-protocol
+    // refresh sets SPARK_GRAFT_BENCH_PASSES=3.
+    val passCount = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.trim.toInt.max(1)).getOrElse(1)
+    val headPasses = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Double, Option[(Double, Double)])]]
+    val extraPasses = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Double, Option[(Double, Double)])]]
+    var canaryMid = -1.0
+    (1 to passCount).foreach { p =>
+      headPasses += selected.map(timeOne)
+      if (p == 1) { loadSamples("mid") = loadAvgNow(); canaryMid = canaryRun() }
+      extraPasses += nonHeadline.map(timeOne)
+      if (passCount > 1) {
+        loadSamples(s"pass$p") = loadAvgNow()
+        System.err.println(s"[bench] pass $p/$passCount complete " +
+          s"(load ${loadAvgNow().mkString(",")})")
+      }
+    }
+    val mergedHead = mergePasses(headPasses.toSeq)
+    val mergedExtra = mergePasses(extraPasses.toSeq)
+    (mergedHead ++ mergedExtra).foreach { case (n, _, b) =>
+      b.foreach(bandsOut(n) = _)
+    }
+    val results = mergedHead.map { case (n, t, _) => n -> t }
+    val extraResults = mergedExtra.map { case (n, t, _) => n -> t }
     loadSamples("end") = loadAvgNow()
     val canaryEnd = canaryRun()
     val failed = (results ++ extraResults).count(_._2 < 0)
@@ -988,7 +1052,7 @@ object Bench {
       case None => """"contaminated":false"""
     }
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"reps_noise_class":${adaptiveReps(Some(0.5), repsExplicit, reps)},"loadavg":$loadJson,"load_quiet_start":$quietStart,$contaminatedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bands":$bandsJson,"positions":$posJson,"canary":$canaryJson,"non_headline":$nh,"value_all":$totalAll%.3f,"failed":$failed,"reps":$reps,"reps_noise_class":${adaptiveReps(Some(0.5), repsExplicit, reps)},"passes":$passCount,"loadavg":$loadJson,"load_quiet_start":$quietStart,$contaminatedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(finalOut), fullJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $finalOut: ${e.getMessage}")
@@ -997,7 +1061,7 @@ object Bench {
       println(f"""{"query":"$k","sec":$v%.3f}""") }
     println(s"""{"canary":$canaryJson}""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"loadavg":$loadJson,"load_quiet_start":$quietStart,$contaminatedJson,"sf":"$sfDir","queries_file":"$finalOut"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_all":$totalAll%.3f,"n_all":${results.size + extraResults.size},"failed":$failed,"reps":$reps,"passes":$passCount,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"loadavg":$loadJson,"load_quiet_start":$quietStart,$contaminatedJson,"sf":"$sfDir","queries_file":"$finalOut"}""")
     spark.stop()
   }
 }

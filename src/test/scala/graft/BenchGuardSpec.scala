@@ -278,6 +278,29 @@ class BenchGuardSpec extends AnyFunSuite {
         """"hotspots":[{"query":"q_x","inflation":21.00}]}""")
   }
 
+  test("multi-pass merge: min-of-pass-medians wins, band comes from " +
+      "the cleanest pass, a green pass beats a failed one (round 18: " +
+      "recurring host stall windows — no single pass lands clean)") {
+    def pass(rows: (String, Double, (Double, Double))*) =
+      rows.map { case (n, t, b) => (n, t, if (t >= 0) Some(b) else None) }
+    // q_a: pass 2 is the clean one (stall hit pass 1); its median and
+    // rep-max carry, lo is the global rep minimum.
+    // q_b: failed in pass 1, green in pass 2 → green.
+    // q_c: failed in every pass → -1 sentinel, no band.
+    val merged = Bench.mergePasses(Seq(
+      pass(("q_a", 3.0, (2.8, 3.4)), ("q_b", -1.0, (0, 0)),
+        ("q_c", -1.0, (0, 0))),
+      pass(("q_a", 1.0, (0.9, 1.1)), ("q_b", 0.5, (0.4, 0.6)),
+        ("q_c", -1.0, (0, 0)))))
+    assert(merged == Seq(
+      ("q_a", 1.0, Some((0.9, 1.1))),
+      ("q_b", 0.5, Some((0.4, 0.6))),
+      ("q_c", -1.0, None)))
+    // Single pass degenerates to identity (the historical artifact).
+    val one = pass(("q_a", 2.0, (1.9, 2.2)))
+    assert(Bench.mergePasses(Seq(one)) == one)
+  }
+
   test("SCALE_NOTCH merge: legacy bare object migrates to `full`; " +
       "probes append; a new full run preserves probe history (r17 №4)") {
     // First-ever probe, no artifact yet.
