@@ -62,6 +62,17 @@ object GraphOps {
       // ⇒ floor((q·ow+r)w/ow) = q·w + floor(r·w/ow)) and overflow-free:
       // q·w ≤ mass and r·w < ow·w, where the naive mass·w passes
       // Long.MaxValue once edge weights reach ~9·10⁶ (sf≈100).
+      //
+      // Per-round join strategy (r18, MEASURED and deliberately left to
+      // AQE): unlike the checkpointed-per-round loops (labelPropagation
+      // / hyperBall / bfsHops, where pinning broadcast() on the
+      // materialized LogicalRDD side bought 20-28%), `mass` here is a
+      // GROWING LAZY plan — pinning broadcast(mass)/broadcast(in) nests
+      // each round's whole lineage inside a BroadcastExchange that
+      // cannot be reused, and the isolated REPS=5 A/B read 2.02 s →
+      // 2.26 s (a 12% REGRESSION). AQE already demotes these 25-row
+      // shuffle joins to broadcast at runtime; the static SMJ in the
+      // unrolled explain is not what executes.
       val in = edges.join(out, "src")
         .join(mass, col("node") === col("src"))
         .select(col("dst"),
@@ -301,10 +312,13 @@ object GraphOps {
     val sparse = sparseTradeEdges(spark, dir)
     var reached = Seq((seed, 0)).toDF("node", "hops").localCheckpoint()
     for (t <- 1 to maxHops) {
+      // r18 broadcast pinning: sparse is ≤ BfsTopLanes·|V| rows by
+      // construction and reached ≤ |V|; both checkpointed (stats-less)
+      // sides otherwise sort-merge per hop.
       val frontier = reached.filter(col("hops") === t - 1)
-      val next = frontier.join(sparse, col("node") === col("src"))
+      val next = frontier.join(broadcast(sparse), col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(reached.select("node"), Seq("node"), "left_anti")
+        .join(broadcast(reached.select("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(t))
       reached = reached.unionAll(next).localCheckpoint()
     }
@@ -456,19 +470,27 @@ object GraphOps {
       .select(col("n_nationkey").cast("long").as("node"))
     var lbl = nodes.withColumn("lbl", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // Per-round broadcast pinning (r18, the kCorePeel lesson): both
+      // checkpointed sides carry no stats, so Catalyst defaulted the
+      // round to sort-merge. The LABEL table is the broadcast side —
+      // |V| rows of (node, lbl) — which is also the side that stays
+      // broadcastable in the 10⁹-node near-dup-graph use only after
+      // sharding; at THIS face |V| = |nations| = 25 by schema. The
+      // edge table stays the streamed side (the big side at corpus
+      // scale).
       val scores = und.as("e")
-        .join(lbl.as("l"), col("e.u") === col("l.node"))
+        .join(broadcast(lbl.as("l")), col("e.u") === col("l.node"))
         .select(col("e.v").as("node"), col("l.lbl").as("nlbl"), col("e.w"))
         .groupBy("node", "nlbl").agg(sum("w").as("s"))
       val best = scores.groupBy("node")
         .agg(max(expr("s * 32 + (31 - nlbl)")).as("p"))
         .select(col("node"), expr("31 - p % 32").as("newlbl"))
-      lbl = lbl.as("o").join(best.as("b"), Seq("node"), "left")
+      lbl = lbl.as("o").join(broadcast(best.as("b")), Seq("node"), "left")
         .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
     }
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-    lbl.join(sizes, "lbl")
+    lbl.join(broadcast(sizes), "lbl")
       .select(col("node"), col("lbl").as("community"), col("community_size"))
   }
 
@@ -502,21 +524,29 @@ object GraphOps {
     var ball = nodes.groupBy("node")
       .agg(expr("hll_sketch_agg(node)").as("sk"))
     for (_ <- 1 to radius) {
-      ball = adj.join(ball, col("dst") === col("node"))
+      // r18 broadcast pinning (kCorePeel lesson): the ball table is
+      // |V| sketch rows — KB-sized at 25 nodes, |V|·KB in the webgraph
+      // use, which is exactly HyperBall's published memory model (the
+      // sketch table rides in RAM; the edge scan streams). Without the
+      // hint the checkpointed sides sort-merge every round.
+      ball = adj.join(broadcast(ball), col("dst") === col("node"))
         .groupBy("src").agg(expr("hll_union_agg(sk)").as("sk"))
         .select(col("src").as("node"), col("sk"))
         .localCheckpoint() // |V| sketch rows per round
     }
     var pairs = nodes.select(col("node").as("v"), col("node").as("u"))
     for (_ <- 1 to radius) {
+      // The oracle-anchor exact expansion: adj is ≤ 2·|V| + |V| rows
+      // (top-2 lanes + self-loops) by construction — the broadcast
+      // side at any SF; pairs is the growing side.
       pairs = pairs
-        .union(pairs.join(adj, col("u") === col("src"))
+        .union(pairs.join(broadcast(adj), col("u") === col("src"))
           .select(col("v"), col("dst").as("u")))
         .distinct().localCheckpoint()
     }
     val exact = pairs.groupBy("v").agg(count(lit(1)).as("exact_reach"))
     ball.select(col("node"), expr("hll_sketch_estimate(sk)").as("est"))
-      .join(exact, col("node") === col("v"))
+      .join(broadcast(exact), col("node") === col("v"))
       .select(col("node"), col("exact_reach"),
         (abs(col("est") - col("exact_reach")) <=
           col("exact_reach") * 0.05 + lit(16)).as("estimate_in_bounds"))
@@ -541,6 +571,8 @@ object GraphOps {
     var mass = nodes.withColumn("mass",
       when(col("node") === seed, lit(TotalMass)).otherwise(lit(0L)))
     for (_ <- 0 until Iterations) {
+      // Left to AQE like [[pageRank]]'s loop (r18 measured A/B): mass
+      // is a growing lazy plan, and pinned broadcasts regressed it.
       val in = edges.join(out, "src")
         .join(mass, col("node") === col("src"))
         .select(col("dst"),

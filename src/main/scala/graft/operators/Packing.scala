@@ -30,8 +30,21 @@ object Packing {
     * partitioned (same discipline as `Profiling.equidepthOf`'s exact
     * rank, generalized from counts to weights). */
   private[graft] def withGlobalCumsum(input: DataFrame, weightCol: String,
-      orderCols: Seq[String], parts: Int = 32): DataFrame =
+      orderCols: Seq[String], parts: Int = 0): DataFrame =
     withGlobalCumsums(input, Seq(weightCol -> "cum_before"), orderCols, parts)
+
+  /** Range-partition count for the distributed-cumsum family: the
+    * session's shuffle-partition setting (env-parameterised via
+    * GraftSession — the local default equals the core count; a cluster
+    * raises it or leaves it to AQE), NOT a constant. A constant tuned
+    * for one machine is exactly the scale bug the optimization guide
+    * (§2) warns about: 32 range partitions of a 100 TB table are 3 TB
+    * each. Exactness is partition-count-independent (the prefix offsets
+    * are computed from whatever partitioning was drawn), so the count
+    * is purely a throughput knob. */
+  private[graft] def derivedParts(input: DataFrame, parts: Int): Int =
+    if (parts > 0) parts
+    else input.sparkSession.sessionState.conf.numShufflePartitions
 
   /** Multi-weight generalization of [[withGlobalCumsum]]: append one
     * exact strictly-before running sum PER (weightCol → outCol) pair,
@@ -44,7 +57,8 @@ object Packing {
     * fusing them halves the dominant cost. */
   private[graft] def withGlobalCumsums(input: DataFrame,
       weights: Seq[(String, String)], orderCols: Seq[String],
-      parts: Int = 32): DataFrame = {
+      parts: Int = 0): DataFrame = {
+    val nParts = derivedParts(input, parts)
     // MATERIALIZE the ranged rows before fanning out. The per-partition
     // sums, the offsets join and the local window all consume `ranged`;
     // if Catalyst prunes them differently the exchange subtrees stop
@@ -59,7 +73,7 @@ object Packing {
     // consumers; it is the same build-once discipline the index caches
     // use, and the input here is always a slim projection.
     val ranged = input
-      .repartitionByRange(parts, orderCols.map(col): _*)
+      .repartitionByRange(nParts, orderCols.map(col): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val sums = ranged.groupBy("pid").agg(

@@ -402,13 +402,16 @@ object Profiling {
     * offsets join → per-partition window rank → final groupBy. No
     * unpartitioned window anywhere in the plan. */
   private[graft] def equidepthOf(input: DataFrame, valueCol: String,
-      keyCol: String, buckets: Int, parts: Int = 32): DataFrame = {
+      keyCol: String, buckets: Int, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Range-partition count derived from the session (scale-adaptive,
+    // not a local constant — see Packing.derivedParts).
+    val nParts = Packing.derivedParts(input, parts)
     // Materialized — one partitioning for all three consumers (see
     // Packing.withGlobalCumsum's ranged checkpoint for the failure
     // mode this prevents).
     val ranged = input
-      .repartitionByRange(parts, col(valueCol), col(keyCol))
+      .repartitionByRange(nParts, col(valueCol), col(keyCol))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     // Per-partition counts: `parts` rows, tiny whatever the table size.
@@ -471,7 +474,7 @@ object Profiling {
     * (which would otherwise serialize through a single task). */
   private[graft] def groupedEquidepthOf(input: DataFrame, groupCol: String,
       valueCol: String, keyCol: String, buckets: Int,
-      parts: Int = 32): DataFrame =
+      parts: Int = 0): DataFrame =
     withGroupedRank(input, groupCol, valueCol, keyCol, parts)
       .selectExpr(groupCol, valueCol, "rk0",
         s"n div $buckets AS q", s"n % $buckets AS r")
@@ -490,15 +493,16 @@ object Profiling {
     * (group, value, key) unique. The row-level primitive under the
     * grouped equi-depth histogram and the trimmed group stats. */
   private[graft] def withGroupedRank(input: DataFrame, groupCol: String,
-      valueCol: String, keyCol: String, parts: Int = 32): DataFrame = {
+      valueCol: String, keyCol: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nParts = Packing.derivedParts(input, parts)
     // Materialized for the same reason as Packing.withGlobalCumsum's
     // ranged checkpoint: three consumers must see ONE partitioning, and
     // exchange reuse is not guaranteed once pruning diverges — without
     // this the per-(pid, group) counts can come from a different range
     // sampling than the window they offset.
     val ranged = input
-      .repartitionByRange(parts, col(groupCol), col(valueCol), col(keyCol))
+      .repartitionByRange(nParts, col(groupCol), col(valueCol), col(keyCol))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val counts = ranged.groupBy("pid", groupCol).agg(count(lit(1)).as("cnt"))

@@ -538,8 +538,13 @@ object Ranking {
     var mass = scn.select(col("scn").as("mscn"),
       lit("START").as("state"), lit(MassTotal).as("mass"))
     for (r <- 1 to rounds) {
+      // r18 broadcast pinning: stw is ≤ |scenarios|·|states|² ≤ 5·36
+      // rows BY CONSTRUCTION (the state space is the event-type enum),
+      // but its localCheckpoint strips stats and the round defaulted
+      // to sort-merge — 2 exchanges + sorts per round over ≤180 rows.
       mass = mass
-        .join(stw, col("scn") === col("mscn") && col("src") === col("state"))
+        .join(broadcast(stw),
+          col("scn") === col("mscn") && col("src") === col("state"))
         .select(col("scn"), col("dst"),
           expr("(mass div ow) * c + ((mass % ow) * c) div ow").as("f"))
         .groupBy("scn", "dst").agg(sum("f").as("mass"))

@@ -267,7 +267,12 @@ object StreamQueries {
         (col("ts") + expr("CAST(conv(substr(md5(CAST(event_id AS STRING))," +
           " 1, 15), 16, 10) AS BIGINT) % 120000000000"))
           .as("arrival"))
-      .repartitionByRange(32, col("arrival"), col("event_id"))
+      // Range-partition count from the session (scale-adaptive, not a
+      // local constant — Packing.derivedParts discipline): the running
+      // max is exact under any partition count.
+      .repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions,
+        col("arrival"), col("event_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val pmax = ranged.groupBy("pid").agg(max("ts").as("pmax"))
